@@ -1,0 +1,75 @@
+#!/usr/bin/env python
+"""Benchmark harness: runs the headline query catalog at
+$SPARK_GRAFT_SF_DIR (default /root/testdata/sf0.1) on
+local[$SPARK_GRAFT_CPUS] and prints ONE JSON line:
+
+  {"metric": "...", "value": N, "unit": "sec", "queries": {...}, "sf": ...}
+
+Each query is executed as a full action (count of the result) after a
+warm-up of the parquet footers; per-query wall time is reported, plus
+the total.
+"""
+
+from __future__ import annotations
+
+import json
+import os
+import sys
+import time
+
+REPO = os.path.dirname(os.path.abspath(__file__))
+if REPO not in sys.path:
+    sys.path.insert(0, REPO)
+
+
+def main() -> None:
+    sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", str(os.cpu_count() or 8))
+    os.environ.setdefault("SPARK_DRIVER_MEM", "48g")
+
+    from dados_publicos_etl_spark.plans import QUERIES
+    from dados_publicos_etl_spark.plans import catalog  # noqa: F401
+    from dados_publicos_etl_spark.session import get_session
+
+    spark = get_session(
+        app_name="bench",
+        master=f"local[{cpus}]",
+        shuffle_partitions=int(cpus),
+    )
+
+    # warm-up: touch every table so JVM/classloading and footer reads are
+    # excluded from per-query timings (bench measures plans, not startup).
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.schemas import TABLE_NAMES
+
+    for t in TABLE_NAMES:
+        read_table(spark, sf_dir, t).count()
+
+    timings: dict[str, float] = {}
+    for name in sorted(QUERIES):
+        spec = QUERIES[name]
+        t0 = time.perf_counter()
+        df = spec.fn(spark, sf_dir)
+        n = df.count()
+        timings[name] = round(time.perf_counter() - t0, 4)
+        del n
+
+    total = round(sum(timings.values()), 4)
+    sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
+    print(
+        json.dumps(
+            {
+                "metric": "catalog_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": timings,
+                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+                "n_queries": len(timings),
+            }
+        )
+    )
+    spark.stop()
+
+
+if __name__ == "__main__":
+    main()

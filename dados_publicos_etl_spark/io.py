@@ -1,0 +1,188 @@
+"""Sources and sinks (SURVEY.md §2.A S4-S7, K1-K6).
+
+Everything is Spark's native multi-file datasource — "table = folder
+of files" exactly as the reference treats GCS prefixes
+(/root/reference/src/utils/transform.py:34-35). The reference's
+driver-side pandas loops (CSV->Parquet conversion, per-file counting)
+become single distributed Spark jobs here; that is its main
+scalability cliff and the first thing this engine fixes.
+"""
+
+from __future__ import annotations
+
+import codecs
+import glob
+import os
+import shutil
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import types as T
+
+
+def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Read one testdata table (parquet folder-or-file) by name.
+
+    Some driver tables (``events``) carry parquet TIMESTAMP(NANOS),
+    which Spark's vectorized reader rejects.  We read nanos as long
+    (``spark.sql.legacy.parquet.nanosAsLong``) and truncate to
+    microsecond timestamps — the same truncation DuckDB applies, so
+    oracle comparisons stay exact.
+    """
+    from dados_publicos_etl_spark import schemas
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
+    expected = schemas.TESTDATA.get(name)
+    if expected is not None:
+        for field in expected.fields:
+            actual = df.schema[field.name].dataType if field.name in df.columns else None
+            if isinstance(field.dataType, T.TimestampType) and isinstance(
+                actual, T.LongType
+            ):
+                from pyspark.sql import functions as F
+
+                df = df.withColumn(
+                    field.name,
+                    F.timestamp_micros(
+                        (F.col(field.name) / F.lit(1000)).cast("long")
+                    ),
+                )
+    return df
+
+
+def read_csv(
+    spark: SparkSession,
+    path: str,
+    schema: T.StructType | None = None,
+    sep: str = ";",
+    header: bool = False,
+    encoding: str = "UTF-8",
+    infer: bool = False,
+) -> DataFrame:
+    """CSV scan with the reference's option set.
+
+    Parity: /root/reference/src/script/script.py:38-47 (explicit
+    schema, header=false, sep=';', quote='"', escape='"').  The
+    latin-1 transcode the reference does by hand
+    (/root/reference/src/utils/scraping.py:63-89) is a native
+    ``encoding`` option here.  Explicit schema avoids Spark's extra
+    inference pass over the data — keep ``infer`` an opt-in.
+    """
+    reader = (
+        spark.read.format("csv")
+        .option("header", str(header).lower())
+        .option("sep", sep)
+        .option("quote", '"')
+        .option("escape", '"')
+        .option("encoding", encoding)
+    )
+    if schema is not None:
+        reader = reader.schema(schema)
+    elif infer:
+        reader = reader.option("inferSchema", "true")
+    return reader.load(path)
+
+
+def write_csv(
+    df: DataFrame,
+    path: str,
+    sep: str = "|",
+    header: bool = True,
+    mode: str = "overwrite",
+    single_file: bool = False,
+    bom: bool = False,
+) -> None:
+    """CSV sink (reference K2/K4 semantics).
+
+    Parity: /root/reference/src/script/script.py:61-70 writes
+    ``coalesce(1)`` + header + '|' + overwrite; the BOM fixup lives in
+    /root/reference/src/utils/scraping.py:104-176.  Here the
+    single-file collapse and the BOM are OPT-IN: at scale the default
+    is a parallel multi-file write, and ``coalesce(1)`` is only for
+    small exports that a spreadsheet must open.
+    """
+    out = df.coalesce(1) if single_file else df
+    out.write.format("csv").option("header", str(header).lower()).option(
+        "sep", sep
+    ).mode(mode).save(path)
+    if bom:
+        add_utf8_bom(path)
+
+
+def add_utf8_bom(path: str) -> int:
+    """Prepend a UTF-8 BOM to each part-*.csv under ``path``.
+
+    No Spark CSV write option emits a BOM (SURVEY.md §4.3.1), so this
+    is a post-write fixup, idempotent like the reference's
+    (/root/reference/src/utils/scraping.py:146-151).  Returns the
+    number of files rewritten.  Driver-side by design: it pairs with
+    ``single_file=True`` exports, never with large parallel output.
+    """
+    fixed = 0
+    for f in glob.glob(os.path.join(path, "part-*.csv")):
+        with open(f, "rb") as fh:
+            head = fh.read(3)
+        if head == codecs.BOM_UTF8:
+            continue
+        tmp = f + ".bom.tmp"
+        with open(f, "rb") as src, open(tmp, "wb") as dst:
+            dst.write(codecs.BOM_UTF8)
+            shutil.copyfileobj(src, dst)
+        os.replace(tmp, f)
+        fixed += 1
+    return fixed
+
+
+def write_parquet(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    partition_by: list[str] | None = None,
+    compression: str = "snappy",
+) -> None:
+    """Parquet sink — the refined layer.
+
+    The reference README promises partitioning + snappy
+    (/root/reference/README.md:28-33) but its code (pandas
+    ``to_parquet`` per file, /root/reference/src/utils/transform.py:
+    49-58) implements neither; here both are first-class.
+    """
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.parquet(path)
+
+
+def csv_to_parquet(
+    spark: SparkSession,
+    src: str,
+    dst: str,
+    sep: str = "|",
+    header: bool = True,
+    schema: T.StructType | None = None,
+    partition_by: list[str] | None = None,
+) -> DataFrame:
+    """Trusted-CSV -> refined-Parquet conversion (reference K5).
+
+    The reference loops files through pandas on one worker
+    (/root/reference/src/utils/transform.py:14-70, whole file in
+    memory each) — here it is one distributed job over the folder.
+    Returns the DataFrame that was written (for audit counts).
+    """
+    df = read_csv(spark, src, schema=schema, sep=sep, header=header,
+                  infer=schema is None)
+    write_parquet(df, dst, partition_by=partition_by)
+    return df
+
+
+def save_warehouse_table(
+    df: DataFrame, table: str, mode: str = "overwrite"
+) -> None:
+    """Warehouse bulk load (reference K6).
+
+    Parity: /root/reference/src/utils/load_bq.py:13-64 (WRITE_TRUNCATE
+    + blocking result + row-count verify).  Locally this is
+    ``saveAsTable``; on a cluster swap in the spark-bigquery connector
+    behind the same call — the engine API does not change.
+    """
+    df.write.mode(mode).saveAsTable(table)

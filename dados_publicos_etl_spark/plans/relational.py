@@ -1,0 +1,662 @@
+"""Core relational query catalog (SURVEY.md §2.B: joins, aggregations,
+windows, sorts, set ops, scalar functions).
+
+The reference has none of these (its relational surface is a single
+scan-project-write job); the driver's TPC-H-ish tables are the
+workload.  Every plan here is written scale-first:
+
+- dimension tables (region/nation/supplier/part at TPC-H proportions)
+  are explicitly ``F.broadcast``-hinted — at 100 TB the fact tables
+  shuffle, the dims never should;
+- aggregations go through ``groupBy`` so Catalyst plans partial
+  (map-side) aggregation before the shuffle;
+- top-k is ``orderBy().limit(k)`` which Spark plans as
+  TakeOrderedAndProject (no global sort materialization);
+- filters are expression-form so they push into the parquet scan.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark.io import read_table
+from dados_publicos_etl_spark.operators.clean import clean_cnae
+from dados_publicos_etl_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Reference-parity (SURVEY §2.A): the CNAE cleaning query re-targeted at the
+# driver tables (same semantics as /root/reference/src/script/script.py:53-59).
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cnae_clean",
+    oracle="""
+    SELECT n_nationkey AS CODIGO,
+           NULLIF(TRIM(n_name), '') AS DESCRICAO,
+           CASE WHEN (n_nationkey % 2) = 1 THEN 'PRIMARIO'
+                ELSE 'SECUNDARIO' END AS SEGMENTO
+    FROM nation
+    """,
+    description="Reference transform parity: trim + empty->NULL + parity "
+    "enum (script.py:53-59) applied to an (int,string) table.",
+)
+def cnae_clean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    df = read_table(spark, sf_dir, "nation").select(
+        F.col("n_nationkey").alias("CODIGO"),
+        F.col("n_name").alias("DESCRICAO"),
+    )
+    return clean_cnae(df)
+
+
+@query(
+    "audit_counts",
+    oracle="""
+    SELECT 'lineitem' AS table_name, CAST(COUNT(*) AS BIGINT) AS qtd_rows FROM lineitem
+    UNION ALL
+    SELECT 'orders' AS table_name, CAST(COUNT(*) AS BIGINT) AS qtd_rows FROM orders
+    UNION ALL
+    SELECT 'customer' AS table_name, CAST(COUNT(*) AS BIGINT) AS qtd_rows FROM customer
+    """,
+    description="Audit row-count op (reference monitor.py:70-100) as one "
+    "distributed job instead of serial per-file pandas counts.",
+)
+def audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    parts = []
+    for name in ("lineitem", "orders", "customer"):
+        parts.append(
+            read_table(spark, sf_dir, name)
+            .agg(F.count(F.lit(1)).alias("qtd_rows"))
+            .select(F.lit(name).alias("table_name"), "qtd_rows")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q1_pricing_summary",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 4) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="TPC-H Q1 shape: scan + pushed filter + grouped multi-agg "
+    "(partial agg map-side, one shuffle on the 6-value group key).",
+)
+def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
+            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+    )
+
+
+@query(
+    "distinct_agg",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_parts,
+           CAST(COUNT(DISTINCT l_suppkey) AS BIGINT) AS n_supps
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Distinct aggregation (Spark plans expand + two-phase agg).",
+)
+def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.countDistinct("l_partkey").alias("n_parts"),
+            F.countDistinct("l_suppkey").alias("n_supps"),
+        )
+    )
+
+
+@query(
+    "rollup_sales",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           COUNT(*) AS n
+    FROM lineitem
+    GROUP BY ROLLUP (l_returnflag, l_linestatus)
+    """,
+    description="Grouping sets: ROLLUP over two keys (Expand operator, "
+    "single shuffle).",
+)
+def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .rollup("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "cube_status",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           ROUND(SUM(o_totalprice), 2) AS total_price,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY CUBE (o_orderstatus, o_orderpriority)
+    """,
+    description="Grouping sets: CUBE over two keys.",
+)
+def cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .cube("o_orderstatus", "o_orderpriority")
+        .agg(
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n"),
+        )
+    )
+
+
+@query(
+    "pivot_status",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
+           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Pivot (explicit value list so no extra distinct-values "
+    "scan; compiles to conditional aggregation).",
+)
+def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
+    pivoted = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .pivot("l_linestatus", ["O", "F"])
+        .sum("l_quantity")
+    )
+    return pivoted.select(
+        "l_returnflag",
+        F.round(F.col("O"), 2).alias("O"),
+        F.round(F.col("F"), 2).alias("F"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Joins
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q3_shipping_priority",
+    oracle="""
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
+           o_orderpriority
+    FROM customer
+    JOIN orders ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+      AND o_orderdate < TIMESTAMP '1999-01-01 00:00:00'
+      AND l_shipdate > TIMESTAMP '1999-01-01 00:00:00'
+    GROUP BY l_orderkey, o_orderdate, o_orderpriority
+    ORDER BY revenue DESC, l_orderkey
+    LIMIT 10
+    """,
+    description="TPC-H Q3 shape: selective dim filter -> fact join -> "
+    "grouped agg -> top-k (TakeOrderedAndProject).",
+)
+def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer").filter(
+        F.col("c_mktsegment") == "BUILDING"
+    )
+    cutoff = F.lit("1999-01-01 00:00:00").cast("timestamp")
+    orders = read_table(spark, sf_dir, "orders").filter(F.col("o_orderdate") < cutoff)
+    li = read_table(spark, sf_dir, "lineitem").filter(F.col("l_shipdate") > cutoff)
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+        .select(
+            "l_orderkey",
+            "revenue",
+            F.date_format("o_orderdate", "yyyy-MM-dd").alias("orderdate"),
+            "o_orderpriority",
+        )
+        .orderBy(F.desc("revenue"), "l_orderkey")
+        .limit(10)
+    )
+
+
+@query(
+    "q5_revenue_by_nation",
+    oracle="""
+    SELECT n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    JOIN supplier ON l_suppkey = s_suppkey AND c_nationkey = s_nationkey
+    JOIN nation   ON s_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    WHERE r_name = 'ASIA'
+      AND o_orderdate >= TIMESTAMP '1996-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '2000-01-01 00:00:00'
+    GROUP BY n_name
+    """,
+    description="TPC-H Q5 shape: 6-table join; all dims broadcast, facts "
+    "shuffle once on the join key.",
+)
+def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1996-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("2000-01-01 00:00:00").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    supp = read_table(spark, sf_dir, "supplier")
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region").filter(F.col("r_name") == "ASIA")
+    return (
+        li.join(orders, li.l_orderkey == orders.o_orderkey)
+        .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
+        .join(
+            F.broadcast(supp),
+            (li.l_suppkey == supp.s_suppkey)
+            & (cust.c_nationkey == supp.s_nationkey),
+        )
+        .join(F.broadcast(nation), supp.s_nationkey == nation.n_nationkey)
+        .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
+        .groupBy("n_name")
+        .agg(
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
+            ).alias("revenue")
+        )
+    )
+
+
+@query(
+    "join_semi",
+    oracle="""
+    SELECT c_mktsegment, COUNT(*) AS n_customers
+    FROM customer
+    WHERE EXISTS (SELECT 1 FROM orders
+                  WHERE o_custkey = c_custkey AND o_totalprice > 100000)
+    GROUP BY c_mktsegment
+    """,
+    description="Left-semi join (EXISTS) — no duplication of the left side.",
+)
+def join_semi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    big_orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 100000
+    )
+    return (
+        cust.join(big_orders, cust.c_custkey == big_orders.o_custkey, "left_semi")
+        .groupBy("c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("n_customers"))
+    )
+
+
+@query(
+    "join_anti",
+    oracle="""
+    SELECT c_custkey, c_name
+    FROM customer
+    WHERE NOT EXISTS (SELECT 1 FROM orders WHERE o_custkey = c_custkey)
+    """,
+    description="Left-anti join (NOT EXISTS): customers with no orders.",
+)
+def join_anti(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return cust.join(
+        orders, cust.c_custkey == orders.o_custkey, "left_anti"
+    ).select("c_custkey", "c_name")
+
+
+@query(
+    "join_outer",
+    oracle="""
+    SELECT c_custkey,
+           CAST(COUNT(o_orderkey) AS BIGINT) AS n_orders,
+           ROUND(COALESCE(SUM(o_totalprice), 0), 2) AS total_spent
+    FROM customer
+    LEFT JOIN orders ON c_custkey = o_custkey
+    GROUP BY c_custkey
+    """,
+    description="Left-outer join + null-preserving aggregation.",
+)
+def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    return (
+        cust.join(orders, cust.c_custkey == orders.o_custkey, "left")
+        .groupBy("c_custkey")
+        .agg(
+            F.count("o_orderkey").alias("n_orders"),
+            F.round(F.coalesce(F.sum("o_totalprice"), F.lit(0.0)), 2).alias(
+                "total_spent"
+            ),
+        )
+    )
+
+
+@query(
+    "range_join_price_band",
+    oracle="""
+    SELECT b.band AS band, COUNT(*) AS n_parts
+    FROM part p
+    JOIN (SELECT 'low' AS band, 0.0 AS lo, 500.0 AS hi
+          UNION ALL SELECT 'mid', 500.0, 1500.0
+          UNION ALL SELECT 'high', 1500.0, 1e9) b
+      ON p.p_retailprice >= b.lo AND p.p_retailprice < b.hi
+    GROUP BY b.band
+    """,
+    description="Range (non-equi) join against a banding table — broadcast "
+    "nested-loop on a tiny build side, the scalable pattern for banding.",
+)
+def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    bands = spark.createDataFrame(
+        [("low", 0.0, 500.0), ("mid", 500.0, 1500.0), ("high", 1500.0, 1e9)],
+        "band string, lo double, hi double",
+    )
+    return (
+        part.join(
+            F.broadcast(bands),
+            (part.p_retailprice >= bands.lo) & (part.p_retailprice < bands.hi),
+        )
+        .groupBy("band")
+        .agg(F.count(F.lit(1)).alias("n_parts"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Window functions / top-k
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "window_topk_orders",
+    oracle="""
+    SELECT c_custkey, o_orderkey, o_totalprice, rn FROM (
+        SELECT o_custkey AS c_custkey, o_orderkey, o_totalprice,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey
+                                  ORDER BY o_totalprice DESC, o_orderkey) AS rn
+        FROM orders)
+    WHERE rn <= 3
+    """,
+    description="Top-k per group via row_number window (single shuffle on "
+    "the partition key; rank pruning).",
+)
+def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("o_custkey").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    return (
+        read_table(spark, sf_dir, "orders")
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 3)
+        .select(
+            F.col("o_custkey").alias("c_custkey"),
+            "o_orderkey",
+            "o_totalprice",
+            "rn",
+        )
+    )
+
+
+@query(
+    "window_running_total",
+    oracle="""
+    SELECT user_id, event_id,
+           ROUND(SUM(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id
+                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+             AS running_value,
+           ROUND(value - COALESCE(LAG(value) OVER (PARTITION BY user_id
+                                  ORDER BY ts, event_id), 0), 2) AS delta_value
+    FROM events
+    """,
+    description="Running sum + lag over event streams (rowsBetween frame).",
+)
+def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    return (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "user_id",
+            "event_id",
+            F.round(
+                F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+            ).alias("running_value"),
+            F.round(
+                F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)),
+                2,
+            ).alias("delta_value"),
+        )
+    )
+
+
+@query(
+    "window_rank_dense",
+    oracle="""
+    SELECT p_brand, p_partkey, p_retailprice,
+           RANK() OVER (PARTITION BY p_brand ORDER BY p_retailprice DESC, p_partkey)
+             AS price_rank,
+           DENSE_RANK() OVER (PARTITION BY p_brand ORDER BY p_size)
+             AS size_dense_rank,
+           NTILE(4) OVER (PARTITION BY p_brand ORDER BY p_retailprice, p_partkey)
+             AS price_quartile
+    FROM part
+    """,
+    description="rank / dense_rank / ntile window family.",
+)
+def window_rank_dense(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    by_price = W.partitionBy("p_brand").orderBy(
+        F.desc("p_retailprice"), F.asc("p_partkey")
+    )
+    by_size = W.partitionBy("p_brand").orderBy("p_size")
+    quart = W.partitionBy("p_brand").orderBy("p_retailprice", "p_partkey")
+    return part.select(
+        "p_brand",
+        "p_partkey",
+        "p_retailprice",
+        F.rank().over(by_price).alias("price_rank"),
+        F.dense_rank().over(by_size).alias("size_dense_rank"),
+        F.ntile(4).over(quart).alias("price_quartile"),
+    )
+
+
+@query(
+    "topk_orders",
+    oracle="""
+    SELECT o_orderkey, o_custkey, o_totalprice
+    FROM orders
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    description="Global top-k: TakeOrderedAndProject, no full sort.",
+)
+def topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_custkey", "o_totalprice")
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Set operations
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "set_ops",
+    oracle="""
+    WITH big AS (SELECT o_custkey AS custkey FROM orders WHERE o_totalprice > 150000),
+         urgent AS (SELECT o_custkey AS custkey FROM orders
+                    WHERE o_orderpriority = '1-URGENT')
+    SELECT 'union' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT custkey FROM big UNION SELECT custkey FROM urgent)
+    UNION ALL
+    SELECT 'intersect' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT custkey FROM big INTERSECT SELECT custkey FROM urgent)
+    UNION ALL
+    SELECT 'except' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT custkey FROM big EXCEPT SELECT custkey FROM urgent)
+    UNION ALL
+    SELECT 'except_all' AS op, CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT custkey FROM big EXCEPT ALL SELECT custkey FROM urgent)
+    """,
+    description="UNION (distinct) / INTERSECT / EXCEPT / EXCEPT ALL over "
+    "key sets.",
+)
+def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    big = orders.filter(F.col("o_totalprice") > 150000).select(
+        F.col("o_custkey").alias("custkey")
+    )
+    urgent = orders.filter(F.col("o_orderpriority") == "1-URGENT").select(
+        F.col("o_custkey").alias("custkey")
+    )
+    rows = [
+        ("union", big.union(urgent).distinct()),
+        ("intersect", big.intersect(urgent)),
+        ("except", big.subtract(urgent)),  # EXCEPT (distinct semantics)
+        ("except_all", big.exceptAll(urgent)),  # bag semantics
+    ]
+    parts = [
+        d.agg(F.count(F.lit(1)).alias("n")).select(F.lit(op).alias("op"), "n")
+        for op, d in rows
+    ]
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Scalar functions: dates, strings, JSON
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "date_functions",
+    oracle="""
+    SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
+           CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
+           COUNT(*) AS n_orders,
+           ROUND(SUM(o_totalprice), 2) AS total_price
+    FROM orders
+    GROUP BY order_year, order_quarter
+    """,
+    description="Date part extraction + time-bucketed aggregation.",
+)
+def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.year("o_orderdate").alias("order_year"),
+            F.quarter("o_orderdate").alias("order_quarter"),
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+        )
+    )
+
+
+@query(
+    "string_functions",
+    oracle="""
+    SELECT p_partkey,
+           UPPER(p_brand) AS brand_upper,
+           SUBSTRING(p_name, 1, 10) AS name_prefix,
+           CAST(LENGTH(p_name) AS INT) AS name_len,
+           p_type || '/' || p_brand AS type_brand,
+           REPLACE(p_brand, 'Brand#', 'B') AS brand_short
+    FROM part
+    WHERE p_name LIKE '%a%'
+    """,
+    description="String scalar surface: upper/substring/length/concat/"
+    "replace + LIKE pushdown.",
+)
+def string_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "part")
+        .filter(F.col("p_name").like("%a%"))
+        .select(
+            "p_partkey",
+            F.upper("p_brand").alias("brand_upper"),
+            F.substring("p_name", 1, 10).alias("name_prefix"),
+            F.length("p_name").alias("name_len"),
+            F.concat_ws("/", "p_type", "p_brand").alias("type_brand"),
+            F.regexp_replace("p_brand", "Brand#", "B").alias("brand_short"),
+        )
+    )
+
+
+@query(
+    "json_events",
+    oracle="""
+    SELECT event_type,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT) AS sum_k,
+           COUNT(*) AS n
+    FROM events
+    GROUP BY event_type
+    """,
+    description="JSON extraction from a string column + aggregation "
+    "(get_json_object; schema_of_json/from_json for typed access).",
+)
+def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "events")
+        .select(
+            "event_type",
+            F.get_json_object("props", "$.k").cast("int").alias("k"),
+        )
+        .groupBy("event_type")
+        .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
+    )

@@ -1,0 +1,64 @@
+"""SparkSession factory with the engine's standard configuration.
+
+Mirrors the reference job's explicit session choices
+(/root/reference/src/script/script.py:16-26: appName + suppression of
+the ``_SUCCESS`` marker) and adds the scale-oriented defaults the
+reference leaves implicit: AQE, Arrow, UTC session timezone, shuffle
+partitions sized to the machine rather than Spark's legacy 200.
+
+At 100 TB on a real cluster the same builder applies — only
+``master``, memory sizing and ``spark.sql.shuffle.partitions`` move
+(set shuffle partitions ~2-3x total executor cores, or leave AQE's
+coalescing to shrink an intentionally-high initial number).
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+
+def get_session(
+    app_name: str = "dados-publicos-etl-spark",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Build (or fetch) the engine's SparkSession.
+
+    Local-mode defaults come from env:
+      SPARK_GRAFT_CPUS   -> local[N] parallelism (default: all cores)
+      SPARK_DRIVER_MEM   -> driver memory (default 24g; local mode has
+                            no separate executors, driver is the heap)
+    """
+    cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
+    master = master or f"local[{cpus}]"
+    if shuffle_partitions is None:
+        n = os.cpu_count() or 8
+        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", n))
+
+    builder = (
+        SparkSession.builder.appName(app_name)
+        .master(master)
+        .config("spark.sql.shuffle.partitions", str(shuffle_partitions))
+        .config("spark.sql.adaptive.enabled", "true")
+        .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
+        .config("spark.sql.adaptive.skewJoin.enabled", "true")
+        .config("spark.sql.session.timeZone", "UTC")
+        .config("spark.sql.execution.arrow.pyspark.enabled", "true")
+        .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
+        .config("spark.ui.enabled", "false")
+        # reference parity: no _SUCCESS marker files
+        # (/root/reference/src/script/script.py:23-26)
+        .config(
+            "spark.hadoop.mapreduce.fileoutputcommitter.marksuccessfuljobs",
+            "false",
+        )
+    )
+    if extra_conf:
+        for k, v in extra_conf.items():
+            builder = builder.config(k, v)
+    spark = builder.getOrCreate()
+    spark.sparkContext.setLogLevel("WARN")
+    return spark
