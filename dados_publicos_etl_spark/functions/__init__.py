@@ -1,0 +1,1 @@
+"""Column-expression helpers (JVM-side, codegen-friendly)."""

@@ -1,0 +1,80 @@
+"""Text expression helpers shared by the text-analysis / dedup
+operators.  All pure Catalyst expressions; tokenization is defined
+once here so Spark plans and DuckDB oracles can agree on semantics:
+
+  token   := maximal run of non-whitespace ( split on \\s+ )
+  word    := maximal run of [A-Za-z0-9]+
+  norm(t) := lower(t) with whitespace runs collapsed to single spaces
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column
+from pyspark.sql import functions as F
+
+WS = r"\s+"
+WORD = "[A-Za-z0-9]+"
+
+
+def tokens(c: Column | str) -> Column:
+    """Whitespace tokenization of lowercased text."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.split(F.lower(c), WS)
+
+
+def distinct_tokens(c: Column | str) -> Column:
+    return F.array_distinct(tokens(c))
+
+
+def word_count(c: Column | str) -> Column:
+    """BPE-ish word counting: number of [A-Za-z0-9]+ runs."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.regexp_count(c, F.lit(WORD))
+
+
+def normalized(c: Column | str) -> Column:
+    """Canonical form for fingerprinting: lowercase, collapsed spaces."""
+    c = F.col(c) if isinstance(c, str) else c
+    return F.trim(F.regexp_replace(F.lower(c), WS, " "))
+
+
+def fingerprint_md5(c: Column | str) -> Column:
+    """Deterministic document fingerprint: md5 of the normalized text."""
+    return F.md5(normalized(c))
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined), the unit for
+    near-dup similarity.  Unigram token sets are degenerate on small
+    vocabularies (everything overlaps); n-grams encode word order so
+    only genuine near-duplicates score high.
+    """
+    toks = tokens(c)
+    return F.when(
+        F.size(toks) >= n,
+        F.array_distinct(
+            F.transform(
+                F.sequence(F.lit(1), F.size(toks) - (n - 1)),
+                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+            )
+        ),
+    ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def duck_shingles_sql(text_expr: str, n: int = 3) -> str:
+    """DuckDB SQL fragment equivalent to ``shingles(text_expr, n)``."""
+    toks = f"string_split_regex(lower({text_expr}), '{WS}')"
+    return f"""
+    CASE WHEN len({toks}) >= {n} THEN
+      list_distinct(list_transform(
+        generate_series(1, len({toks}) - {n - 1}),
+        i -> array_to_string(list_slice({toks}, i, i + {n - 1}), ' ')))
+    ELSE [array_to_string({toks}, ' ')] END
+    """
+
+
+def jaccard_tokens(a: Column, b: Column) -> Column:
+    """Jaccard similarity of two (distinct-)token arrays (double)."""
+    inter = F.size(F.array_intersect(a, b)).cast("double")
+    union = F.size(F.array_union(a, b)).cast("double")
+    return inter / union

@@ -41,11 +41,11 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             ):
                 from pyspark.sql import functions as F
 
+                # integer division: nanos ~1e18 exceed double precision,
+                # so (x / 1000).cast("long") would drift by up to 1 us.
                 df = df.withColumn(
                     field.name,
-                    F.timestamp_micros(
-                        (F.col(field.name) / F.lit(1000)).cast("long")
-                    ),
+                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
                 )
     return df
 
@@ -129,6 +129,11 @@ def add_utf8_bom(path: str) -> int:
             dst.write(codecs.BOM_UTF8)
             shutil.copyfileobj(src, dst)
         os.replace(tmp, f)
+        # drop Hadoop's checksum sidecar — the rewrite invalidates it
+        # and a later spark.read would fail on ChecksumException.
+        crc = os.path.join(os.path.dirname(f), "." + os.path.basename(f) + ".crc")
+        if os.path.exists(crc):
+            os.remove(crc)
         fixed += 1
     return fixed
 

@@ -1,0 +1,327 @@
+"""Deduplication operators (north-star extension; SURVEY.md §2.B).
+
+All near-dup similarity is over **3-gram word shingles** (functions/
+text.py:shingles): unigram token sets are degenerate on small
+vocabularies (random docs overlap heavily), while shingles encode
+word order so only genuine near-duplicates score high.
+
+Four tiers, each with the 100 TB story explicit:
+
+- **exact**: hash-groupBy on a content fingerprint — one shuffle on
+  md5(normalized text); groups are tiny so AQE coalesces freely.
+- **n-gram Jaccard (blocked exact)**: exact pairwise similarity, but
+  only inside *min-shingle blocks* (block key = lexicographic min of
+  the shingle set — a deterministic 1-permutation MinHash; two docs
+  with Jaccard j share their min shingle with probability ~j, and
+  block sizes stay tiny because shingles are near-unique).  This is
+  the oracle-checkable exact tier: DuckDB reproduces the identical
+  blocking, and the pair count stays ~linear at any scale.
+- **MinHash + LSH**: deterministic minhash signatures (xxhash64 with
+  per-permutation seeds, all JVM expressions) over shingles, banded
+  into buckets; candidate pairs only form inside a bucket (shuffle on
+  band buckets, never a cross join), then exact Jaccard re-ranks.
+- **SimHash**: 64-bit signature via sign-aggregated shingle hashes;
+  near-dup candidates pair on any equal 16-bit chunk (pigeonhole
+  covers Hamming<=3 exactly; we keep pairs up to Hamming 6).
+
+MinHash/SimHash are Spark-hash-dependent -> rows-only driver check
+(no SQL oracle can reproduce xxhash64); pytest cross-checks LSH
+recall against the exact tier.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark.functions.text import (
+    WS,
+    duck_shingles_sql,
+    fingerprint_md5,
+    jaccard_tokens,
+    shingles,
+)
+from dados_publicos_etl_spark.io import read_table
+from dados_publicos_etl_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Exact dedup
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_exact",
+    oracle=f"""
+    SELECT md5(trim(regexp_replace(lower(text), '{WS}', ' ', 'g'))) AS fp_md5,
+           CAST(MIN(doc_id) AS BIGINT) AS keeper_doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_copies
+    FROM documents
+    GROUP BY fp_md5
+    """,
+    description="Exact dedup: group on content fingerprint, keep "
+    "min(doc_id) — one hash shuffle, no sort.",
+)
+def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return (
+        docs.select("doc_id", fingerprint_md5("text").alias("fp_md5"))
+        .groupBy("fp_md5")
+        .agg(
+            F.min("doc_id").alias("keeper_doc_id"),
+            F.count(F.lit(1)).alias("n_copies"),
+        )
+    )
+
+
+def drop_exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
+    """Library form: keep one row (lowest doc_id) per content hash."""
+    from pyspark.sql import Window as W
+
+    win = W.partitionBy(fingerprint_md5(text_col))
+    return (
+        docs.withColumn("_keep", F.min("doc_id").over(win) == F.col("doc_id"))
+        .filter("_keep")
+        .drop("_keep")
+    )
+
+
+# ---------------------------------------------------------------------------
+# n-gram Jaccard — exact similarity inside min-shingle blocks
+# ---------------------------------------------------------------------------
+
+_DUCK_SH = duck_shingles_sql("text")
+
+
+@query(
+    "dedup_ngram_jaccard",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_SH} AS sh FROM documents
+    ), blocked AS (
+      SELECT doc_id, sh, list_min(sh) AS blk FROM t
+    )
+    SELECT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           ROUND(CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+                 / len(list_distinct(a.sh || b.sh)), 4) AS jaccard
+    FROM blocked a JOIN blocked b
+      ON a.blk = b.blk AND a.doc_id < b.doc_id
+    WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+          / len(list_distinct(a.sh || b.sh)) >= 0.8
+    """,
+    description="Exact 3-gram-shingle Jaccard >= 0.8 inside "
+    "min-shingle blocks (deterministic 1-perm MinHash blocking: "
+    "~j recall, near-unique block keys => ~linear pair count at any "
+    "scale).",
+)
+def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        shingles("text").alias("sh"),
+    ).withColumn("blk", F.array_min("sh"))
+    a = t.alias("a")
+    b = t.alias("b")
+    jac = jaccard_tokens(F.col("a.sh"), F.col("b.sh"))
+    return (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            jac.alias("j_raw"),
+        )
+        .filter(F.col("j_raw") >= 0.8)
+        .select("doc_id_a", "doc_id_b", F.round("j_raw", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# MinHash + LSH
+# ---------------------------------------------------------------------------
+
+N_HASHES = 32
+BAND_SIZE = 4  # 8 bands of 4 -> s-curve threshold ~ (1/8)^(1/4) ~ 0.6
+
+
+def minhash_signature(feat_col: F.Column, n_hashes: int = N_HASHES) -> F.Column:
+    """Array of minhash values: min over features of xxhash64(seed_i, f).
+
+    Pure expression form — per row this is n_hashes codegen'd
+    array-min reductions, no Python, no shuffle.
+    """
+
+    def hasher(i: int):
+        # closure factory: a 2-arg lambda would be (element, index) to
+        # F.transform and the array index would shadow the seed.
+        return lambda t: F.xxhash64(F.lit(i), t)
+
+    return F.array(
+        *[
+            F.array_min(F.transform(feat_col, hasher(i)))
+            for i in range(n_hashes)
+        ]
+    )
+
+
+def lsh_candidate_pairs(
+    docs: DataFrame,
+    id_col: str = "doc_id",
+    feat_col: str = "sh",
+    n_hashes: int = N_HASHES,
+    band_size: int = BAND_SIZE,
+) -> DataFrame:
+    """Candidate near-dup pairs via banded MinHash-LSH.
+
+    signature -> slice into bands -> explode (band_idx, band_hash) ->
+    self-join on the band bucket.  The only shuffle is on bucket keys;
+    no cross join ever forms.  Returns distinct (id_a < id_b) pairs.
+    """
+    sig = docs.select(
+        F.col(id_col).alias("id"),
+        minhash_signature(F.col(feat_col), n_hashes).alias("sig"),
+    )
+    n_bands = n_hashes // band_size
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        F.xxhash64(
+                            *[
+                                F.col("sig")[bi * band_size + j]
+                                for j in range(band_size)
+                            ]
+                        ).alias("band_hash"),
+                    )
+                    for bi in range(n_bands)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    return (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+
+
+@query(
+    "dedup_minhash_lsh",
+    oracle=None,  # probabilistic candidates; recall checked in pytest
+    description="MinHash(32)+LSH(8 bands of 4) over 3-gram shingles; "
+    "candidates verified with exact Jaccard >= 0.8 — the 100 TB "
+    "near-dup path (bucket shuffle instead of O(n^2) cross join).",
+)
+def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select("doc_id", shingles("text").alias("sh"))
+    cands = lsh_candidate_pairs(t)
+    a = t.alias("ta")
+    b = t.alias("tb")
+    jac = jaccard_tokens(F.col("ta.sh"), F.col("tb.sh"))
+    return (
+        cands.join(a, cands.id_a == F.col("ta.doc_id"))
+        .join(b, cands.id_b == F.col("tb.doc_id"))
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            jac.alias("j_raw"),
+        )
+        .filter(F.col("j_raw") >= 0.8)
+        .select("doc_id_a", "doc_id_b", F.round("j_raw", 4).alias("jaccard"))
+    )
+
+
+# ---------------------------------------------------------------------------
+# SimHash
+# ---------------------------------------------------------------------------
+
+
+_SIMHASH_SQL = """
+aggregate(
+  zip_with(
+    aggregate(
+      transform({col}, t -> xxhash64(t)),
+      array_repeat(0, 64),
+      (acc, h) -> zip_with(
+        acc,
+        transform(sequence(0, 63),
+                  b -> IF((shiftright(h, b) & 1) = 1, 1, -1)),
+        (x, y) -> x + y)),
+    sequence(0, 63),
+    (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
+  0L, (acc, x) -> acc + x)
+"""
+
+
+def simhash64(feat_col_name: str) -> F.Column:
+    """64-bit SimHash of a feature (shingle) array column, as bigint.
+
+    For each bit b: sum over features of (+1 if bit b of xxhash64(f)
+    set else -1); signature bit = sign of the sum.  Single-pass SQL
+    expression: each feature is hashed ONCE and its 64 bit-votes are
+    folded into an accumulator array (a naive per-bit formulation
+    would rescan and rehash the array 64 times).
+    """
+    return F.expr(_SIMHASH_SQL.format(col=feat_col_name))
+
+
+@query(
+    "dedup_simhash",
+    oracle=None,  # Spark-hash-dependent; structural checks in pytest
+    description="SimHash(64) over 3-gram shingles: near-dup candidate "
+    "pairs sharing any 16-bit chunk (pigeonhole => covers Hamming "
+    "distance <= 3), ranked by exact Hamming distance (<= 6 kept).",
+)
+def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sigs = docs.select("doc_id", shingles("text").alias("sh")).select(
+        "doc_id", simhash64("sh").alias("sig")
+    )
+    chunks = sigs.select(
+        "doc_id",
+        "sig",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("chunk_idx"),
+                        F.shiftright("sig", i * 16)
+                        .bitwiseAND(0xFFFF)
+                        .alias("chunk"),
+                    )
+                    for i in range(4)
+                ]
+            )
+        ).alias("c"),
+    ).select("doc_id", "sig", "c.chunk_idx", "c.chunk")
+    a = chunks.alias("a")
+    b = chunks.alias("b")
+    hamming = F.bit_count(F.col("a.sig").bitwiseXOR(F.col("b.sig")))
+    return (
+        a.join(
+            b,
+            (F.col("a.chunk_idx") == F.col("b.chunk_idx"))
+            & (F.col("a.chunk") == F.col("b.chunk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("doc_id_a"),
+            F.col("b.doc_id").alias("doc_id_b"),
+            hamming.alias("hamming"),
+        )
+        .distinct()
+        .filter(F.col("hamming") <= 6)
+    )

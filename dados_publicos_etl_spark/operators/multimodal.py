@@ -1,0 +1,124 @@
+"""Multimodal column conventions (north-star extension; SURVEY.md
+§2.B "multimodal columns").
+
+Convention: a modality payload is an opaque ``binary`` column plus a
+typed metadata struct::
+
+    payload   binary          -- raw bytes (image/audio/video/text)
+    meta      struct<modality string, mime string, n_bytes long>
+
+The Spark-side plumbing — schema, partition-friendly batch shape,
+``mapInPandas`` UDF signatures over Arrow binary batches — is real
+and tested.  The actual image/audio decode is STUBBED (the container
+has no codec libraries): ``decode_image`` raises NotImplementedError
+unless a PIL-style decoder is importable, and the tested pipeline
+uses a deterministic fake "feature extractor" (byte stats + md5)
+with the exact batch shape a real decoder would use.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark.io import read_table
+from dados_publicos_etl_spark.plans.registry import query
+
+
+def to_multimodal(
+    df: DataFrame, payload_col: str, modality: str, mime: str
+) -> DataFrame:
+    """Wrap a column's bytes into the (payload, meta) convention.
+
+    For binary sources use ``spark.read.format('binaryFile')`` which
+    yields (path, modificationTime, length, content) — ``content`` is
+    the payload.  Here we also accept a string column (encoded UTF-8)
+    so the pipeline is testable without codec libs.
+    """
+    payload = F.col(payload_col)
+    if dict(df.dtypes)[payload_col] == "string":
+        payload = F.encode(payload, "UTF-8")
+    return df.withColumn("payload", payload).withColumn(
+        "meta",
+        F.struct(
+            F.lit(modality).alias("modality"),
+            F.lit(mime).alias("mime"),
+            F.length(F.col("payload")).cast("long").alias("n_bytes"),
+        ),
+    )
+
+
+def decode_image(payload: bytes):  # pragma: no cover - stub
+    """Decode an image payload to HxWxC uint8. STUB: no codec libs in
+    this container; plug PIL/opencv here on a real cluster."""
+    try:
+        from PIL import Image  # type: ignore
+        import io
+
+        return Image.open(io.BytesIO(payload))
+    except ImportError as exc:
+        raise NotImplementedError(
+            "image decode requires PIL/opencv; not present in this "
+            "container — the surrounding Spark plumbing is real, the "
+            "codec is the only stub"
+        ) from exc
+
+
+def extract_byte_features(df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over binary payloads.
+
+    Deterministic fake standing in for decode+featurize: md5 hex,
+    byte length, mean byte value.  Shape-identical to a real
+    extractor (binary Series in -> fixed-width feature columns out),
+    so swapping in a real decoder changes one function body.
+    """
+    import hashlib
+
+    import numpy as np
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = pdf["payload"]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": payloads.map(len).astype("int64"),
+                    "content_md5": payloads.map(
+                        lambda b: hashlib.md5(b).hexdigest()
+                    ),
+                    "mean_byte": payloads.map(
+                        lambda b: round(float(np.frombuffer(b, "u1").mean()), 4)
+                        if len(b)
+                        else 0.0
+                    ),
+                }
+            )
+
+    return df.mapInPandas(
+        feats,
+        schema="doc_id long, n_bytes long, content_md5 string, mean_byte double",
+    )
+
+
+@query(
+    "multimodal_features",
+    oracle="""
+    SELECT doc_id,
+           CAST(octet_length(encode(text)) AS BIGINT) AS n_bytes,
+           md5(text) AS content_md5
+    FROM documents
+    """,
+    description="Multimodal plumbing: wrap text bytes as a binary "
+    "payload + meta struct, extract features via Arrow-batched "
+    "mapInPandas (decode step stubbed; batch shape is the real one).",
+)
+def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mm = to_multimodal(docs, "text", modality="text", mime="text/plain")
+    return extract_byte_features(mm.select("doc_id", "payload")).select(
+        "doc_id", "n_bytes", "content_md5"
+    )

@@ -1,0 +1,231 @@
+"""Similarity search over embedding columns (north-star extension;
+SURVEY.md §2.B "similarity search").
+
+Three paths with the scale story explicit:
+
+- **Brute-force top-k vs a query vector**: cosine as pure Catalyst
+  expressions (functions/vector.py) + TakeOrderedAndProject — a
+  narrow map over the scan, scales linearly; this is the exactness
+  baseline.
+- **All-pairs near-dup within blocks**: exact cosine but only inside
+  a blocking key (label here; an IVF/LSH bucket at scale) — the same
+  blocking discipline as text dedup, no cross join.
+- **LSH-bucketed ANN (random hyperplanes)**: deterministic
+  sign-bit signatures via a seeded numpy projection inside
+  ``mapInPandas`` (Arrow-vectorized; the matrix multiply is the
+  right tool — per-element Catalyst expressions would be 64x8
+  scalar ops per row).  Candidates pair within a signature bucket,
+  then exact cosine re-ranks.  Recall vs brute force is asserted in
+  pytest.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark.functions.vector import cosine, lit_vector
+from dados_publicos_etl_spark.io import read_table
+from dados_publicos_etl_spark.plans.registry import query
+
+EMBED_DIM = 64
+_COS_DOUBLE_SQL = """
+  list_sum(list_transform(list_zip({a}, {b}),
+           p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+  / (sqrt(list_sum(list_transform({a}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+   * sqrt(list_sum(list_transform({b}, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))))
+"""
+
+
+def brute_force_topk(
+    embeddings: DataFrame,
+    query_vec: list[float],
+    k: int = 10,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Exact cosine top-k against a literal query vector."""
+    cos = cosine(F.col(vec_col), lit_vector(query_vec))
+    return (
+        embeddings.select(
+            F.col(id_col), F.round(cos, 4).alias("cos_sim")
+        )
+        .orderBy(F.desc("cos_sim"), F.asc(id_col))
+        .limit(k)
+    )
+
+
+@query(
+    "similarity_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND({_COS_DOUBLE_SQL.format(a='embedding', b='qe')}, 4) AS cos_sim
+    FROM embeddings, q
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 10
+    """,
+    description="Brute-force cosine top-10 neighbors of vec_id=0 "
+    "(exact baseline; narrow map + TakeOrderedAndProject).",
+)
+def similarity_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    return brute_force_topk(emb, [float(x) for x in qvec], k=10)
+
+
+@query(
+    "similarity_neardup_pairs",
+    oracle=f"""
+    SELECT a.vec_id AS vec_id_a, b.vec_id AS vec_id_b,
+           ROUND({_COS_DOUBLE_SQL.format(a='a.embedding', b='b.embedding')}, 4)
+             AS cos_sim
+    FROM embeddings a JOIN embeddings b
+      ON a.label = b.label AND a.vec_id < b.vec_id
+    WHERE a.vec_id % 100 = 0
+      AND {_COS_DOUBLE_SQL.format(a='a.embedding', b='b.embedding')} >= 0.4
+    """,
+    description="Exact embedding-cosine near-dup audit: a 1% "
+    "deterministic sample of query vectors vs their label block "
+    "(cosine >= 0.4 — the testdata vectors are near-random, max pair "
+    "cosine ~0.48). Sampling keeps the exact tier linear; the full "
+    "pairwise sweep is the ANN-LSH query's job.",
+)
+def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    # the 1% sample side is broadcast: the big side never shuffles.
+    a = F.broadcast(emb.filter(F.col("vec_id") % 100 == 0)).alias("a")
+    b = emb.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    return (
+        a.join(
+            b,
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("vec_id_a"),
+            F.col("b.vec_id").alias("vec_id_b"),
+            cos.alias("cos_raw"),
+        )
+        .filter(F.col("cos_raw") >= 0.4)
+        .select(
+            "vec_id_a", "vec_id_b", F.round("cos_raw", 4).alias("cos_sim")
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# LSH-bucketed ANN (the scale path)
+# ---------------------------------------------------------------------------
+
+N_PLANES = 4  # bits per table
+N_TABLES = 8  # OR-amplification: candidate if ANY table bucket matches
+LSH_SEED = 42
+
+
+def add_hyperplane_buckets(
+    df: DataFrame,
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """Explode each row into (table_idx, bucket) LSH keys.
+
+    bucket = sign bits of ``n_planes`` seeded random hyperplane
+    projections; ``n_tables`` independent tables give OR-amplified
+    recall (a pair is a candidate if any table agrees).  The
+    projection is an Arrow-batched numpy matmul in ``mapInPandas`` —
+    the per-row work is a (dim x n_planes*n_tables) GEMV, exactly the
+    shape vectorized Python beats per-element expressions at.
+    """
+    import numpy as np
+
+    out_fields = df.schema.fields
+    schema = ", ".join(
+        [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
+        + ["table_idx int", "bucket int"]
+    )
+
+    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        rng = np.random.RandomState(seed)
+        dim = None
+        planes = None
+        weights = 1 << np.arange(n_planes)
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            if planes is None:
+                dim = mat.shape[1]
+                planes = rng.randn(dim, n_planes * n_tables)
+            bits = (mat @ planes) > 0
+            frames = []
+            for t in range(n_tables):
+                chunk = bits[:, t * n_planes : (t + 1) * n_planes]
+                out = pdf.copy()
+                out["table_idx"] = np.int32(t)
+                out["bucket"] = (chunk @ weights).astype("int32")
+                frames.append(out)
+            yield pd.concat(frames, ignore_index=True)
+
+    return df.mapInPandas(project, schema=schema)
+
+
+@query(
+    "similarity_ann_lsh",
+    oracle=None,  # approximate; recall vs brute force asserted in pytest
+    description="ANN near-dup pairs: random-hyperplane LSH "
+    "(4 bits x 8 tables, OR-amplified, seeded) -> exact cosine "
+    "re-rank inside buckets (cosine >= 0.4). The 100 TB path: "
+    "shuffle on (table, bucket), no cross join.",
+)
+def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ann_pairs_lsh(emb, threshold=0.4)
+
+
+def ann_pairs_lsh(
+    emb: DataFrame,
+    threshold: float,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Approximate near-dup pairs: LSH candidates -> exact re-rank."""
+    bucketed = add_hyperplane_buckets(
+        emb, vec_col=vec_col, n_planes=n_planes, n_tables=n_tables
+    )
+    a = bucketed.alias("a")
+    b = bucketed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col(f"a.{vec_col}").alias("va"),
+            F.col(f"b.{vec_col}").alias("vb"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    cos = cosine(F.col("va"), F.col("vb"))
+    return (
+        cands.select("id_a", "id_b", cos.alias("cos_raw"))
+        .filter(F.col("cos_raw") >= threshold)
+        .select(
+            F.col("id_a").alias("vec_id_a"),
+            F.col("id_b").alias("vec_id_b"),
+            F.round("cos_raw", 4).alias("cos_sim"),
+        )
+    )

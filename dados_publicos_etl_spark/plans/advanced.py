@@ -1,0 +1,322 @@
+"""Advanced relational coverage: subqueries, quantiles, typed JSON,
+unpivot, array aggregation, grouped-map Pandas UDFs, approximate
+sketches.  Same registry contract as plans/relational.py.
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark.io import read_table
+from dados_publicos_etl_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Subqueries
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "q4_order_priority",
+    oracle="""
+    SELECT o_orderpriority, COUNT(*) AS order_count
+    FROM orders
+    WHERE o_orderdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND o_orderdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND EXISTS (SELECT 1 FROM lineitem
+                  WHERE l_orderkey = o_orderkey AND l_shipdate > o_orderdate)
+    GROUP BY o_orderpriority
+    """,
+    description="TPC-H Q4 shape: correlated EXISTS subquery "
+    "(decorrelated by Catalyst into a left-semi join).",
+)
+def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(
+        (F.col("o_orderdate") >= F.lit("1997-01-01 00:00:00").cast("timestamp"))
+        & (F.col("o_orderdate") < F.lit("1998-01-01 00:00:00").cast("timestamp"))
+    )
+    li = read_table(spark, sf_dir, "lineitem")
+    late = orders.join(
+        li,
+        (orders.o_orderkey == li.l_orderkey)
+        & (li.l_shipdate > orders.o_orderdate),
+        "left_semi",
+    )
+    return late.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("order_count")
+    )
+
+
+@query(
+    "q17_small_quantity",
+    oracle="""
+    WITH thresholds AS (
+      SELECT l_partkey AS t_partkey,
+             0.5 * (ROUND(SUM(l_quantity), 2) / COUNT(*)) AS half_avg_qty
+      FROM lineitem GROUP BY l_partkey
+    )
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           COUNT(*) AS n_small
+    FROM lineitem JOIN thresholds ON l_partkey = t_partkey
+    WHERE l_quantity < half_avg_qty
+    GROUP BY l_returnflag
+    """,
+    description="TPC-H Q17 shape: scalar aggregate subquery per key "
+    "(avg-quantity threshold), planned as an aggregate + re-join "
+    "instead of a correlated per-row subquery.",
+)
+def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
+        (
+            0.5 * (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)))
+        ).alias("half_avg_qty")
+    )
+    return (
+        li.join(thresholds, li.l_partkey == thresholds.t_partkey)
+        .filter(F.col("l_quantity") < F.col("half_avg_qty"))
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            F.count(F.lit(1)).alias("n_small"),
+        )
+    )
+
+
+@query(
+    "having_filter",
+    oracle="""
+    SELECT c_nationkey, COUNT(*) AS n_customers,
+           ROUND(SUM(c_acctbal), 2) AS total_balance
+    FROM customer
+    GROUP BY c_nationkey
+    HAVING COUNT(*) >= 5 AND SUM(c_acctbal) > 0
+    """,
+    description="HAVING: post-aggregation filter.",
+)
+def having_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return (
+        read_table(spark, sf_dir, "customer")
+        .groupBy("c_nationkey")
+        .agg(
+            F.count(F.lit(1)).alias("n_customers"),
+            F.sum("c_acctbal").alias("_raw_balance"),
+        )
+        .filter((F.col("n_customers") >= 5) & (F.col("_raw_balance") > 0))
+        .select(
+            "c_nationkey",
+            "n_customers",
+            F.round("_raw_balance", 2).alias("total_balance"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantiles / statistics
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "quantiles_exact",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(quantile_cont(l_extendedprice, 0.5), 4) AS median_price,
+           ROUND(quantile_cont(l_extendedprice, 0.9), 4) AS p90_price,
+           ROUND(MIN(l_extendedprice), 2) AS min_price,
+           ROUND(MAX(l_extendedprice), 2) AS max_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Exact interpolated quantiles (percentile == DuckDB "
+    "quantile_cont) + min/max.",
+)
+def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.percentile("l_extendedprice", F.lit(0.5)), 4).alias(
+            "median_price"
+        ),
+        F.round(F.percentile("l_extendedprice", F.lit(0.9)), 4).alias(
+            "p90_price"
+        ),
+        F.round(F.min("l_extendedprice"), 2).alias("min_price"),
+        F.round(F.max("l_extendedprice"), 2).alias("max_price"),
+    )
+
+
+@query(
+    "approx_sketches",
+    oracle=None,  # HLL/KLL sketches are engine-specific; bounds in pytest
+    description="Approximate sketches: approx_count_distinct (HLL++) "
+    "and percentile_approx (KLL-ish) — the 100 TB substitutes for "
+    "exact distinct/quantiles (no giant hash table, one pass, "
+    "mergeable partials).",
+)
+def approx_sketches(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.approx_count_distinct("l_partkey").alias("approx_parts"),
+        F.countDistinct("l_partkey").alias("exact_parts"),
+        F.percentile_approx("l_extendedprice", 0.5, 10000).alias(
+            "approx_median_price"
+        ),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Typed JSON, unpivot, array aggregation
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_typed",
+    oracle="""
+    SELECT user_id,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT)) AS BIGINT)
+             AS sum_k,
+           CAST(MAX(CAST(json_extract_string(props, '$.k') AS INT)) AS INT)
+             AS max_k
+    FROM events
+    GROUP BY user_id
+    """,
+    description="Typed JSON access: from_json with an explicit schema "
+    "(vs string-typed get_json_object in json_events).",
+)
+def json_typed(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    parsed = ev.select(
+        "user_id", F.from_json("props", "k int").alias("p")
+    )
+    return parsed.groupBy("user_id").agg(
+        F.sum("p.k").alias("sum_k"), F.max("p.k").alias("max_k")
+    )
+
+
+@query(
+    "unpivot_balances",
+    oracle="""
+    SELECT n_nationkey, kind, ROUND(balance, 2) AS balance
+    FROM (
+      SELECT n_nationkey,
+             ROUND(cust_balance, 2) AS customer,
+             ROUND(supp_balance, 2) AS supplier
+      FROM (
+        SELECT n_nationkey,
+               (SELECT COALESCE(SUM(c_acctbal), 0) FROM customer
+                WHERE c_nationkey = n_nationkey) AS cust_balance,
+               (SELECT COALESCE(SUM(s_acctbal), 0) FROM supplier
+                WHERE s_nationkey = n_nationkey) AS supp_balance
+        FROM nation)
+    ) UNPIVOT (balance FOR kind IN (customer, supplier))
+    """,
+    description="Unpivot (melt): wide per-nation balances to long "
+    "(kind, balance) rows via stack/UNPIVOT.",
+)
+def unpivot_balances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    cust = (
+        read_table(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nk"))
+        .agg(F.sum("c_acctbal").alias("cust_balance"))
+    )
+    supp = (
+        read_table(spark, sf_dir, "supplier")
+        .groupBy(F.col("s_nationkey").alias("nk"))
+        .agg(F.sum("s_acctbal").alias("supp_balance"))
+    )
+    wide = (
+        nation.join(cust, nation.n_nationkey == cust.nk, "left")
+        .join(supp, nation.n_nationkey == supp.nk, "left")
+        .select(
+            "n_nationkey",
+            F.round(F.coalesce("cust_balance", F.lit(0.0)), 2).alias("customer"),
+            F.round(F.coalesce("supp_balance", F.lit(0.0)), 2).alias("supplier"),
+        )
+    )
+    return wide.unpivot(
+        ids=["n_nationkey"],
+        values=["customer", "supplier"],
+        variableColumnName="kind",
+        valueColumnName="balance",
+    )
+
+
+@query(
+    "array_agg_orders",
+    oracle="""
+    SELECT o_custkey AS c_custkey,
+           array_to_string(list(o_orderkey ORDER BY o_orderkey), ',')
+             AS order_keys,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM orders
+    WHERE o_totalprice > 200000
+    GROUP BY o_custkey
+    """,
+    description="Array aggregation: collect per-customer order keys "
+    "(sorted for determinism, serialized for the oracle hash).",
+)
+def array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").filter(
+        F.col("o_totalprice") > 200000
+    )
+    return orders.groupBy(F.col("o_custkey").alias("c_custkey")).agg(
+        F.concat_ws(
+            ",", F.sort_array(F.collect_list("o_orderkey"))
+        ).alias("order_keys"),
+        F.count(F.lit(1)).alias("n_orders"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-map Pandas UDF (applyInPandas)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "grouped_demean",
+    oracle="""
+    WITH stats AS (
+      SELECT user_id AS s_uid,
+             ROUND(SUM(value), 2) / COUNT(*) AS mean_value
+      FROM events GROUP BY user_id
+    )
+    SELECT event_id, user_id,
+           ROUND(value - mean_value, 4) AS demeaned_value
+    FROM events JOIN stats ON user_id = s_uid
+    """,
+    description="Grouped-map Pandas UDF (applyInPandas): per-user "
+    "demeaning — the Arrow-batched escape hatch for per-group logic "
+    "DataFrame ops can't express. Mean derives from a pre-rounded "
+    "sum so the oracle is exact.",
+)
+def grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id", "user_id", "value"
+    )
+
+    def demean(pdf: pd.DataFrame) -> pd.DataFrame:
+        import numpy as np
+
+        # round half-away-from-zero like SQL ROUND (python/pandas
+        # round() is banker's rounding and diverges on .xx5 sums)
+        def r(x, nd):
+            s = 10.0**nd
+            return np.trunc(x * s + np.copysign(0.5, x)) / s
+
+        mean = r(pdf["value"].sum(), 2) / len(pdf)
+        return pd.DataFrame(
+            {
+                "event_id": pdf["event_id"],
+                "user_id": pdf["user_id"],
+                "demeaned_value": r(
+                    (pdf["value"] - mean).to_numpy(), 4
+                ),
+            }
+        )
+
+    return ev.groupBy("user_id").applyInPandas(
+        demean, schema="event_id long, user_id long, demeaned_value double"
+    )

@@ -85,18 +85,25 @@ def audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 @query(
     "q1_pricing_summary",
     oracle="""
-    SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
-           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-           ROUND(AVG(l_quantity), 4) AS avg_qty,
-           ROUND(AVG(l_extendedprice), 4) AS avg_price,
-           ROUND(AVG(l_discount), 4) AS avg_disc,
-           COUNT(*) AS count_order
-    FROM lineitem
-    WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
-    GROUP BY l_returnflag, l_linestatus
+    WITH agg AS (
+      SELECT l_returnflag, l_linestatus,
+             ROUND(SUM(l_quantity), 2) AS sum_qty,
+             ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+             ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+             ROUND(SUM(l_discount), 2) AS sum_disc,
+             COUNT(*) AS count_order
+      FROM lineitem
+      WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
+      GROUP BY l_returnflag, l_linestatus
+    )
+    SELECT l_returnflag, l_linestatus, sum_qty, sum_base_price,
+           sum_disc_price, sum_charge,
+           ROUND(sum_qty / count_order, 4) AS avg_qty,
+           ROUND(sum_base_price / count_order, 4) AS avg_price,
+           ROUND(sum_disc / count_order, 4) AS avg_disc,
+           count_order
+    FROM agg
     """,
     description="TPC-H Q1 shape: scan + pushed filter + grouped multi-agg "
     "(partial agg map-side, one shuffle on the 6-value group key).",
@@ -104,7 +111,11 @@ def audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
 def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     disc_price = F.col("l_extendedprice") * (1 - F.col("l_discount"))
-    return (
+    # averages derive from the pre-rounded sums: raw double sums differ
+    # from any oracle in the last bits (parallel summation order), but
+    # round(sum,2)/count is computed from identical inputs on both
+    # sides, so the round(.,4) can never flip on a boundary.
+    agg = (
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
@@ -112,11 +123,23 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
             F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
             F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
-            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
-            F.round(F.avg("l_discount"), 4).alias("avg_disc"),
+            F.round(F.sum("l_discount"), 2).alias("sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
+    )
+    return agg.select(
+        "l_returnflag",
+        "l_linestatus",
+        "sum_qty",
+        "sum_base_price",
+        "sum_disc_price",
+        "sum_charge",
+        F.round(F.col("sum_qty") / F.col("count_order"), 4).alias("avg_qty"),
+        F.round(F.col("sum_base_price") / F.col("count_order"), 4).alias(
+            "avg_price"
+        ),
+        F.round(F.col("sum_disc") / F.col("count_order"), 4).alias("avg_disc"),
+        "count_order",
     )
 
 

@@ -1,0 +1,284 @@
+"""Event-time windowing (SURVEY.md §2.B "streaming over events").
+
+Batch and streaming share the same logical plan in Structured
+Streaming, so each operator here is written once against the events
+DataFrame and exercised two ways: batch (driver-checkable against a
+DuckDB oracle) and as a ``readStream`` smoke in pytest (watermark +
+window + memory sink).
+
+Window starts are epoch-aligned (Spark semantics); the oracles
+reproduce them with epoch arithmetic, so results hash-match exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark.io import read_table
+from dados_publicos_etl_spark.plans.registry import query
+
+_TS_FMT = "yyyy-MM-dd HH:mm:ss"
+_DUCK_BUCKET = (
+    "strftime(to_timestamp(CAST(floor(epoch(ts) / {w}) AS BIGINT) * {w})"
+    " , '%Y-%m-%d %H:%M:%S')"
+)
+
+
+@query(
+    "stream_tumbling_window",
+    oracle=f"""
+    SELECT {_DUCK_BUCKET.format(w=600)} AS window_start,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    description="10-minute tumbling event-time windows (F.window); "
+    "same plan runs under readStream+watermark — see pytest smoke.",
+)
+def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            F.date_format("window.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "stream_sliding_window",
+    oracle=f"""
+    WITH offsets(o) AS (VALUES (0), (300))
+    SELECT strftime(to_timestamp(
+             CAST(floor((epoch(ts) - o) / 600) AS BIGINT) * 600 + o),
+             '%Y-%m-%d %H:%M:%S') AS window_start,
+           COUNT(*) AS n_events,
+           ROUND(ROUND(SUM(value), 2) / COUNT(*), 4) AS avg_value
+    FROM events, offsets
+    GROUP BY window_start
+    """,
+    description="10-minute windows sliding by 5 (each event lands in "
+    "2 windows; Spark expands via the window generator).",
+)
+def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            # pre-rounded-sum / count: immune to summation-order
+            # rounding flips (see q1_pricing_summary).
+            F.round(
+                F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4
+            ).alias("avg_value"),
+        )
+        .select(
+            F.date_format("window.start", _TS_FMT).alias("window_start"),
+            "n_events",
+            "avg_value",
+        )
+    )
+
+
+@query(
+    "stream_session_window",
+    oracle="""
+    WITH ordered AS (
+      SELECT user_id, ts, value,
+             CASE WHEN ts - LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                       > INTERVAL 30 MINUTE
+                  OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+    ), sessions AS (
+      SELECT user_id, ts, value,
+             SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts
+                                    ROWS UNBOUNDED PRECEDING) AS session_id
+      FROM ordered
+    )
+    SELECT user_id,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           strftime(MAX(ts) + INTERVAL 30 MINUTE,
+                    '%Y-%m-%d %H:%M:%S.%f') AS session_end,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+    description="Session windows (30-min gap) per user via "
+    "F.session_window; oracle reproduces gap-merge with lag+cumsum. "
+    "session_end = last event + gap (Spark semantics).",
+)
+def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return (
+        ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.round(F.sum("value"), 2).alias("sum_value"),
+        )
+        .select(
+            "user_id",
+            F.date_format("session_window.start", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_start"),
+            F.date_format("session_window.end", "yyyy-MM-dd HH:mm:ss.SSSSSS")
+            .alias("session_end"),
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@query(
+    "asof_join_events",
+    oracle="""
+    WITH purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ), clicks AS (
+      SELECT user_id, ts AS click_ts, MAX(event_id) AS click_event_id
+      FROM events WHERE event_type = 'click'
+      GROUP BY user_id, ts
+    )
+    SELECT p.event_id,
+           p.user_id,
+           c.click_event_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.click_ts) AS BIGINT) AS gap_micros
+    FROM purchases p
+    ASOF LEFT JOIN clicks c
+      ON p.user_id = c.user_id AND c.click_ts <= p.ts
+    """,
+    description="As-of join (Spark lacks a native one): each purchase "
+    "matched to the user's most recent click at-or-before it. "
+    "Implemented scale-first as union + single window pass (one "
+    "shuffle on user_id), not a per-row lookup.",
+)
+def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    # dedupe clicks at identical (user, ts) to make the as-of pick
+    # deterministic (keep max event_id) — mirrors the oracle CTE.
+    clicks = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", F.col("ts").alias("click_ts"))
+        .agg(F.max("event_id").alias("click_event_id"))
+        .select(
+            "user_id",
+            F.col("click_ts").alias("ts"),
+            "click_event_id",
+            F.lit(None).cast("long").alias("event_id"),
+            F.lit("click").alias("kind"),
+        )
+    )
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id",
+        "ts",
+        F.lit(None).cast("long").alias("click_event_id"),
+        "event_id",
+        F.lit("purchase").alias("kind"),
+    )
+    # union both sides; a purchase sees the last click row at-or-before
+    # it in (ts, kind) order — 'click' < 'purchase' sorts clicks first
+    # at equal ts, matching the oracle's <=.
+    merged = clicks.unionByName(purchases)
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "kind")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    lastc = F.last("click_event_id", ignorenulls=True).over(w)
+    last_ts = F.last(
+        F.when(F.col("kind") == "click", F.col("ts")), ignorenulls=True
+    ).over(w)
+    return (
+        merged.withColumn("click_event_id2", lastc)
+        .withColumn("click_ts2", last_ts)
+        .filter(F.col("kind") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            F.col("click_event_id2").alias("click_event_id"),
+            (F.unix_micros("ts") - F.unix_micros("click_ts2")).alias(
+                "gap_micros"
+            ),
+        )
+    )
+
+
+def streaming_tumbling_counts(
+    spark: SparkSession, sf_dir: str, gap: str = "10 minutes"
+) -> DataFrame:
+    """True Structured Streaming variant of the tumbling window:
+    readStream over the events parquet -> watermark -> window agg ->
+    memory sink; returns the completed result as a DataFrame.
+
+    Uses ``availableNow`` semantics via processAllAvailable so a batch
+    of files drives the stream to completion synchronously (pytest /
+    driver safe).
+    """
+    from dados_publicos_etl_spark import schemas
+
+    import os
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    # the streaming file source requires a directory: stream the sf
+    # dir with a glob filter selecting the events table file(s).
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", gap), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format("window.start", _TS_FMT).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    name = f"stream_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        agg.writeStream.outputMode("complete")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
+    "stream_true_streaming",
+    oracle=f"""
+    SELECT {_DUCK_BUCKET.format(w=600)} AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events
+    GROUP BY window_start, event_type
+    """,
+    description="True Structured Streaming: readStream(parquet) + "
+    "watermark + tumbling window + memory sink, driven to completion; "
+    "result equals the batch oracle (streaming/batch plan parity).",
+)
+def stream_true_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_tumbling_counts(spark, sf_dir)

@@ -1,0 +1,70 @@
+"""Pipeline + audit unit tests (reference O1-O4 / A1-A4 / K7)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark import audit
+from dados_publicos_etl_spark.pipeline import Pipeline, run_stages
+from dados_publicos_etl_spark.schemas import MONITORING
+
+
+def test_observe_counts_no_extra_scan(spark, sf_dir):
+    from dados_publicos_etl_spark.io import read_table
+
+    df = read_table(spark, sf_dir, "nation")
+    observed, obs = audit.observe_counts(df)
+    n = observed.count()
+    assert obs.get["qtd_rows"] == n == 25
+
+
+def test_count_layer_matches_direct_count(spark, sf_dir):
+    files, rows = audit.count_layer(spark, f"{sf_dir}/region.parquet")
+    assert files == 1
+    assert rows == spark.read.parquet(f"{sf_dir}/region.parquet").count()
+
+
+def test_monitoring_row_schema_and_sink(spark, tmp_path):
+    res = audit.audit_layer(
+        spark,
+        nm_project="dados-publicos",
+        step="raw",
+        path="/root/testdata/sf0.001/nation.parquet",
+        sink_path=str(tmp_path / "monitoring"),
+    )
+    assert (res.qtd_files, res.qtd_rows) == (1, 25)
+    sunk = spark.read.parquet(str(tmp_path / "monitoring"))
+    # parquet round-trip relaxes nullability; compare names + types
+    assert [(f.name, f.dataType) for f in sunk.schema.fields] == [
+        (f.name, f.dataType) for f in MONITORING.fields
+    ]
+    row = sunk.head()
+    assert row.STEP == "raw" and row.QTD_ROWS == 25
+    assert len(row.ID_MONITORING) == 36  # uuid4 text shape
+
+
+def test_pipeline_stage_audit(spark, sf_dir):
+    from dados_publicos_etl_spark.io import read_table
+
+    df = read_table(spark, sf_dir, "orders")
+    pipe = (
+        Pipeline("test")
+        .add("filter_open", lambda d: d.filter(F.col("o_orderstatus") == "O"))
+        .add("project", lambda d: d.select("o_orderkey", "o_totalprice"))
+    )
+    out, runs = pipe.run(df)
+    assert [r.stage for r in runs] == ["filter_open", "project"]
+    assert runs[0].rows == runs[1].rows == out.count()
+    assert out.columns == ["o_orderkey", "o_totalprice"]
+
+
+def test_run_stages_fuses_without_actions(spark, sf_dir):
+    from dados_publicos_etl_spark.io import read_table
+
+    df = read_table(spark, sf_dir, "orders")
+    out = run_stages(
+        df,
+        lambda d: d.filter(F.col("o_totalprice") > 0),
+        lambda d: d.withColumn("year", F.year("o_orderdate")),
+    )
+    assert out.count() > 0 and "year" in out.columns
