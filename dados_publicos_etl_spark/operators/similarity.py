@@ -123,38 +123,39 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # LSH-bucketed ANN (the scale path)
 # ---------------------------------------------------------------------------
 
-N_PLANES = 4  # bits per table
+# 12 bits -> 4096 buckets: collision rate for unrelated vectors is
+# ~2^-12, so candidate volume stays ~linear in n; 8 OR-amplified
+# tables give ~92% recall at cosine ~0.95 (planted-pair pytest).
+# Shallow buckets (e.g. 4 bits) are a trap: at 50k vectors they
+# produced ~6e8 candidate pairs — LSH depth must scale with n.
+N_PLANES = 12  # bits per table
 N_TABLES = 8  # OR-amplification: candidate if ANY table bucket matches
 LSH_SEED = 42
 
 
 def add_hyperplane_buckets(
     df: DataFrame,
+    id_col: str = "vec_id",
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
     n_tables: int = N_TABLES,
     seed: int = LSH_SEED,
 ) -> DataFrame:
-    """Explode each row into (table_idx, bucket) LSH keys.
+    """(id, table_idx, bucket) LSH keys — one row per table per vector.
 
     bucket = sign bits of ``n_planes`` seeded random hyperplane
     projections; ``n_tables`` independent tables give OR-amplified
     recall (a pair is a candidate if any table agrees).  The
-    projection is an Arrow-batched numpy matmul in ``mapInPandas`` —
-    the per-row work is a (dim x n_planes*n_tables) GEMV, exactly the
-    shape vectorized Python beats per-element expressions at.
+    projection is an Arrow-batched numpy matmul in ``mapInPandas``
+    (per row a dim x n_planes*n_tables GEMV — the shape vectorized
+    Python beats per-element expressions at); the payload vector is
+    deliberately NOT carried through — the bucket table is 12 bytes a
+    row, and the re-rank joins embeddings back by id.
     """
     import numpy as np
 
-    out_fields = df.schema.fields
-    schema = ", ".join(
-        [f"{f.name} {f.dataType.simpleString()}" for f in out_fields]
-        + ["table_idx int", "bucket int"]
-    )
-
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         rng = np.random.RandomState(seed)
-        dim = None
         planes = None
         weights = 1 << np.arange(n_planes)
         for pdf in batches:
@@ -162,32 +163,100 @@ def add_hyperplane_buckets(
                 continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
             if planes is None:
-                dim = mat.shape[1]
-                planes = rng.randn(dim, n_planes * n_tables)
+                planes = rng.randn(mat.shape[1], n_planes * n_tables)
             bits = (mat @ planes) > 0
-            frames = []
-            for t in range(n_tables):
-                chunk = bits[:, t * n_planes : (t + 1) * n_planes]
-                out = pdf.copy()
-                out["table_idx"] = np.int32(t)
-                out["bucket"] = (chunk @ weights).astype("int32")
-                frames.append(out)
+            ids = pdf[id_col].to_numpy()
+            frames = [
+                pd.DataFrame(
+                    {
+                        id_col: ids,
+                        "table_idx": np.int32(t),
+                        "bucket": (
+                            bits[:, t * n_planes : (t + 1) * n_planes]
+                            @ weights
+                        ).astype("int32"),
+                    }
+                )
+                for t in range(n_tables)
+            ]
             yield pd.concat(frames, ignore_index=True)
 
-    return df.mapInPandas(project, schema=schema)
+    return df.select(id_col, vec_col).mapInPandas(
+        project, schema=f"{id_col} long, table_idx int, bucket int"
+    )
 
 
 @query(
     "similarity_ann_lsh",
     oracle=None,  # approximate; recall vs brute force asserted in pytest
-    description="ANN near-dup pairs: random-hyperplane LSH "
-    "(4 bits x 8 tables, OR-amplified, seeded) -> exact cosine "
-    "re-rank inside buckets (cosine >= 0.4). The 100 TB path: "
-    "shuffle on (table, bucket), no cross join.",
+    description="ANN top-5 search: 10 sampled query vectors probe "
+    "random-hyperplane LSH buckets (12 bits x 8 tables, seeded), "
+    "candidates re-ranked by exact cosine. The 100 TB path: bucket "
+    "equi-join, candidate volume ~linear in n, no cross join.",
 )
 def similarity_ann_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
-    return ann_pairs_lsh(emb, threshold=0.4)
+    return ann_topk_lsh(emb, query_max_id=10, k=5)
+
+
+def ann_topk_lsh(
+    emb: DataFrame,
+    query_max_id: int,
+    k: int,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    n_planes: int = N_PLANES,
+    n_tables: int = N_TABLES,
+) -> DataFrame:
+    """Approximate top-k neighbors for the query set (id < max_id).
+
+    Candidates = vectors sharing any table bucket with a query vector
+    (the query side is a broadcast — the big side never shuffles),
+    re-ranked by exact cosine, top-k per query via window.
+    """
+    from pyspark.sql import Window as W
+
+    bucketed = add_hyperplane_buckets(
+        emb, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables,
+    ).localCheckpoint()
+    qb = bucketed.filter(F.col(id_col) < query_max_id)
+    cands = (
+        bucketed.alias("b")
+        .join(
+            F.broadcast(qb).alias("q"),
+            (F.col("b.table_idx") == F.col("q.table_idx"))
+            & (F.col("b.bucket") == F.col("q.bucket"))
+            & (F.col(f"b.{id_col}") != F.col(f"q.{id_col}")),
+        )
+        .select(
+            F.col(f"q.{id_col}").alias("query_id"),
+            F.col(f"b.{id_col}").alias("neighbor_id"),
+        )
+        .distinct()
+    )
+    qv = emb.select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    nv = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    scored = (
+        cands.join(F.broadcast(qv), "query_id")
+        .join(nv, "neighbor_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(
+        F.desc("cos_sim"), F.asc("neighbor_id")
+    )
+    return (
+        scored.withColumn("rank", F.row_number().over(w))
+        .filter(F.col("rank") <= k)
+    )
 
 
 def ann_pairs_lsh(
@@ -198,10 +267,19 @@ def ann_pairs_lsh(
     n_planes: int = N_PLANES,
     n_tables: int = N_TABLES,
 ) -> DataFrame:
-    """Approximate near-dup pairs: LSH candidates -> exact re-rank."""
+    """Approximate near-dup pairs: LSH candidates -> exact re-rank.
+
+    The bucket table (id, table_idx, bucket — 12 bytes/row) is
+    materialized before its self-join (signature pattern, see
+    dedup_ngram_jaccard); candidate ids then join the embedding
+    payloads back for the exact cosine re-rank, so vectors are read
+    once per matched side instead of being exploded through every LSH
+    table.
+    """
     bucketed = add_hyperplane_buckets(
-        emb, vec_col=vec_col, n_planes=n_planes, n_tables=n_tables
-    )
+        emb, id_col=id_col, vec_col=vec_col,
+        n_planes=n_planes, n_tables=n_tables,
+    ).localCheckpoint()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cands = (
@@ -214,14 +292,20 @@ def ann_pairs_lsh(
         .select(
             F.col(f"a.{id_col}").alias("id_a"),
             F.col(f"b.{id_col}").alias("id_b"),
-            F.col(f"a.{vec_col}").alias("va"),
-            F.col(f"b.{vec_col}").alias("vb"),
         )
-        .dropDuplicates(["id_a", "id_b"])
+        .distinct()
+    )
+    va = emb.select(
+        F.col(id_col).alias("id_a"), F.col(vec_col).alias("va")
+    )
+    vb = emb.select(
+        F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb")
     )
     cos = cosine(F.col("va"), F.col("vb"))
     return (
-        cands.select("id_a", "id_b", cos.alias("cos_raw"))
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select("id_a", "id_b", cos.alias("cos_raw"))
         .filter(F.col("cos_raw") >= threshold)
         .select(
             F.col("id_a").alias("vec_id_a"),

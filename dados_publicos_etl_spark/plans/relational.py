@@ -419,9 +419,13 @@ def join_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def range_join_price_band(spark: SparkSession, sf_dir: str) -> DataFrame:
     part = read_table(spark, sf_dir, "part")
-    bands = spark.createDataFrame(
-        [("low", 0.0, 500.0), ("mid", 500.0, 1500.0), ("high", 1500.0, 1e9)],
-        "band string, lo double, hi double",
+    # VALUES -> LocalRelation: broadcastable without an RDD job
+    # (createDataFrame would plan Scan ExistingRDD and pay a job to
+    # materialize three rows).
+    bands = spark.sql(
+        "SELECT * FROM VALUES ('low', 0.0D, 500.0D), "
+        "('mid', 500.0D, 1500.0D), ('high', 1500.0D, 1e9D) "
+        "AS t(band, lo, hi)"
     )
     return (
         part.join(
