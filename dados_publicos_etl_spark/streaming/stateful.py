@@ -1,0 +1,86 @@
+"""Custom stateful streaming operator (SURVEY.md §2.B: streaming
+state; reference has none — this is the north-star extension surface).
+
+``applyInPandasWithState`` is Structured Streaming's arbitrary-state
+API: per group key, the function sees the new Arrow batches plus a
+persistent state handle, and emits output rows.  The example operator
+keeps a running (count, sum) per user across micro-batches — the
+building block for per-entity aggregates/fraud counters that event-
+time windows can't express.
+"""
+
+from __future__ import annotations
+
+import os
+import uuid
+from collections.abc import Iterable
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+OUTPUT_SCHEMA = "user_id long, n_events long, total_value double"
+STATE_SCHEMA = "n long, total double"
+
+
+def _running_totals(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    (user_id,) = key
+    n, total = state.get if state.exists else (0, 0.0)
+    for pdf in pdfs:
+        n += len(pdf)
+        total += float(pdf["value"].sum())
+    state.update((n, round(total, 2)))
+    yield pd.DataFrame(
+        {"user_id": [user_id], "n_events": [n], "total_value": [round(total, 2)]}
+    )
+
+
+def streaming_running_totals(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """Run the stateful operator over the events table as a stream
+    (one micro-batch per file) and return the final per-user totals."""
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _running_totals,
+        outputStructType=OUTPUT_SCHEMA,
+        stateStructType=STATE_SCHEMA,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    name = f"stateful_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    # memory sink in update mode appends every state emission; the
+    # last row per user is the final total.
+    snap = spark.table(name)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )

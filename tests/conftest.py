@@ -16,12 +16,17 @@ SF_CORRECT = os.environ.get("SPARK_GRAFT_SF_CORRECT", "/root/testdata/sf0.01")
 
 
 @pytest.fixture(scope="session")
-def spark():
+def spark(tmp_path_factory):
     from dados_publicos_etl_spark.session import get_session
 
     os.environ.setdefault("SPARK_DRIVER_MEM", "8g")
-    spark = get_session(app_name="tests", master="local[4]",
-                        shuffle_partitions=4)
+    wh = str(tmp_path_factory.mktemp("spark-warehouse"))
+    spark = get_session(
+        app_name="tests",
+        master="local[4]",
+        shuffle_partitions=4,
+        extra_conf={"spark.sql.warehouse.dir": wh},
+    )
     yield spark
     spark.stop()
 

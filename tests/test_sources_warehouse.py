@@ -1,0 +1,114 @@
+"""Sources/sinks beyond the core: JSON, binaryFile, warehouse
+saveAsTable (reference K6), bucketed tables (co-located joins),
+partitioned parquet writes, stateful streaming."""
+
+from __future__ import annotations
+
+import os
+
+import pytest
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark import io as eio
+from dados_publicos_etl_spark.sources import read_binary_files, read_json, write_json
+
+
+def test_json_roundtrip(spark, sf_dir, tmp_path):
+    nation = eio.read_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_json")
+    write_json(nation, out)
+    back = read_json(
+        spark, out, schema="n_nationkey int, n_name string, n_regionkey int"
+    )
+    assert back.count() == nation.count()
+    assert {r.n_name for r in back.collect()} == {
+        r.n_name for r in nation.collect()
+    }
+
+
+def test_binary_file_source(spark, tmp_path):
+    (tmp_path / "a.bin").write_bytes(b"\x01\x02\x03")
+    (tmp_path / "b.bin").write_bytes(b"\xff" * 10)
+    df = read_binary_files(spark, str(tmp_path), glob="*.bin")
+    rows = {os.path.basename(r.path): r for r in df.collect()}
+    assert rows["a.bin"].length == 3
+    assert bytes(rows["b.bin"].content) == b"\xff" * 10
+
+
+def test_save_warehouse_table(spark, sf_dir):
+    region = eio.read_table(spark, sf_dir, "region")
+    eio.save_warehouse_table(region, "wh_region", mode="overwrite")
+    back = spark.table("wh_region")
+    # reference K6 semantics: WRITE_TRUNCATE + post-load count verify
+    # (/root/reference/src/utils/load_bq.py:45,58-60)
+    assert back.count() == region.count()
+    eio.save_warehouse_table(region, "wh_region", mode="overwrite")
+    assert spark.table("wh_region").count() == region.count()
+
+
+def test_bucketed_join_has_no_shuffle(spark, sf_dir):
+    """bucketBy(8, key) on both sides -> SortMergeJoin without
+    Exchange: the co-location contract that kills the join shuffle at
+    100 TB."""
+    cust = eio.read_table(spark, sf_dir, "customer")
+    orders = eio.read_table(spark, sf_dir, "orders")
+    (
+        cust.write.mode("overwrite")
+        .bucketBy(8, "c_custkey")
+        .sortBy("c_custkey")
+        .saveAsTable("b_customer")
+    )
+    (
+        orders.write.mode("overwrite")
+        .bucketBy(8, "o_custkey")
+        .sortBy("o_custkey")
+        .saveAsTable("b_orders")
+    )
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        joined = spark.table("b_orders").join(
+            spark.table("b_customer"),
+            F.col("o_custkey") == F.col("c_custkey"),
+        )
+        plan = joined._jdf.queryExecution().executedPlan().toString()
+        assert "SortMergeJoin" in plan
+        assert "Exchange" not in plan, f"bucketed join still shuffles:\n{plan}"
+        assert joined.count() > 0
+    finally:
+        spark.conf.unset("spark.sql.autoBroadcastJoinThreshold")
+
+
+def test_partitioned_parquet_prunes(spark, sf_dir, tmp_path):
+    """partitionBy on write + partition filter on read -> the scan
+    lists only the matching partition directories."""
+    orders = eio.read_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_part")
+    eio.write_parquet(orders, out, partition_by=["year"])
+    back = spark.read.parquet(out).filter(F.col("year") == 1997)
+    plan = back._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters: [isnotnull(year" in plan
+    assert back.count() == orders.filter("year = 1997").count()
+
+
+def test_stateful_streaming_running_totals(spark, sf_dir):
+    from dados_publicos_etl_spark.streaming.stateful import (
+        streaming_running_totals,
+    )
+
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in streaming_running_totals(spark, sf_dir).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.tv)
+        for r in eio.read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
