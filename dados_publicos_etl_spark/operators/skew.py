@@ -67,7 +67,7 @@ def replicate_broadcast_join(
     oracle="""
     SELECT l_returnflag,
            CAST(COUNT(*) AS BIGINT) AS n,
-           ROUND(SUM(l_quantity), 2) AS sum_qty
+           (CAST(SUM(CAST(ROUND((l_quantity) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty
     FROM lineitem
     GROUP BY l_returnflag
     """,

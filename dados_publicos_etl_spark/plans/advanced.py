@@ -10,6 +10,7 @@ import pandas as pd
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from dados_publicos_etl_spark.functions.numeric import money_sum
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
 
@@ -54,11 +55,11 @@ def q4_order_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH thresholds AS (
       SELECT l_partkey AS t_partkey,
-             0.5 * (ROUND(SUM(l_quantity), 2) / COUNT(*)) AS half_avg_qty
+             0.5 * ((CAST(SUM(CAST(ROUND((l_quantity) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*)) AS half_avg_qty
       FROM lineitem GROUP BY l_partkey
     )
     SELECT l_returnflag,
-           ROUND(SUM(l_extendedprice), 2) AS total_price,
+           (CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS total_price,
            COUNT(*) AS n_small
     FROM lineitem JOIN thresholds ON l_partkey = t_partkey
     WHERE l_quantity < half_avg_qty
@@ -72,7 +73,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     thresholds = li.groupBy(F.col("l_partkey").alias("t_partkey")).agg(
         (
-            0.5 * (F.round(F.sum("l_quantity"), 2) / F.count(F.lit(1)))
+            0.5 * (money_sum("l_quantity") / F.count(F.lit(1)))
         ).alias("half_avg_qty")
     )
     return (
@@ -80,7 +81,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_quantity") < F.col("half_avg_qty"))
         .groupBy("l_returnflag")
         .agg(
-            F.round(F.sum("l_extendedprice"), 2).alias("total_price"),
+            money_sum("l_extendedprice").alias("total_price"),
             F.count(F.lit(1)).alias("n_small"),
         )
     )
@@ -90,7 +91,7 @@ def q17_small_quantity(spark: SparkSession, sf_dir: str) -> DataFrame:
     "having_filter",
     oracle="""
     SELECT c_nationkey, COUNT(*) AS n_customers,
-           ROUND(SUM(c_acctbal), 2) AS total_balance
+           (CAST(SUM(CAST(ROUND((c_acctbal) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS total_balance
     FROM customer
     GROUP BY c_nationkey
     HAVING COUNT(*) >= 5 AND SUM(c_acctbal) > 0
@@ -280,7 +281,7 @@ def array_agg_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH stats AS (
       SELECT user_id AS s_uid,
-             ROUND(SUM(value), 2) / COUNT(*) AS mean_value
+             (CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*) AS mean_value
       FROM events GROUP BY user_id
     )
     SELECT event_id, user_id,
@@ -306,7 +307,11 @@ def grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = 10.0**nd
             return np.trunc(x * s + np.copysign(0.5, x)) / s
 
-        mean = r(pdf["value"].sum(), 2) / len(pdf)
+        # cents-exact mean, mirroring the oracle's integer-cents sum
+        # (order-independent; see functions/numeric.py)
+        v = pdf["value"].to_numpy()
+        cents = np.trunc(v * 100 + np.copysign(0.5, v))
+        mean = (cents.sum() / 100.0) / len(pdf)
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],

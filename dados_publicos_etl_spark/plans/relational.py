@@ -21,6 +21,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from dados_publicos_etl_spark.functions.numeric import money_sum
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.operators.clean import clean_cnae
 from dados_publicos_etl_spark.plans.registry import query
@@ -87,11 +88,11 @@ def audit_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle="""
     WITH agg AS (
       SELECT l_returnflag, l_linestatus,
-             ROUND(SUM(l_quantity), 2) AS sum_qty,
-             ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
-             ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
-             ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
-             ROUND(SUM(l_discount), 2) AS sum_disc,
+             (CAST(SUM(CAST(ROUND((l_quantity) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty,
+             (CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_base_price,
+             (CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_disc_price,
+             (CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount) * (1 + l_tax)) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_charge,
+             (CAST(SUM(CAST(ROUND((l_discount) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_disc,
              COUNT(*) AS count_order
       FROM lineitem
       WHERE l_shipdate <= TIMESTAMP '1998-09-02 00:00:00'
@@ -119,11 +120,11 @@ def q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         li.filter(F.col("l_shipdate") <= F.lit("1998-09-02 00:00:00").cast("timestamp"))
         .groupBy("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
-            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
-            F.round(F.sum(disc_price), 2).alias("sum_disc_price"),
-            F.round(F.sum(disc_price * (1 + F.col("l_tax"))), 2).alias("sum_charge"),
-            F.round(F.sum("l_discount"), 2).alias("sum_disc"),
+            money_sum("l_quantity").alias("sum_qty"),
+            money_sum("l_extendedprice").alias("sum_base_price"),
+            money_sum(disc_price).alias("sum_disc_price"),
+            money_sum(disc_price * (1 + F.col("l_tax"))).alias("sum_charge"),
+            money_sum("l_discount").alias("sum_disc"),
             F.count(F.lit(1)).alias("count_order"),
         )
     )
@@ -169,7 +170,7 @@ def distinct_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     "rollup_sales",
     oracle="""
     SELECT l_returnflag, l_linestatus,
-           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           (CAST(SUM(CAST(ROUND((l_quantity) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_qty,
            COUNT(*) AS n
     FROM lineitem
     GROUP BY ROLLUP (l_returnflag, l_linestatus)
@@ -182,7 +183,7 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "lineitem")
         .rollup("l_returnflag", "l_linestatus")
         .agg(
-            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            money_sum("l_quantity").alias("sum_qty"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -192,7 +193,7 @@ def rollup_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
     "cube_status",
     oracle="""
     SELECT o_orderstatus, o_orderpriority,
-           ROUND(SUM(o_totalprice), 2) AS total_price,
+           (CAST(SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS total_price,
            COUNT(*) AS n
     FROM orders
     GROUP BY CUBE (o_orderstatus, o_orderpriority)
@@ -204,7 +205,7 @@ def cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
         read_table(spark, sf_dir, "orders")
         .cube("o_orderstatus", "o_orderpriority")
         .agg(
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum("o_totalprice").alias("total_price"),
             F.count(F.lit(1)).alias("n"),
         )
     )
@@ -214,8 +215,8 @@ def cube_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pivot_status",
     oracle="""
     SELECT l_returnflag,
-           ROUND(SUM(CASE WHEN l_linestatus = 'O' THEN l_quantity END), 2) AS O,
-           ROUND(SUM(CASE WHEN l_linestatus = 'F' THEN l_quantity END), 2) AS F
+           (CAST(SUM(CAST(ROUND((CASE WHEN l_linestatus = 'O' THEN l_quantity END) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS O,
+           (CAST(SUM(CAST(ROUND((CASE WHEN l_linestatus = 'F' THEN l_quantity END) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS F
     FROM lineitem
     GROUP BY l_returnflag
     """,
@@ -245,7 +246,7 @@ def pivot_status(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q3_shipping_priority",
     oracle="""
     SELECT l_orderkey,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           (CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS revenue,
            STRFTIME(o_orderdate, '%Y-%m-%d') AS orderdate,
            o_orderpriority
     FROM customer
@@ -273,9 +274,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(cust), orders.o_custkey == cust.c_custkey)
         .groupBy("l_orderkey", "o_orderdate", "o_orderpriority")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
         .select(
             "l_orderkey",
@@ -292,7 +291,7 @@ def q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
     "q5_revenue_by_nation",
     oracle="""
     SELECT n_name,
-           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+           (CAST(SUM(CAST(ROUND((l_extendedprice * (1 - l_discount)) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS revenue
     FROM customer
     JOIN orders   ON c_custkey = o_custkey
     JOIN lineitem ON l_orderkey = o_orderkey
@@ -329,9 +328,7 @@ def q5_revenue_by_nation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .join(F.broadcast(region), nation.n_regionkey == region.r_regionkey)
         .groupBy("n_name")
         .agg(
-            F.round(
-                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2
-            ).alias("revenue")
+            money_sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))).alias("revenue")
         )
     )
 
@@ -476,9 +473,10 @@ def window_topk_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     "window_running_total",
     oracle="""
     SELECT user_id, event_id,
-           ROUND(SUM(value) OVER (PARTITION BY user_id
-                                  ORDER BY ts, event_id
-                                  ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2)
+           (CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT))
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 AS DOUBLE) / 100.0)
              AS running_value,
            ROUND(value - COALESCE(LAG(value) OVER (PARTITION BY user_id
                                   ORDER BY ts, event_id), 0), 2) AS delta_value
@@ -493,8 +491,10 @@ def window_running_total(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             "user_id",
             "event_id",
-            F.round(
-                F.sum("value").over(w.rowsBetween(W.unboundedPreceding, 0)), 2
+            (
+                F.sum(F.round(F.col("value") * 100, 0).cast("long"))
+                .over(w.rowsBetween(W.unboundedPreceding, 0))
+                / 100.0
             ).alias("running_value"),
             F.round(
                 F.col("value") - F.coalesce(F.lag("value").over(w), F.lit(0.0)),
@@ -615,7 +615,7 @@ def set_ops(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT CAST(EXTRACT(year FROM o_orderdate) AS INT) AS order_year,
            CAST(EXTRACT(quarter FROM o_orderdate) AS INT) AS order_quarter,
            COUNT(*) AS n_orders,
-           ROUND(SUM(o_totalprice), 2) AS total_price
+           (CAST(SUM(CAST(ROUND((o_totalprice) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS total_price
     FROM orders
     GROUP BY order_year, order_quarter
     """,
@@ -630,7 +630,7 @@ def date_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(
             F.count(F.lit(1)).alias("n_orders"),
-            F.round(F.sum("o_totalprice"), 2).alias("total_price"),
+            money_sum("o_totalprice").alias("total_price"),
         )
     )
 

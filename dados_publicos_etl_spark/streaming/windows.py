@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
 
+from dados_publicos_etl_spark.functions.numeric import money_sum
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
 
@@ -32,7 +33,7 @@ _DUCK_BUCKET = (
     SELECT {_DUCK_BUCKET.format(w=600)} AS window_start,
            event_type,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           (CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
     FROM events
     GROUP BY window_start, event_type
     """,
@@ -45,7 +46,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy(F.window("ts", "10 minutes"), "event_type")
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
         .select(
             F.date_format("window.start", _TS_FMT).alias("window_start"),
@@ -64,7 +65,7 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
              CAST(floor((epoch(ts) - o) / 600) AS BIGINT) * 600 + o),
              '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n_events,
-           ROUND(ROUND(SUM(value), 2) / COUNT(*), 4) AS avg_value
+           ROUND((CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*), 4) AS avg_value
     FROM events, offsets
     GROUP BY window_start
     """,
@@ -80,7 +81,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             # pre-rounded-sum / count: immune to summation-order
             # rounding flips (see q1_pricing_summary).
             F.round(
-                F.round(F.sum("value"), 2) / F.count(F.lit(1)), 4
+                money_sum("value") / F.count(F.lit(1)), 4
             ).alias("avg_value"),
         )
         .select(
@@ -112,7 +113,7 @@ def stream_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
            strftime(MAX(ts) + INTERVAL 30 MINUTE,
                     '%Y-%m-%d %H:%M:%S.%f') AS session_end,
            COUNT(*) AS n_events,
-           ROUND(SUM(value), 2) AS sum_value
+           (CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) AS sum_value
     FROM sessions
     GROUP BY user_id, session_id
     """,
@@ -126,7 +127,7 @@ def stream_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
         ev.groupBy("user_id", F.session_window("ts", "30 minutes"))
         .agg(
             F.count(F.lit(1)).alias("n_events"),
-            F.round(F.sum("value"), 2).alias("sum_value"),
+            money_sum("value").alias("sum_value"),
         )
         .select(
             "user_id",
