@@ -1,0 +1,85 @@
+"""MERGE / upsert emulation (SURVEY.md §2.B 'CDC / SCD2').
+
+Spark without Delta/Iceberg has no MERGE INTO; the engine provides
+the standard emulation — anti-join out the matched keys, union the
+source — which is exactly what a MERGE ... WHEN MATCHED UPDATE WHEN
+NOT MATCHED INSERT computes for full-row updates.  At scale both
+sides shuffle once on the key (or zero times if both are bucketed on
+it; see tests/test_sources_warehouse.py::test_bucketed_join_has_no_shuffle).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark.io import read_table
+from dados_publicos_etl_spark.plans.registry import query
+
+
+def upsert(target: DataFrame, source: DataFrame, key: str) -> DataFrame:
+    """MERGE: source rows win on key collision; unmatched target rows
+    survive; source-only keys insert.  Schemas must match."""
+    kept = target.join(source, on=key, how="left_anti")
+    return kept.unionByName(source)
+
+
+def scd2_close_and_append(
+    current: DataFrame,
+    updates: DataFrame,
+    key: str,
+    version_col: str = "version",
+) -> DataFrame:
+    """SCD2-lite: bump ``version`` for updated keys, append new rows.
+
+    ``current`` rows for updated keys are retained (history) with
+    their old version; updates come in as version+1.
+    """
+    max_v = (
+        current.groupBy(key).agg(F.max(version_col).alias("_maxv"))
+    )
+    stamped = (
+        updates.join(max_v, on=key, how="left")
+        .withColumn(
+            version_col, F.coalesce(F.col("_maxv") + 1, F.lit(1))
+        )
+        .drop("_maxv")
+    )
+    return current.unionByName(stamped)
+
+
+@query(
+    "merge_upsert",
+    oracle="""
+    WITH source AS (
+      SELECT c_custkey, c_name, c_nationkey, c_acctbal, 'VIP' AS c_mktsegment
+      FROM customer
+      WHERE c_acctbal > 5000
+    ), merged AS (
+      SELECT * FROM customer
+      WHERE c_custkey NOT IN (SELECT c_custkey FROM source)
+      UNION ALL
+      SELECT * FROM source
+    )
+    SELECT c_mktsegment, COUNT(*) AS n,
+           (CAST(SUM(CAST(ROUND((c_acctbal) * 100, 0) AS BIGINT)) AS DOUBLE)
+            / 100.0) AS total_balance
+    FROM merged
+    GROUP BY c_mktsegment
+    """,
+    description="MERGE INTO emulation (anti-join + union): upsert a "
+    "derived 'VIP' segment for high-balance customers, then audit the "
+    "segment distribution.",
+)
+def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    source = cust.filter(F.col("c_acctbal") > 5000).withColumn(
+        "c_mktsegment", F.lit("VIP")
+    )
+    merged = upsert(cust, source, key="c_custkey")
+    from dados_publicos_etl_spark.functions.numeric import money_sum
+
+    return merged.groupBy("c_mktsegment").agg(
+        F.count(F.lit(1)).alias("n"),
+        money_sum("c_acctbal").alias("total_balance"),
+    )

@@ -183,3 +183,121 @@ def term_frequency(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("freq"), F.asc("token"))
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# TF-IDF and quality scoring
+# ---------------------------------------------------------------------------
+
+STOPWORDS = ("the", "and", "of", "a", "to")
+
+
+@query(
+    "tfidf_top_terms",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '{WS}')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM tok GROUP BY doc_id, term
+    ), df AS (
+      SELECT term, CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS df FROM tok GROUP BY term
+    ), n AS (SELECT COUNT(*) AS n_docs FROM documents)
+    SELECT doc_id, term, tfidf FROM (
+      SELECT tf.doc_id, tf.term,
+             ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4)
+               AS tfidf,
+             ROW_NUMBER() OVER (
+               PARTITION BY tf.doc_id
+               ORDER BY ROUND(tf.tf * (LN((n.n_docs + 1.0) / (df.df + 1.0)) + 1.0), 4)
+                        DESC, tf.term) AS rn
+      FROM tf JOIN df ON tf.term = df.term CROSS JOIN n
+      WHERE tf.doc_id < 50)
+    WHERE rn <= 5
+    """,
+    description="TF-IDF: term frequencies join smoothed document "
+    "frequencies (broadcast — the vocabulary is small relative to the "
+    "corpus), top-5 terms per doc for a bounded doc sample.",
+)
+def tfidf_top_terms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select("doc_id", F.explode(tokens("text")).alias("term"))
+    tf = tok.groupBy("doc_id", "term").agg(F.count(F.lit(1)).alias("tf"))
+    df_ = tok.groupBy("term").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = docs.count()  # scalar job; the corpus count is one number
+    tfidf = F.round(
+        F.col("tf") * (F.log((n_docs + 1.0) / (F.col("df") + 1.0)) + 1.0), 4
+    )
+    w = W.partitionBy("doc_id").orderBy(F.desc("tfidf"), F.asc("term"))
+    return (
+        tf.filter(F.col("doc_id") < 50)
+        .join(F.broadcast(df_), "term")
+        .select("doc_id", "term", tfidf.alias("tfidf"))
+        .withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= 5)
+        .select("doc_id", "term", "tfidf")
+    )
+
+
+@query(
+    "doc_quality_pandas_udf",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id,
+             CAST(LENGTH(text) AS DOUBLE) AS n_chars,
+             CAST(len(regexp_extract_all(text, '[^A-Za-z0-9\\s]')) AS DOUBLE)
+               AS n_punct,
+             CAST(len(string_split_regex(lower(text), '{WS}')) AS DOUBLE)
+               AS n_tokens,
+             CAST(len(list_filter(string_split_regex(lower(text), '{WS}'),
+                      x -> list_contains(['the','and','of','a','to'], x)))
+               AS DOUBLE) AS n_stop
+      FROM documents
+    )
+    SELECT doc_id,
+           ROUND(0.5 * LEAST(n_chars / 500.0, 1.0)
+                 + 0.3 * (1.0 - n_punct / n_chars)
+                 + 0.2 * (n_stop / n_tokens), 4) AS quality
+    FROM t
+    """,
+    description="Quality scoring via a vectorized scalar pandas_udf "
+    "(Arrow-batched): length, punctuation and stopword ratios folded "
+    "into one score — the per-row math mirrors the oracle exactly.",
+)
+def doc_quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import re as _re
+
+    import pandas as pd
+
+    stop = set(STOPWORDS)
+    punct_re = _re.compile(r"[^A-Za-z0-9\s]")
+    ws_re = _re.compile(WS)
+
+    def _quality(text):
+        import numpy as np
+
+        n_chars = text.str.len().astype("float64")
+        n_punct = text.map(lambda s: len(punct_re.findall(s))).astype("float64")
+        toks = text.str.lower().map(ws_re.split)
+        n_tokens = toks.map(len).astype("float64")
+        n_stop = toks.map(lambda ts: sum(1 for t in ts if t in stop)).astype(
+            "float64"
+        )
+        score = (
+            0.5 * np.minimum(n_chars / 500.0, 1.0)
+            + 0.3 * (1.0 - n_punct / n_chars)
+            + 0.2 * (n_stop / n_tokens)
+        )
+        return pd.Series(np.trunc(score * 1e4 + np.copysign(0.5, score)) / 1e4)
+
+    # `from __future__ import annotations` stringifies hints, which
+    # pandas_udf's signature inference can't resolve — attach real
+    # annotation objects instead.
+    _quality.__annotations__ = {"text": pd.Series, "return": pd.Series}
+    quality = F.pandas_udf(_quality, "double")
+
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select("doc_id", quality(F.col("text")).alias("quality"))

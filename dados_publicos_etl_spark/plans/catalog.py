@@ -3,6 +3,7 @@ module's entries into ``dados_publicos_etl_spark.plans.QUERIES``.
 """
 
 import dados_publicos_etl_spark.operators.dedup  # noqa: F401
+import dados_publicos_etl_spark.operators.merge  # noqa: F401
 import dados_publicos_etl_spark.operators.multimodal  # noqa: F401
 import dados_publicos_etl_spark.operators.similarity  # noqa: F401
 import dados_publicos_etl_spark.operators.skew  # noqa: F401
