@@ -43,9 +43,18 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
 
                 # integer division: nanos ~1e18 exceed double precision,
                 # so (x / 1000).cast("long") would drift by up to 1 us.
+                # TIMESTAMP_NTZ (UTC wall time), matching how Spark 4
+                # reads the other tables' parquet timestamps: windows,
+                # session_window bounds and date_format on NTZ are
+                # session-timezone-independent, so results can't shift
+                # against the UTC-naive DuckDB oracle on a non-UTC
+                # driver JVM (probed with TZ=America/Sao_Paulo).
                 df = df.withColumn(
                     field.name,
-                    F.timestamp_micros(F.expr(f"`{field.name}` div 1000")),
+                    F.expr(
+                        f"timestampadd(MICROSECOND, `{field.name}` div 1000, "
+                        "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                    ),
                 )
     return df
 

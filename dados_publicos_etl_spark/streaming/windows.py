@@ -22,8 +22,12 @@ from dados_publicos_etl_spark.plans.registry import query
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 _DUCK_BUCKET = (
-    "strftime(to_timestamp(CAST(floor(epoch(ts) / {w}) AS BIGINT) * {w})"
-    " , '%Y-%m-%d %H:%M:%S')"
+    # naive-timestamp arithmetic: DuckDB's to_timestamp() returns
+    # TIMESTAMPTZ and strftime would render it in the local zone,
+    # shifting the oracle on a non-UTC machine.
+    "strftime(TIMESTAMP '1970-01-01 00:00:00'"
+    " + INTERVAL 1 SECOND * (CAST(floor(epoch(ts) / {w}) AS BIGINT) * {w})"
+    ", '%Y-%m-%d %H:%M:%S')"
 )
 
 
@@ -61,8 +65,9 @@ def stream_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     "stream_sliding_window",
     oracle=f"""
     WITH offsets(o) AS (VALUES (0), (300))
-    SELECT strftime(to_timestamp(
-             CAST(floor((epoch(ts) - o) / 600) AS BIGINT) * 600 + o),
+    SELECT strftime(TIMESTAMP '1970-01-01 00:00:00'
+             + INTERVAL 1 SECOND *
+               (CAST(floor((epoch(ts) - o) / 600) AS BIGINT) * 600 + o),
              '%Y-%m-%d %H:%M:%S') AS window_start,
            COUNT(*) AS n_events,
            ROUND((CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0) / COUNT(*), 4) AS avg_value
@@ -208,7 +213,8 @@ def asof_join_events(spark: SparkSession, sf_dir: str) -> DataFrame:
             "event_id",
             "user_id",
             F.col("click_event_id2").alias("click_event_id"),
-            (F.unix_micros("ts") - F.unix_micros("click_ts2")).alias(
+            # NTZ-safe wall-clock difference (unix_micros needs LTZ)
+            F.expr("timestampdiff(MICROSECOND, click_ts2, ts)").alias(
                 "gap_micros"
             ),
         )
@@ -238,6 +244,10 @@ def streaming_tumbling_counts(
     )
     # the streaming file source requires a directory: stream the sf
     # dir with a glob filter selecting the events table file(s).
+    # Watermarks require TIMESTAMP (LTZ), so unlike the batch path
+    # (NTZ) we keep instants here and render window bounds through an
+    # explicit UTC conversion so output is session-timezone-stable.
+    tz = spark.conf.get("spark.sql.session.timeZone")
     stream = (
         spark.readStream.schema(raw_schema)
         .option("pathGlobFilter", "events.parquet")
@@ -249,7 +259,9 @@ def streaming_tumbling_counts(
         .groupBy(F.window("ts", gap), "event_type")
         .agg(F.count(F.lit(1)).alias("n_events"))
         .select(
-            F.date_format("window.start", _TS_FMT).alias("window_start"),
+            F.date_format(
+                F.to_utc_timestamp(F.col("window.start"), tz), _TS_FMT
+            ).alias("window_start"),
             "event_type",
             "n_events",
         )
