@@ -45,14 +45,22 @@ def main() -> None:
     for t in TABLE_NAMES:
         read_table(spark, sf_dir, t).count()
 
+    # two runs per query, report the min: the first run pays one-off
+    # plan compilation / codegen / Python-worker startup that a
+    # long-lived cluster session amortizes away; the min approximates
+    # steady-state latency.
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for name in sorted(QUERIES):
         spec = QUERIES[name]
-        t0 = time.perf_counter()
-        df = spec.fn(spark, sf_dir)
-        n = df.count()
-        timings[name] = round(time.perf_counter() - t0, 4)
-        del n
+        best = None
+        for _ in range(n_runs):
+            t0 = time.perf_counter()
+            df = spec.fn(spark, sf_dir)
+            df.count()
+            dt = time.perf_counter() - t0
+            best = dt if best is None else min(best, dt)
+        timings[name] = round(best, 4)
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
