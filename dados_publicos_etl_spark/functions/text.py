@@ -43,22 +43,47 @@ def fingerprint_md5(c: Column | str) -> Column:
     return F.md5(normalized(c))
 
 
-def shingles(c: Column | str, n: int = 3) -> Column:
-    """Distinct word n-gram shingles (space-joined), the unit for
-    near-dup similarity.  Unigram token sets are degenerate on small
-    vocabularies (everything overlaps); n-grams encode word order so
-    only genuine near-duplicates score high.
+def shingles_from_tokens(toks: Column, n: int = 3) -> Column:
+    """Distinct word n-gram shingles (space-joined) over a token-array
+    column.  IMPORTANT: pass a materialized column REFERENCE (select
+    the token split into a column first) — lambda bodies have no
+    common-subexpression elimination, so an inline split() here would
+    re-tokenize once per element_at reference (measured 10s vs 0.5s
+    at sf0.1).
     """
-    toks = tokens(c)
+
+    def shingle_at(i):
+        # element_at + concat instead of slice + concat_ws: avoids an
+        # array allocation per shingle (~2x faster at sf0.1)
+        parts: list[Column] = []
+        for j in range(n):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + j))
+        return F.concat(*parts)
+
     return F.when(
         F.size(toks) >= n,
         F.array_distinct(
             F.transform(
                 F.sequence(F.lit(1), F.size(toks) - (n - 1)),
-                lambda i: F.concat_ws(" ", F.slice(toks, i, n)),
+                shingle_at,
             )
         ),
     ).otherwise(F.array(F.concat_ws(" ", toks)))
+
+
+def shingles(c: Column | str, n: int = 3) -> Column:
+    """Distinct word n-gram shingles of raw text, the unit for
+    near-dup similarity.  Unigram token sets are degenerate on small
+    vocabularies (everything overlaps); n-grams encode word order so
+    only genuine near-duplicates score high.
+
+    Convenience form over an inline tokenization — for hot paths
+    prefer ``select(tokens(...).alias(t)).select(
+    shingles_from_tokens(col(t)))`` (see that function's warning).
+    """
+    return shingles_from_tokens(tokens(c), n)
 
 
 def hashed_shingles_from_tokens(tok_col_name: str) -> Column:

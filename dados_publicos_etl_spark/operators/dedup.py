@@ -122,8 +122,13 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     # sides and re-optimizes the doubled tree (measured 15s -> 4.5s at
     # sf0.1).  At scale this is the standard "write signatures, then
     # join" step — the materialized table is id + shingles only.
+    from dados_publicos_etl_spark.functions.text import (
+        shingles_from_tokens,
+    )
+
     t = (
-        docs.select("doc_id", shingles("text").alias("sh"))
+        docs.select("doc_id", tokens("text").alias("_tk"))
+        .select("doc_id", shingles_from_tokens(F.col("_tk")).alias("sh"))
         .withColumn("blk", F.array_min("sh"))
         .localCheckpoint()
     )

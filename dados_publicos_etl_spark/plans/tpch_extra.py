@@ -280,3 +280,61 @@ def embedding_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.col("_s") / F.col("_n"), 6).alias("centroid"),
         )
     )
+
+
+@query(
+    "q6_forecast_revenue_sql",
+    oracle="""
+    SELECT (CAST(SUM(CAST(ROUND((l_extendedprice * l_discount) * 100, 0)
+                  AS BIGINT)) AS DOUBLE) / 100.0) AS revenue,
+           COUNT(*) AS n_lines
+    FROM lineitem
+    WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+      AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+      AND l_discount BETWEEN 0.02 AND 0.09
+      AND l_quantity < 24
+    """,
+    description="TPC-H Q6 shape via the SQL API (temp view + "
+    "spark.sql) — Catalyst produces the same plan as the DataFrame "
+    "form; demonstrates the engine's SQL entry point.",
+)
+def q6_forecast_revenue_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_lineitem"
+    )
+    return spark.sql(
+        """
+        SELECT (CAST(SUM(CAST(ROUND((l_extendedprice * l_discount) * 100, 0)
+                      AS BIGINT)) AS DOUBLE) / 100.0) AS revenue,
+               COUNT(*) AS n_lines
+        FROM v_lineitem
+        WHERE l_shipdate >= TIMESTAMP '1997-01-01 00:00:00'
+          AND l_shipdate <  TIMESTAMP '1998-01-01 00:00:00'
+          AND l_discount BETWEEN 0.02 AND 0.09
+          AND l_quantity < 24
+        """
+    )
+
+
+@query(
+    "decimal_agg",
+    oracle="""
+    SELECT o_orderstatus,
+           CAST(SUM(CAST(o_totalprice AS DECIMAL(18, 2))) AS DOUBLE)
+             AS total_price_dec,
+           COUNT(*) AS n
+    FROM orders
+    GROUP BY o_orderstatus
+    """,
+    description="Exact DECIMAL(18,2) aggregation: decimal sums are "
+    "order-independent by construction (the alternative to the "
+    "cents-integer trick); result cast to DOUBLE for the comparison.",
+)
+def decimal_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.groupBy("o_orderstatus").agg(
+        F.sum(F.col("o_totalprice").cast("decimal(18,2)"))
+        .cast("double")
+        .alias("total_price_dec"),
+        F.count(F.lit(1)).alias("n"),
+    )
