@@ -61,6 +61,12 @@ def main() -> None:
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
         timings[name] = round(best, 4)
+        # Release blocks pinned by localCheckpoint()-materializing
+        # operators (dedup/similarity signature tables) so storage
+        # memory from one query can't pressure the queries timed after
+        # it.  Within-query checkpoint cost stays inside the timing.
+        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+            rdd.unpersist()
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
