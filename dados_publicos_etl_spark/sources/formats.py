@@ -44,3 +44,38 @@ def read_binary_files(
     if glob:
         reader = reader.option("pathGlobFilter", glob)
     return reader.load(path)
+
+
+def read_orc(
+    spark: SparkSession, path: str, merge_schema: bool = False
+) -> DataFrame:
+    """ORC scan — columnar like parquet (vectorized reader, predicate
+    pushdown, column pruning all apply); the warehouse-interop format
+    when the catalog standardizes on ORC instead of parquet."""
+    return (
+        spark.read.option("mergeSchema", str(merge_schema).lower()).orc(path)
+    )
+
+
+def write_orc(
+    df: DataFrame,
+    path: str,
+    mode: str = "overwrite",
+    compression: str = "snappy",
+    partition_by: list[str] | None = None,
+) -> None:
+    writer = df.write.mode(mode).option("compression", compression)
+    if partition_by:
+        writer = writer.partitionBy(*partition_by)
+    writer.orc(path)
+
+
+def read_text(
+    spark: SparkSession, path: str, whole_text: bool = False
+) -> DataFrame:
+    """Raw line source: one string column ``value`` per line (or per
+    file with whole_text) — the pre-tokenization entry for text
+    corpora that aren't yet column-structured.  NB the reader kwarg
+    (not ``.option("wholetext", ...)``, which Spark silently
+    ignores)."""
+    return spark.read.text(path, wholetext=whole_text)

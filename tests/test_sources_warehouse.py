@@ -10,7 +10,36 @@ import pytest
 from pyspark.sql import functions as F
 
 from dados_publicos_etl_spark import io as eio
-from dados_publicos_etl_spark.sources import read_binary_files, read_json, write_json
+from dados_publicos_etl_spark.sources import (
+    read_binary_files,
+    read_json,
+    read_orc,
+    read_text,
+    write_json,
+    write_orc,
+)
+
+
+def test_orc_roundtrip_partitioned(spark, sf_dir, tmp_path):
+    nation = eio.read_table(spark, sf_dir, "nation")
+    out = str(tmp_path / "nation_orc")
+    write_orc(nation, out, partition_by=["n_regionkey"])
+    back = read_orc(spark, out)
+    assert back.count() == nation.count()
+    # partition pruning: a partition-key filter must not scan all files
+    pruned = back.filter(F.col("n_regionkey") == 1)
+    plan = pruned._jdf.queryExecution().executedPlan().toString()
+    assert pruned.count() == nation.filter("n_regionkey = 1").count()
+    assert "n_regionkey" not in plan.split("ReadSchema")[-1][:200]
+
+
+def test_text_source(spark, tmp_path):
+    (tmp_path / "a.txt").write_text("alpha\nbeta\n")
+    (tmp_path / "b.txt").write_text("gamma\n")
+    lines = read_text(spark, str(tmp_path))
+    assert {r.value for r in lines.collect()} == {"alpha", "beta", "gamma"}
+    whole = read_text(spark, str(tmp_path), whole_text=True)
+    assert whole.count() == 2
 
 
 def test_json_roundtrip(spark, sf_dir, tmp_path):
