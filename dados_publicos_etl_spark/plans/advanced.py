@@ -325,3 +325,107 @@ def grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         demean, schema="event_id long, user_id long, demeaned_value double"
     )
+
+
+# ---------------------------------------------------------------------------
+# Grouped-agg Pandas UDF (vectorized UDAF)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_avg_pandas_udaf",
+    oracle="""
+    SELECT l_returnflag,
+           ROUND(
+             (CAST(SUM(CAST(ROUND((l_extendedprice * l_quantity) * 100, 0) AS BIGINT) ) AS DOUBLE) / 100.0)
+             / (CAST(SUM(CAST(ROUND((l_quantity) * 100, 0) AS BIGINT)) AS DOUBLE) / 100.0),
+             4) AS wavg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Grouped-aggregate Pandas UDF (vectorized UDAF over "
+    "Arrow batches): quantity-weighted mean price per return flag.  "
+    "Both numerator and denominator are cents-exact sums so the "
+    "division matches the oracle bit-for-bit.  (Spark disallows "
+    "mixing group-agg pandas UDFs with JVM aggregates in one agg(), "
+    "so the UDAF is the sole aggregate here.)",
+)
+def weighted_avg_pandas_udaf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
+    @F.pandas_udf("double")
+    def wavg(price: pd.Series, qty: pd.Series) -> float:
+        # cents-integer sums, mirroring functions/numeric.py money_sum
+        pq = (price * qty).to_numpy()
+        q = qty.to_numpy()
+        num = np.trunc(pq * 100 + np.copysign(0.5, pq)).sum() / 100.0
+        den = np.trunc(q * 100 + np.copysign(0.5, q)).sum() / 100.0
+        return float(num / den)
+
+    return (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy("l_returnflag")
+        .agg(
+            F.round(wavg("l_extendedprice", "l_quantity"), 4).alias(
+                "wavg_price"
+            )
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Python UDTF (table function): document chunking
+# ---------------------------------------------------------------------------
+
+_CHUNK = 20  # tokens per chunk
+
+
+@query(
+    "udtf_chunk_documents",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ), x AS (
+      SELECT doc_id, toks,
+             unnest(range(CAST(ceil(len(toks) / {_CHUNK}.0) AS BIGINT))) AS i
+      FROM t
+    )
+    SELECT doc_id,
+           CAST(i AS INT) AS chunk_idx,
+           array_to_string(
+             list_slice(toks, i * {_CHUNK} + 1, (i + 1) * {_CHUNK}), ' ')
+             AS chunk,
+           CAST(len(list_slice(toks, i * {_CHUNK} + 1, (i + 1) * {_CHUNK}))
+                AS INT) AS n_tokens
+    FROM x
+    """,
+    description="Python UDTF (arrow-optimized) chunking each document "
+    "into fixed 20-token windows via a LATERAL table-function join — "
+    "the training-data chunking primitive.  One input row fans out to "
+    "ceil(n_tokens/20) output rows; the UDTF runs per-partition with "
+    "no shuffle.",
+)
+def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql.functions import udtf
+
+    @udtf(
+        returnType="chunk_idx int, chunk string, n_tokens int",
+        useArrow=True,
+    )
+    class ChunkTokens:
+        def eval(self, text: str):
+            toks = text.split(" ")
+            for i in range(0, (len(toks) + _CHUNK - 1) // _CHUNK):
+                window = toks[i * _CHUNK : (i + 1) * _CHUNK]
+                yield i, " ".join(window), len(window)
+
+    spark.udtf.register("chunk_tokens", ChunkTokens)
+    read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    ).createOrReplaceTempView("v_docs_chunk")
+    return spark.sql(
+        """
+        SELECT doc_id, c.chunk_idx, c.chunk, c.n_tokens
+        FROM v_docs_chunk, LATERAL chunk_tokens(text) c
+        """
+    )
