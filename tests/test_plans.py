@@ -56,3 +56,43 @@ def test_cnae_clean_is_shuffle_free(spark, sf_dir):
     Exchange anywhere in the plan."""
     plan = _plan(QUERIES["cnae_clean"].fn(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_q21_self_joins_are_semi_anti_not_cartesian(spark, sf_dir):
+    """The EXISTS/NOT-EXISTS lineitem self-joins must plan as
+    orderkey-equi semi/anti joins — a cartesian or nested-loop plan
+    here would be quadratic in lineitem."""
+    plan = _plan(QUERIES["q21_waiting_suppliers"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q2_correlated_min_no_extra_scan(spark, sf_dir):
+    """The per-part MIN is a window over the aggregated offer table,
+    not a second scan+join of lineitem: lineitem appears in exactly
+    one FileScan."""
+    plan = _plan(QUERIES["q2_min_cost_supplier"].fn(spark, sf_dir))
+    assert plan.count("FileScan parquet") >= 3  # lineitem, part, supp dims
+    assert plan.count("lineitem.parquet") == 1
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_q11_scalar_threshold_is_broadcast(spark, sf_dir):
+    """The scalar-subquery threshold joins as a 1-row broadcast
+    (nested-loop on a single row), never a shuffle of the big side."""
+    plan = _plan(QUERIES["q11_important_stock"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
+
+
+def test_q16_not_in_plans_anti_join(spark, sf_dir):
+    plan = _plan(QUERIES["q16_supplier_part_counts"].fn(spark, sf_dir))
+    assert "LeftAnti" in plan
+
+
+def test_dedup_embedding_survivorship_anti_join(spark, sf_dir):
+    plan = _plan(QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir))
+    assert "LeftSemi" in plan
+    assert "LeftAnti" in plan
+    assert "CartesianProduct" not in plan
