@@ -200,3 +200,29 @@ def save_warehouse_table(
     behind the same call — the engine API does not change.
     """
     df.write.mode(mode).saveAsTable(table)
+
+
+def analyze_table(
+    spark: SparkSession,
+    table: str,
+    columns: list[str] | None = None,
+) -> dict[str, str]:
+    """Collect CBO statistics for a saved table (SURVEY.md §4.2:
+    join reordering and broadcast selection need row counts /
+    column NDVs — ``ANALYZE TABLE`` is how Catalyst gets them).
+
+    Returns the catalog's statistics line (sizeInBytes, rowCount)
+    so callers/tests can assert stats exist before relying on CBO.
+    """
+    spark.sql(f"ANALYZE TABLE {table} COMPUTE STATISTICS")
+    if columns:
+        cols = ", ".join(columns)
+        spark.sql(
+            f"ANALYZE TABLE {table} COMPUTE STATISTICS FOR COLUMNS {cols}"
+        )
+    rows = spark.sql(f"DESCRIBE EXTENDED {table}").collect()
+    return {
+        r.col_name: r.data_type
+        for r in rows
+        if r.col_name in ("Statistics", "Table Properties")
+    }

@@ -141,3 +141,40 @@ def test_stateful_streaming_running_totals(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+def test_analyze_table_collects_cbo_stats(spark, sf_dir):
+    orders = eio.read_table(spark, sf_dir, "orders")
+    eio.save_warehouse_table(orders, "wh_orders_stats", mode="overwrite")
+    stats = eio.analyze_table(
+        spark, "wh_orders_stats", columns=["o_custkey", "o_totalprice"]
+    )
+    # CBO needs sizeInBytes + rowCount in the catalog entry
+    assert "Statistics" in stats
+    assert "rowCount" in stats["Statistics"] or "rows" in stats["Statistics"]
+
+
+def test_foreach_batch_sink_exactly_once(spark, sf_dir, tmp_path):
+    from dados_publicos_etl_spark.streaming.sinks import (
+        stream_events_foreach_batch,
+    )
+
+    out = str(tmp_path / "out")
+    ckpt = str(tmp_path / "ckpt")
+    n1 = stream_events_foreach_batch(spark, sf_dir, out, ckpt)
+    assert n1 >= 1
+    total = (
+        spark.read.parquet(out)
+        .agg(F.sum("n_events").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total == eio.read_table(spark, sf_dir, "events").count()
+    # restart with the same checkpoint: offsets are committed, no new
+    # batches run, output unchanged (exactly-once across restarts)
+    n2 = stream_events_foreach_batch(spark, sf_dir, out, ckpt)
+    assert n2 == 0
+    total2 = (
+        spark.read.parquet(out)
+        .agg(F.sum("n_events").alias("s"))
+        .collect()[0]["s"]
+    )
+    assert total2 == total
