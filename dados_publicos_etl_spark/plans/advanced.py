@@ -429,3 +429,43 @@ def udtf_chunk_documents(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM v_docs_chunk, LATERAL chunk_tokens(text) c
         """
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT — open semi-structured type (Spark 4)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "json_variant",
+    oracle="""
+    SELECT event_type,
+           CAST(COUNT(*) FILTER (
+             WHERE CAST(json_extract_string(props, '$.k') AS INT) > 50
+           ) AS BIGINT) AS n_high_k,
+           CAST(SUM(CAST(json_extract_string(props, '$.k') AS INT))
+                AS BIGINT) AS sum_k
+    FROM events
+    GROUP BY event_type
+    """,
+    description="VARIANT semi-structured access (Spark 4): parse_json "
+    "once into the binary VARIANT encoding, then typed "
+    "try_variant_get paths.  Unlike get_json_object (re-parses the "
+    "string per access) or from_json (needs a closed schema up "
+    "front), VARIANT parses once and serves any later path — the "
+    "scale path for schemaless event props, and parquet can store "
+    "the shredded encoding so the parse cost is paid at ingest, not "
+    "per query.  Reference parity: the audit payload JSON "
+    "(/root/reference/src/monitoring/monitor.py:142-150) is exactly "
+    "such an open-schema record.",
+)
+def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        "event_type", F.parse_json("props").alias("vp")
+    )
+    k = F.try_variant_get(F.col("vp"), "$.k", "int")
+    return v.groupBy("event_type").agg(
+        F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_high_k"),
+        F.sum(k).alias("sum_k"),
+    )

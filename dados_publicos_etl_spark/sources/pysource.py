@@ -1,0 +1,90 @@
+"""Custom Python Data Source (Spark 4 DataSource API).
+
+The reference's only "source" beyond files is a driver-side HTTP
+download (/root/reference/src/script/scraping.py:23-89 — fetch the
+RFB zip, transcode, land as CSV).  That pattern does not scale: one
+machine pulls all bytes.  The Spark 4 Python Data Source API is the
+idiomatic replacement — a custom source declares its schema and a
+PARTITION LIST, and every executor pulls only its slice in parallel,
+with the usual source contract (column pruning via the projected
+schema, deterministic re-read on task retry).
+
+``SyntheticDocsDataSource`` is the in-container stand-in for such a
+feed: a deterministic document generator partitioned into id ranges.
+At 100 TB the same shape serves a real paged API / object listing —
+``partitions()`` returns page tokens or file ranges instead of id
+ranges, and ``read()`` fetches one page per task.
+"""
+
+from __future__ import annotations
+
+from dataclasses import dataclass
+
+from pyspark.sql.datasource import (
+    DataSource,
+    DataSourceReader,
+    InputPartition,
+)
+
+_WORDS = (
+    "data spark etl public cnae receita empresa query scale "
+    "shuffle join partition stream batch token text dedup"
+).split()
+
+
+def _doc_text(doc_id: int, n_tokens: int = 24) -> str:
+    """Deterministic pseudo-text: token i of doc d indexes _WORDS by a
+    multiplicative hash — stable across retries, Python versions, and
+    executors (no `random` module state).
+    """
+    k = len(_WORDS)
+    return " ".join(
+        _WORDS[((doc_id * 1_000_003 + i) * 2_654_435_761 >> 7) % k]
+        for i in range(n_tokens)
+    )
+
+
+@dataclass
+class _IdRange(InputPartition):
+    start: int
+    end: int  # exclusive
+
+
+class _SyntheticDocsReader(DataSourceReader):
+    def __init__(self, options):
+        self.n_rows = int(options.get("numrows", 1000))
+        self.n_parts = int(options.get("numpartitions", 8))
+
+    def partitions(self):
+        # contiguous id ranges -> balanced, splittable, retry-safe
+        step = max(1, -(-self.n_rows // self.n_parts))
+        return [
+            _IdRange(lo, min(lo + step, self.n_rows))
+            for lo in range(0, self.n_rows, step)
+        ]
+
+    def read(self, partition: _IdRange):
+        for doc_id in range(partition.start, partition.end):
+            yield (
+                doc_id,
+                _doc_text(doc_id),
+                _WORDS[doc_id % 3],  # pseudo "lang" grouping key
+            )
+
+
+class SyntheticDocsDataSource(DataSource):
+    """`spark.read.format("synthetic_docs")` after registration."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_docs"
+
+    def schema(self) -> str:
+        return "doc_id long, text string, lang string"
+
+    def reader(self, schema) -> _SyntheticDocsReader:
+        return _SyntheticDocsReader(self.options)
+
+
+def register(spark) -> None:
+    spark.dataSource.register(SyntheticDocsDataSource)

@@ -295,3 +295,52 @@ def streaming_tumbling_counts(
 )
 def stream_true_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_tumbling_counts(spark, sf_dir)
+
+
+@query(
+    "stream_dedup_watermark",
+    oracle="""
+    SELECT DISTINCT user_id, event_type FROM events
+    """,
+    description="Streaming dedup: readStream + watermark + "
+    "dropDuplicatesWithinWatermark on (user_id, event_type).  The "
+    "100 TB property is BOUNDED STATE: the dedup state store holds "
+    "only keys younger than the watermark delay, not all history "
+    "(plain dropDuplicates on a stream grows state forever).  "
+    "Deterministic here because availableNow drives the whole table "
+    "as the first micro-batch (watermark starts at -inf, so nothing "
+    "is evicted mid-batch) => output == batch DISTINCT, which is the "
+    "oracle.",
+)
+def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    deduped = (
+        stream.withWatermark("ts", "1 hour")
+        .select("user_id", "event_type", "ts")
+        .dropDuplicatesWithinWatermark(["user_id", "event_type"])
+        .select("user_id", "event_type")
+    )
+    name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
+    q = (
+        deduped.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
