@@ -96,3 +96,47 @@ def test_dedup_embedding_survivorship_anti_join(spark, sf_dir):
     assert "LeftSemi" in plan
     assert "LeftAnti" in plan
     assert "CartesianProduct" not in plan
+
+
+def test_dynamic_partition_pruning(spark, sf_dir, tmp_path):
+    """DPP: a selective dim-side filter prunes FACT PARTITIONS AT
+    RUNTIME — the broadcast result doubles as a partition filter
+    subquery on the fact scan.  At 100 TB this is the difference
+    between scanning one date partition and scanning the table when
+    the date predicate lives on the dim side of the join."""
+    import dados_publicos_etl_spark.io as eio
+
+    fact = eio.read_table(spark, sf_dir, "orders").withColumn(
+        "year", F.year("o_orderdate")
+    )
+    out = str(tmp_path / "orders_by_year")
+    fact.write.partitionBy("year").parquet(out)
+    # DPP plans only when the dim side carries a SELECTIVE predicate
+    # (Catalyst's PartitionPruning rule requirement) — the filter
+    # below is that predicate, as in "WHERE d_year = 1997" on a date
+    # dimension.
+    dim = spark.createDataFrame(
+        [(1996, "ninety-six"), (1997, "ninety-seven")],
+        "dim_year int, label string",
+    ).filter("label = 'ninety-seven'")
+    joined = (
+        spark.read.parquet(out)
+        .join(dim, F.col("year") == F.col("dim_year"))
+        .groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    plan = _plan(joined)
+    assert "dynamicpruning" in plan.lower(), plan
+    got = {r.label: r.n for r in joined.collect()}
+    want = fact.filter("year = 1997").count()
+    assert got == {"ninety-seven": want}
+
+
+def test_json_variant_stays_jvm_side(spark, sf_dir):
+    """VARIANT path extraction is a JVM expression — no Python worker
+    in the plan (the reason to prefer it over a JSON-parsing UDF)."""
+    plan = _plan(QUERIES["json_variant"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    # map-side partial aggregation before the exchange
+    assert plan.index("HashAggregate") < plan.index("Exchange")
