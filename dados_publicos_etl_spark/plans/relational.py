@@ -687,3 +687,66 @@ def json_events(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_type")
         .agg(F.sum("k").alias("sum_k"), F.count(F.lit(1)).alias("n"))
     )
+
+
+@query(
+    "grouping_sets_sales",
+    oracle="""
+    SELECT o_orderstatus, o_orderpriority,
+           GROUPING(o_orderstatus) * 2 + GROUPING(o_orderpriority)
+             AS gid,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+    """,
+    description="Explicit GROUPING SETS (neither ROLLUP nor CUBE "
+    "shape) + grouping_id to disambiguate real NULL keys from "
+    "superaggregate rows.  Plans as one Expand + one shuffle — at "
+    "scale this beats N separate groupBys (N scans, N shuffles) for "
+    "multi-granularity reporting.",
+)
+def grouping_sets_sales(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "orders").createOrReplaceTempView(
+        "v_orders_gs"
+    )
+    # DataFrame API has rollup/cube but not arbitrary grouping sets;
+    # SQL is the canonical surface for this shape.
+    return spark.sql(
+        """
+        SELECT o_orderstatus, o_orderpriority,
+               grouping_id(o_orderstatus, o_orderpriority) AS gid,
+               COUNT(*) AS n
+        FROM v_orders_gs
+        GROUP BY GROUPING SETS ((o_orderstatus), (o_orderpriority), ())
+        """
+    ).withColumn("gid", F.col("gid").cast("long"))
+
+
+@query(
+    "listagg_nations",
+    oracle="""
+    SELECT r_name,
+           string_agg(n_name, ',' ORDER BY n_name) AS nations
+    FROM nation JOIN region ON n_regionkey = r_regionkey
+    GROUP BY r_name
+    """,
+    description="Ordered string aggregation (Spark 4 listagg WITHIN "
+    "GROUP ~ DuckDB string_agg ORDER BY): deterministic because the "
+    "within-group sort fixes concatenation order regardless of "
+    "partitioning.  Broadcast join on the 5-row region dim.",
+)
+def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    nation = read_table(spark, sf_dir, "nation")
+    region = read_table(spark, sf_dir, "region")
+    return (
+        nation.join(
+            F.broadcast(region),
+            nation.n_regionkey == region.r_regionkey,
+        )
+        .groupBy("r_name")
+        .agg(
+            F.expr(
+                "listagg(n_name, ',') WITHIN GROUP (ORDER BY n_name)"
+            ).alias("nations")
+        )
+    )
