@@ -301,3 +301,43 @@ def doc_quality_pandas_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     return docs.select("doc_id", quality(F.col("text")).alias("quality"))
+
+
+# GPT-2-style pretokenizer classes, minus lookarounds so the SAME
+# pattern runs on Spark (java.util.regex) and DuckDB (RE2): a token
+# is an optionally-space-prefixed letter run, digit run, or
+# punctuation run.  Subword (BPE) token counts are ~= pretoken
+# count x a per-language constant, so this is the standard cheap
+# estimator for "how many LLM tokens is this corpus" at 100 TB —
+# a narrow map expression, no UDF, no vocabulary broadcast.
+_BPE_ISH = r" ?[a-z]+| ?[0-9]+| ?[^a-z0-9\s]+"
+
+
+@query(
+    "token_count_bpe",
+    oracle=f"""
+    SELECT doc_id,
+           CAST(len(regexp_extract_all(lower(text), '{_BPE_ISH}'))
+                AS INT) AS n_bpe_tokens,
+           CAST(len(string_split_regex(lower(text), '{WS}')) AS INT)
+             AS n_ws_tokens
+    FROM documents
+    """,
+    description="BPE-ish token counting: GPT-2-style pretokenizer "
+    "regex (letter/digit/punct runs, space-prefixed) next to the "
+    "whitespace count — the LLM-budget estimator as a pure "
+    "expression.",
+)
+def token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    return docs.select(
+        "doc_id",
+        # regexp_count, not size(regexp_extract_all(...)): counting
+        # must not materialize the match array (measured 1.8s -> map
+        # cost only at sf0.1).  DuckDB has no regexp_count, so the
+        # oracle keeps the len(regexp_extract_all()) form.
+        F.regexp_count(F.lower("text"), F.lit(_BPE_ISH))
+        .cast("int")
+        .alias("n_bpe_tokens"),
+        F.size(tokens("text")).alias("n_ws_tokens"),
+    )
