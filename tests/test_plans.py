@@ -140,3 +140,13 @@ def test_json_variant_stays_jvm_side(spark, sf_dir):
     assert "ArrowEvalPython" not in plan
     # map-side partial aggregation before the exchange
     assert plan.index("HashAggregate") < plan.index("Exchange")
+
+
+def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
+    """GROUPING SETS plans as ONE Expand + ONE exchange — the reason
+    it beats N separate groupBys (N scans + N shuffles) for
+    multi-granularity rollups."""
+    plan = _plan(QUERIES["grouping_sets_sales"].fn(spark, sf_dir))
+    assert plan.count("Expand") == 1, plan
+    assert plan.count("Exchange") == 1, plan
+    assert plan.count("FileScan") == 1, plan
