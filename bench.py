@@ -31,10 +31,12 @@ def main() -> None:
     from dados_publicos_etl_spark.plans import catalog  # noqa: F401
     from dados_publicos_etl_spark.session import get_session
 
+    # SPARK_GRAFT_CPUS may be "*" (all cores); only a numeric value
+    # sizes the shuffle directly.
     spark = get_session(
         app_name="bench",
         master=f"local[{cpus}]",
-        shuffle_partitions=int(cpus),
+        shuffle_partitions=int(cpus) if cpus.isdigit() else None,
     )
 
     # warm-up: touch every table so JVM/classloading and footer reads are
@@ -60,7 +62,7 @@ def main() -> None:
             df.count()
             dt = time.perf_counter() - t0
             best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 4)
+        timings[name] = round(best, 3)
         # Release blocks pinned by localCheckpoint()-materializing
         # operators (dedup/similarity signature tables) so storage
         # memory from one query can't pressure the queries timed after
@@ -70,19 +72,22 @@ def main() -> None:
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
-    print(
-        json.dumps(
-            {
-                "metric": "catalog_total_wall",
-                "value": total,
-                "unit": "sec",
-                "queries": timings,
-                "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
-                "n_queries": len(timings),
-            }
-        )
-    )
     spark.stop()
+    # ONE compact JSON line, emitted after spark.stop() so no JVM
+    # output can interleave.  "queries" first / summary keys last:
+    # if a log-capture keeps only the tail of stdout, the headline
+    # metric is still visible at the end of the line.
+    payload = {
+        "queries": timings,
+        "metric": "catalog_total_wall",
+        "unit": "sec",
+        "sf": float(sf) if sf.replace(".", "").isdigit() else sf,
+        "n_queries": len(timings),
+        "value": total,
+    }
+    sys.stdout.flush()
+    print(json.dumps(payload, separators=(",", ":")))
+    sys.stdout.flush()
 
 
 if __name__ == "__main__":

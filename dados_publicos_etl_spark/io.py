@@ -30,7 +30,13 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from dados_publicos_etl_spark import schemas
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    # Required session-wide for NANOS parquet; get_session sets it at
+    # build time.  For foreign sessions (the driver's own) set it once
+    # here rather than on every call — schema resolution happens at
+    # read time AND scan execution consults the conf later, so a
+    # save/restore around this read would break lazy execution.
+    if spark.conf.get("spark.sql.legacy.parquet.nanosAsLong", "false") != "true":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
     df = spark.read.parquet(os.path.join(sf_dir, f"{name}.parquet"))
     expected = schemas.TESTDATA.get(name)
     if expected is not None:

@@ -80,13 +80,19 @@ def dedup_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def drop_exact_duplicates(docs: DataFrame, text_col: str = "text") -> DataFrame:
-    """Library form: keep one row (lowest doc_id) per content hash."""
+def drop_exact_duplicates(
+    docs: DataFrame, text_col: str = "text", id_col: str = "doc_id"
+) -> DataFrame:
+    """Library form: keep one row (lowest ``id_col``) per content hash.
+
+    Both columns are parameters so the operator works on any
+    DataFrame, mirroring the other library operators.
+    """
     from pyspark.sql import Window as W
 
     win = W.partitionBy(fingerprint_md5(text_col))
     return (
-        docs.withColumn("_keep", F.min("doc_id").over(win) == F.col("doc_id"))
+        docs.withColumn("_keep", F.min(id_col).over(win) == F.col(id_col))
         .filter("_keep")
         .drop("_keep")
     )

@@ -32,8 +32,10 @@ def salted_agg(
     ``aggs`` maps output name -> (partial_agg_expr, merge_agg_expr),
     e.g. ``{"n": (F.count(F.lit(1)), F.sum("n"))}``: stage 1 groups by
     keys+salt computing the partial, stage 2 groups by keys merging
-    partials.  The salt column is a uniform int derived from a
-    nondeterministic random so no key hashing pathology survives.
+    partials.  The salt column is a uniform int from a seeded
+    ``F.rand(seed=42)`` — deterministic per partition, so results are
+    reproducible while still spreading a hot key over ``n_salts``
+    shuffle partitions.
     """
     salted = df.withColumn(
         "_salt", (F.rand(seed=42) * n_salts).cast("int")

@@ -25,13 +25,17 @@ from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
-# language-ID heuristic.  Deterministic and SQL-replicable.
+# language-ID heuristic.  Deterministic and SQL-replicable.  The
+# heuristic's language set is exactly these four — a marker-based
+# argmax only works for languages with distinctive high-frequency
+# function words in Latin script; CJK et al. need script-range
+# detection (see lang_id's unicode fallback note) rather than more
+# marker entries.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of"),
     "es": ("el", "la", "de"),
     "fr": ("le", "la", "et"),
     "de": ("der", "die", "und"),
-    "zh": ("de", "le", "shi"),
 }
 
 

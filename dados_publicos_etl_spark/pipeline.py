@@ -63,8 +63,8 @@ class Pipeline:
         """Apply stages in order; audit rows-through per stage.
 
         Each stage boundary forces an action only because we audit it;
-        pass ``audit=False``-style composition (just call the fns) if
-        you want a single fused plan with no intermediate actions.
+        use :func:`run_stages` instead when you want a single fused
+        Catalyst plan with no intermediate actions (the scale-default).
         """
         runs: list[StageRun] = []
         cur = df

@@ -35,8 +35,12 @@ def get_session(
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "*")
     master = master or f"local[{cpus}]"
     if shuffle_partitions is None:
-        n = os.cpu_count() or 8
-        shuffle_partitions = int(os.environ.get("SPARK_GRAFT_CPUS", n))
+        # SPARK_GRAFT_CPUS may legitimately be "*" (= all cores, the
+        # local[...] syntax) — only a numeric value sizes the shuffle;
+        # anything else falls back to the machine's core count.
+        shuffle_partitions = (
+            int(cpus) if cpus.isdigit() else (os.cpu_count() or 8)
+        )
 
     builder = (
         SparkSession.builder.appName(app_name)
@@ -46,6 +50,12 @@ def get_session(
         .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
         .config("spark.sql.adaptive.skewJoin.enabled", "true")
         .config("spark.sql.session.timeZone", "UTC")
+        # Session-wide (documented): driver testdata ships parquet
+        # TIMESTAMP(NANOS) columns (events) that Spark's reader
+        # otherwise rejects; read them as long and let io.read_table
+        # convert to microsecond TIMESTAMP_NTZ.  Set once here rather
+        # than mutated per read.
+        .config("spark.sql.legacy.parquet.nanosAsLong", "true")
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")
