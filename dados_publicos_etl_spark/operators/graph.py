@@ -1,0 +1,154 @@
+"""Duplicate-cluster resolution via connected components (north-star
+extension: pairwise near-dup detection is only half of dedup — the
+pipeline must then group pairs into clusters and keep one survivor
+per CLUSTER, or chains A~B~C keep two of three docs).
+
+Spark-first design for the iterative part:
+
+- Edges come from the deterministic pair stage (same blocked exact
+  Jaccard as ``dedup_ngram_jaccard``), so engine and oracle agree on
+  the graph.
+- Components are computed by **min-label propagation**: every node
+  starts labeled with its own id; each round every node takes the min
+  of its label and its neighbors' labels; fixpoint after
+  O(component diameter) rounds.  Each round is one shuffle
+  (join + groupBy-min) — the standard Pregel-style formulation
+  (GraphX/GraphFrames implement the same loop on a cluster).
+- Near-dup clusters are shallow (diameter a handful), so the loop
+  converges in a few rounds even at 100 TB; ``localCheckpoint``
+  truncates the growing lineage each round so the plan stays flat.
+- Convergence is a driver-side count of changed labels per round —
+  an O(1)-result action, not a collect of data.
+
+The oracle reproduces the fixpoint declaratively with a recursive CTE
+(transitive closure + MIN), which DuckDB terminates via recursive
+UNION dedup.  This is the engine's genuinely-iterative algorithm
+proof (SURVEY.md §2.B notes Spark lacks a native one).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark.functions.text import (
+    duck_shingles_sql,
+    jaccard_tokens,
+    shingles_from_tokens,
+    tokens,
+)
+from dados_publicos_etl_spark.io import read_table
+from dados_publicos_etl_spark.plans.registry import query
+
+_THRESH = 0.8
+
+
+def connected_components(
+    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+) -> DataFrame:
+    """Undirected connected components by min-label propagation.
+
+    ``edges`` is any DataFrame with two long id columns; returns
+    (node, component) where component = min node id reachable.
+    One shuffle per round; rounds = component diameter (few, for
+    dedup graphs).  For deep graphs use the large-star/small-star
+    variant, which squares path lengths per round.
+    """
+    both = edges.select(
+        F.col(src).alias("a"), F.col(dst).alias("b")
+    ).unionByName(edges.select(F.col(dst).alias("a"), F.col(src).alias("b")))
+    both = both.distinct().localCheckpoint()
+
+    labels = (
+        both.select(F.col("a").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    for _ in range(max_iter):
+        nbr_min = (
+            both.join(labels, both.a == labels.node)
+            .groupBy(F.col("b").alias("node2"))
+            .agg(F.min("label").alias("nbr_label"))
+        )
+        new_labels = (
+            labels.join(nbr_min, labels.node == nbr_min.node2, "left")
+            .select(
+                "node",
+                F.least(
+                    "label", F.coalesce("nbr_label", F.col("label"))
+                ).alias("label"),
+                (F.col("nbr_label") < F.col("label")).alias("changed"),
+            )
+        ).localCheckpoint()
+        n_changed = new_labels.filter("changed").count()
+        labels = new_labels.drop("changed")
+        if n_changed == 0:
+            break
+    return labels
+
+
+@query(
+    "dedup_components",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {duck_shingles_sql("text")} AS sh FROM documents
+    ), blocked AS (
+      SELECT doc_id, sh, list_min(sh) AS blk FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) >= {_THRESH}
+    ), edges AS (
+      SELECT src AS a, dst AS b FROM pairs
+      UNION SELECT dst, src FROM pairs
+    ), reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+    )
+    SELECT n AS doc_id, MIN(m) AS component_id,
+           CAST(COUNT(DISTINCT m) AS BIGINT) AS n_reachable
+    FROM reach GROUP BY n
+    """,
+    description="Near-dup clusters: blocked exact-Jaccard pairs -> "
+    "connected components by min-label propagation (one shuffle per "
+    "round, localCheckpoint-truncated lineage); oracle = recursive "
+    "CTE transitive closure.",
+)
+def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    blocked = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks")).alias("sh"))
+        .withColumn("blk", F.array_min("sh"))
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(
+            jaccard_tokens(F.col("a.sh"), F.col("b.sh")) >= _THRESH
+        )
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    comps = connected_components(pairs)
+    # n_reachable = component size, from the final labels (all members
+    # share the min-id label) — proves the fixpoint, not just the pair
+    # stage.
+    sizes = comps.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_reachable")
+    )
+    return comps.join(sizes, "label").select(
+        F.col("node").alias("doc_id"),
+        F.col("label").alias("component_id"),
+        "n_reachable",
+    )

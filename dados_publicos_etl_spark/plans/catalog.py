@@ -2,13 +2,18 @@
 module's entries into ``dados_publicos_etl_spark.plans.QUERIES``.
 """
 
+import dados_publicos_etl_spark.operators.corpus  # noqa: F401
 import dados_publicos_etl_spark.operators.dedup  # noqa: F401
+import dados_publicos_etl_spark.operators.graph  # noqa: F401
 import dados_publicos_etl_spark.operators.merge  # noqa: F401
 import dados_publicos_etl_spark.operators.multimodal  # noqa: F401
+import dados_publicos_etl_spark.operators.privacy  # noqa: F401
+import dados_publicos_etl_spark.operators.sampling  # noqa: F401
 import dados_publicos_etl_spark.operators.similarity  # noqa: F401
 import dados_publicos_etl_spark.operators.skew  # noqa: F401
 import dados_publicos_etl_spark.operators.text  # noqa: F401
 import dados_publicos_etl_spark.plans.advanced  # noqa: F401
+import dados_publicos_etl_spark.plans.events  # noqa: F401
 import dados_publicos_etl_spark.plans.relational  # noqa: F401
 import dados_publicos_etl_spark.plans.tpch_extra  # noqa: F401
 import dados_publicos_etl_spark.plans.tpch_full  # noqa: F401

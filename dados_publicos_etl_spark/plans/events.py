@@ -1,0 +1,210 @@
+"""Batch event analytics over the ``events`` table (north-star
+extension; complements streaming/windows.py which covers the same
+table's event-time streaming semantics).
+
+Everything is one window pass or one aggregation — patterns that
+survive 100 TB because the only shuffle is on ``user_id`` (high
+cardinality, naturally balanced) and every window is evaluated
+sort-once within the partition.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import Window as W
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark.io import read_table
+from dados_publicos_etl_spark.plans.registry import query
+
+_GAP_MIN = 30
+
+
+@query(
+    "sessionize_gaps",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL {_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    )
+    SELECT user_id,
+           CAST(session_seq AS INT) AS session_seq,
+           strftime(MIN(ts), '%Y-%m-%d %H:%M:%S.%f') AS session_start,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(epoch_us(MAX(ts)) - epoch_us(MIN(ts)) AS BIGINT)
+             AS duration_micros
+    FROM sess
+    GROUP BY user_id, session_seq
+    """,
+    description="Gap-based sessionization (lag + cumulative-sum "
+    "session ids, 30-min gap): the window-function formulation that "
+    "assigns stable session sequence numbers, complementing "
+    "F.session_window aggregation.  One shuffle on user_id.",
+)
+def sessionize_gaps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    gap_us = _GAP_MIN * 60 * 1_000_000
+    flagged = ev.select(
+        "user_id", "ts", "event_id", F.lag("ts").over(w).alias("prev_ts")
+    ).select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.when(
+            F.col("prev_ts").isNull()
+            | (
+                F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > gap_us
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("new_session"),
+    )
+    sess = flagged.select(
+        "user_id",
+        "ts",
+        F.sum("new_session").over(wrun).cast("int").alias("session_seq"),
+    )
+    return sess.groupBy("user_id", "session_seq").agg(
+        F.date_format(F.min("ts"), "yyyy-MM-dd HH:mm:ss.SSSSSS").alias(
+            "session_start"
+        ),
+        F.count(F.lit(1)).cast("long").alias("n_events"),
+        F.expr(
+            "timestampdiff(MICROSECOND, min(ts), max(ts))"
+        ).cast("long").alias("duration_micros"),
+    )
+
+
+@query(
+    "funnel_conversion",
+    oracle="""
+    WITH stages AS (
+      SELECT user_id,
+             MIN(CASE WHEN event_type = 'view' THEN ts END) AS t_view,
+             MIN(CASE WHEN event_type = 'click' THEN ts END) AS t_click,
+             MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS t_buy
+      FROM events
+      GROUP BY user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(COUNT(t_view) AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN t_click > t_view THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_clicked_after_view,
+           CAST(SUM(CASE WHEN t_buy > t_click AND t_click > t_view
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_purchased_after_click
+    FROM stages
+    """,
+    description="Funnel analysis view->click->purchase: per-user "
+    "first-touch per stage (one conditional-min agg), then ordered "
+    "conversion counts.  Two aggs, one shuffle each.",
+)
+def funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+
+    def first_ts(t: str):
+        return F.min(F.when(F.col("event_type") == t, F.col("ts")))
+
+    stages = ev.groupBy("user_id").agg(
+        first_ts("view").alias("t_view"),
+        first_ts("click").alias("t_click"),
+        first_ts("purchase").alias("t_buy"),
+    )
+    return stages.agg(
+        F.count(F.lit(1)).cast("long").alias("n_users"),
+        F.count("t_view").cast("long").alias("n_viewed"),
+        F.sum(
+            F.when(F.col("t_click") > F.col("t_view"), 1).otherwise(0)
+        ).cast("long").alias("n_clicked_after_view"),
+        F.sum(
+            F.when(
+                (F.col("t_buy") > F.col("t_click"))
+                & (F.col("t_click") > F.col("t_view")),
+                1,
+            ).otherwise(0)
+        ).cast("long").alias("n_purchased_after_click"),
+    )
+
+
+@query(
+    "window_navigation",
+    oracle="""
+    SELECT event_id, user_id,
+           ROUND(LAG(value) OVER w, 2) AS prev_value,
+           ROUND(LEAD(value) OVER w, 2) AS next_value,
+           ROUND(FIRST_VALUE(value) OVER w, 2) AS first_value,
+           ROUND(LAST_VALUE(CASE WHEN event_type <> 'error' THEN value END
+                            IGNORE NULLS)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING), 2) AS last_good_value,
+           ROUND(NTH_VALUE(value, 2) OVER w, 2) AS second_value
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                 ROWS UNBOUNDED PRECEDING)
+    """,
+    description="Navigation window functions: lag/lead/first/nth plus "
+    "last_value(IGNORE NULLS) carrying the latest non-error value "
+    "forward (gap-fill idiom).  One window pass, one shuffle.",
+)
+def window_navigation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wl = W.partitionBy("user_id").orderBy("ts", "event_id")
+    good = F.when(F.col("event_type") != "error", F.col("value"))
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.round(F.lag("value").over(wl), 2).alias("prev_value"),
+        F.round(F.lead("value").over(wl), 2).alias("next_value"),
+        F.round(F.first("value").over(w), 2).alias("first_value"),
+        F.round(F.last(good, ignorenulls=True).over(w), 2).alias(
+            "last_good_value"
+        ),
+        F.round(F.nth_value("value", 2).over(w), 2).alias("second_value"),
+    )
+
+
+@query(
+    "window_distribution",
+    oracle="""
+    SELECT c_custkey, c_nationkey,
+           CAST(NTILE(4) OVER w AS INT) AS balance_quartile,
+           ROUND(PERCENT_RANK() OVER w, 4) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 4) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    """,
+    description="Distribution window functions (ntile / percent_rank "
+    "/ cume_dist) ranking customers by balance within nation.",
+)
+def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    w = W.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return cust.select(
+        "c_custkey",
+        "c_nationkey",
+        F.ntile(4).over(w).alias("balance_quartile"),
+        F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
+        F.round(F.cume_dist().over(w), 4).alias("cume"),
+    )

@@ -298,6 +298,78 @@ def stream_true_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "stream_stream_join",
+    oracle="""
+    SELECT c.event_id AS click_event_id,
+           p.event_id AS purchase_event_id,
+           c.user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_micros
+    FROM (SELECT * FROM events WHERE event_type = 'click') c
+    JOIN (SELECT * FROM events WHERE event_type = 'purchase') p
+      ON c.user_id = p.user_id
+     AND p.ts >= c.ts
+     AND p.ts <= c.ts + INTERVAL 15 MINUTE
+    """,
+    description="Stream-stream interval join: clicks joined to the "
+    "same user's purchases within 15 minutes, BOTH sides watermarked "
+    "so the state store evicts rows older than watermark+interval "
+    "(unbounded-state joins are the classic streaming OOM).  "
+    "availableNow drives one micro-batch, so output equals the batch "
+    "interval join, which is the oracle.",
+)
+def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+
+    def stream_of(event_type: str, alias: str) -> DataFrame:
+        return (
+            spark.readStream.schema(raw_schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+            .filter(F.col("event_type") == event_type)
+            .selectExpr(
+                f"event_id AS {alias}_event_id",
+                f"user_id AS {alias}_user_id",
+                f"ts AS {alias}_ts",
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    clicks = stream_of("click", "c")
+    purchases = stream_of("purchase", "p")
+    joined = clicks.join(
+        purchases,
+        F.expr(
+            "c_user_id = p_user_id AND "
+            "p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 15 MINUTES"
+        ),
+    ).select(
+        F.col("c_event_id").alias("click_event_id"),
+        F.col("p_event_id").alias("purchase_event_id"),
+        F.col("c_user_id").alias("user_id"),
+        F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("gap_micros"),
+    )
+    name = f"stream_join_{uuid.uuid4().hex[:8]}"
+    q = (
+        joined.writeStream.outputMode("append")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)
+
+
+@query(
     "stream_dedup_watermark",
     oracle="""
     SELECT DISTINCT user_id, event_type FROM events

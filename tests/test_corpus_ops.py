@@ -1,0 +1,89 @@
+"""Library-level tests for the corpus-hygiene / privacy / sampling /
+graph operators (the oracle-differential check covers their
+registered queries; these cover the reusable functions on synthetic
+frames where ground truth is known by construction)."""
+
+from __future__ import annotations
+
+from pyspark.sql import functions as F
+
+
+def test_connected_components_known_graph(spark):
+    """Two chains and an isolated edge: labels must reach the min id
+    across multi-hop chains (the thing pairwise dedup alone misses)."""
+    from dados_publicos_etl_spark.operators.graph import connected_components
+
+    edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (3, 4), (10, 11), (20, 21), (21, 22)],
+        "src long, dst long",
+    )
+    got = {
+        r.node: r.label for r in connected_components(edges).collect()
+    }
+    assert got == {
+        1: 1, 2: 1, 3: 1, 4: 1,
+        10: 10, 11: 10,
+        20: 20, 21: 20, 22: 20,
+    }
+
+
+def test_redact_pii_removes_patterns(spark):
+    from dados_publicos_etl_spark.operators.privacy import (
+        EMAIL_RE,
+        redact_pii,
+    )
+
+    df = spark.createDataFrame(
+        [("mail a.b@x.co and +55-123-4567 end",), ("clean text",)],
+        "t string",
+    )
+    out = df.select(
+        redact_pii("t").alias("r"),
+        F.regexp_count(redact_pii("t"), F.lit(EMAIL_RE)).alias("resid"),
+    ).collect()
+    assert out[0].r == "mail <EMAIL> and <PHONE> end"
+    assert out[1].r == "clean text"
+    assert all(r.resid == 0 for r in out)
+
+
+def test_pseudonymize_stable_and_salted(spark):
+    from dados_publicos_etl_spark.operators.privacy import pseudonymize
+
+    df = spark.createDataFrame([(7,), (7,), (8,)], "id long")
+    a = [r[0] for r in df.select(pseudonymize("id", "s1")).collect()]
+    b = [r[0] for r in df.select(pseudonymize("id", "s2")).collect()]
+    assert a[0] == a[1] != a[2]          # stable within salt
+    assert a[0] != b[0]                  # different salt, different space
+    assert len(a[0]) == 64               # sha-256 hex
+
+
+def test_sample_bernoulli_rate_and_determinism(spark):
+    from dados_publicos_etl_spark.operators.sampling import sample_bernoulli
+
+    df = spark.range(0, 20_000).withColumnRenamed("id", "k")
+    s1 = sample_bernoulli(df, "k", 0.3)
+    n1 = s1.count()
+    assert abs(n1 / 20_000 - 0.3) < 0.02          # within 2pp of rate
+    # determinism across repartitioning (rand() would fail this)
+    n2 = sample_bernoulli(df.repartition(13), "k", 0.3).count()
+    assert n1 == n2
+    ids1 = {r.k for r in s1.collect()}
+    ids2 = {
+        r.k
+        for r in sample_bernoulli(df.repartition(3), "k", 0.3).collect()
+    }
+    assert ids1 == ids2
+
+
+def test_repetition_stats_extremes(spark, sf_dir):
+    """A fully-repeated doc scores 1.0 top-token / 1.0 dup-bigram;
+    an all-distinct doc scores 1/n / 0.0."""
+    from dados_publicos_etl_spark.plans import QUERIES
+    from dados_publicos_etl_spark.plans import catalog  # noqa: F401
+
+    rows = QUERIES["repetition_stats"].fn(spark, sf_dir)
+    r = {x.doc_id: x for x in rows.collect()}
+    assert r, "documents table must not be empty"
+    for x in r.values():
+        assert 0 < x.top_token_frac <= 1.0
+        assert 0 <= x.dup_bigram_frac <= 1.0
