@@ -12,6 +12,8 @@ reproduce them with epoch arithmetic, so results hash-match exactly.
 
 from __future__ import annotations
 
+from contextlib import contextmanager
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import Window as W
 from pyspark.sql import functions as F
@@ -21,6 +23,27 @@ from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
+
+
+@contextmanager
+def _streaming_shuffle(spark: SparkSession, n: int = 8):
+    """Bound stateful-stream parallelism while a query is planned.
+
+    A stateful streaming query creates one state store PER shuffle
+    partition PER stateful operator; micro-batch latency in local
+    mode is dominated by store open/commit, not data volume, so the
+    drive-to-completion queries plan with a small fixed number.  On a
+    real cluster raise it (~2-3x executor cores) — state partitioning
+    is fixed at first checkpoint, so size it for peak key cardinality
+    up front.  The session value is restored afterwards; the stream
+    keeps the value captured at plan time.
+    """
+    prev = spark.conf.get("spark.sql.shuffle.partitions")
+    spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    try:
+        yield
+    finally:
+        spark.conf.set("spark.sql.shuffle.partitions", prev)
 _DUCK_BUCKET = (
     # naive-timestamp arithmetic: DuckDB's to_timestamp() returns
     # TIMESTAMPTZ and strftime would render it in the local zone,
@@ -267,16 +290,17 @@ def streaming_tumbling_counts(
         )
     )
     name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        agg.writeStream.outputMode("complete")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _streaming_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -356,16 +380,17 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias("gap_micros"),
     )
     name = f"stream_join_{uuid.uuid4().hex[:8]}"
-    q = (
-        joined.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _streaming_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
 
 
@@ -405,14 +430,15 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user_id", "event_type")
     )
     name = f"stream_dedup_{uuid.uuid4().hex[:8]}"
-    q = (
-        deduped.writeStream.outputMode("append")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
-    try:
-        q.processAllAvailable()
-    finally:
-        q.stop()
+    with _streaming_shuffle(spark):
+        q = (
+            deduped.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     return spark.table(name)
