@@ -173,10 +173,16 @@ BAND_SIZE = 4  # 8 bands of 4 -> s-curve threshold ~ (1/8)^(1/4) ~ 0.6
 def minhash_signature(feat_col: F.Column, n_hashes: int = N_HASHES) -> F.Column:
     """Array of minhash values: min over features of xxhash64(seed_i, h(f)).
 
-    Pure expression form — no Python, no shuffle.  Each feature
-    string is hashed ONCE (the inner transform); the n_hashes
-    permutations then re-hash the resulting longs, which is ~10x
-    cheaper than hashing the string n_hashes times.
+    Pure expression form — no Python, no shuffle.
+
+    IMPORTANT: pass a column of ALREADY-HASHED features
+    (``array<long>``, e.g. ``hashed_shingles_from_tokens``), not raw
+    strings.  Catalyst has no common-subexpression elimination inside
+    an expression tree, so an inner string->long transform here would
+    be re-evaluated once PER PERMUTATION (n_hashes x the hashing
+    work — measured ~2x whole-stage cost at 32 hashes).  Feeding
+    pre-hashed longs keeps each permutation a single cheap
+    long->long hash.
     """
 
     def hasher(i: int):
@@ -184,10 +190,9 @@ def minhash_signature(feat_col: F.Column, n_hashes: int = N_HASHES) -> F.Column:
         # F.transform and the array index would shadow the seed.
         return lambda h: F.xxhash64(F.lit(i), h)
 
-    base = F.transform(feat_col, lambda t: F.xxhash64(t))
     return F.array(
         *[
-            F.array_min(F.transform(base, hasher(i)))
+            F.array_min(F.transform(feat_col, hasher(i)))
             for i in range(n_hashes)
         ]
     )
@@ -205,11 +210,16 @@ def lsh_candidate_pairs(
     signature -> slice into bands -> explode (band_idx, band_hash) ->
     self-join on the band bucket.  The only shuffle is on bucket keys;
     no cross join ever forms.  Returns distinct (id_a < id_b) pairs.
+
+    The signature table is materialized before banding: the band
+    hashes index into ``sig`` eight times, and Catalyst would inline
+    (and re-evaluate) the full n_hashes-min expression per reference
+    (measured ~1.5s -> 0.4s for the candidate stage at sf0.1).
     """
     sig = docs.select(
         F.col(id_col).alias("id"),
         minhash_signature(F.col(feat_col), n_hashes).alias("sig"),
-    )
+    ).localCheckpoint()
     n_bands = n_hashes // band_size
     bands = sig.select(
         "id",
@@ -284,29 +294,36 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 _SIMHASH_SQL = """
 aggregate(
-  zip_with(
-    aggregate(
-      transform({col}, t -> xxhash64(t)),
-      array_repeat(0, 64),
-      (acc, h) -> zip_with(
-        acc,
-        transform(sequence(0, 63),
-                  b -> IF((shiftright(h, b) & 1) = 1, 1, -1)),
-        (x, y) -> x + y)),
-    sequence(0, 63),
-    (v, b) -> IF(v > 0, shiftleft(1L, b), 0L)),
-  0L, (acc, x) -> acc + x)
+  sequence(0, 63),
+  0L,
+  (acc, b) -> acc + IF(
+    aggregate({col}, 0,
+              (v, h) -> v + IF((shiftright(h, b) & 1) = 1, 1, -1)
+    ) > 0,
+    shiftleft(1L, b), 0L))
 """
 
 
 def simhash64(feat_col_name: str) -> F.Column:
-    """64-bit SimHash of a feature (shingle) array column, as bigint.
+    """64-bit SimHash of a PRE-HASHED feature array (``array<long>``
+    of uniform hashes, e.g. ``hashed_shingles_from_tokens``), as
+    bigint.
 
-    For each bit b: sum over features of (+1 if bit b of xxhash64(f)
-    set else -1); signature bit = sign of the sum.  Single-pass SQL
-    expression: each feature is hashed ONCE and its 64 bit-votes are
-    folded into an accumulator array (a naive per-bit formulation
-    would rescan and rehash the array 64 times).
+    For each bit b: sum over features of (+1 if bit b of the feature
+    hash is set else -1); signature bit = sign of the sum.  Expecting
+    pre-hashed longs (same contract as ``minhash_signature``) lets
+    the kernel read bits directly instead of re-hashing per
+    reference.
+
+    Formulation: outer fold over the 64 bits, inner fold over the
+    features, both with SCALAR accumulators.  Higher-order functions
+    are interpreted per element (no whole-stage codegen inside
+    lambdas), so the constant factor is allocation count, not op
+    count: the alternative single-pass-over-features version carries
+    a 64-wide array accumulator and allocates two arrays per feature
+    step (zip_with + bit transform), which measures ~2x slower than
+    this allocation-free double loop on the same 16k lambda
+    evaluations per document.
     """
     return F.expr(_SIMHASH_SQL.format(col=feat_col_name))
 
@@ -320,15 +337,22 @@ def simhash64(feat_col_name: str) -> F.Column:
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    # signature materialization before the self-join (see
-    # dedup_ngram_jaccard): 20s -> 0.3s at sf0.1, and at scale the
-    # sig table is 16 bytes/doc.  Features are hashed shingles.
-    sigs = (
+    # TWO materialization points, both for the same reason (no CSE
+    # across inlined projections — see dedup_ngram_jaccard):
+    # 1. the shingle table before the simhash kernel, else the
+    #    tokenize/shingle tree is re-evaluated per lambda reference
+    #    inside the kernel (measured 2.5s -> 0.6s at sf0.1);
+    # 2. the signature table before chunking/self-join, else the
+    #    kernel is re-evaluated per chunk reference.  At scale the
+    #    sig table is 16 bytes/doc.
+    shingled = (
         docs.select("doc_id", tokens("text").alias("_tk"))
         .select("doc_id", hashed_shingles_from_tokens("_tk").alias("sh"))
-        .select("doc_id", simhash64("sh").alias("sig"))
         .localCheckpoint()
     )
+    sigs = shingled.select(
+        "doc_id", simhash64("sh").alias("sig")
+    ).localCheckpoint()
     chunks = sigs.select(
         "doc_id",
         "sig",

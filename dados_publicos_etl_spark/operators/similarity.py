@@ -345,9 +345,12 @@ def ivf_topk(
     from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.sql import Window as W
 
+    # materialize before fit: kmeans makes one pass PER ITERATION, so
+    # an unmaterialized input re-reads parquet + re-builds vectors
+    # every iteration (measured 2.2s -> 1.3s fit at sf0.1).
     vecs = emb.select(
         F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
-    )
+    ).localCheckpoint()
     model = KMeans(k=n_cells, seed=seed, maxIter=8).fit(vecs)
     assigned = (
         model.transform(vecs)
