@@ -83,3 +83,68 @@ def merge_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).alias("n"),
         money_sum("c_acctbal").alias("total_balance"),
     )
+
+
+@query(
+    "scd2_history",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, ts, event_id, event_type AS status,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_status
+      FROM events
+    ), versions AS (
+      SELECT user_id, ts, event_id, status,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS next_ts
+      FROM changes
+      WHERE prev_status IS NULL OR status <> prev_status
+    )
+    SELECT user_id, status,
+           strftime(ts, '%Y-%m-%d %H:%M:%S.%f') AS valid_from,
+           COALESCE(strftime(next_ts, '%Y-%m-%d %H:%M:%S.%f'),
+                    '9999-12-31 00:00:00.000000') AS valid_to,
+           next_ts IS NULL AS is_current
+    FROM versions
+    """,
+    description="SCD2 dimension build from an event log: collapse "
+    "consecutive same-status events (lag), then derive "
+    "valid_from/valid_to intervals (lead) with an open-ended current "
+    "row — the standard two-window type-2 history derivation, one "
+    "shuffle on the business key.",
+)
+def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Type-2 history: each user's event_type treated as a slowly
+    changing 'status'; output one validity interval per status run.
+
+    NOTE the LEAD is over the CHANGE rows only (post-filter), so an
+    interval closes when the NEXT DIFFERENT status begins — runs of
+    the same status stay one interval.
+    """
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    changes = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.col("event_type").alias("status"),
+        F.lag("event_type").over(w).alias("prev_status"),
+    ).filter(
+        F.col("prev_status").isNull()
+        | (F.col("status") != F.col("prev_status"))
+    )
+    w2 = W.partitionBy("user_id").orderBy("ts", "event_id")
+    fmt = "yyyy-MM-dd HH:mm:ss.SSSSSS"
+    versions = changes.select(
+        "user_id",
+        "status",
+        F.date_format("ts", fmt).alias("valid_from"),
+        F.coalesce(
+            F.date_format(F.lead("ts").over(w2), fmt),
+            F.lit("9999-12-31 00:00:00.000000"),
+        ).alias("valid_to"),
+        F.lead("ts").over(w2).isNull().alias("is_current"),
+    )
+    return versions

@@ -409,3 +409,91 @@ def ivf_topk(
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return ivf_topk(emb, query_max_id=10, k=5)
+
+
+# ---------------------------------------------------------------------------
+# Scalar quantization — int8 storage path for embedding columns
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_quantize",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), s AS (
+      SELECT vec_id, v,
+             127.0 / list_max(list_transform(v, x -> abs(x))) AS scale
+      FROM d
+    ), q AS (
+      SELECT vec_id, v, scale,
+             list_transform(v, x -> CAST(GREATEST(LEAST(
+               floor(x * scale), 127.0), -127.0) AS INT)) AS qv
+      FROM s
+    )
+    SELECT vec_id,
+           CAST(list_min(qv) AS INT) AS q_min,
+           CAST(list_max(qv) AS INT) AS q_max,
+           CAST(list_sum(list_transform(qv,
+                x -> CAST(x AS BIGINT) * x)) AS BIGINT) AS q_norm_sq,
+           ROUND(list_sum(list_transform(list_zip(v, qv),
+                 p -> abs(CAST(p[1] AS DOUBLE)
+                          - CAST(p[2] AS DOUBLE) / scale)))
+                 / len(v) * 1000, 4) AS mae_x1000
+    FROM q
+    """,
+    description="Per-vector symmetric int8 scalar quantization "
+    "(scale = 127/max|x|, floor — floor not round: half-way "
+    "tie-break is engine-dependent, floor is bit-exact everywhere). "
+    "Cuts embedding storage 4x at 100 TB; exact integer invariants "
+    "(min/max/norm) plus reconstruction MAE.",
+)
+def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Int8 quantization as pure Catalyst expressions — a narrow map;
+    the quantized table is what the 100 TB ANN index would store.
+
+    Assumes no all-zero vectors (scale would be infinite); a
+    production path guards with ``nullif(max|x|, 0)`` and passes
+    zero vectors through as zeros.
+    """
+    emb = read_table(spark, sf_dir, "embeddings")
+    d = emb.select(
+        "vec_id",
+        F.expr("transform(embedding, x -> CAST(x AS DOUBLE))").alias("v"),
+    )
+    s = d.select(
+        "vec_id",
+        "v",
+        F.expr("127.0D / array_max(transform(v, x -> abs(x)))").alias(
+            "scale"
+        ),
+    )
+    q = s.select(
+        "vec_id",
+        "v",
+        "scale",
+        F.expr(
+            "transform(v, x -> CAST(GREATEST(LEAST("
+            "floor(x * scale), 127.0D), -127.0D) AS INT))"
+        ).alias("qv"),
+    )
+    return q.select(
+        "vec_id",
+        F.array_min("qv").alias("q_min"),
+        F.array_max("qv").alias("q_max"),
+        F.expr(
+            "aggregate(qv, 0L, (a, x) -> a + CAST(x AS BIGINT) * x)"
+        ).alias("q_norm_sq"),
+        F.round(
+            F.expr(
+                "aggregate(zip_with(v, qv,"
+                " (a, b) -> abs(a - CAST(b AS DOUBLE) / scale)),"
+                " 0D, (a, x) -> a + x)"
+            )
+            / F.size("v")
+            * 1000,
+            4,
+        ).alias("mae_x1000"),
+    )

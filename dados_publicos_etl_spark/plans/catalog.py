@@ -8,6 +8,7 @@ import dados_publicos_etl_spark.operators.graph  # noqa: F401
 import dados_publicos_etl_spark.operators.merge  # noqa: F401
 import dados_publicos_etl_spark.operators.multimodal  # noqa: F401
 import dados_publicos_etl_spark.operators.privacy  # noqa: F401
+import dados_publicos_etl_spark.operators.quality  # noqa: F401
 import dados_publicos_etl_spark.operators.sampling  # noqa: F401
 import dados_publicos_etl_spark.operators.similarity  # noqa: F401
 import dados_publicos_etl_spark.operators.skew  # noqa: F401
