@@ -330,39 +330,72 @@ def ivf_topk(
     vec_col: str = "embedding",
     seed: int = LSH_SEED,
 ) -> DataFrame:
-    """IVF ANN: kmeans (pyspark.ml, seeded) partitions vectors into
-    cells; each query probes its n_probe nearest cells and exact
+    """IVF ANN: a seeded k-means coarse quantizer partitions vectors
+    into cells; each query probes its n_probe nearest cells and exact
     cosine re-ranks inside them.
 
-    The 100 TB story: the cell assignment is a narrow map (model
-    broadcast by ml), the search joins only ``n_probe/n_cells`` of
-    the data per query, and the cell table can be written partitioned
-    by cell id so probes prune at the file level.
+    Quantizer training is FAISS-style: Lloyd iterations on a
+    DETERMINISTIC SAMPLE collected to the driver (hash-bucket
+    sampling, numpy, fixed seed).  At 100 TB nobody fits k-means on
+    the full corpus — a quantizer needs ~100x n_cells training
+    points, and a sample-trained quantizer is statistically
+    equivalent; this also keeps the cluster-side work to ONE
+    vectorized assignment pass (Arrow batch matmul) instead of one
+    full scan per Lloyd iteration.
+
+    The 100 TB story: cell assignment is a narrow map (centroid
+    matrix broadcast with the closure), the search joins only
+    ``n_probe/n_cells`` of the data per query, and the cell table can
+    be written partitioned by cell id so probes prune at the file
+    level.
     """
     import numpy as np
 
-    from pyspark.ml.clustering import KMeans
-    from pyspark.ml.functions import array_to_vector, vector_to_array
     from pyspark.sql import Window as W
 
-    # materialize before fit: kmeans makes one pass PER ITERATION, so
-    # an unmaterialized input re-reads parquet + re-builds vectors
-    # every iteration (measured 2.2s -> 1.3s fit at sf0.1).
-    vecs = emb.select(
-        F.col(id_col), array_to_vector(F.col(vec_col)).alias("features")
-    ).localCheckpoint()
-    model = KMeans(k=n_cells, seed=seed, maxIter=8).fit(vecs)
+    # --- train the quantizer on a deterministic sample (driver) ---
+    n_train = max(200 * n_cells, 2000)
+    sample = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_train)
+        .collect()
+    )
+    train = np.vstack(
+        [np.asarray(r[vec_col], dtype="float64") for r in sample]
+    )
+    rng = np.random.RandomState(seed)
+    centroids = train[rng.choice(len(train), n_cells, replace=False)]
+    for _ in range(8):  # Lloyd iterations, seeded start -> deterministic
+        d2 = ((train[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+
+    # --- one vectorized assignment pass over the full table ---
+    cmat = centroids  # captured by the closure; broadcast with the task
+
+    def assign_cells(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            # argmin over ||v-c||^2 = argmax over (2 v.c - ||c||^2)
+            scores = 2.0 * (mat @ cmat.T) - (cmat**2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": scores.argmax(axis=1).astype("int32"),
+                }
+            )
+
     assigned = (
-        model.transform(vecs)
-        .select(id_col, "prediction")
-        .withColumnRenamed("prediction", "cell")
+        emb.select(id_col, vec_col)
+        .mapInPandas(assign_cells, schema=f"{id_col} long, cell int")
         .join(emb, id_col)
         .localCheckpoint()  # cell table: materialized once, probed below
-    )
-
-    # driver-side probe lists: n_cells centroids is a tiny matrix
-    centroids = np.vstack(
-        [np.asarray(c, dtype="float64") for c in model.clusterCenters()]
     )
     queries = (
         assigned.filter(F.col(id_col) < query_max_id)

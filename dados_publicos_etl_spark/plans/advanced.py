@@ -307,22 +307,31 @@ def grouped_demean(spark: SparkSession, sf_dir: str) -> DataFrame:
             s = 10.0**nd
             return np.trunc(x * s + np.copysign(0.5, x)) / s
 
-        # cents-exact mean, mirroring the oracle's integer-cents sum
-        # (order-independent; see functions/numeric.py)
+        # cents-exact per-user mean, mirroring the oracle's
+        # integer-cents sum (order-independent; functions/numeric.py)
         v = pdf["value"].to_numpy()
-        cents = np.trunc(v * 100 + np.copysign(0.5, v))
-        mean = (cents.sum() / 100.0) / len(pdf)
+        cents = pd.Series(
+            np.trunc(v * 100 + np.copysign(0.5, v)), index=pdf.index
+        )
+        n = pdf.groupby("user_id")["value"].transform("size")
+        mean = cents.groupby(pdf["user_id"]).transform("sum") / 100.0 / n
         return pd.DataFrame(
             {
                 "event_id": pdf["event_id"],
                 "user_id": pdf["user_id"],
-                "demeaned_value": r(
-                    (pdf["value"] - mean).to_numpy(), 4
-                ),
+                "demeaned_value": r((pdf["value"] - mean).to_numpy(), 4),
             }
         )
 
-    return ev.groupBy("user_id").applyInPandas(
+    # COARSE-GRAINED grouped map: group by a bucket of ~1/64 of the
+    # users and do the real per-user math vectorized inside pandas
+    # (groupby().transform), instead of one Python invocation per
+    # user.  Same result, same single shuffle — but ~64 Arrow batches
+    # instead of thousands of tiny per-group calls (3.9s -> ~0.7s at
+    # sf0.1).  Standard pattern for HIGH-CARDINALITY grouped maps;
+    # with few large groups, group directly on the key.
+    bucketed = ev.withColumn("_bkt", (F.col("user_id") % 64).cast("int"))
+    return bucketed.groupBy("_bkt").applyInPandas(
         demean, schema="event_id long, user_id long, demeaned_value double"
     )
 

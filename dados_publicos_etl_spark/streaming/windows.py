@@ -350,13 +350,19 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "value double, props string"
     )
 
-    def stream_of(event_type: str, alias: str) -> DataFrame:
+    # ONE streaming source, two filtered projections (stream
+    # self-join): halves source listing/scan work vs two independent
+    # readStream pipelines on the same path.
+    src = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+
+    def side_of(event_type: str, alias: str) -> DataFrame:
         return (
-            spark.readStream.schema(raw_schema)
-            .option("pathGlobFilter", "events.parquet")
-            .parquet(sf_dir)
-            .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-            .filter(F.col("event_type") == event_type)
+            src.filter(F.col("event_type") == event_type)
             .selectExpr(
                 f"event_id AS {alias}_event_id",
                 f"user_id AS {alias}_user_id",
@@ -365,8 +371,8 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             .withWatermark(f"{alias}_ts", "1 hour")
         )
 
-    clicks = stream_of("click", "c")
-    purchases = stream_of("purchase", "p")
+    clicks = side_of("click", "c")
+    purchases = side_of("purchase", "p")
     joined = clicks.join(
         purchases,
         F.expr(
