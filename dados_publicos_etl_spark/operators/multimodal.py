@@ -104,6 +104,133 @@ def extract_byte_features(df: DataFrame) -> DataFrame:
     )
 
 
+def resize_images(
+    df: DataFrame,
+    height: int = 32,
+    width: int = 32,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Arrow-batched image resize over binary payloads.
+
+    STUB decode: no codec libs in this container, so the "pixels" are
+    the payload bytes resampled to ``height*width`` via deterministic
+    linear indexing — byte-shape-identical to decode->resize->re-encode
+    (binary in, fixed-size binary + dims out).  Plug
+    ``decode_image`` + PIL ``resize`` into the marked line on a real
+    cluster; schema and batching don't change.
+    """
+    import numpy as np
+
+    n_out = height * width
+
+    def resize(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = []
+            for b in pdf["payload"]:
+                src = np.frombuffer(b, "u1") if len(b) else np.zeros(1, "u1")
+                # REAL PATH: px = decode_image(b).resize((width, height))
+                idx = np.linspace(0, len(src) - 1, n_out).astype("int64")
+                out.append(src[idx].tobytes())
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col],
+                    "payload": out,
+                    "height": np.int32(height),
+                    "width": np.int32(width),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        resize,
+        schema=f"{id_col} long, payload binary, height int, width int",
+    )
+
+
+FRAME_BYTES = 64
+FRAME_STRIDE = 4
+
+
+def sample_frames(
+    df: DataFrame,
+    frame_bytes: int = FRAME_BYTES,
+    stride: int = FRAME_STRIDE,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Video frame sampling plumbing: one input row fans out to one
+    row per sampled frame (every ``stride``-th fixed-size byte
+    window).  STUB decode: frames are byte windows of the payload; a
+    real video path replaces the windowing with container demux +
+    keyframe extraction, keeping the same 1->N Arrow batch shape and
+    output schema.
+    """
+    import hashlib
+
+    def frames(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads, hashes = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                n_frames = (len(b) + frame_bytes - 1) // frame_bytes
+                for fi in range(0, n_frames, stride):
+                    fb = b[fi * frame_bytes : (fi + 1) * frame_bytes]
+                    ids.append(i)
+                    idxs.append(fi)
+                    payloads.append(fb)
+                    hashes.append(hashlib.md5(fb).hexdigest())
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "frame_payload": pd.Series(payloads, dtype=object),
+                    "frame_md5": pd.Series(hashes, dtype=object),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        frames,
+        schema=(
+            f"{id_col} long, frame_idx int, frame_payload binary, "
+            "frame_md5 string"
+        ),
+    )
+
+
+@query(
+    "multimodal_frame_sample",
+    oracle=f"""
+    WITH d AS (
+      SELECT doc_id, text,
+             CAST(ceil(LENGTH(text) / {FRAME_BYTES}.0) AS INT) AS n_frames
+      FROM documents
+    ), f AS (
+      SELECT doc_id, text,
+             unnest(range(0, n_frames, {FRAME_STRIDE})) AS fi
+      FROM d
+    )
+    SELECT doc_id,
+           CAST(fi AS INT) AS frame_idx,
+           md5(substr(text, CAST(fi AS INT) * {FRAME_BYTES} + 1,
+                      {FRAME_BYTES})) AS frame_md5,
+           CAST(LENGTH(substr(text, CAST(fi AS INT) * {FRAME_BYTES} + 1,
+                              {FRAME_BYTES})) AS INT) AS n_frame_bytes
+    FROM f
+    """,
+    description=f"Multimodal frame-sampling plumbing: every "
+    f"{FRAME_STRIDE}th {FRAME_BYTES}-byte window of each payload as "
+    "its own row (1->N mapInPandas fan-out; decode stubbed, ASCII "
+    "payload makes the byte windows oracle-checkable via substr).",
+)
+def multimodal_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    mm = to_multimodal(docs, "text", modality="video", mime="video/fake")
+    out = sample_frames(mm.select("doc_id", "payload"))
+    return out.select(
+        "doc_id",
+        "frame_idx",
+        "frame_md5",
+        F.length("frame_payload").cast("int").alias("n_frame_bytes"),
+    )
+
+
 @query(
     "multimodal_features",
     oracle="""

@@ -28,9 +28,9 @@ from dados_publicos_etl_spark.plans.registry import query
 # language-ID heuristic.  Deterministic and SQL-replicable.  The
 # heuristic's language set is exactly these four — a marker-based
 # argmax only works for languages with distinctive high-frequency
-# function words in Latin script; CJK et al. need script-range
-# detection (see lang_id's unicode fallback note) rather than more
-# marker entries.
+# function words in Latin script; CJK et al. would need unicode
+# script-range detection (count codepoints in CJK blocks) rather
+# than more marker entries.
 LANG_MARKERS: dict[str, tuple[str, ...]] = {
     "en": ("the", "and", "of"),
     "es": ("el", "la", "de"),

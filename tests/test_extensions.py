@@ -105,6 +105,37 @@ def test_multimodal_decode_stub_raises():
         decode_image(b"\x89PNG not really")
 
 
+def test_multimodal_resize_and_frame_plumbing(spark):
+    """Resize yields fixed-size payloads with dims; frame sampling
+    fans one row out to ceil(n/64)/4-ish rows with exact windows."""
+    from dados_publicos_etl_spark.operators.multimodal import (
+        FRAME_BYTES,
+        FRAME_STRIDE,
+        resize_images,
+        sample_frames,
+        to_multimodal,
+    )
+
+    df = spark.createDataFrame(
+        [(1, "a" * 200), (2, "xyz")], "doc_id long, text string"
+    )
+    mm = to_multimodal(df, "text", "image", "image/fake")
+    resized = resize_images(mm, height=8, width=8).collect()
+    assert {len(r.payload) for r in resized} == {64}
+    assert all((r.height, r.width) == (8, 8) for r in resized)
+
+    frames = sample_frames(mm).collect()
+    by_doc = {}
+    for r in frames:
+        by_doc.setdefault(r.doc_id, []).append(r)
+    # doc 1: 200 bytes -> 4 frames -> sampled idx 0 only (stride 4)
+    assert [f.frame_idx for f in by_doc[1]] == [0]
+    assert by_doc[1][0].frame_payload == b"a" * FRAME_BYTES
+    # doc 2: 3 bytes -> 1 partial frame, idx 0, payload intact
+    assert by_doc[2][0].frame_payload == b"xyz"
+    assert FRAME_STRIDE == 4
+
+
 def test_ivf_topk_structure_and_recall(spark, sf_dir):
     """IVF returns <=k ranked neighbors per query, cosine descending;
     on planted clusters the planted near-dup must surface as top-1."""
