@@ -478,3 +478,47 @@ def json_variant(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(k > 50, 1).otherwise(0)).alias("n_high_k"),
         F.sum(k).alias("sum_k"),
     )
+
+
+@query(
+    "xml_csv_roundtrip",
+    oracle="""
+    SELECT event_id,
+           event_type AS xml_type,
+           ROUND(value, 2) AS xml_value,
+           event_type AS csv_type
+    FROM events
+    """,
+    description="Semi-structured expression round-trips: rows "
+    "serialized to XML and CSV strings, parsed back with from_xml / "
+    "from_csv (Spark 4 expression-level parsers, JVM-side) — oracle "
+    "rebuilds the expected values relationally, proving lossless "
+    "round-trip.",
+)
+def xml_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Round-trip proof: double -> string -> double is exact for
+    2-decimal values, so parse results hash-match the relational
+    oracle.  from_xml/from_csv run in the JVM (no Python), so at
+    scale this is a narrow map like any other expression."""
+    ev = read_table(spark, sf_dir, "events")
+    xml = F.concat(
+        F.lit("<ev><t>"),
+        F.col("event_type"),
+        F.lit("</t><v>"),
+        F.round("value", 2).cast("string"),
+        F.lit("</v></ev>"),
+    )
+    csv_line = F.concat_ws(",", F.col("event_id"), F.col("event_type"))
+    parsed = ev.select(
+        "event_id",
+        F.from_xml(xml, "t string, v double").alias("x"),
+        F.from_csv(
+            csv_line, "id bigint, typ string", {"sep": ","}
+        ).alias("c"),
+    )
+    return parsed.select(
+        "event_id",
+        F.col("x.t").alias("xml_type"),
+        F.col("x.v").alias("xml_value"),
+        F.col("c.typ").alias("csv_type"),
+    )
