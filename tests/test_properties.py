@@ -1,0 +1,110 @@
+"""Property-based tests (hypothesis) for engine invariants that unit
+examples can't sweep: order independence, idempotence, and the
+connected-components fixpoint against a union-find reference.
+
+Spark actions are slow per example, so examples are few and frames
+tiny; the PROPERTY space (random values/edges) is where the breadth
+comes from.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+_FAST = settings(
+    max_examples=5,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_FAST
+@given(
+    st.lists(
+        st.floats(-1e6, 1e6).map(lambda x: round(x, 2)),
+        min_size=1,
+        max_size=50,
+    ),
+    st.randoms(),
+)
+def test_money_sum_is_order_independent(spark, values, rnd):
+    """money_sum must be EXACTLY equal for any permutation of the
+    rows — that is its whole contract (plain float SUM is not)."""
+    from pyspark.sql import functions as F
+
+    from dados_publicos_etl_spark.functions.numeric import money_sum
+
+    shuffled = values[:]
+    rnd.shuffle(shuffled)
+    a = (
+        spark.createDataFrame([(v,) for v in values], "v double")
+        .agg(money_sum("v").alias("s"))
+        .head()[0]
+    )
+    b = (
+        spark.createDataFrame([(v,) for v in shuffled], "v double")
+        .coalesce(1)
+        .agg(money_sum("v").alias("s"))
+        .head()[0]
+    )
+    assert a == b
+
+
+@_FAST
+@given(
+    st.lists(
+        st.tuples(st.integers(0, 30), st.integers(0, 30)),
+        min_size=1,
+        max_size=40,
+    )
+)
+def test_connected_components_matches_union_find(spark, edges):
+    """CC fixpoint == classic union-find on the same random graph."""
+    from dados_publicos_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    edges = [(a, b) for a, b in edges if a != b]
+    if not edges:
+        return
+    # reference: union-find with path compression
+    parent: dict[int, int] = {}
+
+    def find(x: int) -> int:
+        parent.setdefault(x, x)
+        while parent[x] != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    for a, b in edges:
+        ra, rb = find(a), find(b)
+        if ra != rb:
+            parent[max(ra, rb)] = min(ra, rb)
+    want = {n: find(n) for n in parent}
+    # min-id canonical labels
+    roots: dict[int, int] = {}
+    for n, r in want.items():
+        roots[r] = min(roots.get(r, n), n)
+    want = {n: roots[find(n)] for n in parent}
+
+    df = spark.createDataFrame(edges, "src long, dst long")
+    got = {r.node: r.label for r in connected_components(df).collect()}
+    assert got == want
+
+
+@_FAST
+@given(st.text(min_size=0, max_size=200))
+def test_redact_pii_is_idempotent(spark, text):
+    """redact(redact(x)) == redact(x): placeholders must never match
+    the patterns they replace."""
+    from pyspark.sql import functions as F
+
+    from dados_publicos_etl_spark.operators.privacy import redact_pii
+
+    df = spark.createDataFrame([(text,)], "t string")
+    once, twice = df.select(
+        redact_pii("t").alias("a"), redact_pii(redact_pii("t")).alias("b")
+    ).head()
+    assert once == twice
