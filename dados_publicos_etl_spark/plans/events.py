@@ -208,3 +208,104 @@ def window_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percent_rank().over(w), 4).alias("pct_rank"),
         F.round(F.cume_dist().over(w), 4).alias("cume"),
     )
+
+
+@query(
+    "window_range_frame",
+    oracle="""
+    SELECT event_id, user_id,
+           CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+             PARTITION BY user_id ORDER BY ts
+             RANGE BETWEEN INTERVAL 30 MINUTE PRECEDING AND CURRENT ROW
+           ) AS DOUBLE) / 100.0 AS trailing_30m_value
+    FROM events
+    """,
+    description="RANGE window frame over event time: per-user "
+    "trailing 30-minute sum (value-based frame, not row-based - "
+    "peers at the same ts aggregate together, so the result is "
+    "order-deterministic without a tie-break).  Integer-cents sum "
+    "keeps it engine-exact.",
+)
+def window_range_frame(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    ev.createOrReplaceTempView("_events_rf")
+    # interval RANGE frames are SQL-only surface (the DataFrame
+    # rangeBetween takes numeric offsets); same Catalyst window node.
+    return spark.sql(
+        """
+        SELECT event_id, user_id,
+               CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) OVER (
+                 PARTITION BY user_id ORDER BY ts
+                 RANGE BETWEEN INTERVAL 30 MINUTES PRECEDING AND CURRENT ROW
+               ) AS DOUBLE) / 100.0 AS trailing_30m_value
+        FROM _events_rf
+        """
+    )
+
+
+@query(
+    "time_spine_zero_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT CAST(floor(epoch(MIN(ts)) / 600) AS BIGINT) AS b0,
+             CAST(floor(epoch(MAX(ts)) / 600) AS BIGINT) AS b1
+      FROM events
+    ), spine AS (
+      SELECT event_type,
+             unnest(range(b0, b1 + 1)) AS bucket
+      FROM bounds, (SELECT DISTINCT event_type FROM events)
+    ), actual AS (
+      SELECT event_type,
+             CAST(floor(epoch(ts) / 600) AS BIGINT) AS bucket,
+             COUNT(*) AS n
+      FROM events GROUP BY 1, 2
+    )
+    SELECT s.event_type,
+           strftime(TIMESTAMP '1970-01-01 00:00:00'
+                    + INTERVAL 1 SECOND * (s.bucket * 600),
+                    '%Y-%m-%d %H:%M:%S') AS window_start,
+           CAST(COALESCE(a.n, 0) AS BIGINT) AS n_events
+    FROM spine s LEFT JOIN actual a
+      ON s.event_type = a.event_type AND s.bucket = a.bucket
+    """,
+    description="Time-spine zero fill: dense 10-minute buckets per "
+    "event_type built with sequence()+explode (a generated spine, no "
+    "data shuffle to build it), left-joined against actual counts so "
+    "silent gaps become explicit zeros - the standard reporting/"
+    "monitoring densification.",
+)
+def time_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    # NTZ-safe bucketing: epoch arithmetic against a fixed NTZ anchor
+    # (unix_micros needs LTZ and would shift with session timezone).
+    bucket = F.expr(
+        "timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts) div 600"
+    )
+    bounds = ev.agg(
+        F.min(bucket).alias("b0"), F.max(bucket).alias("b1")
+    )
+    types = ev.select("event_type").distinct()
+    spine = (
+        types.crossJoin(F.broadcast(bounds))
+        .select(
+            "event_type",
+            F.explode(F.sequence(F.col("b0"), F.col("b1"))).alias("bucket"),
+        )
+    )
+    actual = ev.select("event_type", bucket.alias("bucket")).groupBy(
+        "event_type", "bucket"
+    ).agg(F.count(F.lit(1)).alias("n"))
+    return (
+        spine.join(actual, ["event_type", "bucket"], "left")
+        .select(
+            "event_type",
+            F.date_format(
+                F.expr(
+                    "timestampadd(SECOND, bucket * 600, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00')"
+                ),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
+        )
+    )
