@@ -18,12 +18,17 @@ ranges, and ``read()`` fetches one page per task.
 
 from __future__ import annotations
 
+import json
+import os
+import uuid
 from dataclasses import dataclass
 
 from pyspark.sql.datasource import (
     DataSource,
     DataSourceReader,
+    DataSourceWriter,
     InputPartition,
+    WriterCommitMessage,
 )
 
 _WORDS = (
@@ -86,5 +91,73 @@ class SyntheticDocsDataSource(DataSource):
         return _SyntheticDocsReader(self.options)
 
 
+# ---------------------------------------------------------------------------
+# Writer side — two-phase commit sink (Spark 4 DataSourceWriter API)
+# ---------------------------------------------------------------------------
+
+
+@dataclass
+class _PartFile(WriterCommitMessage):
+    path: str
+    n_rows: int
+
+
+class _JsonlDirWriter(DataSourceWriter):
+    """Task-isolated JSONL writer with driver-side two-phase commit.
+
+    The exactly-once contract every distributed sink needs, in the
+    smallest form: each TASK writes to a uuid temp file and reports a
+    commit message; only the DRIVER's commit() renames temp files to
+    final names (speculative/retried task attempts leave orphan temps
+    that abort() removes).  The same shape serves a real external
+    system — stage to a transactional upload, commit in one place.
+    At scale the payload write is object-store multipart, and commit
+    publishes a manifest.
+    """
+
+    def __init__(self, options):
+        self.path = options.get("path")
+        if not self.path:
+            raise ValueError("jsonl_dir sink requires a path option")
+
+    def write(self, rows):
+        os.makedirs(self.path, exist_ok=True)
+        tmp = os.path.join(self.path, f"_tmp-{uuid.uuid4().hex}.jsonl")
+        n = 0
+        with open(tmp, "w") as fh:
+            for row in rows:
+                fh.write(json.dumps(row.asDict()) + "\n")
+                n += 1
+        return _PartFile(path=tmp, n_rows=n)
+
+    def commit(self, messages):
+        for i, m in enumerate(messages):
+            final = os.path.join(
+                os.path.dirname(m.path), f"part-{i:05d}.jsonl"
+            )
+            os.replace(m.path, final)
+
+    def abort(self, messages):
+        for m in messages:
+            if m is not None and os.path.exists(m.path):
+                os.remove(m.path)
+
+
+class JsonlDirDataSource(DataSource):
+    """`df.write.format("jsonl_dir").option("path", d).save()` after
+    registration — a minimal exactly-once custom Python sink."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "jsonl_dir"
+
+    def schema(self) -> str:  # pragma: no cover - reader not supported
+        return "value string"
+
+    def writer(self, schema, overwrite: bool) -> _JsonlDirWriter:
+        return _JsonlDirWriter(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
+    spark.dataSource.register(JsonlDirDataSource)

@@ -209,3 +209,32 @@ def test_python_datasource_partitioned_read(spark):
     # composes with engine operators downstream
     n_langs = df.groupBy("lang").count().count()
     assert n_langs == 3
+
+
+def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
+    """Custom Python sink: per-task temp files, driver-side rename on
+    commit — no _tmp files survive a successful write, all rows land
+    exactly once."""
+    import glob
+    import json
+    import os
+
+    from dados_publicos_etl_spark.sources import pysource
+
+    pysource.register(spark)
+    out = str(tmp_path / "jsonl_out")
+    df = spark.range(0, 100).selectExpr(
+        "id AS k", "CAST(id * 2 AS STRING) AS v"
+    ).repartition(4)
+    df.write.format("jsonl_dir").option("path", out).mode("append").save()
+
+    finals = sorted(glob.glob(os.path.join(out, "part-*.jsonl")))
+    temps = glob.glob(os.path.join(out, "_tmp-*.jsonl"))
+    assert temps == [], "temp files must be renamed at commit"
+    assert len(finals) == 4
+    rows = []
+    for f in finals:
+        with open(f) as fh:
+            rows += [json.loads(line) for line in fh]
+    assert sorted(r["k"] for r in rows) == list(range(100))
+    assert all(r["v"] == str(r["k"] * 2) for r in rows)
