@@ -47,28 +47,31 @@ def main() -> None:
     for t in TABLE_NAMES:
         read_table(spark, sf_dir, t).count()
 
-    # two runs per query, report the min: the first run pays one-off
-    # plan compilation / codegen / Python-worker startup that a
-    # long-lived cluster session amortizes away; the min approximates
-    # steady-state latency.
+    # N full PASSES over the catalog, min per query across passes:
+    # pass 1 pays one-off plan compilation / codegen / Python-worker
+    # startup that a long-lived cluster session amortizes away, and
+    # spreading a query's samples minutes apart means a transient
+    # machine-load spike can't inflate both samples of the same query
+    # (back-to-back repeats share the spike).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
-    for name in sorted(QUERIES):
-        spec = QUERIES[name]
-        best = None
-        for _ in range(n_runs):
+    for _ in range(n_runs):
+        for name in sorted(QUERIES):
+            spec = QUERIES[name]
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.count()
             dt = time.perf_counter() - t0
-            best = dt if best is None else min(best, dt)
-        timings[name] = round(best, 3)
-        # Release blocks pinned by localCheckpoint()-materializing
-        # operators (dedup/similarity signature tables) so storage
-        # memory from one query can't pressure the queries timed after
-        # it.  Within-query checkpoint cost stays inside the timing.
-        for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-            rdd.unpersist()
+            prev = timings.get(name)
+            timings[name] = round(dt if prev is None else min(prev, dt), 3)
+            # Release blocks pinned by localCheckpoint()-materializing
+            # operators (dedup/similarity signature tables) so storage
+            # memory from one query can't pressure the queries timed
+            # after it.  Within-query checkpoint cost stays inside the
+            # timing.
+            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
+                rdd.unpersist()
+    timings = {name: timings[name] for name in sorted(timings)}
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
