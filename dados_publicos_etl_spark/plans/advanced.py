@@ -522,3 +522,93 @@ def xml_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("x.v").alias("xml_value"),
         F.col("c.typ").alias("csv_type"),
     )
+
+
+@query(
+    "incremental_agg_merge",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
+                 AS DOUBLE) / 100.0) AS total_price,
+           ROUND((CAST(SUM(CAST(ROUND((l_extendedprice) * 100, 0) AS BIGINT))
+                 AS DOUBLE) / 100.0) / COUNT(*), 4) AS avg_price,
+           ROUND(MAX(l_quantity), 2) AS max_qty
+    FROM lineitem
+    GROUP BY l_returnflag
+    """,
+    description="Incremental aggregate maintenance: the table is "
+    "split into two deterministic 'loads', each aggregated to "
+    "algebraic partials (count, cents-sum, max), then the partials "
+    "MERGE (sum of counts, sum of sums, max of maxes) - "
+    "bit-identical to aggregating the whole table, which is the "
+    "oracle.  The mergeability is what lets a 100 TB pipeline "
+    "maintain aggregates per-batch instead of rescanning history; "
+    "finalizers (avg) are computed only after the merge.",
+)
+def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def partials(df: DataFrame) -> DataFrame:
+        return df.groupBy("l_returnflag").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("cents"),
+            F.max("l_quantity").alias("max_qty"),
+        )
+    # two deterministic "loads" (e.g. yesterday's table + today's
+    # delta), aggregated independently - at scale these partials are
+    # what the incremental pipeline persists per batch.
+    load_a = partials(li.filter(F.col("l_orderkey") % 2 == 0))
+    load_b = partials(li.filter(F.col("l_orderkey") % 2 == 1))
+    merged = (
+        load_a.unionByName(load_b)
+        .groupBy("l_returnflag")
+        .agg(
+            F.sum("n").alias("n"),
+            F.sum("cents").alias("cents"),
+            F.max("max_qty").alias("max_qty"),
+        )
+    )
+    return merged.select(
+        "l_returnflag",
+        F.col("n").cast("long").alias("n"),
+        (F.col("cents").cast("double") / 100.0).alias("total_price"),
+        F.round(
+            (F.col("cents").cast("double") / 100.0) / F.col("n"), 4
+        ).alias("avg_price"),
+        F.round("max_qty", 2).alias("max_qty"),
+    )
+
+
+@query(
+    "hll_sketch_merge",
+    oracle=None,  # sketch bytes are engine-specific; merge==whole in pytest
+    description="Datasketches HLL workflow (Spark 3.5+ API): "
+    "hll_sketch_agg per deterministic half, hll_union_agg to merge, "
+    "hll_sketch_estimate to read - the persistable/mergeable distinct-"
+    "count sketch a 100 TB pipeline stores per partition/batch "
+    "instead of rescanning for COUNT(DISTINCT).  Merge-equals-whole "
+    "asserted in pytest.",
+)
+def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    halves = li.withColumn("_half", (F.col("l_orderkey") % 2).cast("int"))
+    per_half = halves.groupBy("l_returnflag", "_half").agg(
+        F.hll_sketch_agg("l_partkey").alias("sk")
+    )
+    merged = per_half.groupBy("l_returnflag").agg(
+        F.hll_union_agg("sk").alias("sk")
+    )
+    exact = li.groupBy("l_returnflag").agg(
+        F.countDistinct("l_partkey").alias("exact_parts")
+    )
+    return (
+        merged.join(exact, "l_returnflag")
+        .select(
+            "l_returnflag",
+            F.hll_sketch_estimate("sk").alias("approx_parts"),
+            "exact_parts",
+        )
+    )

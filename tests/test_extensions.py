@@ -167,3 +167,25 @@ def test_ivf_topk_structure_and_recall(spark, sf_dir):
     top1 = {r.query_id: r.neighbor_id for r in got if r.rank == 1}
     hits = sum(1 for q, n in top1.items() if n == q + n_base)
     assert hits >= 0.9 * len(top1), f"IVF top-1 recall {hits}/{len(top1)}"
+
+
+def test_hll_merge_equals_whole(spark, sf_dir):
+    """Merging per-half HLL sketches must give the same estimate as
+    sketching the whole column - the mergeability contract that makes
+    sketches persistable per batch."""
+    from pyspark.sql import functions as F
+
+    from dados_publicos_etl_spark.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    whole = li.agg(
+        F.hll_sketch_estimate(F.hll_sketch_agg("l_partkey")).alias("n")
+    ).head()[0]
+    merged = (
+        li.withColumn("_h", (F.col("l_orderkey") % 4).cast("int"))
+        .groupBy("_h")
+        .agg(F.hll_sketch_agg("l_partkey").alias("sk"))
+        .agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("n"))
+        .head()[0]
+    )
+    assert whole == merged
