@@ -17,6 +17,19 @@ corpus is usable, beyond per-pair dedup (operators/dedup.py):
   that recur across many distinct documents (headers, disclaimers).
   One explode + one hash aggregation; candidates for removal feed a
   C4-style line/passage scrubber.
+- **dedup_cross_snapshot** — incremental ingestion: drop incoming
+  documents whose content hash already exists in the accumulated
+  corpus snapshot.  A hash-only anti-join: the full text never
+  shuffles, just 64-hex-char digests.
+- **passage_scrub** — C4-style passage-level dedup: fixed-width
+  token chunks deduplicated globally (first occurrence by
+  (doc_id, chunk_idx) survives), reported as a per-document scrub
+  fraction.  The shuffle key is md5(chunk) — fixed 32 bytes per
+  passage regardless of passage length.
+- **corpus_token_histogram** — log2-bucketed document-length
+  distribution with each bucket's share of total corpus tokens; the
+  standard "what does this corpus look like" report before a
+  training run.
 
 The reference has no corpus layer (its documents are CNAE code rows);
 these operators exist for the north-star LLM-pipeline surface
@@ -222,4 +235,207 @@ def boilerplate_shingles(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("doc_freq") >= _MIN_DOC_FREQ)
         .orderBy(F.desc("doc_freq"), "shingle")
         .limit(_TOP_BOILER)
+    )
+
+
+_NORM_DUCK = r"trim(regexp_replace(lower(text), '\s+', ' ', 'g'))"
+
+
+@query(
+    "dedup_cross_snapshot",
+    oracle=f"""
+    WITH n AS (
+      SELECT doc_id, sha256({_NORM_DUCK}) AS content_hash
+      FROM documents
+    )
+    SELECT i.doc_id, i.content_hash
+    FROM n i
+    WHERE i.doc_id % 5 = 0
+      AND NOT EXISTS (
+        SELECT 1 FROM n e
+        WHERE e.doc_id % 5 <> 0 AND e.content_hash = i.content_hash
+      )
+    """,
+    description="Incremental-ingestion dedup: anti-join the incoming "
+    "batch (doc_id%5=0) against the existing snapshot's content "
+    "hashes; only 64-char digests shuffle, never document text.",
+)
+def dedup_cross_snapshot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Drop incoming docs whose content already exists in the corpus.
+
+    The nightly-ingest pattern at 100 TB: the accumulated snapshot's
+    hash set is orders of magnitude larger than the increment, so the
+    anti-join must shuffle hashes, not text.  Both sides project to
+    (hash) / (doc_id, hash) before the join; with the snapshot's hash
+    table stored bucketed by content_hash the exchange on the snapshot
+    side disappears entirely and only the increment shuffles.
+    """
+    from dados_publicos_etl_spark.functions.text import normalized
+
+    docs = read_table(spark, sf_dir, "documents")
+    hashed = docs.select(
+        "doc_id", F.sha2(normalized("text"), 256).alias("content_hash")
+    )
+    existing = (
+        hashed.filter(F.col("doc_id") % 5 != 0)
+        .select("content_hash")
+        .distinct()
+    )
+    incoming = hashed.filter(F.col("doc_id") % 5 == 0)
+    return incoming.join(existing, "content_hash", "left_anti").select(
+        "doc_id", "content_hash"
+    )
+
+
+_PASSAGE = 8  # tokens per non-overlapping passage chunk
+
+_DUCK_TOKS_EXPR = f"string_split_regex(lower(text), '{WS}')"
+
+
+@query(
+    "passage_scrub",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS_EXPR} AS toks FROM documents
+    ), l AS (
+      SELECT doc_id,
+             list_transform(
+               generate_series(1, CAST(ceil(len(toks) / {_PASSAGE}.0) AS BIGINT)),
+               i -> md5(array_to_string(
+                      list_slice(toks, (i - 1) * {_PASSAGE} + 1,
+                                 i * {_PASSAGE}), ' '))) AS chunks
+      FROM t
+    ), c AS (
+      SELECT doc_id,
+             unnest(chunks) AS h,
+             unnest(generate_series(1, len(chunks))) AS chunk_idx
+      FROM l
+    ), r AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (PARTITION BY h
+                                ORDER BY doc_id, chunk_idx) AS rn
+      FROM c
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_chunks,
+           CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_kept,
+           ROUND(1.0 - CAST(SUM(CASE WHEN rn = 1 THEN 1 ELSE 0 END)
+                            AS DOUBLE) / COUNT(*), 4) AS scrub_frac
+    FROM r
+    GROUP BY doc_id
+    """,
+    description=f"C4-style passage dedup: non-overlapping {_PASSAGE}-token "
+    "chunks deduplicated corpus-wide (first (doc_id, chunk_idx) "
+    "occurrence survives); per-doc scrub fraction.  Shuffle key is "
+    "md5(chunk): 32 bytes per passage.",
+)
+def passage_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global passage-level dedup with per-document survival stats.
+
+    One explode + one window shuffle on the chunk digest + one
+    hash-agg back to doc granularity.  Partitioning by the digest
+    (not the chunk text) keeps shuffle volume proportional to passage
+    COUNT, not passage BYTES — at 100 TB that is the difference
+    between shuffling 3 TB and shuffling 100 TB.  Skewed passages
+    (empty/boilerplate chunks) concentrate on one digest; AQE's skew
+    handling or a pre-filter on mined boilerplate (see
+    ``boilerplate_shingles``) bounds the hot partition.
+    """
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks = F.col("toks")
+    chunks = docs.select(
+        "doc_id", tokens("text").alias("toks")
+    ).select(
+        "doc_id",
+        F.transform(
+            F.sequence(
+                F.lit(1),
+                F.ceil(F.size(toks) / float(_PASSAGE)).cast("long"),
+            ),
+            lambda i: F.md5(
+                F.concat_ws(
+                    " ", F.slice(toks, (i - 1) * _PASSAGE + 1, _PASSAGE)
+                )
+            ),
+        ).alias("chunks"),
+    )
+    exploded = chunks.select(
+        "doc_id", F.posexplode("chunks").alias("chunk_idx", "h")
+    )
+    win = Window.partitionBy("h").orderBy("doc_id", "chunk_idx")
+    flagged = exploded.select(
+        "doc_id",
+        (F.row_number().over(win) == 1).cast("int").alias("kept"),
+    )
+    return flagged.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_chunks"),
+        F.sum("kept").cast("long").alias("n_kept"),
+        F.round(
+            1.0 - F.sum("kept").cast("double") / F.count(F.lit(1)), 4
+        ).alias("scrub_frac"),
+    )
+
+
+@query(
+    "corpus_token_histogram",
+    oracle=f"""
+    WITH n AS (
+      SELECT len({_DUCK_TOKS_EXPR}) AS nt FROM documents
+    ), b AS (
+      SELECT CAST(floor(log2(greatest(nt, 1))) AS INT) AS bucket,
+             COUNT(*) AS n_docs, SUM(nt) AS total_tokens
+      FROM n GROUP BY 1
+    )
+    SELECT bucket,
+           CAST(n_docs AS BIGINT) AS n_docs,
+           CAST(total_tokens AS BIGINT) AS total_tokens,
+           ROUND(CAST(total_tokens AS DOUBLE)
+                 / SUM(CAST(total_tokens AS DOUBLE)) OVER (), 4)
+             AS token_share
+    FROM b
+    """,
+    description="Corpus-length report: log2 buckets of per-doc token "
+    "counts with each bucket's share of total corpus tokens.  One "
+    "narrow map + one low-cardinality hash agg; the share window "
+    "runs on the already-tiny aggregate.",
+)
+def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document-length distribution in power-of-two buckets.
+
+    The per-doc token count is a narrow map fused into the scan; the
+    groupBy key has ~log2(max_doc_len) distinct values so the partial
+    aggregation collapses each partition to a handful of rows before
+    the (trivial) exchange.  The global-share window runs over the
+    aggregated frame — dozens of rows — so the unpartitioned window
+    is not a scale hazard.
+    """
+    from pyspark.sql.window import Window
+
+    docs = read_table(spark, sf_dir, "documents")
+    nt = F.size(tokens("text")).alias("nt")
+    b = (
+        docs.select(nt)
+        .groupBy(
+            F.floor(F.log2(F.greatest(F.col("nt"), F.lit(1))))
+            .cast("int")
+            .alias("bucket")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("nt").cast("long").alias("total_tokens"),
+        )
+    )
+    share = F.sum(F.col("total_tokens").cast("double")).over(
+        Window.partitionBy()
+    )
+    return b.select(
+        "bucket",
+        "n_docs",
+        "total_tokens",
+        F.round(F.col("total_tokens").cast("double") / share, 4).alias(
+            "token_share"
+        ),
     )
