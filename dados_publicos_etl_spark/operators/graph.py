@@ -185,3 +185,137 @@ def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("label").alias("component_id"),
         "n_reachable",
     )
+
+
+_PR_ITERS = 5
+_PR_DAMP = 0.85
+_PR_TOPK = 20
+
+
+def _pagerank_oracle() -> str:
+    """Unrolled fixed-iteration PageRank as plain SQL CTE chain.
+
+    Aggregation inside a recursive member is not portable SQL, so the
+    oracle unrolls the ``_PR_ITERS`` power-iteration steps into pr1..prK
+    CTEs — byte-for-byte the same recurrence the Spark loop runs.
+    """
+    steps = []
+    for k in range(1, _PR_ITERS + 1):
+        steps.append(
+            f"""pr{k} AS (
+      SELECT nodes.node,
+             (1 - {_PR_DAMP}) / (SELECT n FROM ncnt)
+             + {_PR_DAMP} * COALESCE(s.contrib, 0) AS pr
+      FROM nodes LEFT JOIN (
+        SELECT e.dst AS node, SUM(p.pr / o.deg) AS contrib
+        FROM edges e
+        JOIN pr{k - 1} p ON e.src = p.node
+        JOIN outdeg o ON e.src = o.src
+        GROUP BY e.dst
+      ) s ON nodes.node = s.node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT 'c' || o_custkey AS src, 's' || l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), outdeg AS (
+      SELECT src, COUNT(*) AS deg FROM edges GROUP BY src
+    ), nodes AS (
+      SELECT src AS node FROM edges UNION SELECT dst FROM edges
+    ), ncnt AS (
+      SELECT COUNT(*) AS n FROM nodes
+    ), pr0 AS (
+      SELECT node, 1.0 / (SELECT n FROM ncnt) AS pr FROM nodes
+    ),
+    {chain}
+    SELECT node AS supplier,
+           ROUND(pr * (SELECT n FROM ncnt), 4) AS pr_norm
+    FROM pr{_PR_ITERS}
+    WHERE node LIKE 's%'
+    ORDER BY pr_norm DESC, supplier
+    LIMIT {_PR_TOPK}
+    """
+
+
+@query(
+    "pagerank_suppliers",
+    oracle=_pagerank_oracle(),
+    description=f"PageRank ({_PR_ITERS} power iterations, damping "
+    f"{_PR_DAMP}) over the customer->supplier purchase graph; top "
+    f"{_PR_TOPK} suppliers by mean-normalized rank.  One join+agg "
+    "shuffle per iteration, lineage truncated per round; oracle = "
+    "the same recurrence unrolled into CTEs.",
+)
+def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Fixed-iteration PageRank on the order graph.
+
+    The Pregel-style loop at Spark granularity: per iteration one
+    edges⋈ranks join, one groupBy(dst) sum, one left join back onto
+    the node set — two shuffles, both on the node key, so a cluster
+    would co-partition edges and ranks once and reuse the exchange.
+    ``localCheckpoint`` after each round keeps round N's plan from
+    replaying rounds 1..N-1 (same pattern as connected_components).
+    Dangling nodes (suppliers, out-degree 0) simply contribute
+    nothing; both sides implement the identical leaky formulation, so
+    the differential check pins the semantics.
+
+    The node count is a driver-side scalar (one count action) — O(1)
+    result, not a data collect.
+    """
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey"
+    )
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey").cast("string")).alias(
+                "src"
+            ),
+            F.concat(F.lit("s"), F.col("l_suppkey").cast("string")).alias(
+                "dst"
+            ),
+        )
+        .distinct()
+        .localCheckpoint()
+    )
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    nodes = (
+        edges.select(F.col("src").alias("node"))
+        .union(edges.select(F.col("dst").alias("node")))
+        .distinct()
+        .localCheckpoint()
+    )
+    n = nodes.count()
+    pr = nodes.withColumn("pr", F.lit(1.0 / n))
+    for _ in range(_PR_ITERS):
+        contrib = (
+            edges.join(pr, edges.src == pr.node)
+            .join(outdeg, "src")
+            .groupBy("dst")
+            .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
+        )
+        pr = (
+            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            .select(
+                "node",
+                (
+                    F.lit((1 - _PR_DAMP) / n)
+                    + _PR_DAMP * F.coalesce("contrib", F.lit(0.0))
+                ).alias("pr"),
+            )
+            .localCheckpoint()
+        )
+    return (
+        pr.filter(F.col("node").startswith("s"))
+        .select(
+            F.col("node").alias("supplier"),
+            F.round(F.col("pr") * n, 4).alias("pr_norm"),
+        )
+        .orderBy(F.desc("pr_norm"), "supplier")
+        .limit(_PR_TOPK)
+    )

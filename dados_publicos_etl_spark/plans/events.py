@@ -309,3 +309,63 @@ def time_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n", F.lit(0)).cast("long").alias("n_events"),
         )
     )
+
+
+_EWMA_ALPHA = 0.3
+
+
+@query(
+    "ewma_user_value",
+    oracle=f"""
+    WITH s AS (
+      SELECT user_id, list(value ORDER BY ts, event_id) AS v
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(len(v) AS BIGINT) AS n_events,
+           ROUND(list_reduce(v, (acc, x) ->
+                 {_EWMA_ALPHA} * x + {1 - _EWMA_ALPHA} * acc), 4) AS ewma
+    FROM s
+    """,
+    description=f"Order-dependent EWMA (alpha={_EWMA_ALPHA}) over each "
+    "user's event series: collect_list sorted by (ts, event_id), then "
+    "a JVM-side aggregate() fold — the sequential-recurrence pattern "
+    "window frames can't express.",
+)
+def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exponentially-weighted moving average per user series.
+
+    EWMA is a sequential recurrence (each step depends on the previous
+    accumulator), which no window frame expresses.  The Spark-first
+    form: one shuffle to group each user's series, ``array_sort`` on
+    (ts, event_id) structs for deterministic order, then a Catalyst
+    ``aggregate`` lambda fold — all JVM-side, no Python.  Per-user
+    series fit comfortably in memory at any corpus scale (state is
+    one array per user, same bound as any sessionization); for
+    unbounded series the streaming form is
+    ``applyInPandasWithState`` (streaming/stateful.py).
+
+    ewma_0 = v_0; ewma_i = alpha * v_i + (1 - alpha) * ewma_{{i-1}}.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    seq = ev.groupBy("user_id").agg(
+        F.array_sort(
+            F.collect_list(F.struct("ts", "event_id", "value"))
+        ).alias("seq")
+    )
+    a, b = _EWMA_ALPHA, 1 - _EWMA_ALPHA
+    return (
+        seq.withColumn("v", F.expr("transform(seq, s -> s.value)"))
+        .select(
+            "user_id",
+            F.size("v").cast("long").alias("n_events"),
+            F.round(
+                F.expr(
+                    "aggregate(slice(v, 2, size(v) - 1), "
+                    "element_at(v, 1), "
+                    f"(acc, x) -> {a}D * x + {b}D * acc)"
+                ),
+                4,
+            ).alias("ewma"),
+        )
+    )

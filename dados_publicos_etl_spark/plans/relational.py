@@ -750,3 +750,58 @@ def listagg_nations(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("nations")
         )
     )
+
+
+@query(
+    "stats_moments",
+    oracle="""
+    WITH mu AS (
+      SELECT l_returnflag, AVG(l_extendedprice) AS m
+      FROM lineitem GROUP BY l_returnflag
+    )
+    SELECT l.l_returnflag,
+           ROUND(corr(l_extendedprice, l_quantity), 4) AS price_qty_corr,
+           ROUND(covar_samp(l_extendedprice, l_quantity), 2)
+             AS price_qty_covar,
+           ROUND(stddev_samp(l_extendedprice), 2) AS price_stddev,
+           -- Spark's skewness/kurtosis are the POPULATION (g1 /
+           -- excess-g2) forms; DuckDB's builtins apply sample bias
+           -- correction, so the oracle computes the population
+           -- moments explicitly (two-pass centered = numerically
+           -- exact at any group size).
+           ROUND(AVG(POW(l_extendedprice - m, 3))
+                 / POW(AVG(POW(l_extendedprice - m, 2)), 1.5), 4)
+             AS price_skew,
+           ROUND(AVG(POW(l_extendedprice - m, 4))
+                 / POW(AVG(POW(l_extendedprice - m, 2)), 2) - 3, 4)
+             AS price_kurt
+    FROM lineitem l JOIN mu USING (l_returnflag)
+    GROUP BY l.l_returnflag
+    """,
+    description="Statistical moment aggregates (corr / covar_samp / "
+    "stddev_samp / skewness / kurtosis) per return flag — all "
+    "single-pass mergeable moment sketches, so partial aggregation "
+    "carries the scan and only 3 groups cross the exchange.",
+)
+def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Higher statistical moments as one partial-aggregable pass.
+
+    Every one of these reduces to tracking power sums / co-moments
+    per partition and merging — the same scale shape as SUM/COUNT, so
+    the plan is scan -> partial HashAggregate -> tiny exchange ->
+    final.  No second pass, no window.  (Spark and DuckDB both use
+    the numerically-stable co-moment formulation; results agree to
+    well past the rounding applied here.)
+    """
+    li = read_table(spark, sf_dir, "lineitem")
+    return li.groupBy("l_returnflag").agg(
+        F.round(F.corr("l_extendedprice", "l_quantity"), 4).alias(
+            "price_qty_corr"
+        ),
+        F.round(F.covar_samp("l_extendedprice", "l_quantity"), 2).alias(
+            "price_qty_covar"
+        ),
+        F.round(F.stddev_samp("l_extendedprice"), 2).alias("price_stddev"),
+        F.round(F.skewness("l_extendedprice"), 4).alias("price_skew"),
+        F.round(F.kurtosis("l_extendedprice"), 4).alias("price_kurt"),
+    )
