@@ -805,3 +805,99 @@ def stats_moments(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.skewness("l_extendedprice"), 4).alias("price_skew"),
         F.round(F.kurtosis("l_extendedprice"), 4).alias("price_kurt"),
     )
+
+
+@query(
+    "join_null_safe",
+    oracle="""
+    WITH a AS (
+      SELECT NULLIF(o_orderpriority, '1-URGENT') AS priority_key,
+             CAST(COUNT(*) AS BIGINT) AS n_1997
+      FROM orders WHERE year(o_orderdate) = 1997 GROUP BY 1
+    ), b AS (
+      SELECT NULLIF(o_orderpriority, '1-URGENT') AS priority_key,
+             CAST(COUNT(*) AS BIGINT) AS n_1998
+      FROM orders WHERE year(o_orderdate) = 1998 GROUP BY 1
+    )
+    SELECT COALESCE(a.priority_key, b.priority_key) AS priority_key,
+           COALESCE(n_1997, 0) AS n_1997,
+           COALESCE(n_1998, 0) AS n_1998
+    FROM a FULL OUTER JOIN b
+      ON a.priority_key IS NOT DISTINCT FROM b.priority_key
+    """,
+    description="Null-safe full-outer join (<=> / IS NOT DISTINCT "
+    "FROM): the NULL bucket (urgent priority nulled out) matches "
+    "across sides instead of being dropped — the semantics a plain "
+    "equality join silently gets wrong.",
+)
+def join_null_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Year-over-year counts keyed on a NULLABLE key.
+
+    ``eqNullSafe`` compiles to a hash join with the null-safe
+    equality as the key (both engines hash NULL to a regular bucket
+    under <=>), so the plan is the same exchange shape as a normal
+    equi-join — no fallback to nested-loop.
+    """
+    orders = read_table(spark, sf_dir, "orders")
+    key = F.nullif(F.col("o_orderpriority"), F.lit("1-URGENT")).alias(
+        "priority_key"
+    )
+    a = (
+        orders.filter(F.year("o_orderdate") == 1997)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_1997"))
+    )
+    b = (
+        orders.filter(F.year("o_orderdate") == 1998)
+        .groupBy(key)
+        .agg(F.count(F.lit(1)).cast("long").alias("n_1998"))
+    )
+    return (
+        a.join(
+            b,
+            a["priority_key"].eqNullSafe(b["priority_key"]),
+            "full_outer",
+        )
+        .select(
+            F.coalesce(a["priority_key"], b["priority_key"]).alias(
+                "priority_key"
+            ),
+            F.coalesce("n_1997", F.lit(0)).alias("n_1997"),
+            F.coalesce("n_1998", F.lit(0)).alias("n_1998"),
+        )
+    )
+
+
+@query(
+    "schema_evolution_union",
+    oracle="""
+    SELECT doc_id, text, lang
+    FROM documents WHERE doc_id % 2 = 0
+    UNION ALL BY NAME
+    SELECT doc_id, text, source, n_chars
+    FROM documents WHERE doc_id % 2 = 1
+    """,
+    description="Schema-evolution union (unionByName with "
+    "allowMissingColumns ~ DuckDB UNION ALL BY NAME): merging corpus "
+    "snapshots whose schemas drifted; missing columns null-fill, "
+    "nothing positional.",
+)
+def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Union two snapshot schemas by NAME, null-filling the gaps.
+
+    The corpus-snapshot merge problem: v1 shipped (doc_id, text,
+    lang), v2 added source/n_chars and dropped lang.  Positional
+    UNION corrupts silently; ``unionByName(allowMissingColumns=True)``
+    aligns on names.  Narrow (no shuffle) — the union is just
+    partition concatenation, so it scales as a pure scan.  On disk
+    the same drift is handled by parquet ``mergeSchema`` reads
+    (sources/formats.py).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    v1 = docs.filter(F.col("doc_id") % 2 == 0).select(
+        "doc_id", "text", "lang"
+    )
+    v2 = docs.filter(F.col("doc_id") % 2 == 1).select(
+        "doc_id", "text", "source", "n_chars"
+    )
+    return v1.unionByName(v2, allowMissingColumns=True)

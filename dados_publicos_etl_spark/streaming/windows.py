@@ -448,3 +448,88 @@ def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
         finally:
             q.stop()
     return spark.table(name)
+
+
+def streaming_static_enrich(
+    spark: SparkSession, sf_dir: str, gap: str = "10 minutes"
+) -> DataFrame:
+    """True-streaming stream-STATIC join: readStream events enriched
+    with the customer dimension, then a watermarked tumbling-window
+    aggregation per market segment.
+
+    The static side is re-resolved per micro-batch and broadcast
+    (stateless join — no watermark needed on the dim, no state store
+    rows), which is THE pattern for enriching a 100 TB/day event
+    stream with reference data: dimension churn is picked up at
+    micro-batch granularity and the stream side never shuffles for
+    the join, only for the window aggregation.
+    """
+    import uuid
+
+    from dados_publicos_etl_spark.functions.numeric import money_sum
+
+    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+    raw_schema = (
+        "event_id long, ts long, user_id long, event_type string, "
+        "value double, props string"
+    )
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    stream = (
+        spark.readStream.schema(raw_schema)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+    )
+    dim = read_table(spark, sf_dir, "customer").select(
+        F.col("c_custkey").alias("user_id"), "c_mktsegment"
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .join(F.broadcast(dim), "user_id")
+        .groupBy(F.window("ts", gap), "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            money_sum("value").alias("sum_value"),
+        )
+        .select(
+            F.date_format(
+                F.to_utc_timestamp(F.col("window.start"), tz), _TS_FMT
+            ).alias("window_start"),
+            "c_mktsegment",
+            "n_events",
+            "sum_value",
+        )
+    )
+    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
+    with _streaming_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    return spark.table(name)
+
+
+@query(
+    "stream_static_enrich",
+    oracle=f"""
+    SELECT {_DUCK_BUCKET.format(w=600)} AS window_start,
+           c_mktsegment,
+           COUNT(*) AS n_events,
+           (CAST(SUM(CAST(ROUND((value) * 100, 0) AS BIGINT)) AS DOUBLE)
+            / 100.0) AS sum_value
+    FROM events JOIN customer ON user_id = c_custkey
+    GROUP BY window_start, c_mktsegment
+    """,
+    description="Stream-static dimension enrichment: readStream "
+    "events broadcast-joined to the customer dim per micro-batch "
+    "(stateless), then watermark + tumbling window per segment; "
+    "result equals the batch join+window oracle.",
+)
+def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    return streaming_static_enrich(spark, sf_dir)

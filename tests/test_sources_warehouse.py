@@ -238,3 +238,46 @@ def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
             rows += [json.loads(line) for line in fh]
     assert sorted(r["k"] for r in rows) == list(range(100))
     assert all(r["v"] == str(r["k"] * 2) for r in rows)
+
+
+def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
+    """overwrite_partitions replaces ONLY the partitions present in
+    the incremental frame; untouched partitions survive byte-for-byte,
+    and sortWithinPartitions layout holds inside each file."""
+    from dados_publicos_etl_spark.io import overwrite_partitions, read_table
+
+    out = str(tmp_path / "orders_by_status")
+    orders = read_table(spark, sf_dir, "orders")
+    overwrite_partitions(
+        orders, out, partition_by=["o_orderstatus"],
+        sort_within_by=["o_custkey"], max_records_per_file=100_000,
+    )
+    before = {
+        r["o_orderstatus"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("o_orderstatus").count().withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert set(before) == {"F", "O", "P"}
+
+    # incremental rewrite of ONE partition with a truncated frame
+    inc = orders.filter("o_orderstatus = 'P'").limit(5)
+    overwrite_partitions(inc, out, partition_by=["o_orderstatus"])
+    after = {
+        r["o_orderstatus"]: r["n"]
+        for r in spark.read.parquet(out)
+        .groupBy("o_orderstatus").count().withColumnRenamed("count", "n")
+        .collect()
+    }
+    assert after["P"] == 5                      # rewritten
+    assert after["F"] == before["F"]            # untouched
+    assert after["O"] == before["O"]
+
+    # sort_within_by produced monotone o_custkey within each file
+    import pyarrow.parquet as pq
+    import glob
+    files = glob.glob(f"{out}/o_orderstatus=F/*.parquet")
+    assert files
+    col = pq.read_table(files[0], columns=["o_custkey"])["o_custkey"]
+    vals = col.to_pylist()
+    assert vals == sorted(vals)
