@@ -207,7 +207,7 @@ def _pagerank_oracle() -> str:
              (1 - {_PR_DAMP}) / (SELECT n FROM ncnt)
              + {_PR_DAMP} * COALESCE(s.contrib, 0) AS pr
       FROM nodes LEFT JOIN (
-        SELECT e.dst AS node, SUM(p.pr / o.deg) AS contrib
+        SELECT e.dst AS node, SUM((1.0 / o.deg) * p.pr) AS contrib
         FROM edges e
         JOIN pr{k - 1} p ON e.src = p.node
         JOIN outdeg o ON e.src = o.src
@@ -281,26 +281,40 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
         .distinct()
+    )
+    # Pre-weight edges with 1/outdegree ONCE — the degree never
+    # changes across iterations, so joining it per round would redo
+    # the same shuffle _PR_ITERS times.  Checkpoint pins the weighted
+    # edge table (the loop's only big input) in block storage.
+    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+    wedges = (
+        edges.join(outdeg, "src")
+        .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
         .localCheckpoint()
     )
-    outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     nodes = (
-        edges.select(F.col("src").alias("node"))
-        .union(edges.select(F.col("dst").alias("node")))
+        wedges.select(F.col("src").alias("node"))
+        .union(wedges.select(F.col("dst").alias("node")))
         .distinct()
         .localCheckpoint()
     )
     n = nodes.count()
     pr = nodes.withColumn("pr", F.lit(1.0 / n))
     for _ in range(_PR_ITERS):
+        # Rank table is |V| rows (tiny next to |E|): broadcast it so
+        # the edge table never shuffles — per round the only exchange
+        # is the partial-aggregated contribution sums.  At
+        # billions-of-nodes scale drop the broadcast hint and
+        # pre-repartition wedges and pr on the node key once instead.
         contrib = (
-            edges.join(pr, edges.src == pr.node)
-            .join(outdeg, "src")
+            wedges.join(F.broadcast(pr), wedges.src == pr.node)
             .groupBy("dst")
-            .agg(F.sum(F.col("pr") / F.col("deg")).alias("contrib"))
+            .agg(F.sum(F.col("w") * F.col("pr")).alias("contrib"))
         )
         pr = (
-            nodes.join(contrib, nodes.node == contrib.dst, "left")
+            nodes.join(
+                F.broadcast(contrib), nodes.node == contrib.dst, "left"
+            )
             .select(
                 "node",
                 (
