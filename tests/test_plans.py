@@ -150,3 +150,64 @@ def test_grouping_sets_single_expand_single_shuffle(spark, sf_dir):
     assert plan.count("Expand") == 1, plan
     assert plan.count("Exchange") == 1, plan
     assert plan.count("FileScan") == 1, plan
+
+
+def test_cross_snapshot_dedup_joins_hashes_not_text(spark, sf_dir):
+    """The anti-join key is the 64-char digest; the join subtree must
+    not carry the text column (only digests shuffle at 100 TB)."""
+    plan = _plan(QUERIES["dedup_cross_snapshot"].fn(spark, sf_dir))
+    join_part = plan.split("Join")[1].split("FileScan")[0]
+    assert "content_hash" in plan
+    assert "LeftAnti" in plan
+    # text is consumed by the scan-side projection that computes the
+    # hash, never output past it
+    for frag in plan.split("Project"):
+        if "content_hash" in frag and "sha2" not in frag:
+            assert "text#" not in frag.split("]")[0]
+
+
+def test_passage_scrub_single_window_exchange(spark, sf_dir):
+    """One exchange for the digest window + one for the doc-level agg
+    — no hidden extra shuffles."""
+    plan = _plan(QUERIES["passage_scrub"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Window" in plan
+
+
+def test_histogram_partial_agg_and_tiny_window(spark, sf_dir):
+    plan = _plan(QUERIES["corpus_token_histogram"].fn(spark, sf_dir))
+    assert "partial_count" in plan or "partial_" in plan
+    # the global-share window sits ABOVE the aggregate (plans print
+    # output-first), i.e. it runs on the already-aggregated tiny frame
+    assert plan.index("Window") < plan.index("HashAggregate")
+
+
+def test_pagerank_final_plan_is_checkpoint_truncated(spark, sf_dir):
+    """After 5 iterations the result plan must read the checkpointed
+    rank RDD directly (no replay of earlier rounds) and use
+    TakeOrderedAndProject for the top-k."""
+    plan = _plan(QUERIES["pagerank_suppliers"].fn(spark, sf_dir))
+    assert "ExistingRDD" in plan
+    assert "TakeOrderedAndProject" in plan
+    # no joins/exchanges survive into the final plan — all iteration
+    # work happened in the checkpointed rounds
+    assert "Exchange hashpartitioning" not in plan
+
+
+def test_stats_moments_single_pass(spark, sf_dir):
+    """All five moment aggregates fuse into ONE aggregation pass
+    (one partial/final pair, one exchange)."""
+    plan = _plan(QUERIES["stats_moments"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 1
+    assert plan.count("FileScan") == 1
+
+
+def test_null_safe_join_is_hash_join(spark, sf_dir):
+    """<=> compiles to a hash-joinable key, not BroadcastNestedLoop."""
+    plan = _plan(QUERIES["join_null_safe"].fn(spark, sf_dir))
+    assert "NestedLoop" not in plan
+
+
+def test_schema_evolution_union_no_shuffle(spark, sf_dir):
+    plan = _plan(QUERIES["schema_evolution_union"].fn(spark, sf_dir))
+    assert "Exchange" not in plan
