@@ -901,3 +901,159 @@ def schema_evolution_union(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id", "text", "source", "n_chars"
     )
     return v1.unionByName(v2, allowMissingColumns=True)
+
+
+@query(
+    "string_functions_ext",
+    oracle="""
+    SELECT p_partkey,
+           translate(p_brand, '#', '-') AS brand_tr,
+           levenshtein(p_brand, 'Brand#11') AS brand_dist,
+           split_part(p_type, ' ', 1) AS type_head,
+           CAST(len(regexp_extract_all(p_name, '[aeiou]+')) AS INT)
+             AS n_vowel_runs,
+           lpad(CAST(p_partkey AS VARCHAR), 8, '0') AS key_padded,
+           reverse(p_name) AS name_rev
+    FROM part
+    """,
+    description="Extended string scalar surface: translate / "
+    "levenshtein / split_part / regexp_extract_all / lpad / reverse "
+    "— all codegen'd JVM expressions, zero shuffle.",
+)
+def string_functions_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    part = read_table(spark, sf_dir, "part")
+    return part.select(
+        "p_partkey",
+        F.translate("p_brand", "#", "-").alias("brand_tr"),
+        F.levenshtein("p_brand", F.lit("Brand#11")).alias("brand_dist"),
+        F.split_part("p_type", F.lit(" "), F.lit(1)).alias("type_head"),
+        F.size(
+            F.regexp_extract_all("p_name", F.lit("[aeiou]+"), F.lit(0))
+        ).alias("n_vowel_runs"),
+        F.lpad(F.col("p_partkey").cast("string"), 8, "0").alias(
+            "key_padded"
+        ),
+        F.reverse("p_name").alias("name_rev"),
+    )
+
+
+@query(
+    "date_functions_ext",
+    oracle="""
+    SELECT o_orderkey,
+           strftime(date_trunc('quarter', o_orderdate), '%Y-%m-%d')
+             AS quarter_start,
+           strftime(last_day(o_orderdate), '%Y-%m-%d') AS month_end,
+           CAST(date_diff('day', o_orderdate,
+                          TIMESTAMP '1998-08-02 00:00:00') AS INT)
+             AS days_to_ref,
+           CAST(isodow(o_orderdate) - 1 AS INT) AS weekday_mon0,
+           strftime(o_orderdate + INTERVAL 3 MONTH, '%Y-%m-%d') AS plus3m
+    FROM orders
+    """,
+    description="Extended date scalar surface: date_trunc(quarter) / "
+    "last_day / datediff / weekday / add_months (month-end clamped "
+    "identically on both engines).  Narrow map, no shuffle.",
+)
+def date_functions_ext(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    return orders.select(
+        "o_orderkey",
+        F.date_format(F.date_trunc("quarter", "o_orderdate"), "yyyy-MM-dd")
+        .alias("quarter_start"),
+        F.date_format(F.last_day("o_orderdate"), "yyyy-MM-dd").alias(
+            "month_end"
+        ),
+        F.datediff(
+            F.lit("1998-08-02").cast("date"), F.col("o_orderdate")
+        ).cast("int").alias("days_to_ref"),
+        F.weekday("o_orderdate").cast("int").alias("weekday_mon0"),
+        F.date_format(F.add_months("o_orderdate", 3), "yyyy-MM-dd").alias(
+            "plus3m"
+        ),
+    )
+
+
+@query(
+    "map_functions",
+    oracle="""
+    SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM events
+    GROUP BY user_id, event_type
+    HAVING COUNT(*) >= 3
+    """,
+    description="Map-typed column surface: map_from_entries over a "
+    "grouped collect, map_filter (n >= 3), explode back to rows — "
+    "relational oracle pins the round-trip exactly.",
+)
+def map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Build / filter / explode a MapType column.
+
+    The map round-trip (rows -> map -> filtered map -> rows) is the
+    engine surface for per-entity keyed aggregates (feature maps,
+    per-type counters).  Everything is JVM-side; the only shuffles
+    are the two aggregations.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    per = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).cast("long").alias("n")
+    )
+    m = per.groupBy("user_id").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("event_type", "n"))
+        ).alias("m")
+    )
+    filt = m.select(
+        "user_id",
+        F.map_filter("m", lambda _k, v: v >= 3).alias("m"),
+    )
+    return filt.select(
+        "user_id", F.explode("m").alias("event_type", "n")
+    )
+
+
+@query(
+    "array_functions",
+    oracle="""
+    WITH a AS (
+      SELECT l_orderkey,
+             list(l_quantity ORDER BY l_linenumber, l_quantity) AS qtys
+      FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT l_orderkey,
+           CAST(len(qtys) AS INT) AS n_lines,
+           array_to_string(list_transform(list_slice(qtys, 1, 3),
+                           x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')
+             AS qty_head,
+           list_contains(qtys, 10.0) AS has_ten,
+           CAST(COALESCE(list_position(qtys, 10.0), 0) AS BIGINT)
+             AS pos_ten,
+           array_to_string(list_transform(list_reverse(qtys),
+                           x -> CAST(CAST(x AS INT) AS VARCHAR)), ',')
+             AS qty_rev
+    FROM a
+    """,
+    description="Array function surface: ordered collect, slice, "
+    "contains, position, reverse over a per-order quantity array.  "
+    "One shuffle (the grouped collect); everything after is narrow.",
+)
+def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    per = li.groupBy("l_orderkey").agg(
+        F.array_sort(
+            F.collect_list(F.struct("l_linenumber", "l_quantity"))
+        ).alias("s")
+    )
+    qtys = F.expr("transform(s, x -> x.l_quantity)")
+    base = per.select("l_orderkey", qtys.alias("qtys"))
+    as_csv = lambda c: F.concat_ws(  # noqa: E731 — serialize for hash
+        ",", F.transform(c, lambda x: x.cast("int").cast("string"))
+    )
+    return base.select(
+        "l_orderkey",
+        F.size("qtys").alias("n_lines"),
+        as_csv(F.slice("qtys", 1, 3)).alias("qty_head"),
+        F.array_contains("qtys", F.lit(10.0)).alias("has_ten"),
+        F.array_position("qtys", F.lit(10.0)).alias("pos_ten"),
+        as_csv(F.reverse("qtys")).alias("qty_rev"),
+    )
