@@ -102,3 +102,150 @@ def sample_pergroup(spark: SparkSession, sf_dir: str) -> DataFrame:
         docs.select("doc_id", "lang", F.row_number().over(w).alias("rk"))
         .filter(F.col("rk") <= _K_PER_GROUP)
     )
+
+
+_SPLIT_DUCK_BUCKET = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 100)"
+)
+
+
+@query(
+    "dataset_split",
+    oracle=f"""
+    WITH assigned AS (
+      SELECT source,
+             CASE WHEN {_SPLIT_DUCK_BUCKET} < 80 THEN 'train'
+                  WHEN {_SPLIT_DUCK_BUCKET} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM documents
+    )
+    SELECT source, split, CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM assigned
+    GROUP BY source, split
+    """,
+    description="Deterministic train/val/test split (80/10/10) keyed "
+    "on md5(doc_id): assignment is row-local (no shuffle), stable "
+    "across runs/engines/partitionings; per-source split counts "
+    "verify stratification.",
+)
+def dataset_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hash-based dataset split — the eval-leakage-safe way.
+
+    Splitting by rand() re-deals the split every run (and on every
+    repartition); splitting by position leaks correlated neighbors
+    into eval.  A cryptographic-hash bucket of the stable doc id
+    gives every document a permanent split assignment, reproducible
+    on any engine — the property that matters when the corpus is
+    rebuilt monthly at 100 TB and eval sets must stay frozen.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    b = hash_bucket("doc_id", 100)
+    assigned = docs.select(
+        "source",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("source", "split").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs")
+    )
+
+
+# Target corpus mix, parts per 1000 (sources absent from the map are
+# dropped).  src0 is down-weighted (it is the held-out benchmark
+# source in contamination_ngram); src1-3 dominate; src4 partial.
+_MIX_TARGET = {"src0": 50, "src1": 250, "src2": 250, "src3": 250,
+               "src4": 200}
+
+_MIX_CASE = " ".join(
+    f"WHEN '{k}' THEN {v}" for k, v in _MIX_TARGET.items()
+)
+
+_MIX_DUCK_BUCKET = (
+    "(CAST(('0x' || substr(md5(CAST(d.doc_id AS VARCHAR)), 1, 8)) "
+    "AS BIGINT) % 1000000)"
+)
+
+
+@query(
+    "corpus_mix_rebalance",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n
+      FROM documents GROUP BY source
+    ), tgt AS (
+      SELECT source, n,
+             CAST(CASE source {_MIX_CASE} ELSE 0 END AS DOUBLE) / 1000.0
+               AS t
+      FROM counts
+    ), tot AS (
+      SELECT source, n, t, MIN(n / t) OVER () AS total
+      FROM tgt WHERE t > 0
+    ), rates AS (
+      SELECT source, n,
+             CAST(floor((t * total / n) * 1000000) AS BIGINT) AS thr
+      FROM tot
+    ), kept AS (
+      SELECT d.source, COUNT(*) AS n_kept
+      FROM documents d JOIN rates r ON d.source = r.source
+      WHERE {_MIX_DUCK_BUCKET} < r.thr
+      GROUP BY d.source
+    )
+    SELECT r.source,
+           CAST(r.n AS BIGINT) AS n_before,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.source = k.source
+    """,
+    description="Corpus mix rebalancing to target source shares: "
+    "largest achievable corpus where every kept source hits its "
+    "target proportion (total = min n_s/t_s), realized by "
+    "deterministic md5-bucket sampling at floor(rate*1e6) "
+    "thresholds — per-row decisions, engine-reproducible.",
+)
+def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Down-sample sources to a target mixture.
+
+    The mixture solve (total = min_s n_s/t_s, rate_s = t_s*total/n_s)
+    runs on the per-source count table — dozens of rows — so the
+    unpartitioned window is free; the expensive part is the per-row
+    keep decision, which is a broadcast join of the 5-row rate table
+    plus a narrow hash filter (no shuffle of the corpus).  Integer
+    thresholds (floor(rate*1e6)) make the per-row decision identical
+    on any engine computing the same doubles.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    tchain = F.when(F.lit(False), 0.0)
+    for k, v in _MIX_TARGET.items():
+        tchain = tchain.when(F.col("source") == k, v / 1000.0)
+    tgt = counts.select("source", "n", tchain.otherwise(0.0).alias("t"))
+    tot = (
+        tgt.filter(F.col("t") > 0)
+        .withColumn(
+            "total",
+            F.min(F.col("n") / F.col("t")).over(W.partitionBy()),
+        )
+    )
+    rates = tot.select(
+        "source",
+        "n",
+        F.floor((F.col("t") * F.col("total") / F.col("n")) * 1_000_000)
+        .cast("long")
+        .alias("thr"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("source", "thr")), "source")
+        .filter(hash_bucket("doc_id", 1_000_000) < F.col("thr"))
+        .groupBy("source")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return (
+        rates.join(kept, "source", "left")
+        .select(
+            "source",
+            F.col("n").cast("long").alias("n_before"),
+            F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+        )
+    )
