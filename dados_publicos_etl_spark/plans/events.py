@@ -369,3 +369,66 @@ def ewma_user_value(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("ewma"),
         )
     )
+
+
+@query(
+    "window_fill_forward",
+    oracle="""
+    WITH sparse AS (
+      SELECT event_id, user_id, ts,
+             CASE WHEN event_type = 'purchase' THEN value END AS v
+      FROM events
+    )
+    SELECT event_id, user_id,
+           last_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+             AS ffill_value,
+           first_value(v IGNORE NULLS) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN UNBOUNDED PRECEDING
+                      AND UNBOUNDED FOLLOWING)
+             AS first_purchase_value
+    FROM sparse
+    """,
+    description="IGNORE NULLS window navigation: forward-fill the "
+    "last purchase value onto every event (sparse-signal gap fill) "
+    "plus first non-null per partition.  One shuffle on user_id, one "
+    "sort, both windows share the partitioning.",
+)
+def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Forward fill via last(..., ignorenulls=True).
+
+    The time-series gap-fill: carry the most recent non-null
+    observation forward within each key.  Both window frames reuse
+    the same (user_id, ts) sort, so Catalyst plans ONE exchange and
+    ONE sort for the pair.  At 100 TB this scales as any user-keyed
+    window: high-cardinality partition key, bounded per-user state.
+    """
+    ev = read_table(spark, sf_dir, "events")
+    sparse = ev.select(
+        "event_id",
+        "user_id",
+        "ts",
+        F.when(F.col("event_type") == "purchase", F.col("value")).alias(
+            "v"
+        ),
+    )
+    wff = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    wall = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, W.unboundedFollowing)
+    )
+    return sparse.select(
+        "event_id",
+        "user_id",
+        F.last("v", ignorenulls=True).over(wff).alias("ffill_value"),
+        F.first("v", ignorenulls=True)
+        .over(wall)
+        .alias("first_purchase_value"),
+    )
