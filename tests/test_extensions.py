@@ -5,6 +5,7 @@ simhash sanity, streaming/batch parity."""
 from __future__ import annotations
 
 import numpy as np
+import pandas as pd
 import pytest
 from pyspark.sql import functions as F
 
@@ -189,3 +190,43 @@ def test_hll_merge_equals_whole(spark, sf_dir):
         .head()[0]
     )
     assert whole == merged
+
+
+def test_sql_udf_registration(spark, sf_dir):
+    """spark.udf.register exposes Python (Arrow) UDFs to the SQL
+    surface — the registration path a SQL-first user would hit."""
+    from pyspark.sql.types import DoubleType
+
+    from dados_publicos_etl_spark.io import read_table
+
+    @F.pandas_udf(DoubleType())
+    def margin(price: pd.Series, disc: pd.Series) -> pd.Series:
+        return price * (1.0 - disc)
+
+    spark.udf.register("margin", margin)
+    read_table(spark, sf_dir, "lineitem").createOrReplaceTempView(
+        "v_li_udf"
+    )
+    got = spark.sql(
+        "SELECT ROUND(SUM(ROUND(margin(l_extendedprice, l_discount) * 100, "
+        "0)) / 100.0, 2) AS s FROM v_li_udf"
+    ).collect()[0]["s"]
+    want = (
+        read_table(spark, sf_dir, "lineitem")
+        .agg(
+            F.round(
+                F.sum(
+                    F.round(
+                        F.col("l_extendedprice")
+                        * (1.0 - F.col("l_discount"))
+                        * 100,
+                        0,
+                    )
+                )
+                / 100.0,
+                2,
+            ).alias("s")
+        )
+        .collect()[0]["s"]
+    )
+    assert got == want
