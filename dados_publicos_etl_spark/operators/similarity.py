@@ -391,10 +391,16 @@ def ivf_topk(
                 }
             )
 
+    # The (id, cell) table is 12 bytes a row — broadcast it back onto
+    # the embedding scan instead of shuffle-joining, so the fat vector
+    # column never crosses an exchange.  (At 100 TB the equivalent is
+    # writing the cell table partitioned by cell and re-reading; the
+    # embedding payload still never shuffles.)
+    cells = emb.select(id_col, vec_col).mapInPandas(
+        assign_cells, schema=f"{id_col} long, cell int"
+    )
     assigned = (
-        emb.select(id_col, vec_col)
-        .mapInPandas(assign_cells, schema=f"{id_col} long, cell int")
-        .join(emb, id_col)
+        emb.join(F.broadcast(cells), id_col)
         .localCheckpoint()  # cell table: materialized once, probed below
     )
     queries = (
