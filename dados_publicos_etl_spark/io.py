@@ -73,6 +73,8 @@ def read_csv(
     header: bool = False,
     encoding: str = "UTF-8",
     infer: bool = False,
+    mode: str = "PERMISSIVE",
+    corrupt_col: str | None = None,
 ) -> DataFrame:
     """CSV scan with the reference's option set.
 
@@ -82,6 +84,13 @@ def read_csv(
     (/root/reference/src/utils/scraping.py:63-89) is a native
     ``encoding`` option here.  Explicit schema avoids Spark's extra
     inference pass over the data — keep ``infer`` an opt-in.
+
+    Public data is messy; ``mode`` picks the malformed-row policy:
+    PERMISSIVE (default) nulls bad fields, DROPMALFORMED drops the
+    row, FAILFAST aborts the job.  Pass ``corrupt_col`` (with a
+    matching string field in ``schema``) to capture each malformed
+    raw line for quarantine instead of losing it — the audit-friendly
+    path at scale, where silently nulled rows are undebuggable.
     """
     reader = (
         spark.read.format("csv")
@@ -90,7 +99,10 @@ def read_csv(
         .option("quote", '"')
         .option("escape", '"')
         .option("encoding", encoding)
+        .option("mode", mode)
     )
+    if corrupt_col is not None:
+        reader = reader.option("columnNameOfCorruptRecord", corrupt_col)
     if schema is not None:
         reader = reader.schema(schema)
     elif infer:

@@ -60,3 +60,100 @@ def test_cnae_pipeline_golden(spark, tmp_path):
     got = {r.CODIGO: (r.DESCRICAO, r.SEGMENTO) for r in back.collect()}
     assert got[113] == (None, "PRIMARIO")
     assert got[112] == ("Cultivo de; algodão", "SECUNDARIO")
+
+
+def test_csv_malformed_row_policies(spark, tmp_path):
+    """Messy public-data ingestion: PERMISSIVE captures the corrupt
+    raw line for quarantine, DROPMALFORMED drops it, FAILFAST aborts."""
+    import pytest
+    from pyspark.sql import types as T
+    from pyspark.sql import functions as F
+
+    from dados_publicos_etl_spark.io import read_csv
+
+    src = tmp_path / "messy.csv"
+    src.write_text("1;alpha\n2;beta\n9;extra;too;many\n3;delta\n")
+    schema = T.StructType(
+        [
+            T.StructField("CODIGO", T.IntegerType()),
+            T.StructField("DESCRICAO", T.StringType()),
+            T.StructField("_bad", T.StringType()),
+        ]
+    )
+
+    permissive = read_csv(
+        spark, str(src), schema=schema, corrupt_col="_bad"
+    ).cache()
+    assert permissive.count() == 4
+    bad = permissive.filter(F.col("_bad").isNotNull()).collect()
+    assert len(bad) == 1 and bad[0]["_bad"] == "9;extra;too;many"
+    assert bad[0]["CODIGO"] == 9  # parseable prefix retained
+    permissive.unpersist()
+
+    dropped = read_csv(
+        spark,
+        str(src),
+        schema=T.StructType(schema.fields[:2]),
+        mode="DROPMALFORMED",
+    )
+    # collect(), not count(): CSV column pruning means count() parses
+    # zero columns and malformed rows never surface (the classic
+    # csv.parser.columnPruning trap)
+    assert len(dropped.collect()) == 3
+
+    with pytest.raises(Exception, match="(?i)malformed|FAILFAST"):
+        read_csv(
+            spark,
+            str(src),
+            schema=T.StructType(schema.fields[:2]),
+            mode="FAILFAST",
+        ).collect()
+
+
+def test_incremental_daily_pipeline(spark, sf_dir, tmp_path):
+    """End-to-end incremental ETL: day-2 increment rewrites ONLY its
+    partition (dynamic overwrite) and the running aggregate is
+    maintained by merging partials — no full-history recompute —
+    then matches a from-scratch aggregation exactly."""
+    from pyspark.sql import functions as F
+
+    from dados_publicos_etl_spark.io import overwrite_partitions, read_table
+
+    out = str(tmp_path / "orders_daily")
+    orders = read_table(spark, sf_dir, "orders").withColumn(
+        "order_year", F.year("o_orderdate")
+    )
+    day1 = orders.filter("order_year < 1998")
+    day2 = orders.filter("order_year >= 1998")
+
+    def partials(df):
+        return df.groupBy("o_orderstatus").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+            .alias("cents"),
+        )
+
+    # day 1: full load + partial aggregate snapshot
+    overwrite_partitions(day1, out, partition_by=["order_year"])
+    agg_state = partials(spark.read.parquet(out))
+
+    # day 2: write only the new partition; merge its partials into the
+    # maintained state (mergeable-partials pattern, no history rescan)
+    overwrite_partitions(day2, out, partition_by=["order_year"])
+    merged = (
+        agg_state.unionByName(partials(day2))
+        .groupBy("o_orderstatus")
+        .agg(F.sum("n").alias("n"), F.sum("cents").alias("cents"))
+    )
+
+    scratch = partials(read_table(spark, sf_dir, "orders"))
+    got = {
+        r["o_orderstatus"]: (r["n"], r["cents"]) for r in merged.collect()
+    }
+    want = {
+        r["o_orderstatus"]: (r["n"], r["cents"]) for r in scratch.collect()
+    }
+    assert got == want
+    # and the physical layout holds every year partition exactly once
+    years = spark.read.parquet(out).select("order_year").distinct().count()
+    assert years == orders.select("order_year").distinct().count()
