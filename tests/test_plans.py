@@ -211,3 +211,15 @@ def test_null_safe_join_is_hash_join(spark, sf_dir):
 def test_schema_evolution_union_no_shuffle(spark, sf_dir):
     plan = _plan(QUERIES["schema_evolution_union"].fn(spark, sf_dir))
     assert "Exchange" not in plan
+
+
+def test_join_strategy_hints_are_honored(spark, sf_dir):
+    """The engine can force each physical join strategy when the
+    optimizer's default is wrong for a known workload: broadcast,
+    shuffle-hash (no sort at 100 TB), and sort-merge."""
+    o = read_table(spark, sf_dir, "orders")
+    c = read_table(spark, sf_dir, "customer")
+    on = o.o_custkey == c.c_custkey
+    assert "BroadcastHashJoin" in _plan(o.join(c.hint("broadcast"), on))
+    assert "ShuffledHashJoin" in _plan(o.join(c.hint("shuffle_hash"), on))
+    assert "SortMergeJoin" in _plan(o.join(c.hint("merge"), on))
