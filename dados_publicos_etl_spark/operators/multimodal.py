@@ -249,3 +249,92 @@ def multimodal_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     return extract_byte_features(mm.select("doc_id", "payload")).select(
         "doc_id", "n_bytes", "content_md5"
     )
+
+
+SAMPLE_RATE = 16_000  # Hz, int16 mono PCM convention
+SEGMENT_SECONDS = 0.025  # 25 ms analysis windows (ASR front-end shape)
+
+
+def segment_audio(
+    df: DataFrame,
+    sample_rate: int = SAMPLE_RATE,
+    segment_seconds: float = SEGMENT_SECONDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Audio segmentation + per-segment features over int16 PCM
+    payloads — the audio leg of the multimodal surface.
+
+    Unlike image/video (codec-gated stubs), raw PCM is JUST BYTES, so
+    this path is fully real: interpret the binary payload as int16
+    mono at ``sample_rate``, window into fixed-duration segments, and
+    compute RMS energy and zero-crossing count per segment with
+    vectorized numpy over Arrow batches.  A compressed-audio corpus
+    inserts a decode step (ffmpeg/soundfile) before the same
+    windowing; schema and batch shape do not change.
+
+    One input row fans out to one row per segment (1->N, same shape
+    as frame sampling); everything stays Arrow-batched and the fat
+    payload never shuffles — segmentation happens in the scan stage.
+    """
+    import numpy as np
+
+    seg_samples = max(int(sample_rate * segment_seconds), 1)
+
+    def segments(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, ns, rms, zcr = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                pcm = np.frombuffer(
+                    b[: len(b) - (len(b) % 2)], dtype="<i2"
+                ).astype("float64")
+                n_seg = (len(pcm) + seg_samples - 1) // seg_samples
+                for si in range(n_seg):
+                    w = pcm[si * seg_samples : (si + 1) * seg_samples]
+                    ids.append(i)
+                    idxs.append(si)
+                    ns.append(len(w))
+                    rms.append(
+                        round(float(np.sqrt(np.mean(w * w))), 4)
+                        if len(w)
+                        else 0.0
+                    )
+                    zcr.append(int(np.count_nonzero(np.diff(np.sign(w)))))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "segment_idx": pd.Series(idxs, dtype="int32"),
+                    "n_samples": pd.Series(ns, dtype="int32"),
+                    "rms": pd.Series(rms, dtype="float64"),
+                    "zero_crossings": pd.Series(zcr, dtype="int64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        segments,
+        schema=(
+            f"{id_col} long, segment_idx int, n_samples int, "
+            "rms double, zero_crossings long"
+        ),
+    )
+
+
+@query(
+    "multimodal_audio_segments",
+    oracle=None,  # byte-level PCM math; exactness pinned by pytest
+    description="Audio modality: int16-PCM segmentation into 25 ms "
+    "windows with per-segment RMS / zero-crossing features, Arrow "
+    "batched, 1->N fan-out in the scan stage (payload never "
+    "shuffles).  Aggregated to per-doc segment stats.",
+)
+def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    mm = to_multimodal(docs, "text", modality="audio", mime="audio/pcm")
+    segs = segment_audio(mm)
+    return (
+        segs.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_segments"),
+            F.round(F.avg("rms"), 4).alias("avg_rms"),
+            F.sum("zero_crossings").cast("long").alias("total_zc"),
+        )
+    )

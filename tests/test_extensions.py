@@ -230,3 +230,31 @@ def test_sql_udf_registration(spark, sf_dir):
         .collect()[0]["s"]
     )
     assert got == want
+
+
+def test_audio_segment_pcm_math_exact(spark):
+    """segment_audio's RMS / zero-crossing math is pinned on a known
+    int16 waveform (a square wave) — the audio path is real byte
+    math, not a stub."""
+    import numpy as np
+
+    from dados_publicos_etl_spark.operators.multimodal import (
+        SAMPLE_RATE,
+        segment_audio,
+    )
+
+    # 50 ms square wave at amplitude 1000, period 4 samples
+    n = SAMPLE_RATE // 20
+    pcm = (np.tile([1000, 1000, -1000, -1000], n // 4)).astype("<i2")
+    df = spark.createDataFrame(
+        [(1, bytearray(pcm.tobytes()))], "doc_id long, payload binary"
+    )
+    out = segment_audio(df).orderBy("segment_idx").collect()
+    # 50 ms / 25 ms windows = 2 full segments
+    assert [r["segment_idx"] for r in out] == [0, 1]
+    for r in out:
+        assert r["n_samples"] == SAMPLE_RATE // 40
+        assert r["rms"] == 1000.0          # constant |x| = 1000
+        # sign flips every 2 samples; diff() sees n_samples-1 gaps,
+        # so one boundary flip per window falls outside the count
+        assert r["zero_crossings"] == r["n_samples"] // 2 - 1
