@@ -84,3 +84,99 @@ def streaming_running_totals(
         .filter(F.col("rn") == 1)
         .drop("rn")
     )
+
+
+SESSION_GAP_MIN = 30
+SESSION_OUTPUT = (
+    "user_id long, start_us long, end_us long, n_events long, "
+    "status string"
+)
+SESSION_STATE = "start long, last long, n long"
+
+
+def _session_close(
+    key: tuple, pdfs: Iterable[pd.DataFrame], state: GroupState
+) -> Iterable[pd.DataFrame]:
+    """Gap-timeout sessionizer: maintain an open session per user;
+    when the event-time watermark passes last_event + gap, the state
+    handle times out and the CLOSED session is emitted exactly once.
+
+    This is the semantics ``session_window`` aggregation cannot give
+    you: a custom payload (here start/last/n, in real pipelines
+    arbitrary session features) emitted at session CLOSE, driven by
+    the watermark, with state removed afterwards (bounded memory).
+    """
+    (user_id,) = key
+    gap_us = SESSION_GAP_MIN * 60 * 1_000_000
+    if state.hasTimedOut:
+        start, last, n = state.get
+        state.remove()
+        yield pd.DataFrame(
+            {
+                "user_id": [user_id],
+                "start_us": [start],
+                "end_us": [last],
+                "n_events": [n],
+                "status": ["closed"],
+            }
+        )
+        return
+    start, last, n = state.get if state.exists else (None, None, 0)
+    for pdf in pdfs:
+        us = pdf["ts_us"]
+        mn, mx = int(us.min()), int(us.max())
+        start = mn if start is None else min(start, mn)
+        last = mx if last is None else max(last, mx)
+        n += len(pdf)
+    state.update((start, last, n))
+    # event-time timeout is epoch MILLIS; fires once watermark passes
+    state.setTimeoutTimestamp((last + gap_us) // 1000)
+    yield pd.DataFrame(
+        {
+            "user_id": [user_id],
+            "start_us": [start],
+            "end_us": [last],
+            "n_events": [n],
+            "status": ["open"],
+        }
+    )
+
+
+def streaming_session_close(
+    spark: SparkSession, events_dir: str, ts_col: str = "ts"
+) -> DataFrame:
+    """Drive the gap-timeout sessionizer over a directory of parquet
+    event files, one micro-batch per file (watermark advances between
+    batches, closing idle sessions).  Returns every emission; filter
+    ``status = 'closed'`` for the final sessions.
+    """
+    raw = spark.read.parquet(events_dir)
+    stream = (
+        spark.readStream.schema(raw.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(events_dir)
+        # watermarks require TIMESTAMP (with zone); NTZ wall times are
+        # interpreted in the session zone (UTC for engine sessions)
+        .withColumn(ts_col, F.col(ts_col).cast("timestamp"))
+        .withColumn("ts_us", F.unix_micros(F.col(ts_col)))
+        .withWatermark(ts_col, "0 seconds")
+    )
+    out = stream.groupBy("user_id").applyInPandasWithState(
+        _session_close,
+        outputStructType=SESSION_OUTPUT,
+        stateStructType=SESSION_STATE,
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.EventTimeTimeout,
+    )
+    name = f"session_close_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    return spark.table(name)

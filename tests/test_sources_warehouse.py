@@ -281,3 +281,52 @@ def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
     col = pq.read_table(files[0], columns=["o_custkey"])["o_custkey"]
     vals = col.to_pylist()
     assert vals == sorted(vals)
+
+
+def test_stateful_session_close_on_event_time_timeout(spark, tmp_path):
+    """applyInPandasWithState + EventTimeTimeout: a session CLOSES
+    (emits once, state removed) when the watermark passes its last
+    event + gap — per-file micro-batches advance the watermark."""
+    import pandas as pd
+
+    from dados_publicos_etl_spark.streaming.stateful import (
+        streaming_session_close,
+    )
+
+    d = tmp_path / "ev"
+    d.mkdir()
+    t0 = 1_700_000_000_000_000  # epoch micros
+    MIN = 60 * 1_000_000
+
+    def write(name, user, base_us, n=3):
+        pd.DataFrame(
+            {
+                "user_id": pd.Series([user] * n, dtype="int64"),
+                "ts": pd.to_datetime(
+                    [base_us + i * MIN for i in range(n)], unit="us"
+                ),
+            }
+        ).to_parquet(d / name, coerce_timestamps="us")
+
+    # users arrive 100 minutes apart; gap is 30 min, so each later
+    # batch's watermark closes the previous user's session
+    write("01.parquet", 1, t0)
+    write("02.parquet", 2, t0 + 100 * MIN)
+    write("03.parquet", 3, t0 + 200 * MIN)
+    write("04.parquet", 4, t0 + 300 * MIN)
+
+    out = streaming_session_close(spark, str(d))
+    closed = {
+        r["user_id"]: r
+        for r in out.filter("status = 'closed'").collect()
+    }
+    # sessions 1-3 closed: each later batch's watermark crosses the
+    # previous session's timeout, and the trailing empty micro-batch
+    # (watermark = last batch's max ts) closes session 3.  Session 4
+    # stays open — no watermark ever passes its timeout.
+    assert set(closed) == {1, 2, 3}
+    for uid, base in [(1, t0), (2, t0 + 100 * MIN), (3, t0 + 200 * MIN)]:
+        r = closed[uid]
+        assert r["start_us"] == base
+        assert r["end_us"] == base + 2 * MIN
+        assert r["n_events"] == 3
