@@ -286,9 +286,11 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     # changes across iterations, so joining it per round would redo
     # the same shuffle _PR_ITERS times.  Checkpoint pins the weighted
     # edge table (the loop's only big input) in block storage.
+    # outdeg is |customers| rows (tiny next to |E|): broadcast it so
+    # the edge table isn't re-shuffled on src just to attach a weight.
     outdeg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
     wedges = (
-        edges.join(outdeg, "src")
+        edges.join(F.broadcast(outdeg), "src")
         .select("src", "dst", (F.lit(1.0) / F.col("deg")).alias("w"))
         .localCheckpoint()
     )

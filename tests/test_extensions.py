@@ -258,3 +258,36 @@ def test_audio_segment_pcm_math_exact(spark):
         # sign flips every 2 samples; diff() sees n_samples-1 gaps,
         # so one boundary flip per window falls outside the count
         assert r["zero_crossings"] == r["n_samples"] // 2 - 1
+
+
+def test_pq_topk_structure_and_recall(spark, sf_dir):
+    """PQ/ADC returns <=k ranked neighbors per query, cosine
+    descending; on planted clusters the planted twin must surface as
+    top-1 despite scoring through one-byte subspace codes."""
+    import numpy as np
+
+    from dados_publicos_etl_spark.operators.similarity import pq_topk
+
+    rows = QUERIES["similarity_pq"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q, "PQ should return results"
+    for q, rs in by_q.items():
+        sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rs) <= 5
+
+    rng = np.random.RandomState(13)
+    n_base, dim = 100, 32
+    base = rng.randn(n_base, dim)
+    noisy = base + 0.05 * rng.randn(n_base, dim)
+    vecs = np.vstack([base, noisy]).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    got = pq_topk(emb, query_max_id=20, k=1, m=4, k_codes=16).collect()
+    top1 = {r.query_id: r.neighbor_id for r in got if r.rank == 1}
+    hits = sum(1 for q, n in top1.items() if n == q + n_base)
+    assert hits >= 0.9 * len(top1), f"PQ top-1 recall {hits}/{len(top1)}"
