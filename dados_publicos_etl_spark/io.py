@@ -19,6 +19,45 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
 
+def parquet_ts_unit(path: str, col: str = "ts") -> str | None:
+    """Sniff the physical timestamp unit ('ns'|'us'|'ms'|'s') of ``col``
+    from a parquet footer (file or directory-of-files).
+
+    The streaming readers declare ``col`` as ``long`` (so NANOS files
+    are readable at all under ``nanosAsLong``) and must then rescale
+    the raw int64 to microseconds — but the right divisor depends on
+    the unit the WRITER used, which only the footer knows.  Hardcoding
+    one unit is how you land every window in 1970.  Footer read is a
+    driver-side metadata peek, not a data scan.
+
+    Returns None when the column isn't a timestamp (already numeric).
+    """
+    import pyarrow.parquet as pq
+
+    if os.path.isdir(path):
+        parts = sorted(glob.glob(os.path.join(path, "*.parquet")))
+        if not parts:
+            raise FileNotFoundError(f"no parquet files under {path}")
+        path = parts[0]
+    typ = pq.read_schema(path).field(col).type
+    return getattr(typ, "unit", None)
+
+
+def epoch_micros_sql(col: str, unit: str | None) -> str:
+    """SQL expression rescaling a raw int64 ``col`` of ``unit`` to
+    epoch microseconds.  Integer arithmetic only — nanos ~1e18 exceed
+    double precision, so float division would drift by up to 1 us."""
+    scale = {
+        "ns": f"`{col}` div 1000",
+        "us": f"`{col}`",
+        "ms": f"`{col}` * 1000",
+        "s": f"`{col}` * 1000000",
+    }
+    if unit not in scale:
+        raise ValueError(f"column {col!r}: unsupported timestamp unit {unit!r}")
+    return scale[unit]
+
+
 def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Read one testdata table (parquet folder-or-file) by name.
 

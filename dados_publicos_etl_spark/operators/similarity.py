@@ -391,20 +391,21 @@ def ivf_topk(
                 }
             )
 
-    # The (id, cell) table is 12 bytes a row — broadcast it back onto
-    # the embedding scan instead of shuffle-joining, so the fat vector
-    # column never crosses an exchange.  (At 100 TB the equivalent is
-    # writing the cell table partitioned by cell and re-reading; the
-    # embedding payload still never shuffles.)
+    # The (id, cell) table is 12 bytes a row — checkpoint THAT (one
+    # assignment pass materialized), never the emb ⋈ cells join: a
+    # checkpoint of the joined table would write the fat vector column
+    # to block storage, which is exactly what this design keeps inside
+    # the scan.  (At 100 TB the equivalent is writing the cell table
+    # partitioned by cell and re-reading; the embedding payload still
+    # never shuffles.)
+    # cells feeds exactly one downstream join, so no checkpoint: the
+    # assignment pass runs once inside the final job anyway, and
+    # skipping the materialization saves a whole job + storage write.
     cells = emb.select(id_col, vec_col).mapInPandas(
         assign_cells, schema=f"{id_col} long, cell int"
     )
-    assigned = (
-        emb.join(F.broadcast(cells), id_col)
-        .localCheckpoint()  # cell table: materialized once, probed below
-    )
     queries = (
-        assigned.filter(F.col(id_col) < query_max_id)
+        emb.filter(F.col(id_col) < query_max_id)
         .select(id_col, vec_col)
         .collect()
     )
@@ -421,9 +422,16 @@ def ivf_topk(
     qv = emb.filter(F.col(id_col) < query_max_id).select(
         F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
     )
-    cands = (
-        assigned.join(F.broadcast(probes), "cell")
+    # Resolve (query, candidate-id) pairs on the skinny tables first,
+    # then broadcast-join the pair list onto ONE pass of the embedding
+    # scan — non-candidate rows die at the join, vectors never shuffle.
+    cand_ids = (
+        cells.join(F.broadcast(probes), "cell")
         .filter(F.col(id_col) != F.col("query_id"))
+        .select(id_col, "query_id")
+    )
+    cands = (
+        emb.join(F.broadcast(cand_ids), id_col)
         .join(F.broadcast(qv), "query_id")
         .select(
             "query_id",

@@ -44,17 +44,9 @@ def streaming_running_totals(
 ) -> DataFrame:
     """Run the stateful operator over the events table as a stream
     (one micro-batch per file) and return the final per-user totals."""
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr("timestampadd(MICROSECOND, ts div 1000, TIMESTAMP_NTZ '1970-01-01 00:00:00')"))
-    )
+    from dados_publicos_etl_spark.streaming.source import read_event_stream
+
+    stream = read_event_stream(spark, sf_dir, ntz=True)
     out = stream.groupBy("user_id").applyInPandasWithState(
         _running_totals,
         outputStructType=OUTPUT_SCHEMA,

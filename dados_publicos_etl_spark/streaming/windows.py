@@ -255,28 +255,17 @@ def streaming_tumbling_counts(
     of files drives the stream to completion synchronously (pytest /
     driver safe).
     """
-    from dados_publicos_etl_spark import schemas
-
-    import os
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    from dados_publicos_etl_spark.streaming.source import read_event_stream
+
     # the streaming file source requires a directory: stream the sf
     # dir with a glob filter selecting the events table file(s).
     # Watermarks require TIMESTAMP (LTZ), so unlike the batch path
     # (NTZ) we keep instants here and render window bounds through an
     # explicit UTC conversion so output is session-timezone-stable.
     tz = spark.conf.get("spark.sql.session.timeZone")
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = read_event_stream(spark, sf_dir)
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", gap), "event_type")
@@ -344,21 +333,12 @@ def stream_true_streaming(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
+    from dados_publicos_etl_spark.streaming.source import read_event_stream
 
     # ONE streaming source, two filtered projections (stream
     # self-join): halves source listing/scan work vs two independent
     # readStream pipelines on the same path.
-    src = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    src = read_event_stream(spark, sf_dir)
 
     def side_of(event_type: str, alias: str) -> DataFrame:
         return (
@@ -418,17 +398,9 @@ def stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 def stream_dedup_watermark(spark: SparkSession, sf_dir: str) -> DataFrame:
     import uuid
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    from dados_publicos_etl_spark.streaming.source import read_event_stream
+
+    stream = read_event_stream(spark, sf_dir)
     deduped = (
         stream.withWatermark("ts", "1 hour")
         .select("user_id", "event_type", "ts")
@@ -467,19 +439,10 @@ def streaming_static_enrich(
     import uuid
 
     from dados_publicos_etl_spark.functions.numeric import money_sum
+    from dados_publicos_etl_spark.streaming.source import read_event_stream
 
-    spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    raw_schema = (
-        "event_id long, ts long, user_id long, event_type string, "
-        "value double, props string"
-    )
     tz = spark.conf.get("spark.sql.session.timeZone")
-    stream = (
-        spark.readStream.schema(raw_schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
-    )
+    stream = read_event_stream(spark, sf_dir)
     dim = read_table(spark, sf_dir, "customer").select(
         F.col("c_custkey").alias("user_id"), "c_mktsegment"
     )

@@ -99,11 +99,79 @@ def test_streaming_matches_batch(spark, sf_dir):
     assert stream == batch
 
 
-def test_multimodal_decode_stub_raises():
+def _ppm_bytes(arr):
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    return b"P6\n# comment\n%d %d\n255\n" % (w, h) + np.asarray(
+        arr, dtype="uint8"
+    ).tobytes()
+
+
+def _bmp24_bytes(arr):
+    """Minimal bottom-up 24-bit BI_RGB BMP encoder (test fixture)."""
+    import numpy as np
+
+    h, w = arr.shape[:2]
+    stride = (w * 3 + 3) & ~3
+    raster = bytearray()
+    for row in np.asarray(arr, dtype="uint8")[::-1]:  # bottom-up
+        raster += row[:, ::-1].tobytes()  # RGB -> BGR
+        raster += b"\x00" * (stride - w * 3)
+    off = 14 + 40
+    header = (
+        b"BM"
+        + (off + len(raster)).to_bytes(4, "little")
+        + b"\x00" * 4
+        + off.to_bytes(4, "little")
+        + (40).to_bytes(4, "little")
+        + w.to_bytes(4, "little", signed=True)
+        + h.to_bytes(4, "little", signed=True)
+        + (1).to_bytes(2, "little")
+        + (24).to_bytes(2, "little")
+        + (0).to_bytes(4, "little")
+        + len(raster).to_bytes(4, "little")
+        + b"\x00" * 16
+    )
+    return bytes(header) + bytes(raster)
+
+
+def test_multimodal_decode_real_formats():
+    """PPM and BMP round-trip pixel-exactly through the pure-numpy
+    decoders; undecodable payloads raise ValueError."""
+    import numpy as np
+
     from dados_publicos_etl_spark.operators.multimodal import decode_image
 
-    with pytest.raises((NotImplementedError, Exception)):
+    rng = np.random.RandomState(7)
+    img = rng.randint(0, 256, (5, 3, 3), dtype="uint8")
+    np.testing.assert_array_equal(decode_image(_ppm_bytes(img)), img)
+    np.testing.assert_array_equal(decode_image(_bmp24_bytes(img)), img)
+    with pytest.raises(ValueError):
         decode_image(b"\x89PNG not really")
+
+
+def test_multimodal_resize_operates_on_pixels(spark):
+    """resize_images decodes, nearest-neighbor-resizes in PIXEL space
+    and re-encodes PPM — checked against a numpy reference."""
+    import numpy as np
+
+    from dados_publicos_etl_spark.operators.multimodal import (
+        decode_image,
+        resize_images,
+        resize_nearest,
+    )
+
+    rng = np.random.RandomState(11)
+    img = rng.randint(0, 256, (16, 12, 3), dtype="uint8")
+    df = spark.createDataFrame(
+        [(1, bytearray(_ppm_bytes(img))), (2, bytearray(_bmp24_bytes(img)))],
+        "doc_id long, payload binary",
+    )
+    expected = resize_nearest(img, 8, 8)
+    for r in resize_images(df, height=8, width=8).collect():
+        np.testing.assert_array_equal(decode_image(bytes(r.payload)), expected)
+        assert (r.height, r.width) == (8, 8)
 
 
 def test_multimodal_resize_and_frame_plumbing(spark):

@@ -86,6 +86,16 @@ def test_q11_scalar_threshold_is_broadcast(spark, sf_dir):
     assert "BroadcastNestedLoopJoin" in plan or "BroadcastExchange" in plan
 
 
+def test_dq_report_rowcount_is_broadcast(spark, sf_dir):
+    """The 1-row total-rowcount aggregate crossJoins onto the rule
+    rows as a built broadcast (BroadcastNestedLoopJoin with the 1-row
+    side in a BroadcastExchange) — hinted explicitly rather than left
+    to AQE so the plan is deterministic at scale."""
+    plan = _plan(QUERIES["dq_report"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" in plan
+    assert "BroadcastExchange" in plan
+
+
 def test_q16_not_in_plans_anti_join(spark, sf_dir):
     plan = _plan(QUERIES["q16_supplier_part_counts"].fn(spark, sf_dir))
     assert "LeftAnti" in plan
@@ -182,16 +192,20 @@ def test_histogram_partial_agg_and_tiny_window(spark, sf_dir):
     assert plan.index("Window") < plan.index("HashAggregate")
 
 
-def test_pagerank_final_plan_is_checkpoint_truncated(spark, sf_dir):
-    """After 5 iterations the result plan must read the checkpointed
-    rank RDD directly (no replay of earlier rounds) and use
-    TakeOrderedAndProject for the top-k."""
+def test_pagerank_final_plan_broadcasts_ranks(spark, sf_dir):
+    """The 5-iteration loop stays LAZY (each round's rank table is
+    materialized exactly once by its broadcast exchange inside the one
+    final job): the plan must read the checkpointed edge/node tables
+    (ExistingRDD), join every rank table as a broadcast (the edge
+    table never re-shuffles), and top-k via TakeOrderedAndProject."""
     plan = _plan(QUERIES["pagerank_suppliers"].fn(spark, sf_dir))
     assert "ExistingRDD" in plan
     assert "TakeOrderedAndProject" in plan
-    # no joins/exchanges survive into the final plan — all iteration
-    # work happened in the checkpointed rounds
-    assert "Exchange hashpartitioning" not in plan
+    assert "BroadcastHashJoin" in plan
+    # the only sanctioned shuffles are the per-round contribution
+    # aggregations on skinny (dst, contrib) rows — never a sort-merge
+    # join of the edge table against ranks
+    assert "SortMergeJoin" not in plan
 
 
 def test_stats_moments_single_pass(spark, sf_dir):
