@@ -1,0 +1,48 @@
+"""Exact golden checks for the seeded probabilistic queries.
+
+These four queries are registered WITHOUT a DuckDB oracle (their
+output depends on the model — minhash permutations, hyperplane draws,
+k-means codebooks — not on SQL-expressible semantics), so the driver
+records only a rows-only check.  But under their FIXED seeds they are
+fully deterministic, so each one also gets an exact regression pin:
+the sf0.01 result frozen as parquet in tests/golden/ (generated once
+via the same query functions; regenerate deliberately when a seed or
+algorithm changes, never to paper over a diff).
+
+This upgrades the no-oracle family from recall-bounds to exact
+equality, per-row and per-value.
+"""
+
+from __future__ import annotations
+
+import os
+
+import pandas as pd
+import pytest
+
+from dados_publicos_etl_spark.plans import QUERIES
+from dados_publicos_etl_spark.plans import catalog  # noqa: F401  (registers queries)
+
+GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
+GOLDEN_SF_DIR = "/root/testdata/sf0.01"
+
+SEEDED_QUERIES = [
+    "dedup_minhash_lsh",
+    "dedup_simhash",
+    "similarity_ann_lsh",
+    "similarity_pq",
+]
+
+
+@pytest.mark.parametrize("name", SEEDED_QUERIES)
+def test_seeded_query_matches_golden(spark, name):
+    golden = pd.read_parquet(
+        os.path.join(GOLDEN_DIR, f"{name}_sf0.01.parquet")
+    )
+    actual = QUERIES[name].fn(spark, GOLDEN_SF_DIR).toPandas()
+    actual = (
+        actual[list(golden.columns)]
+        .sort_values(list(golden.columns))
+        .reset_index(drop=True)
+    )
+    pd.testing.assert_frame_equal(actual, golden, check_dtype=False)
