@@ -56,6 +56,15 @@ def main() -> None:
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
     timings: dict[str, float] = {}
     for _ in range(n_runs):
+        # Start each pass from a clean session: drop any cached plans
+        # and force a JVM GC so the ContextCleaner reclaims broadcast
+        # blocks accumulated by the previous pass (cleanup is
+        # GC-driven; across a 121-query pass the un-collected
+        # broadcasts + codegen classes otherwise build steady memory
+        # pressure that uniformly inflates later queries — the r2
+        # catalog-wide ~1.27x drift).
+        spark.catalog.clearCache()
+        spark.sparkContext._jvm.System.gc()
         for name in sorted(QUERIES):
             spec = QUERIES[name]
             t0 = time.perf_counter()

@@ -269,6 +269,76 @@ def overwrite_partitions(
     writer.partitionBy(*partition_by).parquet(path)
 
 
+def compact_partitions(
+    spark: SparkSession,
+    path: str,
+    partition_by: list[str],
+    target_file_bytes: int = 128 * 1024 * 1024,
+    min_files_to_compact: int = 2,
+) -> dict[str, int]:
+    """Small-file compaction for a partitioned parquet dataset — the
+    maintenance job every incremental 100 TB pipeline needs: each
+    micro-batch / daily append drops a few more files per partition,
+    and a year later the NameNode listing and per-file open overhead
+    dominate scan time (the classic small-files problem).
+
+    Strategy: list files per partition from the directory layout
+    (driver-side metadata, no data read), pick partitions whose file
+    count exceeds ``min_files_to_compact``, and rewrite ONLY those via
+    dynamic partition overwrite, coalescing to
+    ``ceil(bytes / target_file_bytes)`` files.  Untouched partitions
+    keep their files byte-identical — compaction cost is
+    O(oversplit partitions), not O(dataset).
+
+    Returns {partition_path_suffix: n_files_before} for the rewritten
+    partitions (empty dict = nothing to do).
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    # partition dir -> (n_files, total_bytes), from a driver-side walk
+    stats: dict[str, tuple[int, int]] = {}
+    for root, _dirs, files in os.walk(path):
+        pq_files = [f for f in files if f.endswith(".parquet")]
+        if not pq_files:
+            continue
+        rel = os.path.relpath(root, path)
+        stats[rel] = (
+            len(pq_files),
+            sum(os.path.getsize(os.path.join(root, f)) for f in pq_files),
+        )
+    todo = {
+        rel: n for rel, (n, _b) in stats.items() if n >= min_files_to_compact
+    }
+    if not todo:
+        return todo
+    full_schema = {
+        f.name: f.dataType for f in spark.read.parquet(path).schema.fields
+    }
+    for rel in todo:
+        n_out = max(1, math.ceil(stats[rel][1] / target_file_bytes))
+        part_df = spark.read.parquet(os.path.join(path, rel))
+        # re-attach the partition columns encoded in the dir names,
+        # cast back to the dataset's schema types so the overwrite
+        # doesn't silently widen them to string
+        for seg in rel.split(os.sep):
+            k, _, v = seg.partition("=")
+            part_df = part_df.withColumn(k, F.lit(v).cast(full_schema[k]))
+        # materialize BEFORE the write: the plan reads the very files
+        # the dynamic overwrite is about to replace — localCheckpoint
+        # pins the partition's (bounded) data so the rewrite can't
+        # race its own input
+        part_df = part_df.coalesce(n_out).localCheckpoint()
+        (
+            part_df.write.mode("overwrite")
+            .option("partitionOverwriteMode", "dynamic")
+            .partitionBy(*partition_by)
+            .parquet(path)
+        )
+    return todo
+
+
 def csv_to_parquet(
     spark: SparkSession,
     src: str,

@@ -353,57 +353,14 @@ def ivf_topk(
 
     from pyspark.sql import Window as W
 
-    # --- train the quantizer on a deterministic sample (driver) ---
-    n_train = max(200 * n_cells, 2000)
-    sample = (
-        emb.select(id_col, vec_col)
-        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
-        .limit(n_train)
-        .collect()
-    )
-    train = np.vstack(
-        [np.asarray(r[vec_col], dtype="float64") for r in sample]
-    )
-    rng = np.random.RandomState(seed)
-    centroids = train[rng.choice(len(train), n_cells, replace=False)]
-    for _ in range(8):  # Lloyd iterations, seeded start -> deterministic
-        d2 = ((train[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
-        assign = d2.argmin(axis=1)
-        for c in range(n_cells):
-            members = train[assign == c]
-            if len(members):
-                centroids[c] = members.mean(axis=0)
-
-    # --- one vectorized assignment pass over the full table ---
-    cmat = centroids  # captured by the closure; broadcast with the task
-
-    def assign_cells(batches):
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            # argmin over ||v-c||^2 = argmax over (2 v.c - ||c||^2)
-            scores = 2.0 * (mat @ cmat.T) - (cmat**2).sum(axis=1)
-            yield pd.DataFrame(
-                {
-                    id_col: pdf[id_col].to_numpy(),
-                    "cell": scores.argmax(axis=1).astype("int32"),
-                }
-            )
-
-    # The (id, cell) table is 12 bytes a row — checkpoint THAT (one
-    # assignment pass materialized), never the emb ⋈ cells join: a
-    # checkpoint of the joined table would write the fat vector column
-    # to block storage, which is exactly what this design keeps inside
-    # the scan.  (At 100 TB the equivalent is writing the cell table
-    # partitioned by cell and re-reading; the embedding payload still
-    # never shuffles.)
+    centroids = _train_ivf_centroids(emb, n_cells, id_col, vec_col, seed)
     # cells feeds exactly one downstream join, so no checkpoint: the
     # assignment pass runs once inside the final job anyway, and
     # skipping the materialization saves a whole job + storage write.
-    cells = emb.select(id_col, vec_col).mapInPandas(
-        assign_cells, schema=f"{id_col} long, cell int"
-    )
+    # (The 12-byte (id, cell) rows would be the only thing worth
+    # materializing — never the emb ⋈ cells join, whose checkpoint
+    # would write the fat vector column to block storage.)
+    cells = _assign_cells(emb, centroids, id_col, vec_col)
     queries = (
         emb.filter(F.col(id_col) < query_max_id)
         .select(id_col, vec_col)
@@ -445,6 +402,150 @@ def ivf_topk(
     )
 
 
+def _train_ivf_centroids(
+    emb: DataFrame, n_cells: int, id_col: str, vec_col: str, seed: int
+):
+    """FAISS-style coarse-quantizer training: Lloyd k-means on a
+    DETERMINISTIC driver-side sample (hash-ordered limit, seeded
+    init, fixed iteration count).  Returns (n_cells, dim) float64."""
+    import numpy as np
+
+    n_train = max(200 * n_cells, 2000)
+    sample = (
+        emb.select(id_col, vec_col)
+        .orderBy(F.md5(F.col(id_col).cast("string")), F.col(id_col))
+        .limit(n_train)
+        .collect()
+    )
+    train = np.vstack(
+        [np.asarray(r[vec_col], dtype="float64") for r in sample]
+    )
+    rng = np.random.RandomState(seed)
+    centroids = train[rng.choice(len(train), n_cells, replace=False)]
+    for _ in range(8):  # Lloyd iterations, seeded start -> deterministic
+        d2 = ((train[:, None, :] - centroids[None, :, :]) ** 2).sum(axis=2)
+        assign = d2.argmin(axis=1)
+        for c in range(n_cells):
+            members = train[assign == c]
+            if len(members):
+                centroids[c] = members.mean(axis=0)
+    return centroids
+
+
+def _assign_cells(
+    emb: DataFrame, centroids, id_col: str, vec_col: str
+) -> DataFrame:
+    """One vectorized nearest-centroid assignment pass (Arrow batch
+    matmul; the centroid matrix ships with the task closure) yielding
+    the skinny (id, cell) table — a narrow map, no shuffle."""
+    import numpy as np
+
+    cmat = centroids
+
+    def assign(batches):
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            # argmin over ||v-c||^2 = argmax over (2 v.c - ||c||^2)
+            scores = 2.0 * (mat @ cmat.T) - (cmat**2).sum(axis=1)
+            yield pd.DataFrame(
+                {
+                    id_col: pdf[id_col].to_numpy(),
+                    "cell": scores.argmax(axis=1).astype("int32"),
+                }
+            )
+
+    return emb.select(id_col, vec_col).mapInPandas(
+        assign, schema=f"{id_col} long, cell int"
+    )
+
+
+def write_ivf_index(
+    emb: DataFrame,
+    path: str,
+    n_cells: int = 16,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = LSH_SEED,
+):
+    """Persist an IVF index: the embedding table written as parquet
+    PARTITIONED BY cell id.  Returns the trained centroid matrix
+    (the only other index state; n_cells x dim floats, kilobytes).
+
+    This materializes the layout the in-memory ``ivf_topk`` docstring
+    promises at 100 TB: probes read ONLY their n_probe cell
+    directories (file-level partition pruning — see
+    ``probe_ivf_index``), so steady-state query cost is
+    ``n_probe/n_cells`` of the corpus regardless of corpus size.
+    Build cost: ``partitionBy`` splits files task-locally with NO
+    shuffle of the vector payload; each of the scan's tasks writes
+    one file per cell it sees.  (At petabyte scale, optionally
+    ``repartition("cell")`` first — one paid shuffle — to get
+    exactly one file chain per cell and larger row groups.)
+    """
+    centroids = _train_ivf_centroids(emb, n_cells, id_col, vec_col, seed)
+    cells = _assign_cells(emb, centroids, id_col, vec_col)
+    (
+        emb.join(F.broadcast(cells), id_col)
+        .write.mode("overwrite")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+    return centroids
+
+
+def probe_ivf_index(
+    spark: SparkSession,
+    path: str,
+    centroids,
+    query_rows,
+    n_probe: int = 4,
+    k: int = 5,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Search a persisted IVF index: nearest cells per query computed
+    driver-side from the kilobyte centroid matrix, then a parquet
+    read FILTERED TO THOSE CELL PARTITIONS (``cell IN (...)`` on the
+    partition column -> Spark plans PartitionFilters, files of
+    unprobed cells are never opened), exact cosine re-rank inside.
+
+    ``query_rows``: iterable of (query_id, vector) pairs — the
+    ad-hoc query set, tiny by definition.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    probe_rows = []
+    for qid, qv in query_rows:
+        d = ((centroids - np.asarray(qv, dtype="float64")) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((int(qid), int(cell)))
+    cells_needed = sorted({c for _, c in probe_rows})
+    probes = spark.createDataFrame(probe_rows, "query_id long, cell int")
+    qv_df = spark.createDataFrame(
+        [(int(qid), [float(x) for x in qv]) for qid, qv in query_rows],
+        f"query_id long, qv array<double>",
+    )
+    idx = spark.read.parquet(path).filter(F.col("cell").isin(cells_needed))
+    cands = (
+        idx.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .join(F.broadcast(qv_df), "query_id")
+        .select(
+            "query_id",
+            F.col(id_col).alias("neighbor_id"),
+            F.round(cosine(F.col("qv"), F.col(vec_col)), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return cands.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
 @query(
     "similarity_ivf",
     oracle=None,  # kmeans cells are model-dependent; recall in pytest
@@ -456,6 +557,29 @@ def ivf_topk(
 def similarity_ivf(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return ivf_topk(emb, query_max_id=10, k=5)
+
+
+@query(
+    "similarity_ivf_persisted",
+    oracle=None,  # kmeans cells are model-dependent; pytest pins
+    # exact equality with the in-memory similarity_ivf result and
+    # asserts the partition-pruned probe plan.
+    description="IVF ANN against a PERSISTED index: embeddings "
+    "written partitioned by cell id, probes read only their n_probe "
+    "cell directories (PartitionFilters / file-level pruning), exact "
+    "cosine re-rank — steady-state query cost is n_probe/n_cells of "
+    "the corpus regardless of corpus size.",
+)
+def similarity_ivf_persisted(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    path = tempfile.mkdtemp(prefix="spark_ivf_index_") + "/index"
+    centroids = write_ivf_index(emb, path, n_cells=16)
+    qrows = [
+        (r.vec_id, r.embedding) for r in emb.filter("vec_id < 10").collect()
+    ]
+    return probe_ivf_index(spark, path, centroids, qrows, n_probe=4, k=5)
 
 
 # ---------------------------------------------------------------------------

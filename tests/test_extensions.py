@@ -238,6 +238,43 @@ def test_ivf_topk_structure_and_recall(spark, sf_dir):
     assert hits >= 0.9 * len(top1), f"IVF top-1 recall {hits}/{len(top1)}"
 
 
+def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
+    """write_ivf_index + probe_ivf_index: the persisted cell-
+    partitioned layout must (a) return the SAME neighbors as the
+    in-memory ivf_topk under the same seed, and (b) plan the probe as
+    a partition-pruned scan (PartitionFilters on cell) — the
+    file-level pruning the 100 TB design depends on."""
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.operators.similarity import (
+        ivf_topk,
+        probe_ivf_index,
+        write_ivf_index,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path = str(tmp_path / "ivf_index")
+    centroids = write_ivf_index(emb, path, n_cells=16)
+
+    queries = [
+        (r.vec_id, r.embedding)
+        for r in emb.filter("vec_id < 5").collect()
+    ]
+    probed = probe_ivf_index(
+        spark, path, centroids, queries, n_probe=4, k=5
+    )
+    plan = probed._jdf.queryExecution().executedPlan().toString()
+    assert "PartitionFilters" in plan and "cell" in plan
+
+    expect = {
+        (r.query_id, r.neighbor_id, r.rank)
+        for r in ivf_topk(emb, query_max_id=5, k=5).collect()
+    }
+    got = {(r.query_id, r.neighbor_id, r.rank) for r in probed.collect()}
+    assert got == expect
+
+
 def test_hll_merge_equals_whole(spark, sf_dir):
     """Merging per-half HLL sketches must give the same estimate as
     sketching the whole column - the mergeability contract that makes

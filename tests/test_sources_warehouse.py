@@ -283,6 +283,56 @@ def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
     assert vals == sorted(vals)
 
 
+def test_compact_partitions_merges_small_files(spark, sf_dir, tmp_path):
+    """compact_partitions rewrites ONLY over-split partitions down to
+    the target file count, preserves every row, and leaves
+    already-compact partitions untouched (O(oversplit), not
+    O(dataset))."""
+    import glob
+
+    from dados_publicos_etl_spark.io import compact_partitions, read_table
+
+    out = str(tmp_path / "orders_parts")
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderstatus"
+    )
+    # over-split two partitions (6 files each), keep one compact
+    (
+        orders.filter("o_orderstatus != 'P'")
+        .repartition(6)
+        .write.partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    (
+        orders.filter("o_orderstatus = 'P'")
+        .coalesce(1)
+        .write.mode("append")
+        .partitionBy("o_orderstatus")
+        .parquet(out)
+    )
+    n_rows = spark.read.parquet(out).count()
+    files_before = {
+        s: len(glob.glob(f"{out}/o_orderstatus={s}/*.parquet"))
+        for s in ("F", "O", "P")
+    }
+    assert files_before["F"] == 6 and files_before["P"] == 1
+    p_file_before = glob.glob(f"{out}/o_orderstatus=P/*.parquet")[0]
+
+    todo = compact_partitions(
+        spark, out, partition_by=["o_orderstatus"],
+        target_file_bytes=1 << 30, min_files_to_compact=2,
+    )
+    assert set(todo) == {"o_orderstatus=F", "o_orderstatus=O"}
+    for s in ("F", "O"):
+        assert len(glob.glob(f"{out}/o_orderstatus={s}/*.parquet")) == 1
+    # the compact partition kept its original file — not rewritten
+    assert glob.glob(f"{out}/o_orderstatus=P/*.parquet") == [p_file_before]
+    after = spark.read.parquet(out)
+    assert after.count() == n_rows
+    # partition column type survived the round-trip (not widened)
+    assert dict(after.dtypes)["o_orderstatus"] == "string"
+
+
 def test_stateful_session_close_on_event_time_timeout(spark, tmp_path):
     """applyInPandasWithState + EventTimeTimeout: a session CLOSES
     (emits once, state removed) when the watermark passes its last
