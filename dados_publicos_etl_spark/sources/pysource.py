@@ -28,6 +28,7 @@ from pyspark.sql.datasource import (
     DataSourceReader,
     DataSourceWriter,
     InputPartition,
+    SimpleDataSourceStreamReader,
     WriterCommitMessage,
 )
 
@@ -158,6 +159,76 @@ class JsonlDirDataSource(DataSource):
         return _JsonlDirWriter(self.options)
 
 
+# ---------------------------------------------------------------------------
+# Streaming side — offset-tracked custom stream source (Spark 4
+# SimpleDataSourceStreamReader API)
+# ---------------------------------------------------------------------------
+
+
+class _SyntheticEventsStreamReader(SimpleDataSourceStreamReader):
+    """Offset-based micro-batch reader over the deterministic event
+    generator.
+
+    The streaming source contract in its smallest honest form:
+
+    - ``initialOffset`` anchors the stream;
+    - ``read(start)`` returns (rows, end_offset) — one micro-batch of
+      at most ``batchsize`` rows, advancing the offset;
+    - ``readBetweenOffsets(start, end)`` REPLAYS a committed range
+      deterministically, which is what makes recovery-from-checkpoint
+      exactly-once (Spark re-reads the last uncommitted batch by
+      offset range after a restart).
+
+    A real feed (Kafka-like log, paged HTTP API, CDC slot) swaps the
+    generator for client calls keyed on the same offset dict; the
+    bounded ``numrows`` here makes the stream finite so
+    processAllAvailable terminates in tests.
+    """
+
+    def __init__(self, options):
+        self.n_rows = int(options.get("numrows", 100))
+        self.batch = int(options.get("batchsize", 25))
+
+    def initialOffset(self):
+        return {"next": 0}
+
+    def read(self, start):
+        i = int(start["next"])
+        end = min(i + self.batch, self.n_rows)
+        return (self._rows(i, end), {"next": end})
+
+    def readBetweenOffsets(self, start, end):
+        return self._rows(int(start["next"]), int(end["next"]))
+
+    def _rows(self, i, end):
+        return iter(
+            [
+                (
+                    x,
+                    _doc_text(x, n_tokens=6),
+                    ((x * 2_654_435_761) % 1000) / 10.0,
+                )
+                for x in range(i, end)
+            ]
+        )
+
+
+class SyntheticEventsStreamSource(DataSource):
+    """`spark.readStream.format("synthetic_events_stream")` after
+    registration — a custom Python STREAMING source with offsets."""
+
+    @classmethod
+    def name(cls) -> str:
+        return "synthetic_events_stream"
+
+    def schema(self) -> str:
+        return "event_id long, payload string, value double"
+
+    def simpleStreamReader(self, schema) -> _SyntheticEventsStreamReader:
+        return _SyntheticEventsStreamReader(self.options)
+
+
 def register(spark) -> None:
     spark.dataSource.register(SyntheticDocsDataSource)
     spark.dataSource.register(JsonlDirDataSource)
+    spark.dataSource.register(SyntheticEventsStreamSource)

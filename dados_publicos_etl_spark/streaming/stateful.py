@@ -78,6 +78,108 @@ def streaming_running_totals(
     )
 
 
+# ---------------------------------------------------------------------------
+# transformWithStateInPandas — Spark 4's arbitrary-state API v2
+# ---------------------------------------------------------------------------
+
+try:  # Spark >= 4.0, and the state-server wire protocol needs the
+    # google.protobuf package at runtime (the v2 API talks to the JVM
+    # state store over a protobuf socket protocol) — gate on both so
+    # the module imports cleanly in leaner containers.
+    from google.protobuf import descriptor as _pb_descriptor  # noqa: F401
+
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    class RunningTotalsProcessor(StatefulProcessor):
+        """State-API-v2 counterpart of ``_running_totals``: a typed
+        ValueState (n, total) per user, updated across micro-batches.
+
+        vs applyInPandasWithState: the v2 API gives NAMED, typed state
+        variables (ValueState/ListState/MapState), TTL, and timers via
+        the handle, instead of one opaque state tuple — the
+        forward-looking surface for custom stateful operators.
+        """
+
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self._totals = handle.getValueState(
+                "totals", "n long, total double"
+            )
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, total = (
+                self._totals.get() if self._totals.exists() else (0, 0.0)
+            )
+            for pdf in rows:
+                n += len(pdf)
+                total += float(pdf["value"].sum())
+            self._totals.update((n, round(total, 2)))
+            yield pd.DataFrame(
+                {
+                    "user_id": [key[0]],
+                    "n_events": [n],
+                    "total_value": [round(total, 2)],
+                }
+            )
+
+        def close(self) -> None:
+            pass
+
+    HAS_TWS = True
+except ImportError:  # pragma: no cover - older Spark
+    HAS_TWS = False
+
+
+def streaming_running_totals_v2(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    """The running-totals operator on ``transformWithStateInPandas``
+    (state API v2); output equals the applyInPandasWithState path and
+    the batch groupBy aggregate — asserted in pytest (skipped where
+    google.protobuf is unavailable; see HAS_TWS).
+
+    The v2 operator requires the RocksDB state store provider; set it
+    on the session before starting (done here per-call).
+    """
+    from dados_publicos_etl_spark.streaming.source import read_event_stream
+
+    spark.conf.set(
+        "spark.sql.streaming.stateStore.providerClass",
+        "org.apache.spark.sql.execution.streaming.state."
+        "RocksDBStateStoreProvider",
+    )
+
+    stream = read_event_stream(spark, sf_dir, ntz=True)
+    out = stream.groupBy("user_id").transformWithStateInPandas(
+        RunningTotalsProcessor(),
+        outputStructType=OUTPUT_SCHEMA,
+        outputMode="Update",
+        timeMode="None",
+    )
+    name = f"tws_out_{uuid.uuid4().hex[:8]}"
+    q = (
+        out.writeStream.outputMode("update")
+        .format("memory")
+        .queryName(name)
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+    snap = spark.table(name)
+    from pyspark.sql import Window as W
+
+    w = W.partitionBy("user_id").orderBy(F.desc("n_events"))
+    return (
+        snap.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .drop("rn")
+    )
+
+
 SESSION_GAP_MIN = 30
 SESSION_OUTPUT = (
     "user_id long, start_us long, end_us long, n_events long, "

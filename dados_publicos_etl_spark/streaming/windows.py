@@ -26,13 +26,15 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 
 @contextmanager
-def _streaming_shuffle(spark: SparkSession, n: int = 8):
+def _streaming_shuffle(spark: SparkSession, n: int = 4):
     """Bound stateful-stream parallelism while a query is planned.
 
     A stateful streaming query creates one state store PER shuffle
     partition PER stateful operator; micro-batch latency in local
     mode is dominated by store open/commit, not data volume, so the
-    drive-to-completion queries plan with a small fixed number.  On a
+    drive-to-completion queries plan with a small fixed number
+    (A/B at sf0.1 warm: 8 partitions ~1.5-4.2 s per query, 4
+    partitions ~1.1-3.0 s; below 4 it flattens).  On a
     real cluster raise it (~2-3x executor cores) — state partitioning
     is fixed at first checkpoint, so size it for peak key cardinality
     up front.  The session value is restored afterwards; the stream

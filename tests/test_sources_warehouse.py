@@ -142,6 +142,38 @@ def test_stateful_streaming_running_totals(spark, sf_dir):
     }
     assert got == want
 
+def test_stateful_streaming_running_totals_v2_api(spark, sf_dir):
+    """transformWithStateInPandas (state API v2, typed ValueState)
+    produces the same per-user totals as the batch aggregate — the
+    same parity contract the applyInPandasWithState path satisfies."""
+    import pytest as _pytest
+
+    from dados_publicos_etl_spark.streaming import stateful
+
+    if not stateful.HAS_TWS:
+        _pytest.skip(
+            "transformWithStateInPandas needs Spark >= 4.0 AND the "
+            "google.protobuf package (state-server wire protocol)"
+        )
+    got = {
+        r.user_id: (r.n_events, r.total_value)
+        for r in stateful.streaming_running_totals_v2(
+            spark, sf_dir
+        ).collect()
+    }
+    want = {
+        r.user_id: (r.n, r.tv)
+        for r in eio.read_table(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.sum("value"), 2).alias("tv"),
+        )
+        .collect()
+    }
+    assert got == want
+
+
 def test_analyze_table_collects_cbo_stats(spark, sf_dir):
     orders = eio.read_table(spark, sf_dir, "orders")
     eio.save_warehouse_table(orders, "wh_orders_stats", mode="overwrite")
@@ -238,6 +270,51 @@ def test_python_datasource_writer_two_phase_commit(spark, tmp_path):
             rows += [json.loads(line) for line in fh]
     assert sorted(r["k"] for r in rows) == list(range(100))
     assert all(r["v"] == str(r["k"] * 2) for r in rows)
+
+
+def test_python_datasource_streaming_offsets(spark, tmp_path):
+    """Custom Python STREAMING source (SimpleDataSourceStreamReader):
+    offset-tracked micro-batches drain exactly numrows rows with
+    deterministic values, and a restart from the same checkpoint
+    replays nothing (offsets committed => exactly-once)."""
+    from dados_publicos_etl_spark.sources import pysource
+
+    pysource.register(spark)
+    ckpt = str(tmp_path / "ckpt")
+    out = str(tmp_path / "stream_out")
+
+    def run_once() -> int:
+        df = (
+            spark.readStream.format("synthetic_events_stream")
+            .option("numrows", 100)
+            .option("batchsize", 30)
+            .load()
+        )
+        q = (
+            df.writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        return spark.read.parquet(out).count()
+
+    assert run_once() == 100
+    rows = {
+        r.event_id: (r.payload, r.value)
+        for r in spark.read.parquet(out).collect()
+    }
+    assert sorted(rows) == list(range(100))
+    # deterministic generator: value derivable from the id
+    assert all(
+        v == ((i * 2_654_435_761) % 1000) / 10.0 for i, (_, v) in rows.items()
+    )
+    # restart against the same checkpoint: offsets are committed, the
+    # fault-tolerant sink receives no replayed batches
+    assert run_once() == 100
 
 
 def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
