@@ -328,6 +328,49 @@ def simhash64(feat_col_name: str) -> F.Column:
     return F.expr(_SIMHASH_SQL.format(col=feat_col_name))
 
 
+def simhash64_batch(
+    df: DataFrame, feat_col: str = "sh", id_col: str = "doc_id"
+) -> DataFrame:
+    """Arrow-batched numpy SimHash(64): same algorithm and BIT-EXACT
+    output as ``simhash64`` (both read bit b of the two's-complement
+    int64 feature hash; numpy's ``>>`` on int64 is arithmetic shift,
+    matching Spark's ``shiftright``), but the 64 x n_features fold is
+    one vectorized matrix op per row instead of ~16k interpreted
+    lambda evaluations — higher-order functions don't participate in
+    whole-stage codegen, so the expression kernel is bound by
+    per-element interpretation.  Measured 2.6 s -> ~1.5 s warm at
+    sf0.1; exact equality is pinned by the frozen golden fixture.
+
+    Narrow map (mapInPandas in the scan stage); output is the
+    16-byte (id, sig) table.
+    """
+    from collections.abc import Iterator
+
+    import numpy as np
+    import pandas as pd
+
+    bitcols = np.arange(64, dtype=np.int64)
+
+    def sig_batches(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            out = np.empty(len(pdf), dtype=np.int64)
+            for i, sh in enumerate(pdf[feat_col]):
+                h = np.asarray(sh, dtype=np.int64)
+                # (n_feat, 64) bit matrix -> per-bit vote sums
+                votes = (2 * ((h[:, None] >> bitcols) & 1) - 1).sum(axis=0)
+                packed = 0
+                for b in np.nonzero(votes > 0)[0]:
+                    packed |= 1 << int(b)
+                if packed >= 1 << 63:  # two's complement into int64
+                    packed -= 1 << 64
+                out[i] = packed
+            yield pd.DataFrame({id_col: pdf[id_col].to_numpy(), "sig": out})
+
+    return df.select(id_col, feat_col).mapInPandas(
+        sig_batches, schema=f"{id_col} long, sig long"
+    )
+
+
 @query(
     "dedup_simhash",
     oracle=None,  # Spark-hash-dependent; structural checks in pytest
@@ -350,9 +393,7 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", hashed_shingles_from_tokens("_tk").alias("sh"))
         .localCheckpoint()
     )
-    sigs = shingled.select(
-        "doc_id", simhash64("sh").alias("sig")
-    ).localCheckpoint()
+    sigs = simhash64_batch(shingled).localCheckpoint()
     chunks = sigs.select(
         "doc_id",
         "sig",
