@@ -439,3 +439,101 @@ def corpus_token_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_share"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# End-to-end curation pipeline (composition showcase)
+# ---------------------------------------------------------------------------
+
+_PIPE_MIN_WORDS, _PIPE_MAX_WORDS = 5, 2000
+_PIPE_DUCK_BUCKET = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    " % 100)"
+)
+
+
+@query(
+    "corpus_pipeline_e2e",
+    oracle=f"""
+    WITH canon AS (
+      SELECT doc_id, source,
+             trim(regexp_replace(lower(text), '{WS}', ' ', 'g')) AS norm
+      FROM documents
+    ), digests AS (
+      SELECT doc_id, source, md5(norm) AS digest,
+             CAST(len(regexp_extract_all(norm, '[A-Za-z0-9]+')) AS BIGINT)
+               AS n_words
+      FROM canon
+    ), survivors AS (
+      SELECT * FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY digest ORDER BY doc_id)
+               AS rn
+        FROM digests
+      ) WHERE rn = 1
+    ), kept AS (
+      SELECT * FROM survivors
+      WHERE n_words BETWEEN {_PIPE_MIN_WORDS} AND {_PIPE_MAX_WORDS}
+    ), assigned AS (
+      SELECT source, n_words,
+             CASE WHEN {_PIPE_DUCK_BUCKET} < 80 THEN 'train'
+                  WHEN {_PIPE_DUCK_BUCKET} < 90 THEN 'val'
+                  ELSE 'test' END AS split
+      FROM kept
+    )
+    SELECT split, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_words) AS BIGINT) AS total_words
+    FROM assigned GROUP BY split, source
+    """,
+    description="Whole-pipeline composition: normalize -> exact dedup "
+    "(min-id survivor per md5 digest) -> length-gate quality filter -> "
+    "frozen hash split -> per-(split, source) corpus report, as ONE "
+    "lazy plan.  Every stage is a narrow map except the dedup window "
+    "(one shuffle on digest) and the final aggregate — the engine's "
+    "curation stages compose without materialization barriers.",
+)
+def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Curation pipeline as one composed DataFrame plan.
+
+    Mirrors what a production corpus build chains together
+    (clean -> dedup -> filter -> split -> report), demonstrating that
+    the engine's operators compose lazily: Catalyst fuses the
+    normalize/fingerprint/word-count maps into the scan stage, the
+    dedup window is the only data-wide shuffle, and the quality gate
+    prunes before the aggregate.  All stages reuse the exact
+    expression kernels their standalone queries use, so the DuckDB
+    oracle is assembled from the same proven SQL equivalences.
+    """
+    from pyspark.sql import Window as W
+
+    from dados_publicos_etl_spark.functions.text import WORD, normalized
+    from dados_publicos_etl_spark.operators.sampling import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    digests = docs.select(
+        "doc_id",
+        "source",
+        F.md5(normalized("text")).alias("digest"),
+        F.regexp_count(normalized("text"), F.lit(WORD))
+        .cast("long")
+        .alias("n_words"),
+    )
+    w = W.partitionBy("digest").orderBy("doc_id")
+    survivors = (
+        digests.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .filter(
+            F.col("n_words").between(_PIPE_MIN_WORDS, _PIPE_MAX_WORDS)
+        )
+    )
+    b = hash_bucket("doc_id", 100)
+    assigned = survivors.select(
+        "source",
+        "n_words",
+        F.when(b < 80, "train").when(b < 90, "val").otherwise("test")
+        .alias("split"),
+    )
+    return assigned.groupBy("split", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_words").cast("long").alias("total_words"),
+    )

@@ -1057,3 +1057,41 @@ def array_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.array_position("qtys", F.lit(10.0)).alias("pos_ten"),
         as_csv(F.reverse("qtys")).alias("qty_rev"),
     )
+
+
+@query(
+    "lateral_join_topn",
+    oracle="""
+    SELECT n.n_name, c.c_name, c.c_acctbal
+    FROM nation n, LATERAL (
+      SELECT c_name, c_acctbal FROM customer
+      WHERE c_nationkey = n.n_nationkey
+      ORDER BY c_acctbal DESC, c_name LIMIT 2
+    ) c
+    """,
+    description="Correlated LATERAL subquery: top-2 customers by "
+    "account balance PER nation, expressed as a lateral join (the "
+    "SQL-standard per-row subquery surface).  Catalyst decorrelates "
+    "it into a window/top-k plan rather than executing per-row — "
+    "deterministic tie-break on (acctbal DESC, name).",
+)
+def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    read_table(spark, sf_dir, "nation").createOrReplaceTempView(
+        "_lat_nation"
+    )
+    read_table(spark, sf_dir, "customer").createOrReplaceTempView(
+        "_lat_customer"
+    )
+    # LATERAL is SQL-only surface (no DataFrame equivalent); the
+    # decorrelated plan is the same window top-k a DataFrame
+    # row_number()<=2 would produce.
+    return spark.sql(
+        """
+        SELECT n.n_name, c.c_name, c.c_acctbal
+        FROM _lat_nation n, LATERAL (
+          SELECT c_name, c_acctbal FROM _lat_customer
+          WHERE c_nationkey = n.n_nationkey
+          ORDER BY c_acctbal DESC, c_name LIMIT 2
+        ) c
+        """
+    )

@@ -208,6 +208,18 @@ def test_pagerank_final_plan_broadcasts_ranks(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_corpus_pipeline_fuses_to_two_shuffles(spark, sf_dir):
+    """The composed curation pipeline (normalize -> dedup -> quality
+    gate -> split -> report) must plan as ONE job with exactly two
+    hash exchanges: the dedup window on digest and the final
+    (split, source) aggregate.  All the scalar stages fuse into the
+    scan; no join ever appears."""
+    plan = _plan(QUERIES["corpus_pipeline_e2e"].fn(spark, sf_dir))
+    assert plan.count("Exchange hashpartitioning") == 2
+    assert "Join" not in plan
+    assert plan.count("FileScan parquet") == 1
+
+
 def test_stats_moments_single_pass(spark, sf_dir):
     """All five moment aggregates fuse into ONE aggregation pass
     (one partial/final pair, one exchange)."""
