@@ -612,3 +612,51 @@ def hll_sketch_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
             "exact_parts",
         )
     )
+
+
+@query(
+    "recursive_cte_tree_walk",
+    oracle="""
+    WITH RECURSIVE chain(suppkey, ancestor, depth) AS (
+      SELECT s_suppkey, s_suppkey, 0 FROM supplier
+      UNION ALL
+      SELECT suppkey, ancestor // 2, depth + 1
+      FROM chain WHERE ancestor > 1
+    )
+    SELECT suppkey,
+           CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+           CAST(SUM(ancestor) AS BIGINT) AS path_sum
+    FROM chain GROUP BY suppkey
+    """,
+    description="Recursive CTE (Spark 4 WITH RECURSIVE): walk each "
+    "supplier key up a synthetic binary-heap hierarchy (parent = "
+    "k div 2) to the root, reporting chain depth and path sum.  "
+    "UNION ALL recursion on an acyclic bounded walk (O(log n) "
+    "levels); Spark iterates the recursion as unioned plan steps — "
+    "no driver loop in user code.",
+)
+def recursive_cte_tree_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL-native recursion — the declarative counterpart of the
+    engine's iterative DataFrame loops (connected components,
+    PageRank).  Spark 4 supports ``WITH RECURSIVE`` with UNION ALL
+    steps (UNION-dedup recursion is not yet supported, so cyclic
+    closures like dedup_components stay on the explicit loop); a
+    bounded tree walk is the shape it executes well.
+    """
+    read_table(spark, sf_dir, "supplier").createOrReplaceTempView(
+        "_rc_supplier"
+    )
+    return spark.sql(
+        """
+        WITH RECURSIVE chain(suppkey, ancestor, depth) AS (
+          SELECT s_suppkey, s_suppkey, 0 FROM _rc_supplier
+          UNION ALL
+          SELECT suppkey, ancestor DIV 2, depth + 1
+          FROM chain WHERE ancestor > 1
+        )
+        SELECT suppkey,
+               CAST(MAX(depth) AS BIGINT) AS depth_to_root,
+               CAST(SUM(ancestor) AS BIGINT) AS path_sum
+        FROM chain GROUP BY suppkey
+        """
+    )

@@ -360,6 +360,56 @@ def test_dynamic_partition_overwrite(spark, sf_dir, tmp_path):
     assert vals == sorted(vals)
 
 
+def test_zorder_layout_tightens_file_stats_on_both_dims(
+    spark, sf_dir, tmp_path
+):
+    """write_zordered clusters BOTH dimensions at once: every output
+    file's footer min/max must span a small fraction of each column's
+    domain (so footer-stat skipping prunes on either filter column),
+    where a hash-shuffled baseline write spans ~the whole domain in
+    every file."""
+    import glob
+
+    import pyarrow.parquet as pq
+
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.operators.layout import write_zordered
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_totalprice"
+    )
+
+    def mean_file_span(path: str, col: str) -> float:
+        spans, mins, maxs = [], [], []
+        for f in glob.glob(f"{path}/*.parquet"):
+            vals = pq.read_table(f, columns=[col])[col].to_pylist()
+            lo, hi = min(vals), max(vals)
+            spans.append(hi - lo)
+            mins.append(lo)
+            maxs.append(hi)
+        domain = max(maxs) - min(mins)
+        return sum(spans) / len(spans) / domain
+
+    base = str(tmp_path / "orders_base")
+    orders.repartition(16).write.parquet(base)
+    zord = str(tmp_path / "orders_z")
+    # 16 files -> each covers 1/16 of z-space, i.e. ~a quarter of the
+    # domain per dimension ideally; curve-boundary files span more,
+    # hence the 0.6 bound (vs >0.8 everywhere for the hash baseline)
+    write_zordered(orders, zord, "o_custkey", "o_totalprice", n_files=16)
+
+    # baseline: every hash-shuffled file covers ~the full domain
+    assert mean_file_span(base, "o_custkey") > 0.8
+    assert mean_file_span(base, "o_totalprice") > 0.8
+    # z-ordered: each file covers a bounded slice of BOTH dimensions
+    assert mean_file_span(zord, "o_custkey") < 0.6
+    assert mean_file_span(zord, "o_totalprice") < 0.6
+    # no rows lost and schema unchanged
+    assert (
+        spark.read.parquet(zord).count() == orders.count()
+    )
+
+
 def test_compact_partitions_merges_small_files(spark, sf_dir, tmp_path):
     """compact_partitions rewrites ONLY over-split partitions down to
     the target file count, preserves every row, and leaves
