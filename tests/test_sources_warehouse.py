@@ -460,6 +460,61 @@ def test_compact_partitions_merges_small_files(spark, sf_dir, tmp_path):
     assert dict(after.dtypes)["o_orderstatus"] == "string"
 
 
+def test_parquet_merge_schema_across_evolving_partitions(spark, tmp_path):
+    """Schema evolution at the FILE level: a column added in later
+    partition writes surfaces via mergeSchema (union of all footer
+    schemas), with NULLs for pre-evolution partitions — the read-side
+    counterpart of the DataFrame-level schema_evolution_union query."""
+    from pyspark.sql import functions as F
+
+    out = str(tmp_path / "evolving")
+    spark.range(0, 5).select("id").write.parquet(f"{out}/batch=1")
+    spark.range(5, 10).select(
+        "id", (F.col("id") * 2).alias("extra")
+    ).write.parquet(f"{out}/batch=2")
+
+    merged = spark.read.option("mergeSchema", "true").parquet(out)
+    assert set(merged.columns) == {"id", "extra", "batch"}
+    rows = {r.id: (r.extra, r.batch) for r in merged.collect()}
+    assert all(rows[i] == (None, 1) for i in range(5))
+    assert all(rows[i] == (i * 2, 2) for i in range(5, 10))
+
+
+def test_compact_partitions_nested_two_level(spark, tmp_path):
+    """compact_partitions on a two-level (year/status) layout: leaf
+    partitions compact independently, values and the INTEGER type of
+    the inferred partition column survive the rewrite."""
+    import glob
+
+    from pyspark.sql import functions as F
+
+    from dados_publicos_etl_spark.io import compact_partitions
+
+    out = str(tmp_path / "nested")
+    df = spark.range(0, 400).select(
+        "id",
+        (F.lit(1997) + (F.col("id") % 2)).cast("int").alias("year"),
+        F.when(F.col("id") % 4 < 2, "A").otherwise("B").alias("status"),
+    )
+    df.repartition(5).write.partitionBy("year", "status").parquet(out)
+    leaf = f"{out}/year=1997/status=A"
+    assert len(glob.glob(f"{leaf}/*.parquet")) == 5
+
+    todo = compact_partitions(
+        spark, out, partition_by=["year", "status"],
+        target_file_bytes=1 << 30, min_files_to_compact=2,
+    )
+    assert len(todo) == 4  # all four leaves were over-split
+    assert all(len(p.split("/")) == 2 for p in todo)
+    for p in glob.glob(f"{out}/year=*/status=*"):
+        assert len(glob.glob(f"{p}/*.parquet")) == 1
+    back = spark.read.parquet(out)
+    assert back.count() == 400
+    assert dict(back.dtypes)["year"] == "int"
+    assert back.groupBy("year", "status").count().count() == 4
+    assert sorted(r.id for r in back.collect()) == list(range(400))
+
+
 def test_stateful_session_close_on_event_time_timeout(spark, tmp_path):
     """applyInPandasWithState + EventTimeTimeout: a session CLOSES
     (emits once, state removed) when the watermark passes its last
