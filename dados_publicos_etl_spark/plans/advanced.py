@@ -660,3 +660,42 @@ def recursive_cte_tree_walk(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM chain GROUP BY suppkey
         """
     )
+
+
+@query(
+    "bitmap_distinct_count",
+    oracle="""
+    SELECT l_returnflag,
+           CAST(COUNT(DISTINCT l_partkey) AS BIGINT) AS n_distinct_parts
+    FROM lineitem GROUP BY l_returnflag
+    """,
+    description="EXACT distinct count via Spark 4 bitmap aggregates: "
+    "keys bucket into 32k-bit bitmaps (bitmap_bucket_number / "
+    "bitmap_bit_position), bitmap_construct_agg builds one bitmap "
+    "per (group, bucket), sum of bitmap_count recovers the exact "
+    "count.  Unlike COUNT(DISTINCT) the per-bucket bitmaps are "
+    "MERGEABLE (bitmap_or_agg) — persist them per ingest batch and "
+    "distinct counts stay incrementally maintainable without "
+    "rescanning history; unlike HLL the answer is exact.",
+)
+def bitmap_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    per_bucket = (
+        li.groupBy(
+            "l_returnflag",
+            F.expr("bitmap_bucket_number(l_partkey)").alias("bucket"),
+        )
+        .agg(
+            F.expr(
+                "bitmap_construct_agg(bitmap_bit_position(l_partkey))"
+            ).alias("bmp")
+        )
+    )
+    return (
+        per_bucket.groupBy("l_returnflag")
+        .agg(
+            F.sum(F.expr("bitmap_count(bmp)"))
+            .cast("long")
+            .alias("n_distinct_parts")
+        )
+    )

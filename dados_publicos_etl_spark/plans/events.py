@@ -432,3 +432,144 @@ def window_fill_forward(spark: SparkSession, sf_dir: str) -> DataFrame:
         .over(wall)
         .alias("first_purchase_value"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bucketized interval join — the big-big range-join pattern
+# ---------------------------------------------------------------------------
+
+_IVL_BUCKET_SECS = 3600
+
+
+def _epoch_secs(col: str):
+    # NTZ-safe epoch seconds (unix_* need LTZ)
+    return F.expr(
+        f"timestampdiff(SECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', {col})"
+    )
+
+
+def point_in_interval_join(
+    points: DataFrame,
+    intervals: DataFrame,
+    t_col: str,
+    lo_col: str,
+    hi_col: str,
+    bucket_secs: int = _IVL_BUCKET_SECS,
+) -> DataFrame:
+    """Point-in-interval join as an EQUI join, for when BOTH sides are
+    too big to broadcast.
+
+    A raw ``p.ts BETWEEN i.lo AND i.hi`` theta join plans as a
+    nested-loop / cartesian once neither side fits in a broadcast —
+    the classic range-join scale cliff.  Quantizing time into fixed
+    buckets turns it into: point -> its ONE bucket; interval ->
+    exploded to the buckets it overlaps (``sequence``); equi-join on
+    the bucket key (shuffle-hash/SMJ, partition-parallel); exact
+    BETWEEN filter re-applied.  Each (point, interval) pair meets in
+    exactly one bucket — the point's — so no dedup step is needed.
+    Candidate volume is |points| x avg concurrent intervals per
+    bucket; pick ``bucket_secs`` ~ median interval length so interval
+    replication stays O(1) per row.
+    """
+    pb = points.withColumn(
+        "_bkt", F.floor(_epoch_secs(t_col) / bucket_secs).cast("long")
+    )
+    ib = intervals.withColumn(
+        "_bkt",
+        F.explode(
+            F.sequence(
+                F.floor(_epoch_secs(lo_col) / bucket_secs).cast("long"),
+                F.floor(_epoch_secs(hi_col) / bucket_secs).cast("long"),
+            )
+        ),
+    )
+    return (
+        pb.join(ib, "_bkt")
+        .filter(
+            (F.col(t_col) >= F.col(lo_col))
+            & (F.col(t_col) <= F.col(hi_col))
+        )
+        .drop("_bkt")
+    )
+
+
+@query(
+    "interval_bucket_join",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id,
+             CASE WHEN LAG(ts) OVER w IS NULL
+                  OR ts - LAG(ts) OVER w > INTERVAL {_GAP_MIN} MINUTE
+                  THEN 1 ELSE 0 END AS new_session
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ), sess AS (
+      SELECT user_id, ts,
+             SUM(new_session) OVER (PARTITION BY user_id
+                                    ORDER BY ts, event_id
+                                    ROWS UNBOUNDED PRECEDING) AS session_seq
+      FROM flagged
+    ), sessions AS (
+      SELECT user_id, session_seq, MIN(ts) AS lo, MAX(ts) AS hi
+      FROM sess GROUP BY user_id, session_seq
+    ), purchases AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT p.event_id, p.user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_concurrent
+    FROM purchases p JOIN sessions s
+      ON p.ts >= s.lo AND p.ts <= s.hi AND s.user_id <> p.user_id
+    GROUP BY p.event_id, p.user_id
+    """,
+    description="Big-big interval join via time-bucket equi-join: each "
+    "purchase counts OTHER users' gap-sessions covering its "
+    "timestamp.  Points map to one bucket, intervals explode to "
+    "their overlapping buckets, the join is a hash join on the "
+    "bucket key (never nested-loop) with the exact BETWEEN "
+    "re-filter — the O(n) range-join shape when neither side "
+    "broadcasts.",
+)
+def interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    wrun = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    gap_us = _GAP_MIN * 60 * 1_000_000
+    sess = (
+        ev.select(
+            "user_id", "ts", "event_id",
+            F.lag("ts").over(w).alias("prev_ts"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.when(
+                F.col("prev_ts").isNull()
+                | (F.expr("timestampdiff(MICROSECOND, prev_ts, ts)") > gap_us),
+                1,
+            )
+            .otherwise(0)
+            .alias("new_session"),
+        )
+        .select(
+            "user_id",
+            "ts",
+            F.sum("new_session").over(wrun).alias("session_seq"),
+        )
+    )
+    sessions = sess.groupBy("user_id", "session_seq").agg(
+        F.min("ts").alias("lo"), F.max("ts").alias("hi")
+    ).select(F.col("user_id").alias("s_user_id"), "lo", "hi")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts"
+    )
+    joined = point_in_interval_join(purchases, sessions, "ts", "lo", "hi")
+    return (
+        joined.filter(F.col("s_user_id") != F.col("user_id"))
+        .groupBy("event_id", "user_id")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_concurrent"))
+    )

@@ -275,6 +275,34 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     assert got == expect
 
 
+def test_bitmap_merge_equals_whole(spark, sf_dir):
+    """bitmap_or_agg over per-half bitmaps must give the same EXACT
+    distinct count as one pass over the whole column — the
+    mergeability that makes per-batch bitmap persistence equivalent
+    to rescanning history (and, unlike HLL, exact)."""
+    from pyspark.sql import functions as F
+
+    from dados_publicos_etl_spark.io import read_table
+
+    li = read_table(spark, sf_dir, "lineitem")
+    exact = li.select("l_partkey").distinct().count()
+
+    halves = li.withColumn("half", (F.col("l_orderkey") % 2).cast("int"))
+    per_half = halves.groupBy(
+        "half", F.expr("bitmap_bucket_number(l_partkey)").alias("bucket")
+    ).agg(
+        F.expr("bitmap_construct_agg(bitmap_bit_position(l_partkey))")
+        .alias("bmp")
+    )
+    merged = (
+        per_half.groupBy("bucket")
+        .agg(F.expr("bitmap_or_agg(bmp)").alias("bmp"))
+        .agg(F.sum(F.expr("bitmap_count(bmp)")).alias("n"))
+        .head()[0]
+    )
+    assert merged == exact
+
+
 def test_hll_merge_equals_whole(spark, sf_dir):
     """Merging per-half HLL sketches must give the same estimate as
     sketching the whole column - the mergeability contract that makes

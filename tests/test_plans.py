@@ -208,6 +208,17 @@ def test_pagerank_final_plan_broadcasts_ranks(spark, sf_dir):
     assert "SortMergeJoin" not in plan
 
 
+def test_interval_bucket_join_plans_as_equi_join(spark, sf_dir):
+    """The bucketized point-in-interval join must plan the range
+    predicate as an EQUI join on the bucket key (hash/SMJ) with the
+    BETWEEN as a post-filter — never a nested-loop or cartesian,
+    which is what a raw theta join degenerates to once neither side
+    broadcasts."""
+    plan = _plan(QUERIES["interval_bucket_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+
+
 def test_corpus_pipeline_fuses_to_two_shuffles(spark, sf_dir):
     """The composed curation pipeline (normalize -> dedup -> quality
     gate -> split -> report) must plan as ONE job with exactly two
