@@ -515,3 +515,37 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         u.join(dup_ids, "vec_id", "left_anti").select("vec_id", "label")
     )
+
+
+@query(
+    "dedup_embedding_ann",
+    oracle=None,  # LSH candidate set is hyperplane-model-dependent;
+    # planted-twin recall + survivor-consistency pinned in pytest.
+    description="Semantic dedup AT SCALE: the documented 100 TB "
+    "composition made real — LSH candidate pairs "
+    "(hyperplane buckets, no label blocking, no cross join) feed the "
+    "same min-id survivorship rule as dedup_embedding_cosine.  "
+    "Survivors = vectors with no smaller-id LSH-confirmed near-dup.",
+)
+def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global (label-free) embedding dedup via the ANN candidate path.
+
+    dedup_embedding_cosine proves the survivorship semantics against
+    an exact oracle inside label blocks; this query swaps the pair
+    source for ``ann_pairs_lsh`` — the composition the cosine tier's
+    docstring promises at 100 TB, where exact blocking keys don't
+    exist and candidate generation must come from the index.
+    """
+    from dados_publicos_etl_spark.operators.similarity import (
+        ann_pairs_lsh,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    pairs = ann_pairs_lsh(emb, threshold=0.35)
+    # duplicate = appears as the LARGER id of any confirmed pair
+    dup_ids = pairs.select(F.col("vec_id_b").alias("vec_id")).distinct()
+    return emb.join(dup_ids, "vec_id", "left_anti").select(
+        "vec_id", "label"
+    )

@@ -275,6 +275,51 @@ def test_ivf_persisted_index_prunes_partitions(spark, sf_dir, tmp_path):
     assert got == expect
 
 
+def test_dedup_embedding_ann_removes_planted_twins(spark, sf_dir):
+    """The LSH-candidate dedup must (a) drop >=90% of planted noisy
+    twins while keeping every base vector, and (b) on the driver
+    table, produce a survivor set consistent with min-id semantics
+    (no survivor is the larger id of a confirmed near-dup pair)."""
+    import numpy as np
+
+    from dados_publicos_etl_spark.operators.dedup import (
+        dedup_embedding_ann,
+    )
+    from dados_publicos_etl_spark.operators.similarity import ann_pairs_lsh
+
+    # planted twins: base + tight noise => twin pairs exceed the
+    # 0.35 cosine threshold by construction
+    rng = np.random.RandomState(23)
+    n_base, dim = 150, 32
+    base = rng.randn(n_base, dim)
+    noisy = base + 0.05 * rng.randn(n_base, dim)
+    vecs = np.vstack([base, noisy]).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, i % 3, vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, label int, embedding array<float>",
+    )
+    pairs = ann_pairs_lsh(emb, threshold=0.35)
+    dup_ids = {r.vec_id_b for r in pairs.collect()}
+    twins_found = sum(1 for i in range(n_base) if i + n_base in dup_ids)
+    assert twins_found >= 0.9 * n_base, f"recall {twins_found}/{n_base}"
+
+    # driver-table run: survivors never appear as the larger id of a
+    # confirmed pair (min-id survivorship is exact given the pairs)
+    survivors = {
+        r.vec_id for r in dedup_embedding_ann(spark, "/root/testdata/sf0.001").collect()
+    }
+    from dados_publicos_etl_spark.io import read_table
+
+    real = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+        "vec_id", "label", "embedding"
+    )
+    real_pairs = ann_pairs_lsh(real, threshold=0.35)
+    larger_ids = {r.vec_id_b for r in real_pairs.collect()}
+    assert survivors.isdisjoint(larger_ids)
+    n_total = real.count()
+    assert len(survivors) == n_total - len(larger_ids)
+
+
 def test_bitmap_merge_equals_whole(spark, sf_dir):
     """bitmap_or_agg over per-half bitmaps must give the same EXACT
     distinct count as one pass over the whole column — the
