@@ -32,6 +32,15 @@ def parquet_ts_unit(path: str, col: str = "ts") -> str | None:
 
     Returns None when the column isn't a timestamp (already numeric).
     """
+    return parquet_ts_meta(path, col)[0]
+
+
+def parquet_ts_meta(path: str, col: str = "ts") -> tuple[str | None, str | None]:
+    """Like :func:`parquet_ts_unit` but returns ``(unit, tz)`` — the
+    tz annotation distinguishes parquet TIMESTAMP adjusted-to-UTC
+    (tz set, Spark reads TIMESTAMP) from wall-time NTZ (tz None,
+    Spark reads TIMESTAMP_NTZ); readers that branch their declared
+    schema on the unit need both."""
     import pyarrow.parquet as pq
 
     if os.path.isdir(path):
@@ -40,14 +49,20 @@ def parquet_ts_unit(path: str, col: str = "ts") -> str | None:
             raise FileNotFoundError(f"no parquet files under {path}")
         path = parts[0]
     typ = pq.read_schema(path).field(col).type
-    return getattr(typ, "unit", None)
+    return getattr(typ, "unit", None), getattr(typ, "tz", None)
 
 
 def epoch_micros_sql(col: str, unit: str | None) -> str:
     """SQL expression rescaling a raw int64 ``col`` of ``unit`` to
     epoch microseconds.  Integer arithmetic only — nanos ~1e18 exceed
-    double precision, so float division would drift by up to 1 us."""
+    double precision, so float division would drift by up to 1 us.
+
+    ``unit=None`` means the column is a plain numeric (not a parquet
+    timestamp at all — :func:`parquet_ts_unit` returns None then); it
+    is treated as ALREADY epoch micros, the engine's wire convention.
+    """
     scale = {
+        None: f"`{col}`",
         "ns": f"`{col}` div 1000",
         "us": f"`{col}`",
         "ms": f"`{col}` * 1000",
@@ -269,6 +284,32 @@ def overwrite_partitions(
     writer.partitionBy(*partition_by).parquet(path)
 
 
+# Hive's sentinel directory name for a NULL partition value (Spark
+# writes it too — ExternalCatalogUtils.DEFAULT_PARTITION_NAME).
+HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
+
+
+def unescape_path_name(s: str) -> str:
+    """Inverse of the %XX escaping Spark/Hive apply to partition
+    values in directory names (ExternalCatalogUtils.unescapePathName):
+    ``a%3Ab`` -> ``a:b``.  Invalid escapes pass through literally,
+    matching Spark's behavior."""
+    out = []
+    i = 0
+    while i < len(s):
+        c = s[i]
+        if c == "%" and i + 2 < len(s):
+            try:
+                out.append(chr(int(s[i + 1 : i + 3], 16)))
+                i += 3
+                continue
+            except ValueError:
+                pass
+        out.append(c)
+        i += 1
+    return "".join(out)
+
+
 def compact_partitions(
     spark: SparkSession,
     path: str,
@@ -321,10 +362,19 @@ def compact_partitions(
         part_df = spark.read.parquet(os.path.join(path, rel))
         # re-attach the partition columns encoded in the dir names,
         # cast back to the dataset's schema types so the overwrite
-        # doesn't silently widen them to string
+        # doesn't silently widen them to string.  Dir names carry
+        # Hive %XX-escaped values (space, ':', '%', ...) and the
+        # __HIVE_DEFAULT_PARTITION__ null sentinel — unescape before
+        # re-attaching, or the dynamic overwrite targets a NEW
+        # doubly-escaped directory and duplicates the partition.
         for seg in rel.split(os.sep):
             k, _, v = seg.partition("=")
-            part_df = part_df.withColumn(k, F.lit(v).cast(full_schema[k]))
+            k = unescape_path_name(k)
+            if v == HIVE_DEFAULT_PARTITION:
+                val = F.lit(None)
+            else:
+                val = F.lit(unescape_path_name(v))
+            part_df = part_df.withColumn(k, val.cast(full_schema[k]))
         # materialize BEFORE the write: the plan reads the very files
         # the dynamic overwrite is about to replace — localCheckpoint
         # pins the partition's (bounded) data so the rewrite can't

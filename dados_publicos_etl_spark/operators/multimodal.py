@@ -124,6 +124,12 @@ def decode_image(payload: bytes):
         raise ValueError(
             "undecodable payload: not PPM/PGM/BMP and no PIL available"
         ) from exc
+    except Exception as exc:
+        # PIL raises UnidentifiedImageError/OSError on junk payloads;
+        # normalize to ValueError so callers' documented
+        # undecodable-payload fallback (resize_images' byte resample)
+        # stays reachable when PIL IS installed on a real cluster.
+        raise ValueError(f"undecodable payload: {exc}") from exc
 
 
 def encode_ppm(img) -> bytes:

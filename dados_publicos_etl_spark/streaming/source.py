@@ -17,7 +17,7 @@ import os
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from dados_publicos_etl_spark.io import epoch_micros_sql, parquet_ts_unit
+from dados_publicos_etl_spark.io import epoch_micros_sql, parquet_ts_meta
 
 EVENTS_RAW_SCHEMA = (
     "event_id long, ts long, user_id long, event_type string, "
@@ -36,10 +36,32 @@ def read_event_stream(
     stay session-timezone-stable.  ``ntz=True`` yields TIMESTAMP_NTZ
     (UTC wall time), matching the batch path for operators that only
     format/compare timestamps.
+
+    The declared schema BRANCHES on the footer's physical unit:
+    NANOS (and plain-numeric) files read ``ts`` as long
+    (``nanosAsLong``) and rescale by integer arithmetic; MICROS /
+    MILLIS files are NOT long-readable under that conf, so they read
+    through Spark's native timestamp path (TIMESTAMP_NTZ for
+    wall-time files, TIMESTAMP for adjusted-to-UTC files) and
+    convert to epoch micros with session-timezone-independent
+    expressions (NTZ diff from epoch / ``unix_micros``).
     """
     spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-    unit = parquet_ts_unit(os.path.join(sf_dir, "events.parquet"), "ts")
-    micros = epoch_micros_sql("ts", unit)
+    unit, tz = parquet_ts_meta(os.path.join(sf_dir, "events.parquet"), "ts")
+    if unit in ("ns", None):
+        schema = EVENTS_RAW_SCHEMA
+        micros = epoch_micros_sql("ts", unit)
+    elif tz is None:
+        # wall-time NTZ file: pure NTZ arithmetic, no session-tz term
+        schema = EVENTS_RAW_SCHEMA.replace("ts long", "ts timestamp_ntz")
+        micros = (
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', `ts`)"
+        )
+    else:
+        # instant-semantics file (adjusted to UTC): epoch extraction
+        schema = EVENTS_RAW_SCHEMA.replace("ts long", "ts timestamp")
+        micros = "unix_micros(`ts`)"
     if ntz:
         ts_expr = (
             f"timestampadd(MICROSECOND, {micros}, "
@@ -48,7 +70,7 @@ def read_event_stream(
     else:
         ts_expr = f"timestamp_micros({micros})"
     return (
-        spark.readStream.schema(EVENTS_RAW_SCHEMA)
+        spark.readStream.schema(schema)
         .option("pathGlobFilter", "events.parquet")
         .parquet(sf_dir)
         .withColumn("ts", F.expr(ts_expr))

@@ -140,35 +140,46 @@ def streaming_running_totals_v2(
     the batch groupBy aggregate — asserted in pytest (skipped where
     google.protobuf is unavailable; see HAS_TWS).
 
-    The v2 operator requires the RocksDB state store provider; set it
-    on the session before starting (done here per-call).
+    The v2 operator requires the RocksDB state store provider; the
+    conf is saved and restored around the query so later stateful
+    streams on the SHARED session keep their configured provider
+    (leaking it would silently switch every subsequent query's state
+    store).
     """
     from dados_publicos_etl_spark.streaming.source import read_event_stream
 
+    _PROVIDER_KEY = "spark.sql.streaming.stateStore.providerClass"
+    prev_provider = spark.conf.get(_PROVIDER_KEY, None)
     spark.conf.set(
-        "spark.sql.streaming.stateStore.providerClass",
+        _PROVIDER_KEY,
         "org.apache.spark.sql.execution.streaming.state."
         "RocksDBStateStoreProvider",
     )
 
-    stream = read_event_stream(spark, sf_dir, ntz=True)
-    out = stream.groupBy("user_id").transformWithStateInPandas(
-        RunningTotalsProcessor(),
-        outputStructType=OUTPUT_SCHEMA,
-        outputMode="Update",
-        timeMode="None",
-    )
-    name = f"tws_out_{uuid.uuid4().hex[:8]}"
-    q = (
-        out.writeStream.outputMode("update")
-        .format("memory")
-        .queryName(name)
-        .start()
-    )
     try:
-        q.processAllAvailable()
+        stream = read_event_stream(spark, sf_dir, ntz=True)
+        out = stream.groupBy("user_id").transformWithStateInPandas(
+            RunningTotalsProcessor(),
+            outputStructType=OUTPUT_SCHEMA,
+            outputMode="Update",
+            timeMode="None",
+        )
+        name = f"tws_out_{uuid.uuid4().hex[:8]}"
+        q = (
+            out.writeStream.outputMode("update")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
     finally:
-        q.stop()
+        if prev_provider is None:
+            spark.conf.unset(_PROVIDER_KEY)
+        else:
+            spark.conf.set(_PROVIDER_KEY, prev_provider)
     snap = spark.table(name)
     from pyspark.sql import Window as W
 

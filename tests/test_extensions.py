@@ -99,6 +99,72 @@ def test_streaming_matches_batch(spark, sf_dir):
     assert stream == batch
 
 
+def test_event_stream_reads_all_physical_ts_units(spark, tmp_path):
+    """read_event_stream must branch its declared schema on the
+    footer's physical unit: NANOS files read ``ts`` as long under
+    nanosAsLong, but MICROS/MILLIS files are NOT long-readable under
+    that conf and go through Spark's native timestamp path (NTZ or
+    LTZ per the footer's tz annotation).  All variants of the same
+    logical data must produce identical results."""
+    import uuid
+
+    from dados_publicos_etl_spark.streaming.source import read_event_stream
+
+    t0 = 1_700_000_000_000_000  # epoch micros
+    MIN = 60 * 1_000_000
+    ts_us = [t0 + i * MIN for i in range(8)]
+    base = pd.DataFrame(
+        {
+            "event_id": pd.Series(range(8), dtype="int64"),
+            "ts": pd.to_datetime(ts_us, unit="us"),
+            "user_id": pd.Series([1, 2] * 4, dtype="int64"),
+            "event_type": ["click"] * 8,
+            "value": [1.0] * 8,
+            "props": ["{}"] * 8,
+        }
+    )
+    variants = {
+        "ns": (base, {}),  # pyarrow keeps ns -> TIMESTAMP(NANOS)
+        "us_ntz": (base, {"coerce_timestamps": "us"}),
+        "ms_ntz": (base, {"coerce_timestamps": "ms"}),
+        # tz-aware -> parquet isAdjustedToUTC=true -> Spark TIMESTAMP
+        "us_ltz": (base.assign(ts=base["ts"].dt.tz_localize("UTC")),
+                   {"coerce_timestamps": "us"}),
+    }
+    results = {}
+    for label, (pdf, kw) in variants.items():
+        d = tmp_path / label
+        d.mkdir()
+        pdf.to_parquet(d / "events.parquet", **kw)
+        stream = read_event_stream(spark, str(d), ntz=True)
+        agg = stream.groupBy("user_id").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.max(
+                F.expr(
+                    "timestampdiff(MICROSECOND, "
+                    "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+                )
+            ).alias("max_us"),
+        )
+        name = f"units_{label}_{uuid.uuid4().hex[:6]}"
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+        results[label] = {
+            r.user_id: (r.n, r.max_us) for r in spark.table(name).collect()
+        }
+    expect = {1: (4, ts_us[6]), 2: (4, ts_us[7])}
+    for label, got in results.items():
+        assert got == expect, f"unit variant {label}: {got}"
+
+
 def _ppm_bytes(arr):
     import numpy as np
 
@@ -306,11 +372,11 @@ def test_dedup_embedding_ann_removes_planted_twins(spark, sf_dir):
     # driver-table run: survivors never appear as the larger id of a
     # confirmed pair (min-id survivorship is exact given the pairs)
     survivors = {
-        r.vec_id for r in dedup_embedding_ann(spark, "/root/testdata/sf0.001").collect()
+        r.vec_id for r in dedup_embedding_ann(spark, sf_dir).collect()
     }
     from dados_publicos_etl_spark.io import read_table
 
-    real = read_table(spark, "/root/testdata/sf0.001", "embeddings").select(
+    real = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
     real_pairs = ann_pairs_lsh(real, threshold=0.35)

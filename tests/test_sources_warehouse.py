@@ -515,6 +515,47 @@ def test_compact_partitions_nested_two_level(spark, tmp_path):
     assert sorted(r.id for r in back.collect()) == list(range(400))
 
 
+def test_compact_partitions_escaped_and_null_values(spark, tmp_path):
+    """Partition values that Spark %XX-escapes in directory names
+    (':', '%', '=') and NULL (__HIVE_DEFAULT_PARTITION__) must
+    round-trip through compaction: the rewrite targets the ORIGINAL
+    directories — no doubly-escaped twin dirs, no silent row
+    duplication — and the null partition stays null."""
+    import glob
+    import os
+
+    from dados_publicos_etl_spark.io import compact_partitions
+
+    out = str(tmp_path / "escaped")
+    vals = ["a b", "x:y", "p%q", "k=v", None]
+    df = spark.createDataFrame(
+        [(i, v) for i in range(40) for v in vals], "id long, cat string"
+    )
+    df.repartition(3).write.partitionBy("cat").parquet(out)
+    dirs_before = sorted(
+        os.path.basename(p) for p in glob.glob(f"{out}/cat=*")
+    )
+    assert len(dirs_before) == len(vals)
+    n_before = spark.read.parquet(out).count()
+    assert n_before == 40 * len(vals)
+
+    todo = compact_partitions(
+        spark, out, partition_by=["cat"],
+        target_file_bytes=1 << 30, min_files_to_compact=2,
+    )
+    assert todo, "over-split partitions should have been compacted"
+    after = spark.read.parquet(out)
+    assert after.count() == n_before  # duplication = escaping bug
+    dirs_after = sorted(
+        os.path.basename(p) for p in glob.glob(f"{out}/cat=*")
+    )
+    assert dirs_after == dirs_before  # no new escaped-twin dirs
+    got_vals = {r.cat for r in after.select("cat").distinct().collect()}
+    assert got_vals == set(vals)
+    for p in glob.glob(f"{out}/cat=*"):
+        assert len(glob.glob(f"{p}/*.parquet")) == 1
+
+
 def test_stateful_session_close_on_event_time_timeout(spark, tmp_path):
     """applyInPandasWithState + EventTimeTimeout: a session CLOSES
     (emits once, state removed) when the watermark passes its last
