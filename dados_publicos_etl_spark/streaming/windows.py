@@ -27,7 +27,8 @@ _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
 @contextmanager
 def _streaming_shuffle(spark: SparkSession, n: int = 4):
-    """Bound stateful-stream parallelism while a query is planned.
+    """Bound stateful-stream parallelism while a query is planned,
+    and skip no-data micro-batches for the drive-to-completion run.
 
     A stateful streaming query creates one state store PER shuffle
     partition PER stateful operator; micro-batch latency in local
@@ -39,13 +40,31 @@ def _streaming_shuffle(spark: SparkSession, n: int = 4):
     is fixed at first checkpoint, so size it for peak key cardinality
     up front.  The session value is restored afterwards; the stream
     keeps the value captured at plan time.
+
+    ``noDataMicroBatches`` is disabled for the same window: after the
+    data batch, processAllAvailable otherwise waits out an EMPTY
+    batch whose only job is advancing the watermark — which none of
+    the wrapped queries need (complete-mode aggs re-emit on every
+    data batch; append-mode dedup/inner-join emit on sight/match,
+    watermark only evicts state).  A/B at sf0.1 warm: the 4
+    true-streaming queries total 5.7 s with no-data batches, 4.0 s
+    without, identical results (oracle-checked).  Operators that DO
+    emit on watermark advance (EventTimeTimeout session close —
+    ``stateful.streaming_session_close``) must not use this wrapper.
     """
+    _NODATA_KEY = "spark.sql.streaming.noDataMicroBatches.enabled"
     prev = spark.conf.get("spark.sql.shuffle.partitions")
+    prev_nodata = spark.conf.get(_NODATA_KEY, None)
     spark.conf.set("spark.sql.shuffle.partitions", str(n))
+    spark.conf.set(_NODATA_KEY, "false")
     try:
         yield
     finally:
         spark.conf.set("spark.sql.shuffle.partitions", prev)
+        if prev_nodata is None:
+            spark.conf.unset(_NODATA_KEY)
+        else:
+            spark.conf.set(_NODATA_KEY, prev_nodata)
 _DUCK_BUCKET = (
     # naive-timestamp arithmetic: DuckDB's to_timestamp() returns
     # TIMESTAMPTZ and strftime would render it in the local zone,

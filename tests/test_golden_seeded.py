@@ -1,16 +1,18 @@
 """Exact golden checks for the seeded probabilistic queries.
 
-These four queries are registered WITHOUT a DuckDB oracle (their
-output depends on the model — minhash permutations, hyperplane draws,
-k-means codebooks — not on SQL-expressible semantics), so the driver
-records only a rows-only check.  But under their FIXED seeds they are
-fully deterministic, so each one also gets an exact regression pin:
-the sf0.01 result frozen as parquet in tests/golden/ (generated once
-via the same query functions; regenerate deliberately when a seed or
-algorithm changes, never to paper over a diff).
+These queries are registered WITHOUT a DuckDB oracle (their output
+depends on the model — minhash permutations, hyperplane draws,
+k-means codebooks, HLL sketch internals — not on SQL-expressible
+semantics), so the driver records only a rows-only check.  But under
+their FIXED seeds they are fully deterministic, so each one also gets
+an exact regression pin: the sf0.01 result frozen as parquet in
+tests/golden/ (generated once via the same query functions;
+regenerate deliberately when a seed or algorithm changes, never to
+paper over a diff).
 
-This upgrades the no-oracle family from recall-bounds to exact
-equality, per-row and per-value.
+This upgrades the ENTIRE no-oracle family from bounds checks to exact
+equality, per-row and per-value — every registered query is now
+either oracle-checked or golden-pinned.
 """
 
 from __future__ import annotations
@@ -31,6 +33,13 @@ SEEDED_QUERIES = [
     "dedup_simhash",
     "similarity_ann_lsh",
     "similarity_pq",
+    # pinned in round 4: the remaining no-oracle entries
+    "approx_sketches",       # HLL++/quantile sketches, engine-deterministic
+    "hll_sketch_merge",      # sketch merge == whole, engine-deterministic
+    "multimodal_audio_segments",  # deterministic synthetic PCM math
+    "dedup_embedding_ann",   # seeded hyperplane LSH candidates
+    "similarity_ivf",        # seeded kmeans coarse quantizer
+    "similarity_ivf_persisted",  # same model, persisted-probe path
 ]
 
 
