@@ -537,3 +537,90 @@ def corpus_pipeline_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("long").alias("n_docs"),
         F.sum("n_words").cast("long").alias("total_words"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-document duplicate span mining (Lee et al.-style span dedup signal)
+# ---------------------------------------------------------------------------
+
+_SPAN_N = 10  # tokens per span — the memorization-relevant unit
+
+
+def _span_hashes(toks: F.Column) -> F.Column:
+    """md5 of every POSITIONAL ``_SPAN_N``-token window (not distinct,
+    not clamped): span occurrences are counted per position, the unit
+    "Deduplicating Training Data Makes Language Models Better"
+    (Lee et al., 2022) deduplicates on.  Only the 32-hex digest ever
+    leaves the row — the shuffle key is fixed-width no matter how
+    long the span text is."""
+
+    def span_at(i):
+        pieces = []
+        for j in range(_SPAN_N):
+            if j:
+                pieces.append(F.lit(" "))
+            pieces.append(F.element_at(toks, i + j))
+        return F.md5(F.concat(*pieces))
+
+    return F.when(
+        F.size(toks) >= _SPAN_N,
+        F.transform(
+            F.sequence(F.lit(1), F.size(toks) - (_SPAN_N - 1)), span_at
+        ),
+    ).otherwise(F.array().cast("array<string>"))
+
+
+@query(
+    "duplicate_ngram_spans",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), w AS (
+      SELECT doc_id,
+             md5(array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}), ' '))
+               AS span_hash
+      FROM t, UNNEST(generate_series(1, len(toks) - {_SPAN_N - 1})) AS u(i)
+      WHERE len(toks) >= {_SPAN_N}
+    )
+    SELECT span_hash,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           MIN(doc_id) AS first_doc
+    FROM w
+    GROUP BY span_hash
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    """,
+    description=f"Cross-document duplicate span mining: every "
+    f"positional {_SPAN_N}-token window that occurs in >= 2 distinct "
+    "documents, with document and occurrence counts — the span-level "
+    "dedup signal of Lee et al. 2022 (whose removal measurably "
+    "improves LMs).  Differs from boilerplate_shingles (3-gram "
+    "doc-frequency, distinct per doc): spans are long, positional, "
+    "and counted per occurrence.  One narrow map emits fixed-width "
+    "digests, one explode, one hash aggregation.",
+)
+def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Span inventory a scrubber would cut from the training corpus.
+
+    Scale: the exploded stream is ~n_tokens rows/doc but carries ONLY
+    (doc_id, 32-hex digest); the aggregation is map-side-combinable
+    (partial counts per digest).  Pathological boilerplate spans
+    (one digest in millions of docs) are exactly what
+    ``operators/skew.py``'s salted aggregation handles — compose it
+    when a corpus profile shows such heads.  The span TEXT is never
+    shuffled; recovering it for reporting is a broadcast join of the
+    (tiny) flagged-digest set back onto one corpus scan.
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    spans = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id", F.explode(_span_hashes(F.col("toks"))).alias("span_hash")
+    )
+    return (
+        spans.groupBy("span_hash")
+        .agg(
+            F.countDistinct("doc_id").cast("long").alias("n_docs"),
+            F.count(F.lit(1)).cast("long").alias("n_occurrences"),
+            F.min("doc_id").alias("first_doc"),
+        )
+        .filter(F.col("n_docs") >= 2)
+    )

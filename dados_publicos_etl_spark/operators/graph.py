@@ -77,15 +77,23 @@ def connected_components(
         .localCheckpoint()
     )
     for _ in range(max_iter):
+        # The label table is |V| rows over the DEDUP-PAIR graph —
+        # orders of magnitude smaller than the corpus (only docs with
+        # at least one near-dup edge appear), so broadcast it: the
+        # edge table is then never shuffled per round and the only
+        # exchange is the partial-aggregated neighbor-min (|V| rows).
+        # Same reasoning as the PageRank rank broadcast; at
+        # billions-of-duplicate-nodes scale drop the broadcast hints
+        # and pre-repartition both/labels on the node key once.
         # hop 1: min over neighbors' labels
         nbr_min = (
-            both.join(labels, both.a == labels.node)
+            both.join(F.broadcast(labels), both.a == labels.node)
             .groupBy(F.col("b").alias("node"))
             .agg(F.min("label").alias("nbr_label"))
         )
         stepped = (
             labels.alias("l")
-            .join(nbr_min.alias("n"), "node", "left")
+            .join(F.broadcast(nbr_min).alias("n"), "node", "left")
             .select(
                 "node",
                 F.least(
@@ -99,7 +107,9 @@ def connected_components(
             F.col("node").alias("p_node"), F.col("label").alias("p_label")
         )
         new_labels = (
-            stepped.join(parent, stepped.label == parent.p_node, "left")
+            stepped.join(
+                F.broadcast(parent), stepped.label == parent.p_node, "left"
+            )
             .select(
                 "node",
                 F.least(

@@ -909,6 +909,169 @@ def similarity_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# IVF-PQ — coarse cells to prune, product codes to scan (FAISS IVFPQ shape)
+# ---------------------------------------------------------------------------
+
+
+def ivfpq_topk(
+    emb: DataFrame,
+    query_max_id: int,
+    k: int = 5,
+    n_cells: int = 16,
+    n_probe: int = 4,
+    m: int = 8,
+    k_codes: int = 16,
+    n_rerank: int = 32,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+    seed: int = LSH_SEED,
+    cache_key: str | None = None,
+) -> DataFrame:
+    """IVF-PQ ANN top-k — the canonical big-corpus index shape
+    (FAISS IVFPQ): an IVF coarse quantizer prunes the search to
+    ``n_probe/n_cells`` of the corpus, then a PQ/ADC lookup-table
+    scan scores ONLY those candidates through m one-byte subspace
+    codes, and exact cosine re-ranks the survivors.
+
+    The two compressions multiply at 100 TB: IVF cuts the ROWS the
+    scan touches (file-level pruning when the cell table is
+    persisted — see ``write_ivf_index``), PQ cuts the BYTES per row
+    the scan reads (codes, not vectors).  Both quantizers are
+    trained on deterministic driver-side samples and memoized per
+    corpus (``_TRAIN_CACHE``), exactly like their standalone
+    operators.  Candidate resolution runs on skinny (id, cell)
+    tables; the fat vector column is touched once for the pruned
+    candidate set and once for the tiny re-rank join.
+    """
+    import numpy as np
+
+    from pyspark.sql import Window as W
+
+    centroids = _train_ivf_centroids(
+        emb, n_cells, id_col, vec_col, seed, cache_key=cache_key
+    )
+    books = _pq_books_for(
+        emb, m, k_codes, id_col, vec_col, seed, cache_key=cache_key
+    )
+    sub_dim = books.shape[2]
+    book_norms = (books**2).sum(axis=2)  # (m, k_codes)
+    cells = _assign_cells(emb, centroids, id_col, vec_col)
+
+    qrows = (
+        emb.filter(F.col(id_col) < query_max_id)
+        .select(id_col, vec_col)
+        .collect()
+    )
+    q_ids = [int(r[id_col]) for r in qrows]
+    q_mat = np.vstack([np.asarray(r[vec_col], dtype="float64") for r in qrows])
+    q_norm = np.sqrt((q_mat**2).sum(axis=1))
+    luts = np.einsum(
+        "qjd,jcd->qjc", q_mat.reshape(len(q_ids), m, sub_dim), books
+    )
+    qid_to_ix = {qid: ix for ix, qid in enumerate(q_ids)}
+
+    probe_rows = []
+    for ix, qid in enumerate(q_ids):
+        d = ((centroids - q_mat[ix]) ** 2).sum(axis=1)
+        for cell in np.argsort(d)[:n_probe]:
+            probe_rows.append((qid, int(cell)))
+    probes = emb.sparkSession.createDataFrame(
+        probe_rows, "query_id long, cell int"
+    )
+
+    cand_ids = (
+        cells.join(F.broadcast(probes), "cell")
+        .filter(F.col(id_col) != F.col("query_id"))
+        .select(id_col, "query_id")
+    )
+    cands = emb.join(F.broadcast(cand_ids), id_col).select(
+        "query_id", id_col, vec_col
+    )
+
+    def adc_scan(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
+            blocks = mat.reshape(len(pdf), m, sub_dim)
+            codes = np.empty((len(pdf), m), dtype="int64")
+            for j in range(m):
+                d2 = (
+                    (blocks[:, j, None, :] - books[None, j, :, :]) ** 2
+                ).sum(axis=2)
+                codes[:, j] = d2.argmin(axis=1)
+            rec_norm = np.sqrt(book_norms[np.arange(m), codes].sum(axis=1))
+            qix = pdf["query_id"].map(qid_to_ix).to_numpy()
+            dots = luts[qix[:, None], np.arange(m)[None, :], codes].sum(axis=1)
+            approx = dots / (q_norm[qix] * np.maximum(rec_norm, 1e-12))
+            out = pd.DataFrame(
+                {
+                    "query_id": pdf["query_id"].to_numpy(),
+                    "neighbor_id": pdf[id_col].to_numpy(),
+                    "approx_cos": approx,
+                }
+            )
+            # per-partition prune: only n_rerank candidates per query
+            # survive to the shuffle (deterministic tie-break on id)
+            out = (
+                out.sort_values(
+                    ["query_id", "approx_cos", "neighbor_id"],
+                    ascending=[True, False, True],
+                )
+                .groupby("query_id", sort=False)
+                .head(n_rerank)
+            )
+            yield out
+
+    scored = cands.mapInPandas(
+        adc_scan, schema="query_id long, neighbor_id long, approx_cos double"
+    )
+    aw = W.partitionBy("query_id").orderBy(
+        F.desc("approx_cos"), F.asc("neighbor_id")
+    )
+    survivors = (
+        scored.withColumn("arank", F.row_number().over(aw))
+        .filter(F.col("arank") <= n_rerank)
+        .select("query_id", "neighbor_id")
+    )
+    qv = emb.filter(F.col(id_col) < query_max_id).select(
+        F.col(id_col).alias("query_id"), F.col(vec_col).alias("qv")
+    )
+    nv = emb.select(
+        F.col(id_col).alias("neighbor_id"), F.col(vec_col).alias("nv")
+    )
+    exact = (
+        nv.join(F.broadcast(survivors), "neighbor_id")
+        .join(F.broadcast(qv), "query_id")
+        .select(
+            "query_id",
+            "neighbor_id",
+            F.round(cosine(F.col("qv"), F.col("nv")), 4).alias("cos_sim"),
+        )
+    )
+    w = W.partitionBy("query_id").orderBy(F.desc("cos_sim"), F.asc("neighbor_id"))
+    return exact.withColumn("rank", F.row_number().over(w)).filter(
+        F.col("rank") <= k
+    )
+
+
+@query(
+    "similarity_ivfpq",
+    oracle=None,  # both quantizers are model-dependent; golden-pinned
+    # in tests/test_golden_seeded.py, recall in test_extensions.py
+    description="IVF-PQ ANN top-5 (FAISS IVFPQ shape): 16-cell coarse "
+    "quantizer prunes the scan to 4 probed cells per query, 8x16 "
+    "subspace codebooks score those candidates through one-byte codes "
+    "(ADC lookup tables), exact cosine re-ranks 32 survivors — IVF "
+    "cuts the rows touched, PQ cuts the bytes per row; the two "
+    "compressions multiply.",
+)
+def similarity_ivfpq(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return ivfpq_topk(emb, query_max_id=10, k=5, cache_key=sf_dir)
+
+
+# ---------------------------------------------------------------------------
 # Scalar quantization — int8 storage path for embedding columns
 # ---------------------------------------------------------------------------
 

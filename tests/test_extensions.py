@@ -535,3 +535,38 @@ def test_pq_topk_structure_and_recall(spark, sf_dir):
     top1 = {r.query_id: r.neighbor_id for r in got if r.rank == 1}
     hits = sum(1 for q, n in top1.items() if n == q + n_base)
     assert hits >= 0.9 * len(top1), f"PQ top-1 recall {hits}/{len(top1)}"
+
+
+def test_ivfpq_topk_structure_and_recall(spark, sf_dir):
+    """IVF-PQ returns <=k ranked neighbors per query, cosine
+    descending; on planted clusters the planted twin must surface as
+    top-1 through BOTH compressions (cell pruning + one-byte codes)."""
+    import numpy as np
+
+    from dados_publicos_etl_spark.operators.similarity import ivfpq_topk
+
+    rows = QUERIES["similarity_ivfpq"].fn(spark, sf_dir).collect()
+    by_q = {}
+    for r in rows:
+        by_q.setdefault(r.query_id, []).append(r)
+    assert by_q, "IVFPQ should return results"
+    for q, rs in by_q.items():
+        sims = [r.cos_sim for r in sorted(rs, key=lambda r: r.rank)]
+        assert sims == sorted(sims, reverse=True)
+        assert len(rs) <= 5
+
+    rng = np.random.RandomState(13)
+    n_base, dim = 100, 32
+    base = rng.randn(n_base, dim)
+    noisy = base + 0.05 * rng.randn(n_base, dim)
+    vecs = np.vstack([base, noisy]).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    got = ivfpq_topk(
+        emb, query_max_id=20, k=1, n_cells=8, n_probe=4, m=4, k_codes=16
+    ).collect()
+    top1 = {r.query_id: r.neighbor_id for r in got if r.rank == 1}
+    hits = sum(1 for q, n in top1.items() if n == q + n_base)
+    assert hits >= 0.9 * len(top1), f"IVFPQ top-1 recall {hits}/{len(top1)}"

@@ -40,6 +40,7 @@ SEEDED_QUERIES = [
     "dedup_embedding_ann",   # seeded hyperplane LSH candidates
     "similarity_ivf",        # seeded kmeans coarse quantizer
     "similarity_ivf_persisted",  # same model, persisted-probe path
+    "similarity_ivfpq",      # both quantizers composed (round 4)
 ]
 
 
