@@ -86,6 +86,59 @@ def test_ann_lsh_recall_on_planted_neardups(spark):
     assert recall >= 0.85, f"ANN recall {recall:.2f}"
 
 
+def test_minhash_incremental_flags_planted_neardups(spark):
+    """The persisted-index incremental path must flag incoming docs
+    that near-duplicate the snapshot and pass clean incoming docs:
+    planted copies (one-token edit of a snapshot doc) are flagged,
+    unrelated docs are not."""
+    from pyspark.sql import functions as F
+
+    from dados_publicos_etl_spark.functions.text import (
+        hashed_shingles_from_tokens,
+        tokens,
+    )
+    from dados_publicos_etl_spark.operators.dedup import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    base = [
+        " ".join(f"w{i}t{j}" for j in range(40)) for i in range(20)
+    ]
+    snap_rows = [(i, base[i]) for i in range(20)]
+    # incoming 100..109: near-copies of snapshot 0..9 (one token
+    # changed); incoming 110..114: fresh unrelated docs
+    inc_rows = [
+        (100 + i, base[i].replace(f"w{i}t5", "edited")) for i in range(10)
+    ] + [
+        (110 + i, " ".join(f"x{i}u{j}" for j in range(40))) for i in range(5)
+    ]
+
+    def shingled(rows):
+        df = spark.createDataFrame(rows, "doc_id long, text string")
+        return df.select(
+            "doc_id", tokens("text").alias("_tk")
+        ).select("doc_id", hashed_shingles_from_tokens("_tk").alias("sh"))
+
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        write_minhash_index(shingled(snap_rows), d + "/index")
+        index_df = spark.read.parquet(d + "/index")
+        cands = probe_minhash_index(index_df, shingled(inc_rows))
+        got = {
+            (r.incoming_id, r.snapshot_id) for r in cands.collect()
+        }
+    flagged_incoming = {i for i, _ in got}
+    # every planted copy recalled (1-token edit => jaccard ~0.92)
+    assert {100 + i for i in range(10)} <= flagged_incoming
+    # no false candidates among the unrelated docs
+    assert flagged_incoming.isdisjoint({110 + i for i in range(5)})
+    # and each planted copy matched its true source
+    for i in range(10):
+        assert (100 + i, i) in got
+
+
 def test_streaming_matches_batch(spark, sf_dir):
     """readStream windowed counts == batch windowed counts."""
     batch = {

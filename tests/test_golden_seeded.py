@@ -41,6 +41,7 @@ SEEDED_QUERIES = [
     "similarity_ivf",        # seeded kmeans coarse quantizer
     "similarity_ivf_persisted",  # same model, persisted-probe path
     "similarity_ivfpq",      # both quantizers composed (round 4)
+    "dedup_minhash_incremental",  # persisted-index probe (round 4)
 ]
 
 
