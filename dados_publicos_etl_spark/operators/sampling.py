@@ -249,3 +249,89 @@ def corpus_mix_rebalance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
         )
     )
+
+# ---------------------------------------------------------------------------
+# Sequence packing — documents -> fixed-length training sequences
+# ---------------------------------------------------------------------------
+
+_PACK_SEQ_LEN = 512  # tokens per training sequence
+_PACK_SHARDS = 16  # independent packing shards
+
+_PACK_DUCK_SHARD = (
+    "(CAST(('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8)) AS BIGINT)"
+    f" % {_PACK_SHARDS})"
+)
+
+
+@query(
+    "sequence_packing",
+    oracle=rf"""
+    WITH t AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(text), '\s+')) AS n_tok,
+             {_PACK_DUCK_SHARD} AS shard,
+             md5(CAST(doc_id AS VARCHAR)) AS ord
+      FROM documents
+    ), c AS (
+      SELECT shard, doc_id, n_tok,
+             SUM(n_tok) OVER (PARTITION BY shard ORDER BY ord, doc_id
+                              ROWS UNBOUNDED PRECEDING) AS cum
+      FROM t
+    )
+    SELECT shard,
+           CAST(floor((cum - n_tok) / {_PACK_SEQ_LEN}) AS BIGINT) AS seq_bin,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tok) AS BIGINT) AS n_tokens,
+           MIN(doc_id) AS first_doc_id
+    FROM c
+    GROUP BY shard, seq_bin
+    """,
+    description=f"Sequence packing for pretraining: documents are "
+    f"hash-sharded ({_PACK_SHARDS} shards), deterministically ordered "
+    "within their shard, token counts are stream-concatenated, and "
+    f"each doc is assigned to the {_PACK_SEQ_LEN}-token training "
+    "sequence where its first token lands (GPT-style contiguous "
+    "packing, zero padding waste).  Per-(shard, sequence) doc and "
+    "token counts are the packing manifest.",
+)
+def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Shard-parallel contiguous packing manifest.
+
+    The running token total is windowed PER SHARD — never a global
+    cumulative sum (a partition-less window is a single-partition
+    bottleneck).  Sharded packing is what real pretraining pipelines
+    do anyway: each data-loader worker owns a shard and packs its
+    stream independently, so the only shuffle here is the one on the
+    shard key, and shards scale with the cluster.  The deterministic
+    md5 order inside a shard doubles as the corpus shuffle that
+    training wants (hash order is uncorrelated with crawl order).
+    """
+    docs = read_table(spark, sf_dir, "documents")
+    from dados_publicos_etl_spark.functions.text import tokens
+
+    t = docs.select(
+        "doc_id",
+        F.size(tokens("text")).alias("n_tok"),
+        hash_bucket("doc_id", _PACK_SHARDS).alias("shard"),
+        F.md5(F.col("doc_id").cast("string")).alias("ord"),
+    )
+    w = (
+        W.partitionBy("shard")
+        .orderBy("ord", "doc_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    assigned = t.select(
+        "shard",
+        "doc_id",
+        "n_tok",
+        F.floor(
+            (F.sum("n_tok").over(w) - F.col("n_tok")) / _PACK_SEQ_LEN
+        )
+        .cast("long")
+        .alias("seq_bin"),
+    )
+    return assigned.groupBy("shard", "seq_bin").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("n_tok").cast("long").alias("n_tokens"),
+        F.min("doc_id").alias("first_doc_id"),
+    )

@@ -139,6 +139,96 @@ def test_minhash_incremental_flags_planted_neardups(spark):
         assert (100 + i, i) in got
 
 
+def test_streaming_incremental_dedup_ingestion(spark, tmp_path):
+    """The full 100 TB ingestion loop as one composition: a document
+    STREAM probed per micro-batch (foreachBatch) against the
+    persisted MinHash band index; only documents that do NOT
+    near-duplicate the snapshot are appended to the landing zone.
+
+    Asserts exactly-once-per-doc landing across two micro-batches:
+    planted near-copies of snapshot docs are dropped, fresh docs
+    land."""
+    import pandas as pd
+
+    from pyspark.sql import functions as F
+
+    from dados_publicos_etl_spark.functions.text import (
+        hashed_shingles_from_tokens,
+        tokens,
+    )
+    from dados_publicos_etl_spark.operators.dedup import (
+        probe_minhash_index,
+        write_minhash_index,
+    )
+
+    base = [" ".join(f"w{i}t{j}" for j in range(40)) for i in range(20)]
+
+    def shingled(df):
+        return df.select(
+            "doc_id", tokens("text").alias("_tk")
+        ).select("doc_id", hashed_shingles_from_tokens("_tk").alias("sh"))
+
+    snap = spark.createDataFrame(
+        [(i, base[i]) for i in range(20)], "doc_id long, text string"
+    )
+    idx_path = str(tmp_path / "index")
+    write_minhash_index(shingled(snap), idx_path)
+    index_df = spark.read.parquet(idx_path)
+
+    stream_dir = tmp_path / "incoming"
+    stream_dir.mkdir()
+    # batch 1: two dups of snapshot docs 0,1 + two fresh docs
+    pd.DataFrame(
+        {
+            "doc_id": pd.Series([100, 101, 110, 111], dtype="int64"),
+            "text": [
+                base[0].replace("w0t5", "edited"),
+                base[1].replace("w1t5", "edited"),
+                " ".join(f"x0u{j}" for j in range(40)),
+                " ".join(f"x1u{j}" for j in range(40)),
+            ],
+        }
+    ).to_parquet(stream_dir / "01.parquet")
+    # batch 2: one dup of snapshot doc 2 + one fresh doc
+    pd.DataFrame(
+        {
+            "doc_id": pd.Series([102, 112], dtype="int64"),
+            "text": [
+                base[2].replace("w2t5", "edited"),
+                " ".join(f"x2u{j}" for j in range(40)),
+            ],
+        }
+    ).to_parquet(stream_dir / "02.parquet")
+
+    landed = str(tmp_path / "landed")
+
+    def ingest(batch_df, batch_id):
+        sh = shingled(batch_df)
+        flagged = probe_minhash_index(index_df, sh).select(
+            F.col("incoming_id").alias("doc_id")
+        ).distinct()
+        survivors = batch_df.join(flagged, "doc_id", "left_anti")
+        survivors.write.mode("append").parquet(landed)
+
+    stream = (
+        spark.readStream.schema("doc_id long, text string")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(str(stream_dir))
+    )
+    q = (
+        stream.writeStream.foreachBatch(ingest)
+        .option("checkpointLocation", str(tmp_path / "ckpt"))
+        .start()
+    )
+    try:
+        q.processAllAvailable()
+    finally:
+        q.stop()
+
+    got = {r.doc_id for r in spark.read.parquet(landed).collect()}
+    assert got == {110, 111, 112}, f"landed: {sorted(got)}"
+
+
 def test_streaming_matches_batch(spark, sf_dir):
     """readStream windowed counts == batch windowed counts."""
     batch = {

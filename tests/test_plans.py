@@ -260,3 +260,57 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
     assert "BroadcastHashJoin" in _plan(o.join(c.hint("broadcast"), on))
     assert "ShuffledHashJoin" in _plan(o.join(c.hint("shuffle_hash"), on))
     assert "SortMergeJoin" in _plan(o.join(c.hint("merge"), on))
+
+
+def test_fuzzy_match_single_window_single_exchange(spark, sf_dir):
+    """Sorted-neighborhood matching must plan ONE Window node carrying
+    all w lead() columns over ONE block-key Exchange — never a self
+    join, never a cartesian product."""
+    plan = _plan(QUERIES["fuzzy_match_customers"].fn(spark, sf_dir))
+    assert plan.count("Window [") == 1
+    assert plan.count("Exchange") == 1
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_duplicate_spans_shuffle_digests_not_text(spark, sf_dir):
+    """Span mining must hash spans to md5 INSIDE the explode (the raw
+    text column dies at the scan projection) and aggregate with
+    map-side partial combine."""
+    plan = _plan(QUERIES["duplicate_ngram_spans"].fn(spark, sf_dir))
+    assert "partial_count" in plan
+    # the generator emits digests, not span strings
+    gen = plan.split("Generate ")[1].split("\n")[0]
+    assert "md5" in gen
+    # the text column exists only below the generator (scan + tokenize)
+    above_gen = plan.split("Generate ")[0]
+    assert "text#" not in above_gen
+
+
+def test_sequence_packing_single_exchange(spark, sf_dir):
+    """Shard-parallel packing: the per-shard window and the
+    (shard, seq_bin) aggregation share ONE shard-key Exchange —
+    the aggregation reuses the window's partitioning, and there is
+    no global (partition-less) window anywhere."""
+    plan = _plan(QUERIES["sequence_packing"].fn(spark, sf_dir))
+    assert plan.count("Exchange") == 1
+    assert plan.count("Window [") == 1
+    # window is partitioned (a global cumsum would show an empty
+    # partition spec: "windowspecdefinition(ord#..." with no shard)
+    spec = plan.split("windowspecdefinition(")[1]
+    assert spec.split(",")[0].startswith("shard")
+
+
+def test_minhash_incremental_probe_broadcasts_increment(spark, sf_dir):
+    """The persisted-index probe must broadcast the (tiny) incoming
+    band table against one scan of the index — the index side carries
+    no Exchange — and the verify joins are broadcasts too."""
+    plan = _plan(QUERIES["dedup_minhash_incremental"].fn(spark, sf_dir))
+    assert plan.count("BroadcastHashJoin") >= 3
+    assert "CartesianProduct" not in plan
+    # the index is read as a plain parquet scan (skinny schema)
+    idx_scan = [
+        seg for seg in plan.split("FileScan parquet ")
+        if "band_hash" in seg.split("\n")[0]
+    ]
+    assert idx_scan, "index scan missing from plan"
