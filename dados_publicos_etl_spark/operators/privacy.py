@@ -110,3 +110,36 @@ def pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(clean).alias("clean_md5"),
         F.regexp_count(clean, F.lit(EMAIL_RE)).alias("residual_pii"),
     )
+
+
+@query(
+    "k_anonymity_audit",
+    oracle="""
+    SELECT c_nationkey, c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS class_size,
+           COUNT(*) >= 10 AS k_anonymous,
+           CAST(COUNT(DISTINCT CAST(floor(c_acctbal / 1000)
+                AS INT)) AS BIGINT) AS l_diversity
+    FROM customer
+    GROUP BY c_nationkey, c_mktsegment
+    """,
+    description="k-anonymity / l-diversity audit: equivalence classes "
+    "over the quasi-identifier tuple (nation, market segment) with "
+    "class size, a k>=10 anonymity flag, and the count of distinct "
+    "sensitive-value buckets (acctbal/1000) as l-diversity.  One "
+    "hash aggregate over the scan — the privacy audit costs the "
+    "same as any GROUP BY at 100 TB; classes below k are the rows a "
+    "release pipeline must suppress or generalize.",
+)
+def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return (
+        cust.groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            (F.count(F.lit(1)) >= 10).alias("k_anonymous"),
+            F.countDistinct(
+                F.floor(F.col("c_acctbal") / 1000).cast("int")
+            ).alias("l_diversity"),
+        )
+    )

@@ -699,3 +699,38 @@ def bitmap_distinct_count(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_distinct_parts")
         )
     )
+
+
+@query(
+    "regression_by_group",
+    oracle="""
+    SELECT l_returnflag, l_linestatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(regr_slope(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(regr_intercept(l_extendedprice, l_quantity), 4)
+             AS intercept,
+           ROUND(regr_r2(l_extendedprice, l_quantity), 6) AS r2,
+           ROUND(corr(l_extendedprice, l_quantity), 6) AS corr_pq
+    FROM lineitem
+    GROUP BY l_returnflag, l_linestatus
+    """,
+    description="Group-wise least-squares fit via SQL:2003 linear "
+    "regression aggregates (regr_slope/intercept/r2, corr): "
+    "price-vs-quantity per (returnflag, linestatus).  One partial+ "
+    "final hash aggregate — the closed-form moments (sums, "
+    "cross-products) combine associatively, so the fit costs exactly "
+    "one shuffle of 4-double states per group at any corpus size.",
+)
+def regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    y, x = F.col("l_extendedprice"), F.col("l_quantity")
+    return (
+        li.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.regr_slope(y, x), 4).alias("slope"),
+            F.round(F.regr_intercept(y, x), 4).alias("intercept"),
+            F.round(F.regr_r2(y, x), 6).alias("r2"),
+            F.round(F.corr(y, x), 6).alias("corr_pq"),
+        )
+    )

@@ -370,3 +370,27 @@ def test_aqe_splits_skewed_join_partition(spark):
                 spark.conf.unset(k)
             else:
                 spark.conf.set(k, v)
+
+
+def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
+    """Both sides bucketed on the join key => SortMergeJoin reads
+    co-located bucket files and shuffles nothing; the plan's only
+    Exchange is the final tiny group-by-priority aggregation."""
+    from dados_publicos_etl_spark.operators.bucketing import (
+        bucketed_orders_join,
+    )
+
+    old = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        plan = _plan(bucketed_orders_join(spark, sf_dir))
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", old)
+    assert "SortMergeJoin" in plan
+    assert plan.count("Bucketed: true") == 2
+    assert "SelectedBucketsCount: 8 out of 8" in plan
+    # exactly one Exchange: the post-join aggregation; the join
+    # itself is exchange-free (the 100 TB claim)
+    join_subtree = plan.split("SortMergeJoin", 1)[1]
+    assert "Exchange" not in join_subtree
+    assert plan.count("Exchange") == 1
