@@ -424,3 +424,161 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("zero_crossings").cast("long").alias("total_zc"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Image near-duplicate detection — dHash + banded hamming candidates
+# ---------------------------------------------------------------------------
+
+IMG_W = IMG_H = 32  # synthesized source images
+DHASH_BITS = 64  # 9x8 gradient hash
+HAMMING_BANDS = 8  # 8 bands x 8 bits; any equal band => candidate
+HAMMING_MAX = 6  # pairs at <= 6 differing bits are near-dups
+
+
+def dhash64(img) -> int:
+    """64-bit difference hash: grayscale -> 9x8 resample -> horizontal
+    gradient sign bits.  The standard perceptual near-dup fingerprint:
+    stable under resizing/re-encoding/brightness shifts, cheap enough
+    to run in the decode pass."""
+    import numpy as np
+
+    gray = img.astype("float64").mean(axis=2)
+    small = resize_nearest(gray, DHASH_BITS // 8, DHASH_BITS // 8 + 1)
+    bits = (small[:, 1:] > small[:, :-1]).ravel()
+    # pack little-endian and reinterpret as SIGNED 64-bit so the hash
+    # fits Spark's long (bit 63 becomes the sign bit; band math uses
+    # shiftrightunsigned so signedness never leaks into buckets)
+    return int.from_bytes(
+        np.packbits(bits, bitorder="little").tobytes(),
+        "little",
+        signed=True,
+    )
+
+
+def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic PPM image per row for pipeline testing: the base
+    pattern is seeded by ``id % 50`` (rows sharing a group are
+    near-duplicate variants), plus per-row salt-and-pepper noise
+    seeded by the id itself.  Pure function of the id — golden-
+    pinnable, no files needed."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            payloads = []
+            for i in pdf[id_col]:
+                base = np.random.RandomState(17 + int(i) % 50).randint(
+                    0, 256, (IMG_H, IMG_W, 3)
+                )
+                noise = np.random.RandomState(int(i))
+                n_flip = int(noise.randint(0, 40))
+                ys = noise.randint(0, IMG_H, n_flip)
+                xs = noise.randint(0, IMG_W, n_flip)
+                img = base.astype("uint8")
+                img[ys, xs] = 255 - img[ys, xs]
+                payloads.append(encode_ppm(img))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(),
+                 "payload": pd.Series(payloads, dtype=object)}
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, payload binary"
+    )
+
+
+def image_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Decode + dHash in one Arrow pass — the payload dies in the scan
+    stage; only the 8-byte fingerprint ever shuffles."""
+    def hashes(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            hs = [dhash64(decode_image(bytes(p))) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(),
+                 "dhash": pd.Series(hs, dtype="int64")}
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        hashes, schema=f"{id_col} long, dhash long"
+    )
+
+
+def image_neardup_pairs(
+    hashes: DataFrame,
+    id_col: str = "doc_id",
+    hamming_max: int = HAMMING_MAX,
+) -> DataFrame:
+    """Near-dup pairs among 64-bit perceptual hashes WITHOUT an
+    all-pairs comparison: split each hash into 8 one-byte bands; by
+    pigeonhole, two hashes within hamming distance 7 must agree on at
+    least one whole band, so the band-bucket self-join finds every
+    pair at <= ``hamming_max`` (<= 7) while only comparing within
+    buckets — the same banded-signature discipline as MinHash-LSH
+    (operators/dedup.py), applied to the image modality.  Exact
+    hamming via bit_count(XOR) re-ranks candidates."""
+    bands = hashes.select(
+        id_col,
+        "dhash",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(b).alias("band_idx"),
+                        F.shiftrightunsigned(F.col("dhash"), 8 * b)
+                        .bitwiseAND(F.lit(255))
+                        .cast("int")
+                        .alias("band_val"),
+                    )
+                    for b in range(HAMMING_BANDS)
+                ]
+            )
+        ).alias("band"),
+    ).select(id_col, "dhash", "band.band_idx", "band.band_val")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+            F.col("a.dhash").alias("ha"),
+            F.col("b.dhash").alias("hb"),
+        )
+        .distinct()
+    )
+    return (
+        cands.withColumn(
+            "hamming",
+            F.bit_count(F.col("ha").bitwiseXOR(F.col("hb"))),
+        )
+        .filter(F.col("hamming") <= hamming_max)
+        .select(
+            F.col("id_a").alias("doc_id_a"),
+            F.col("id_b").alias("doc_id_b"),
+            F.col("hamming").cast("int").alias("hamming"),
+        )
+    )
+
+
+@query(
+    "image_neardup_dhash",
+    oracle=None,  # pixel decode + perceptual hash are not SQL-
+    # expressible; exact golden pin in tests/test_golden_seeded.py,
+    # planted-variant recall pinned in tests/test_extensions.py
+    description="Image near-dup dedup: synthesize a deterministic "
+    "image per doc (50 shared base patterns + per-doc noise), decode "
+    "+ 64-bit dHash in one Arrow pass (payload never shuffles), "
+    "8-band hamming LSH for candidates (pigeonhole-complete at "
+    "hamming <= 7), exact bit_count(XOR) re-rank at <= 6 — the "
+    "banded-signature dedup discipline applied to the image "
+    "modality.",
+)
+def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    imgs = synth_images(docs)
+    return image_neardup_pairs(image_dhash(imgs))

@@ -713,3 +713,62 @@ def test_ivfpq_topk_structure_and_recall(spark, sf_dir):
     top1 = {r.query_id: r.neighbor_id for r in got if r.rank == 1}
     hits = sum(1 for q, n in top1.items() if n == q + n_base)
     assert hits >= 0.9 * len(top1), f"IVFPQ top-1 recall {hits}/{len(top1)}"
+
+
+def test_image_dhash_bands_find_all_pairs_exactly(spark):
+    """The 8-band hamming LSH is pigeonhole-COMPLETE at <= 7 bits:
+    the operator's pair set must EQUAL the brute-force all-pairs
+    sweep over the same dHashes at the <= 6 threshold — no recall
+    loss, no spurious pairs."""
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.operators.multimodal import (
+        HAMMING_MAX,
+        image_dhash,
+        image_neardup_pairs,
+        synth_images,
+    )
+
+    docs = read_table(spark, "/root/testdata/sf0.01", "documents").select(
+        "doc_id"
+    )
+    hashes = image_dhash(synth_images(docs))
+    hp = hashes.toPandas().sort_values("doc_id").reset_index(drop=True)
+    ids = hp["doc_id"].to_numpy()
+    hs = hp["dhash"].to_numpy().astype(np.uint64)
+    xor = hs[:, None] ^ hs[None, :]
+    ham = np.zeros_like(xor, dtype=np.int64)
+    for b in range(64):
+        ham += ((xor >> np.uint64(b)) & np.uint64(1)).astype(np.int64)
+    iu = np.triu_indices(len(ids), k=1)
+    want = {
+        (int(ids[i]), int(ids[j]), int(ham[i, j]))
+        for i, j in zip(*iu)
+        if ham[i, j] <= HAMMING_MAX
+    }
+    got = {
+        (r.doc_id_a, r.doc_id_b, r.hamming)
+        for r in image_neardup_pairs(hashes).collect()
+    }
+    assert len(want) > 1000  # the planted mod-50 groups collide
+    assert got == want
+
+
+def test_image_dhash_stable_under_resize(spark):
+    """dHash is a PERCEPTUAL fingerprint: a 2x nearest-neighbor
+    upscale of the same image must hash to (nearly) the same bits."""
+    from dados_publicos_etl_spark.operators.multimodal import (
+        decode_image,
+        dhash64,
+        encode_ppm,
+        resize_nearest,
+        synth_images,
+    )
+
+    docs = spark.range(5).withColumnRenamed("id", "doc_id")
+    for row in synth_images(docs).collect():
+        img = decode_image(bytes(row.payload))
+        big = resize_nearest(img, img.shape[0] * 2, img.shape[1] * 2)
+        h0 = np.uint64(dhash64(img) & (2**64 - 1))
+        h1 = np.uint64(dhash64(big) & (2**64 - 1))
+        flips = bin(int(h0 ^ h1)).count("1")
+        assert flips <= 4, f"doc {row.doc_id}: {flips} bits flipped"

@@ -42,6 +42,7 @@ SEEDED_QUERIES = [
     "similarity_ivf_persisted",  # same model, persisted-probe path
     "similarity_ivfpq",      # both quantizers composed (round 4)
     "dedup_minhash_incremental",  # persisted-index probe (round 4)
+    "image_neardup_dhash",   # deterministic synth images + dHash (round 4)
 ]
 
 
