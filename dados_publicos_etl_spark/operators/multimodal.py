@@ -456,21 +456,27 @@ def dhash64(img) -> int:
     )
 
 
-def synth_images(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def synth_images(
+    df: DataFrame, id_col: str = "doc_id", n_groups: int = 50
+) -> DataFrame:
     """Deterministic PPM image per row for pipeline testing: the base
-    pattern is seeded by ``id % 50`` (rows sharing a group are
+    pattern is seeded by ``id % n_groups`` (rows sharing a group are
     near-duplicate variants), plus per-row salt-and-pepper noise
-    seeded by the id itself.  Pure function of the id — golden-
-    pinnable, no files needed."""
+    seeded by the id itself.  Pure function of (id, n_groups) —
+    golden-pinnable, no files needed.  Callers should scale
+    ``n_groups`` with corpus size (constant group count makes the
+    planted duplicate-group SIZE — and thus true pair count — grow
+    linearly, i.e. quadratic total pairs; real corpora hold dup-
+    cluster size roughly constant as they grow)."""
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             payloads = []
             for i in pdf[id_col]:
-                base = np.random.RandomState(17 + int(i) % 50).randint(
-                    0, 256, (IMG_H, IMG_W, 3)
-                )
+                base = np.random.RandomState(
+                    17 + int(i) % n_groups
+                ).randint(0, 256, (IMG_H, IMG_W, 3))
                 noise = np.random.RandomState(int(i))
                 n_flip = int(noise.randint(0, 40))
                 ys = noise.randint(0, IMG_H, n_flip)
@@ -517,6 +523,10 @@ def image_neardup_pairs(
     buckets — the same banded-signature discipline as MinHash-LSH
     (operators/dedup.py), applied to the image modality.  Exact
     hamming via bit_count(XOR) re-ranks candidates."""
+    # signature pattern (see ann_pairs_lsh): materialize the skinny
+    # (id, dhash) table before its self-join, else the decode+hash
+    # scan — the expensive pixel pass — runs once PER SIDE.
+    hashes = hashes.localCheckpoint()
     bands = hashes.select(
         id_col,
         "dhash",
@@ -580,5 +590,9 @@ def image_neardup_pairs(
 )
 def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    imgs = synth_images(docs)
+    # hold planted dup-group size at ~10 regardless of corpus size
+    # (sf0.01 = 500 docs -> the golden-pinned 50 groups); a CONSTANT
+    # group count would make true-pair volume quadratic in n.
+    n_groups = max(50, docs.count() // 10)
+    imgs = synth_images(docs, n_groups=n_groups)
     return image_neardup_pairs(image_dhash(imgs))
