@@ -1,0 +1,190 @@
+"""Distributed Naive Bayes text classification as pure aggregations
+(north-star extension; SURVEY.md §2.B "text analysis" — the quality/
+language-classifier stage of a training-data pipeline).
+
+Multinomial NB is the canonical "ML that is really SQL": training IS
+a GROUP BY (token-class counts, class totals, priors) and scoring IS
+a join + SUM of log-likelihoods — no gradient loop, no collect, no
+Python in the row path.  That makes it the one classifier family
+whose 100 TB behavior is exactly a pair of hash aggregates plus a
+broadcast join of a small model table, and whose results an ANSI-SQL
+oracle can reproduce bit-for-bit (after the repo's standard
+round-both-sides discipline).
+
+The driver's synthetic corpus draws every language's tokens from the
+same vocabulary (no organic signal), so — like the PII query plants
+emails (operators/privacy.py) — a deterministic class marker token is
+planted in 70% of docs on BOTH sides; the classifier then has real
+signal on marked docs and falls back to priors+noise on the rest,
+giving a non-degenerate confusion structure that the oracle checks
+exactly.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark.io import read_table
+from dados_publicos_etl_spark.plans.registry import query
+
+_PLANT_SQL = """
+      SELECT doc_id, lang,
+             text || (CASE WHEN doc_id % 10 < 7
+                           THEN ' tok' || lang ELSE '' END) AS synth
+      FROM documents
+"""
+
+
+def nb_train(train_tokens: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+    """Train multinomial NB from a (doc_id, lang, token) table.
+
+    Returns (token_class_counts, class_stats, vocab_size):
+    ``token_class_counts`` is the model's only big-ish table (still
+    |vocab| x |classes| rows — megabytes when the corpus is
+    terabytes); ``class_stats`` is one row per class (token total +
+    log prior); ``vocab_size`` is the add-one smoothing denominator
+    term.  Everything is one or two hash aggregates.
+    """
+    cc = train_tokens.groupBy("lang", "token").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    n_train_docs = train_tokens.select("doc_id").distinct().count()
+    class_stats = (
+        train_tokens.groupBy("lang")
+        .agg(
+            F.count(F.lit(1)).alias("n_tok"),
+            F.countDistinct("doc_id").alias("n_docs"),
+        )
+        .withColumn(
+            "log_prior", F.log(F.col("n_docs") / F.lit(float(n_train_docs)))
+        )
+    )
+    vocab = train_tokens.select("token").distinct().count()
+    return cc, class_stats, vocab
+
+
+@query(
+    "nb_classifier_train_score",
+    oracle=f"""
+    WITH planted AS ({_PLANT_SQL}),
+    train AS (SELECT * FROM planted WHERE doc_id % 2 = 0),
+    test  AS (SELECT * FROM planted WHERE doc_id % 2 = 1),
+    train_tok AS (
+      SELECT doc_id, lang, unnest(string_split(synth, ' ')) AS token
+      FROM train
+    ),
+    cc AS (SELECT lang, token, COUNT(*) AS cnt
+           FROM train_tok GROUP BY lang, token),
+    cs AS (
+      SELECT lang, COUNT(*) AS n_tok,
+             COUNT(DISTINCT doc_id) AS n_docs,
+             ln(COUNT(DISTINCT doc_id)
+                / (SELECT CAST(COUNT(*) AS DOUBLE) FROM train)) AS log_prior
+      FROM train_tok GROUP BY lang
+    ),
+    v AS (SELECT COUNT(DISTINCT token) AS vocab FROM train_tok),
+    test_tok AS (
+      SELECT doc_id, lang AS true_lang,
+             unnest(string_split(synth, ' ')) AS token
+      FROM test
+    ),
+    scored AS (
+      SELECT t.doc_id, t.true_lang, cs.lang AS cand_lang,
+             cs.log_prior
+             + SUM(ln((COALESCE(cc.cnt, 0) + 1.0)
+                      / (cs.n_tok + v.vocab))) AS score
+      FROM test_tok t
+      CROSS JOIN cs
+      CROSS JOIN v
+      LEFT JOIN cc ON cc.lang = cs.lang AND cc.token = t.token
+      GROUP BY t.doc_id, t.true_lang, cs.lang, cs.log_prior
+    ),
+    ranked AS (
+      SELECT doc_id, true_lang, cand_lang,
+             ROUND(score, 4) AS score,
+             ROW_NUMBER() OVER (
+               PARTITION BY doc_id
+               ORDER BY ROUND(score, 4) DESC, cand_lang) AS rk
+      FROM scored
+    )
+    SELECT doc_id, true_lang,
+           cand_lang AS pred_lang, score,
+           (cand_lang = true_lang) AS correct
+    FROM ranked WHERE rk = 1
+    """,
+    description="Multinomial Naive Bayes language classifier, trained "
+    "AND scored as pure SQL aggregations: token-class counts + class "
+    "priors from the even-doc_id half (one GROUP BY), add-one-"
+    "smoothed log-likelihood scoring of the odd half (explode x "
+    "classes, broadcast model join, per-doc SUM), argmax on the "
+    "ROUNDED score with deterministic tie-break.  A 70%-planted "
+    "class marker gives the synthetic corpus real signal; the model "
+    "table is |vocab| x |classes| rows — megabytes at 100 TB — so "
+    "scoring is a broadcast join at any scale.",
+)
+def nb_classifier_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        "lang",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 10 < 7, F.concat(F.lit(" tok"), F.col("lang"))
+            ).otherwise(F.lit("")),
+        ).alias("synth"),
+    )
+    train = planted.filter(F.col("doc_id") % 2 == 0)
+    test = planted.filter(F.col("doc_id") % 2 == 1)
+
+    def tokens(df: DataFrame, lang_alias: str) -> DataFrame:
+        return df.select(
+            "doc_id",
+            F.col("lang").alias(lang_alias),
+            F.explode(F.split("synth", " ")).alias("token"),
+        )
+
+    cc, cs, vocab = nb_train(tokens(train, "lang"))
+
+    test_tok = tokens(test, "true_lang")
+    # model tables are small by construction: classes broadcast with
+    # the cross join, token-class counts broadcast with the left join
+    scored = (
+        test_tok.crossJoin(
+            F.broadcast(cs.select("lang", "n_tok", "log_prior"))
+        )
+        .join(
+            F.broadcast(cc.withColumnRenamed("lang", "cc_lang")),
+            (F.col("cc_lang") == F.col("lang"))
+            & (cc["token"] == test_tok["token"]),
+            "left",
+        )
+        .groupBy("doc_id", "true_lang", F.col("lang").alias("cand_lang"))
+        .agg(
+            (
+                F.first("log_prior")
+                + F.sum(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                        / (F.col("n_tok") + F.lit(vocab))
+                    )
+                )
+            ).alias("raw_score")
+        )
+        .withColumn("score", F.round("raw_score", 4))
+    )
+    w = Window.partitionBy("doc_id").orderBy(
+        F.desc("score"), F.asc("cand_lang")
+    )
+    return (
+        scored.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") == 1)
+        .select(
+            "doc_id",
+            "true_lang",
+            F.col("cand_lang").alias("pred_lang"),
+            "score",
+            (F.col("cand_lang") == F.col("true_lang")).alias("correct"),
+        )
+    )

@@ -3,6 +3,7 @@ module's entries into ``dados_publicos_etl_spark.plans.QUERIES``.
 """
 
 import dados_publicos_etl_spark.operators.bucketing  # noqa: F401
+import dados_publicos_etl_spark.operators.classify  # noqa: F401
 import dados_publicos_etl_spark.operators.corpus  # noqa: F401
 import dados_publicos_etl_spark.operators.dedup  # noqa: F401
 import dados_publicos_etl_spark.operators.graph  # noqa: F401

@@ -772,3 +772,21 @@ def test_image_dhash_stable_under_resize(spark):
         h1 = np.uint64(dhash64(big) & (2**64 - 1))
         flips = bin(int(h0 ^ h1)).count("1")
         assert flips <= 4, f"doc {row.doc_id}: {flips} bits flipped"
+
+
+def test_nb_classifier_learns_planted_signal(spark):
+    """The NB query's planted marker gives real signal: held-out
+    accuracy must beat the majority-class prior by a wide margin
+    (markers exist in 70% of docs; unmarked docs fall back to
+    priors+noise)."""
+    rows = (
+        QUERIES["nb_classifier_train_score"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    acc = sum(r.correct for r in rows) / len(rows)
+    majority = max(
+        pd.Series([r.true_lang for r in rows]).value_counts()
+    ) / len(rows)
+    assert acc >= 0.70
+    assert acc > majority + 0.2
