@@ -188,3 +188,101 @@ def nb_classifier_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             (F.col("cand_lang") == F.col("true_lang")).alias("correct"),
         )
     )
+
+
+@query(
+    "perplexity_filter",
+    oracle="""
+    WITH train AS (SELECT * FROM documents WHERE doc_id % 2 = 0),
+    test  AS (SELECT * FROM documents WHERE doc_id % 2 = 1),
+    tt AS (SELECT doc_id, string_split(text, ' ') AS toks FROM train),
+    train_bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+      FROM tt
+    ),
+    bgc AS (SELECT bg.w1 AS w1, bg.w2 AS w2, COUNT(*) AS cnt
+            FROM train_bg GROUP BY bg.w1, bg.w2),
+    ugc AS (SELECT w1, CAST(SUM(cnt) AS BIGINT) AS w1_cnt
+            FROM bgc GROUP BY w1),
+    v AS (SELECT COUNT(DISTINCT w2) AS vocab FROM bgc),
+    st AS (SELECT doc_id, string_split(text, ' ') AS toks FROM test),
+    test_bg AS (
+      SELECT doc_id,
+             unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS bg
+      FROM st
+    ),
+    scored AS (
+      SELECT t.doc_id,
+             COUNT(*) AS n_bigrams,
+             exp(-AVG(ln((COALESCE(bgc.cnt, 0) + 1.0)
+                 / (COALESCE(ugc.w1_cnt, 0) + v.vocab)))) AS ppl
+      FROM test_bg t
+      CROSS JOIN v
+      LEFT JOIN bgc ON bgc.w1 = t.bg.w1 AND bgc.w2 = t.bg.w2
+      LEFT JOIN ugc ON ugc.w1 = t.bg.w1
+      GROUP BY t.doc_id
+    )
+    SELECT doc_id, CAST(n_bigrams AS BIGINT) AS n_bigrams,
+           ROUND(ppl, 2) AS ppl,
+           ppl <= 300 AS keep
+    FROM scored
+    """,
+    description="Perplexity-based quality filtering (the CCNet-style "
+    "pretraining-data gate): an add-one-smoothed bigram LM trained "
+    "on the even-doc_id half as ONE GROUP BY, held-out docs scored "
+    "by exp(-avg log P(w2|w1)) through a broadcast join of the "
+    "bigram table, kept iff perplexity <= threshold.  Bigrams are "
+    "built inside the row via transform(sequence(...)) — no "
+    "self-join, no window shuffle; at 100 TB scoring is a narrow "
+    "explode + broadcast-joined aggregation.",
+)
+def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.split("text", " ").alias("toks")
+    )
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> named_struct('w1', element_at(toks, i), "
+        "'w2', element_at(toks, i + 1)))"
+    )
+    train_bg = (
+        toks.filter(F.col("doc_id") % 2 == 0)
+        .select(F.explode(bigrams).alias("bg"))
+        .select("bg.w1", "bg.w2")
+    )
+    bgc = train_bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).alias("cnt"))
+    ugc = bgc.groupBy("w1").agg(F.sum("cnt").alias("w1_cnt"))
+    vocab = bgc.select("w2").distinct().count()
+    test_bg = (
+        toks.filter(F.col("doc_id") % 2 == 1)
+        .select("doc_id", F.explode(bigrams).alias("bg"))
+        .select("doc_id", "bg.w1", "bg.w2")
+    )
+    scored = (
+        test_bg.join(F.broadcast(bgc), ["w1", "w2"], "left")
+        .join(F.broadcast(ugc), ["w1"], "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_bigrams"),
+            F.exp(
+                -F.avg(
+                    F.log(
+                        (F.coalesce(F.col("cnt"), F.lit(0)) + 1.0)
+                        / (
+                            F.coalesce(F.col("w1_cnt"), F.lit(0))
+                            + F.lit(vocab)
+                        )
+                    )
+                )
+            ).alias("raw_ppl"),
+        )
+    )
+    return scored.select(
+        "doc_id",
+        "n_bigrams",
+        F.round("raw_ppl", 2).alias("ppl"),
+        (F.col("raw_ppl") <= 300).alias("keep"),
+    )
