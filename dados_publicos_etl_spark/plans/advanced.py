@@ -734,3 +734,60 @@ def regression_by_group(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.corr(y, x), 6).alias("corr_pq"),
         )
     )
+
+
+@query(
+    "winsorized_robust_agg",
+    oracle="""
+    WITH b AS (
+      SELECT l_returnflag,
+             quantile_cont(l_extendedprice, 0.05) AS p05,
+             quantile_cont(l_extendedprice, 0.95) AS p95,
+             median(l_extendedprice) AS med
+      FROM lineitem GROUP BY l_returnflag
+    ), w AS (
+      SELECT li.l_returnflag,
+             GREATEST(LEAST(li.l_extendedprice, b.p95), b.p05) AS wx,
+             li.l_extendedprice, b.med
+      FROM lineitem li JOIN b ON li.l_returnflag = b.l_returnflag
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(AVG(wx), 4) AS winsorized_mean,
+           ROUND(AVG(l_extendedprice), 4) AS raw_mean,
+           ROUND(median(ABS(l_extendedprice - med)), 4) AS mad
+    FROM w GROUP BY l_returnflag
+    """,
+    description="Robust statistics per group: 5/95% winsorized mean "
+    "(outliers clamped to the exact percentile bounds, not dropped) "
+    "and median absolute deviation.  Two passes — exact group "
+    "percentiles (sort-based agg), then a broadcast of the tiny "
+    "per-group bounds table back onto the scan — the standard shape "
+    "for outlier-robust metrics over heavy-tailed columns at scale; "
+    "at 100 TB swap pass 1's exact percentiles for approx_percentile "
+    "and nothing else changes.",
+)
+def winsorized_robust_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag", "l_extendedprice"
+    )
+    bounds = li.groupBy("l_returnflag").agg(
+        F.percentile("l_extendedprice", F.lit(0.05)).alias("p05"),
+        F.percentile("l_extendedprice", F.lit(0.95)).alias("p95"),
+        F.median("l_extendedprice").alias("med"),
+    )
+    wx = F.greatest(
+        F.least(F.col("l_extendedprice"), F.col("p95")), F.col("p05")
+    )
+    return (
+        li.join(F.broadcast(bounds), "l_returnflag")
+        .groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.round(F.avg(wx), 4).alias("winsorized_mean"),
+            F.round(F.avg("l_extendedprice"), 4).alias("raw_mean"),
+            F.round(
+                F.median(F.abs(F.col("l_extendedprice") - F.col("med"))), 4
+            ).alias("mad"),
+        )
+    )
