@@ -596,3 +596,123 @@ def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     n_groups = max(50, docs.count() // 10)
     imgs = synth_images(docs, n_groups=n_groups)
     return image_neardup_pairs(image_dhash(imgs))
+
+
+# ---------------------------------------------------------------------------
+# Video scene-cut detection — per-doc frame sequences, applyInPandas
+# ---------------------------------------------------------------------------
+
+N_FRAMES = 12  # synthesized frames per video
+SCENE_CUT_THRESHOLD = 30.0  # mean-abs-diff above this = hard cut
+
+
+def video_cut_points(doc_id: int) -> list[int]:
+    """Ground-truth cut frame indices for the synthesized video of
+    ``doc_id`` — shared by the synthesizer and the exactness test."""
+    import numpy as np
+
+    rng = np.random.RandomState(900 + int(doc_id))
+    n_cuts = int(rng.randint(1, 4))
+    return sorted(
+        int(i) for i in rng.choice(range(2, N_FRAMES), n_cuts, replace=False)
+    )
+
+
+def synth_video_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Deterministic per-doc frame sequence: 1-3 hard scene cuts at
+    seeded positions; frames within a scene share a base image plus
+    per-frame salt-and-pepper drift.  Pure function of the id."""
+    import numpy as np
+
+    def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, payloads = [], [], []
+            for i in pdf[id_col]:
+                cuts = set(video_cut_points(int(i)))
+                scene = 0
+                for fi in range(N_FRAMES):
+                    if fi in cuts:
+                        scene += 1
+                    base = np.random.RandomState(
+                        7001 + int(i) * 17 + scene
+                    ).randint(0, 256, (IMG_H, IMG_W, 3))
+                    drift = np.random.RandomState(int(i) * 1000 + fi)
+                    ys = drift.randint(0, IMG_H, 20)
+                    xs = drift.randint(0, IMG_W, 20)
+                    img = base.astype("uint8")
+                    img[ys, xs] = 255 - img[ys, xs]
+                    ids.append(int(i))
+                    idxs.append(fi)
+                    payloads.append(encode_ppm(img))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "frame_idx": pd.Series(idxs, dtype="int32"),
+                    "payload": pd.Series(payloads, dtype=object),
+                }
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen, schema=f"{id_col} long, frame_idx int, payload binary"
+    )
+
+
+def detect_scene_cuts(
+    frames: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = SCENE_CUT_THRESHOLD,
+) -> DataFrame:
+    """Per-video scene-cut detection: frames co-locate by a groupBy on
+    the video id (``applyInPandas`` — the one shuffle, keyed so each
+    task sees ONE video's frames in order), consecutive frames diff
+    in pixel space, mean-abs-diff over ``threshold`` flags a cut.
+    The 100 TB shape for any per-video sequential pass: state never
+    crosses videos, so parallelism = number of videos."""
+    import numpy as np
+
+    def cuts(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("frame_idx")
+        imgs = [
+            decode_image(bytes(p)).astype("float64")
+            for p in pdf["payload"]
+        ]
+        out = []
+        for k in range(1, len(imgs)):
+            diff = float(np.abs(imgs[k] - imgs[k - 1]).mean())
+            out.append(
+                (
+                    int(pdf[id_col].iloc[0]),
+                    int(pdf["frame_idx"].iloc[k]),
+                    round(diff, 2),
+                    diff > threshold,
+                )
+            )
+        return pd.DataFrame(
+            out, columns=[id_col, "frame_idx", "mean_abs_diff", "is_cut"]
+        )
+
+    return frames.groupBy(id_col).applyInPandas(
+        cuts,
+        schema=(
+            f"{id_col} long, frame_idx int, mean_abs_diff double, "
+            "is_cut boolean"
+        ),
+    )
+
+
+@query(
+    "video_scene_detect",
+    oracle=None,  # pixel decode + frame diffs are not SQL-
+    # expressible; planted-cut EXACTNESS pinned in pytest, golden
+    # parquet pins full output
+    description="Video modality: per-doc synthesized frame sequences "
+    "(1-3 seeded hard cuts + per-frame drift), scene-cut detection "
+    "via consecutive-frame mean-abs-diff inside applyInPandas — "
+    "frames co-locate by video id, state never crosses videos, "
+    "parallelism = number of videos.  Detected cuts provably equal "
+    "the planted ground truth (pytest).",
+)
+def video_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    frames = synth_video_frames(docs)
+    return detect_scene_cuts(frames).filter(F.col("is_cut"))

@@ -790,3 +790,25 @@ def test_nb_classifier_learns_planted_signal(spark):
     ) / len(rows)
     assert acc >= 0.70
     assert acc > majority + 0.2
+
+
+def test_video_scene_cuts_equal_planted_ground_truth(spark):
+    """Detected scene cuts must EQUAL the synthesizer's planted cut
+    positions for every video — threshold separation between drift
+    (~small) and hard cuts (~85 mean-abs-diff) is structural, not
+    tuned."""
+    from dados_publicos_etl_spark.operators.multimodal import (
+        video_cut_points,
+    )
+
+    rows = (
+        QUERIES["video_scene_detect"]
+        .fn(spark, "/root/testdata/sf0.01")
+        .collect()
+    )
+    got: dict[int, list[int]] = {}
+    for r in rows:
+        got.setdefault(r.doc_id, []).append(r.frame_idx)
+    assert len(got) == 500  # every doc has >= 1 planted cut
+    for d, idxs in got.items():
+        assert sorted(idxs) == video_cut_points(d), f"doc {d}"

@@ -43,6 +43,7 @@ SEEDED_QUERIES = [
     "similarity_ivfpq",      # both quantizers composed (round 4)
     "dedup_minhash_incremental",  # persisted-index probe (round 4)
     "image_neardup_dhash",   # deterministic synth images + dHash (round 4)
+    "video_scene_detect",    # planted scene cuts, frame-diff detection (round 4)
 ]
 
 
