@@ -573,3 +573,69 @@ def interval_bucket_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("event_id", "user_id")
         .agg(F.count(F.lit(1)).cast("long").alias("n_concurrent"))
     )
+
+
+@query(
+    "retention_cohorts",
+    oracle="""
+    WITH activity AS (
+      SELECT DISTINCT o_custkey,
+             date_trunc('month', o_orderdate) AS m
+      FROM orders
+    ),
+    firsts AS (
+      SELECT o_custkey, MIN(m) AS cohort FROM activity GROUP BY o_custkey
+    ),
+    offsets AS (
+      SELECT f.cohort, datediff('month', f.cohort, a.m) AS month_offset,
+             a.o_custkey
+      FROM activity a JOIN firsts f ON a.o_custkey = f.o_custkey
+    ),
+    counts AS (
+      SELECT cohort, month_offset,
+             COUNT(DISTINCT o_custkey) AS n_active
+      FROM offsets GROUP BY cohort, month_offset
+    )
+    SELECT strftime(c.cohort, '%Y-%m') AS cohort_month,
+           CAST(c.month_offset AS INT) AS month_offset,
+           CAST(c.n_active AS BIGINT) AS n_active,
+           ROUND(c.n_active / CAST(s.n_active AS DOUBLE), 4) AS retention
+    FROM counts c
+    JOIN counts s ON s.cohort = c.cohort AND s.month_offset = 0
+    """,
+    description="Retention cohort analysis: customers bucketed by "
+    "first-order month, per-cohort active share at each month offset "
+    "— two hash aggregates over the distinct (customer, month) "
+    "activity table plus a broadcast join of cohort sizes.  The "
+    "activity distinct is the only shuffle that scales with data; "
+    "cohort x offset output is bounded by the calendar, not the "
+    "corpus.",
+)
+def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    activity = orders.select(
+        "o_custkey", F.date_trunc("month", "o_orderdate").alias("m")
+    ).distinct()
+    firsts = activity.groupBy("o_custkey").agg(F.min("m").alias("cohort"))
+    offsets = activity.join(firsts, "o_custkey").select(
+        "cohort",
+        F.months_between("m", "cohort").cast("int").alias("month_offset"),
+        "o_custkey",
+    )
+    counts = offsets.groupBy("cohort", "month_offset").agg(
+        F.countDistinct("o_custkey").alias("n_active")
+    )
+    sizes = counts.filter(F.col("month_offset") == 0).select(
+        "cohort", F.col("n_active").alias("cohort_size")
+    )
+    return (
+        counts.join(F.broadcast(sizes), "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            "month_offset",
+            "n_active",
+            F.round(
+                F.col("n_active") / F.col("cohort_size").cast("double"), 4
+            ).alias("retention"),
+        )
+    )
