@@ -357,3 +357,88 @@ def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pr_norm"), "supplier")
         .limit(_PR_TOPK)
     )
+
+
+@query(
+    "dedup_quality_survivor",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {{shingles}} AS sh FROM documents
+    ), blocked AS (
+      SELECT doc_id, sh, list_min(sh) AS blk FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) >= {_THRESH}
+    ), edges AS (
+      SELECT src AS a, dst AS b FROM pairs
+      UNION SELECT dst, src FROM pairs
+    ), reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+    ), comp AS (
+      SELECT n AS doc_id, MIN(m) AS component_id FROM reach GROUP BY n
+    ), ranked AS (
+      SELECT d.doc_id,
+             COALESCE(c.component_id, d.doc_id) AS component_id,
+             d.n_chars AS quality,
+             ROW_NUMBER() OVER (
+               PARTITION BY COALESCE(c.component_id, d.doc_id)
+               ORDER BY d.n_chars DESC, d.doc_id) AS rk
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    )
+    SELECT doc_id, component_id, CAST(quality AS BIGINT) AS quality,
+           (rk = 1) AS keep
+    FROM ranked
+    """.format(shingles=duck_shingles_sql("text")),
+    description="Quality-aware dedup survivorship: near-dup clusters "
+    "(blocked Jaccard pairs -> distributed connected components) "
+    "keep their HIGHEST-QUALITY member (longest doc, deterministic "
+    "tie-break) instead of an arbitrary min-id — the curation rule a "
+    "real corpus pipeline wants.  Cluster resolution runs on the "
+    "skinny edge graph; quality joins back per doc; singleton docs "
+    "survive trivially.  Oracle = recursive-CTE transitive closure + "
+    "the same window.",
+)
+def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    blocked = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks")).alias("sh"))
+        .withColumn("blk", F.array_min("sh"))
+        .localCheckpoint()
+    )
+    a, b = blocked.alias("a"), blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jaccard_tokens(F.col("a.sh"), F.col("b.sh")) >= _THRESH)
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+    )
+    comps = connected_components(pairs).select(
+        F.col("node").alias("doc_id"), F.col("label").alias("comp")
+    )
+    ranked = (
+        docs.select("doc_id", F.col("n_chars").alias("quality"))
+        .join(comps, "doc_id", "left")
+        .withColumn("component_id", F.coalesce("comp", "doc_id"))
+    )
+    w = W.partitionBy("component_id").orderBy(
+        F.desc("quality"), F.asc("doc_id")
+    )
+    return ranked.withColumn("rk", F.row_number().over(w)).select(
+        "doc_id",
+        "component_id",
+        "quality",
+        (F.col("rk") == 1).alias("keep"),
+    )

@@ -233,3 +233,67 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
     )
     return scalar.unionByName(table_rules)
+
+
+@query(
+    "iqr_outliers",
+    oracle="""
+    WITH b AS (
+      SELECT o_orderpriority,
+             quantile_cont(o_totalprice, 0.25) AS q1,
+             quantile_cont(o_totalprice, 0.75) AS q3
+      FROM orders GROUP BY o_orderpriority
+    )
+    SELECT o.o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN o.o_totalprice
+                              > b.q3 + 1.5 * (b.q3 - b.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_high,
+           CAST(SUM(CASE WHEN o.o_totalprice
+                              < b.q1 - 1.5 * (b.q3 - b.q1)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_low,
+           ROUND(b.q1, 4) AS q1, ROUND(b.q3, 4) AS q3
+    FROM orders o JOIN b ON o.o_orderpriority = b.o_orderpriority
+    GROUP BY o.o_orderpriority, b.q1, b.q3
+    """,
+    description="Tukey-fence outlier detection per group: exact "
+    "group quartiles, then the kilobyte fence table broadcast back "
+    "onto the scan to count values beyond Q3+1.5*IQR / Q1-1.5*IQR — "
+    "the standard anomaly screen for heavy-tailed metrics; swap "
+    "exact quantiles for approx_percentile at 100 TB and nothing "
+    "else changes.",
+)
+def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderpriority", "o_totalprice"
+    )
+    fences = orders.groupBy("o_orderpriority").agg(
+        F.percentile("o_totalprice", F.lit(0.25)).alias("q1"),
+        F.percentile("o_totalprice", F.lit(0.75)).alias("q3"),
+    )
+    iqr = F.col("q3") - F.col("q1")
+    return (
+        orders.join(F.broadcast(fences), "o_orderpriority")
+        .groupBy("o_orderpriority", "q1", "q3")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") > F.col("q3") + 1.5 * iqr, 1
+                ).otherwise(0)
+            ).alias("n_high"),
+            F.sum(
+                F.when(
+                    F.col("o_totalprice") < F.col("q1") - 1.5 * iqr, 1
+                ).otherwise(0)
+            ).alias("n_low"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "n_high",
+            "n_low",
+            F.round("q1", 4).alias("q1"),
+            F.round("q3", 4).alias("q3"),
+        )
+    )

@@ -407,3 +407,74 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_alphabet",
         F.round(F.col("h"), 4).alias("char_entropy"),
     )
+
+
+@query(
+    "pmi_collocations",
+    oracle="""
+    WITH tt AS (
+      SELECT doc_id, string_split(text, ' ') AS toks FROM documents
+    ),
+    bg AS (
+      SELECT unnest(list_transform(range(1, len(toks)),
+               i -> struct_pack(w1 := toks[i], w2 := toks[i + 1]))) AS p
+      FROM tt
+    ),
+    bgc AS (SELECT p.w1 AS w1, p.w2 AS w2, COUNT(*) AS cnt
+            FROM bg GROUP BY p.w1, p.w2),
+    n AS (SELECT CAST(SUM(cnt) AS DOUBLE) AS total FROM bgc),
+    uni1 AS (SELECT w1, SUM(cnt) AS c1 FROM bgc GROUP BY w1),
+    uni2 AS (SELECT w2, SUM(cnt) AS c2 FROM bgc GROUP BY w2)
+    SELECT b.w1, b.w2, CAST(b.cnt AS BIGINT) AS cnt,
+           ROUND(ln((b.cnt * n.total) / (u1.c1 * u2.c2)), 4) AS pmi
+    FROM bgc b
+    JOIN uni1 u1 ON b.w1 = u1.w1
+    JOIN uni2 u2 ON b.w2 = u2.w2
+    CROSS JOIN n
+    WHERE b.cnt >= 5
+    ORDER BY pmi DESC, b.w1, b.w2
+    LIMIT 25
+    """,
+    description="Collocation mining by pointwise mutual information: "
+    "adjacent-token bigram counts (built in-row, no self-join), "
+    "PMI = ln(p(w1,w2)/(p(w1)p(w2))) with a min-count support "
+    "filter, top-25.  Two hash aggregates over the bigram table + "
+    "broadcast marginals — vocabulary-bounded state at any corpus "
+    "size; the classic phrase-detection pass before tokenizer "
+    "training.",
+)
+def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(F.split("text", " ").alias("toks"))
+    bigrams = F.expr(
+        "transform(sequence(1, size(toks) - 1), "
+        "i -> named_struct('w1', element_at(toks, i), "
+        "'w2', element_at(toks, i + 1)))"
+    )
+    bgc = (
+        toks.select(F.explode(bigrams).alias("p"))
+        .groupBy(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()  # three downstream consumers, one agg job
+    )
+    total = float(
+        bgc.agg(F.sum("cnt").alias("t")).collect()[0]["t"]
+    )
+    uni1 = bgc.groupBy("w1").agg(F.sum("cnt").alias("c1"))
+    uni2 = bgc.groupBy("w2").agg(F.sum("cnt").alias("c2"))
+    return (
+        bgc.filter(F.col("cnt") >= 5)
+        .join(F.broadcast(uni1), "w1")
+        .join(F.broadcast(uni2), "w2")
+        .select(
+            "w1",
+            "w2",
+            "cnt",
+            F.round(
+                F.log((F.col("cnt") * F.lit(total)) / (F.col("c1") * F.col("c2"))),
+                4,
+            ).alias("pmi"),
+        )
+        .orderBy(F.desc("pmi"), "w1", "w2")
+        .limit(25)
+    )

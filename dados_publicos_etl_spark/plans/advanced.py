@@ -791,3 +791,90 @@ def winsorized_robust_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("mad"),
         )
     )
+
+
+_BOOT_B = 16  # bootstrap replicates
+# Poisson(1) inverse-CDF thresholds (cumulative), 6-hex-digit uniform
+_POIS_EDGES = (0.36788, 0.73576, 0.9197, 0.98101, 0.99634, 0.99941, 0.99992)
+
+
+def _bootstrap_sql(table: str) -> str:
+    """One SQL text for BOTH engines (Spark temp view / DuckDB view):
+    every construct used — md5, position(IN), substr, ||, CASE —
+    is semantics-identical across the two, so the deterministic
+    resample weights are bit-equal by construction."""
+    hashes = ",\n             ".join(
+        f"md5(rk || ':{b}') AS h{b}" for b in range(_BOOT_B)
+    )
+    u_of = lambda b: (
+        "("
+        + " + ".join(
+            f"(position(substr(h{b}, {k + 1}, 1) IN"
+            f" '0123456789abcdef') - 1) * {16 ** (5 - k)}"
+            for k in range(6)
+        )
+        + ") / 16777216.0"
+    )
+    w_case = lambda b: (
+        "CASE "
+        + " ".join(
+            f"WHEN u{b} < {p} THEN {i}" for i, p in enumerate(_POIS_EDGES)
+        )
+        + f" ELSE {len(_POIS_EDGES)} END AS w{b}"
+    )
+    us = ",\n             ".join(f"{u_of(b)} AS u{b}" for b in range(_BOOT_B))
+    ws = ",\n             ".join(w_case(b) for b in range(_BOOT_B))
+    sums = ",\n             ".join(
+        f"SUM(w{b} * x) / SUM(w{b}) AS m{b}" for b in range(_BOOT_B)
+    )
+    sm = " + ".join(f"m{b}" for b in range(_BOOT_B))
+    sm2 = " + ".join(f"m{b} * m{b}" for b in range(_BOOT_B))
+    return f"""
+    WITH base AS (
+      SELECT l_returnflag AS grp, l_extendedprice AS x,
+             CAST(l_orderkey AS STRING) || '-'
+               || CAST(l_linenumber AS STRING) AS rk
+      FROM {table}
+    ), hashed AS (
+      SELECT grp, x,
+             {hashes}
+      FROM base
+    ), uniform AS (
+      SELECT grp, x,
+             {us}
+      FROM hashed
+    ), weighted AS (
+      SELECT grp, x,
+             {ws}
+      FROM uniform
+    ), agg AS (
+      SELECT grp, COUNT(*) AS n, AVG(x) AS mean_x,
+             {sums}
+      FROM weighted GROUP BY grp
+    )
+    SELECT grp AS l_returnflag, CAST(n AS BIGINT) AS n,
+           ROUND(mean_x, 4) AS mean_price,
+           ROUND(sqrt((({sm2}) - ({sm}) * ({sm}) / {_BOOT_B}.0)
+                      / {_BOOT_B - 1}.0), 4) AS boot_se
+    FROM agg
+    """
+
+
+@query(
+    "bootstrap_mean_ci",
+    oracle=_bootstrap_sql("lineitem"),
+    description=f"Distributed Poisson bootstrap: {_BOOT_B} resample "
+    "replicates via DETERMINISTIC md5-derived Poisson(1) weights "
+    "(the online-bootstrap trick — no data duplication, each row "
+    "carries per-replicate weights), all replicate means in ONE "
+    "aggregate pass, closed-form stddev over replicates = the "
+    "standard error of the group mean.  The entire resampling is "
+    "engine-portable SQL text shared verbatim with the oracle, so "
+    "the 'random' weights are provably identical across engines; at "
+    "100 TB this is one scan + one partial-aggregated shuffle, vs "
+    "the naive bootstrap's B full passes.",
+)
+def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    li.createOrReplaceTempView("boot_lineitem")
+    return spark.sql(_bootstrap_sql("boot_lineitem"))
