@@ -1157,3 +1157,97 @@ def embedding_quantize(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mae_x1000"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Contrastive pair mining — training data FOR embedding models
+# ---------------------------------------------------------------------------
+
+POS_COS = 0.35  # candidates at/above: positives (testdata max ~0.48)
+HARD_NEG_COS = 0.05  # bucket-collided candidates below: hard negatives
+
+
+def mine_contrastive_pairs(
+    emb: DataFrame,
+    pos_cos: float = POS_COS,
+    hard_neg_cos: float = HARD_NEG_COS,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Contrastive training pairs from ONE LSH candidate pass:
+
+    - ``positive`` — bucket-collided pairs with cosine >= pos_cos
+      (the near-dups an embedding model should pull together);
+    - ``hard_negative`` — pairs the index CONFUSES (same bucket,
+      i.e. similar under the current geometry) whose true cosine is
+      <= hard_neg_cos: exactly the pairs worth pushing apart —
+      random negatives are trivially separable, bucket-collided ones
+      are not (the classic in-batch/ANCE-style hard-negative mining
+      rule, computed corpus-wide).
+
+    Both classes fall out of the SAME bucketed self-join + exact
+    re-rank the dedup tier runs (no extra scan, no cross join); the
+    middle band (ambiguous similarity) is deliberately dropped.
+    """
+    bucketed = add_hyperplane_buckets(
+        emb, id_col=id_col, vec_col=vec_col
+    ).localCheckpoint()
+    a, b = bucketed.alias("a"), bucketed.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.table_idx") == F.col("b.table_idx"))
+            & (F.col("a.bucket") == F.col("b.bucket"))
+            & (F.col(f"a.{id_col}") < F.col(f"b.{id_col}")),
+        )
+        .select(
+            F.col(f"a.{id_col}").alias("id_a"),
+            F.col(f"b.{id_col}").alias("id_b"),
+        )
+        .distinct()
+    )
+    va = emb.select(F.col(id_col).alias("id_a"), F.col(vec_col).alias("va"))
+    vb = emb.select(F.col(id_col).alias("id_b"), F.col(vec_col).alias("vb"))
+    scored = (
+        cands.join(va, "id_a")
+        .join(vb, "id_b")
+        .select(
+            "id_a", "id_b", cosine(F.col("va"), F.col("vb")).alias("cos_raw")
+        )
+    )
+    return (
+        scored.withColumn(
+            "pair_type",
+            F.when(F.col("cos_raw") >= pos_cos, "positive").when(
+                F.col("cos_raw") <= hard_neg_cos, "hard_negative"
+            ),
+        )
+        .filter(F.col("pair_type").isNotNull())
+        .select(
+            F.col("id_a").alias("anchor_id"),
+            F.col("id_b").alias("other_id"),
+            "pair_type",
+            F.round("cos_raw", 4).alias("cos_sim"),
+        )
+    )
+
+
+@query(
+    "contrastive_pair_mining",
+    oracle=None,  # LSH bucket collisions are model-dependent; golden
+    # pin + class-property pytest (positives/hard-negs verified
+    # against exact cosine)
+    description="Contrastive training-pair mining for embedding "
+    "models: ONE LSH candidate pass yields both positives (bucket "
+    "pairs with cosine >= 0.35, to pull together) and hard "
+    "negatives (pairs the index geometry CONFUSES — same bucket, "
+    "true cosine <= 0.05 — to push apart; random negatives are "
+    "trivially separable, bucket-collided ones are the informative "
+    "ones).  No extra scan over the dedup tier's join, no cross "
+    "join.",
+)
+def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    return mine_contrastive_pairs(emb)

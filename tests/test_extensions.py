@@ -832,3 +832,31 @@ def test_detect_scene_cuts_generic_equals_fused(spark):
     fused = {tuple(r) for r in synth_and_detect_cuts(docs).collect()}
     assert generic == fused
     assert len(fused) == 40 * 11
+
+
+def test_contrastive_pairs_class_properties(spark):
+    """Every mined positive must truly be cosine >= 0.35 and every
+    hard negative <= 0.05 under EXACT cosine recomputation, and both
+    classes must be non-empty (mining that returns one class is a
+    tuning bug, not a property of the data)."""
+    import numpy as np
+
+    from dados_publicos_etl_spark.io import read_table
+
+    sf = "/root/testdata/sf0.01"
+    rows = QUERIES["contrastive_pair_mining"].fn(spark, sf).collect()
+    assert {r.pair_type for r in rows} == {"positive", "hard_negative"}
+    vecs = {
+        r.vec_id: np.asarray(r.embedding, dtype="float64")
+        for r in read_table(spark, sf, "embeddings")
+        .select("vec_id", "embedding")
+        .collect()
+    }
+    for r in rows:
+        a, b = vecs[r.anchor_id], vecs[r.other_id]
+        cos = float(a @ b / (np.linalg.norm(a) * np.linalg.norm(b)))
+        assert abs(cos - r.cos_sim) < 1e-3
+        if r.pair_type == "positive":
+            assert cos >= 0.35
+        else:
+            assert cos <= 0.05

@@ -44,6 +44,7 @@ SEEDED_QUERIES = [
     "dedup_minhash_incremental",  # persisted-index probe (round 4)
     "image_neardup_dhash",   # deterministic synth images + dHash (round 4)
     "video_scene_detect",    # planted scene cuts, frame-diff detection (round 4)
+    "contrastive_pair_mining",  # LSH-bucket positives/hard-negatives (round 4)
 ]
 
 
