@@ -860,3 +860,18 @@ def test_contrastive_pairs_class_properties(spark):
             assert cos >= 0.35
         else:
             assert cos <= 0.05
+
+
+def test_stream_ann_probe_equals_batch_probe(spark):
+    """Streaming foreachBatch probes of the session IVF index must
+    equal the batch probe of the same query set — batch-split
+    invariance is the correctness property of stateless serving."""
+    sf = "/root/testdata/sf0.01"
+    stream = sorted(
+        tuple(r) for r in QUERIES["stream_ann_probe"].fn(spark, sf).collect()
+    )
+    batch = sorted(
+        tuple(r)
+        for r in QUERIES["similarity_ivf_persisted"].fn(spark, sf).collect()
+    )
+    assert stream == batch and len(stream) == 50
