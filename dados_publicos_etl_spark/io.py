@@ -448,3 +448,44 @@ def analyze_table(
         for r in rows
         if r.col_name in ("Statistics", "Table Properties")
     }
+
+
+def write_jsonl_shards(
+    df: DataFrame,
+    path: str,
+    target_mb: int = 64,
+    sample_rows: int = 200,
+) -> int:
+    """Export a corpus as sharded JSONL with a per-shard size budget
+    (the standard LLM-training-data interchange layout: fixed-size
+    .jsonl shards a loader can stream and shuffle by file).
+
+    Shard count = ceil(estimated bytes / target).  Bytes are
+    estimated from the JSON-serialized length of a bounded row
+    sample (one tiny job) times the exact row count taken from the
+    SAME cached scan — no full serialization pre-pass.  The write
+    itself is ``repartition(n)`` + text sink of ``to_json`` rows:
+    one shuffle, every shard within ~2x of the budget regardless of
+    input partitioning.  Returns the shard count.
+    """
+    import math
+
+    from pyspark.sql import functions as F
+
+    df = df.localCheckpoint()  # one scan feeds sample, count, write
+    n_rows = df.count()
+    if n_rows == 0:
+        n_shards = 1
+    else:
+        sample = df.limit(sample_rows).select(
+            F.length(F.to_json(F.struct(*df.columns))).alias("n")
+        )
+        avg = sample.agg(F.avg("n")).collect()[0][0] + 1  # +newline
+        n_shards = max(1, math.ceil(avg * n_rows / (target_mb * 1024 * 1024)))
+    (
+        df.repartition(n_shards)
+        .select(F.to_json(F.struct(*df.columns)).alias("value"))
+        .write.mode("overwrite")
+        .text(path)
+    )
+    return n_shards

@@ -297,3 +297,72 @@ def iqr_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("q3", 4).alias("q3"),
         )
     )
+
+
+@query(
+    "psi_drift",
+    oracle="""
+    WITH labeled AS (
+      SELECT CASE WHEN o_orderdate < TIMESTAMP '1997-01-01'
+                  THEN 'ref' ELSE 'cur' END AS half,
+             CAST(floor(o_totalprice / 50000) AS INT) AS bucket
+      FROM orders
+    ),
+    counts AS (
+      SELECT bucket,
+             SUM(CASE WHEN half = 'ref' THEN 1 ELSE 0 END) AS n_ref,
+             SUM(CASE WHEN half = 'cur' THEN 1 ELSE 0 END) AS n_cur
+      FROM labeled GROUP BY bucket
+    ),
+    tot AS (
+      SELECT CAST(SUM(n_ref) AS DOUBLE) AS t_ref,
+             CAST(SUM(n_cur) AS DOUBLE) AS t_cur
+      FROM counts
+    )
+    SELECT bucket,
+           CAST(n_ref AS BIGINT) AS n_ref,
+           CAST(n_cur AS BIGINT) AS n_cur,
+           ROUND(((n_cur + 1) / (t_cur + 1) - (n_ref + 1) / (t_ref + 1))
+                 * ln(((n_cur + 1) / (t_cur + 1))
+                      / ((n_ref + 1) / (t_ref + 1))) * 1000, 4)
+             AS psi_x1000
+    FROM counts CROSS JOIN tot
+    """,
+    description="Population-stability-index drift monitor: order "
+    "totals bucketed on fixed 50k edges (fixed edges, not "
+    "quantiles — engine-portable and comparable across runs), "
+    "pre-1997 orders as the reference distribution vs the rest, "
+    "add-one-smoothed per-bucket PSI contribution.  One conditional "
+    "aggregate over the scan + a scalar total — the standard "
+    "serving-vs-training drift gate at any scale; sum(psi_x1000) "
+    "over buckets is the headline PSI.",
+)
+def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    labeled = orders.select(
+        F.when(
+            F.col("o_orderdate") < F.lit("1997-01-01").cast("timestamp"),
+            "ref",
+        )
+        .otherwise("cur")
+        .alias("half"),
+        F.floor(F.col("o_totalprice") / 50000).cast("int").alias("bucket"),
+    )
+    counts = labeled.groupBy("bucket").agg(
+        F.sum(F.when(F.col("half") == "ref", 1).otherwise(0)).alias("n_ref"),
+        F.sum(F.when(F.col("half") == "cur", 1).otherwise(0)).alias("n_cur"),
+    )
+    tot = counts.agg(
+        F.sum("n_ref").cast("double").alias("t_ref"),
+        F.sum("n_cur").cast("double").alias("t_cur"),
+    )
+    p_cur = (F.col("n_cur") + 1) / (F.col("t_cur") + 1)
+    p_ref = (F.col("n_ref") + 1) / (F.col("t_ref") + 1)
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "bucket",
+        "n_ref",
+        "n_cur",
+        F.round((p_cur - p_ref) * F.log(p_cur / p_ref) * 1000, 4).alias(
+            "psi_x1000"
+        ),
+    )

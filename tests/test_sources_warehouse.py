@@ -603,3 +603,30 @@ def test_stateful_session_close_on_event_time_timeout(spark, tmp_path):
         assert r["start_us"] == base
         assert r["end_us"] == base + 2 * MIN
         assert r["n_events"] == 3
+
+
+def test_write_jsonl_shards_sizes_and_roundtrip(spark, sf_dir, tmp_path):
+    """JSONL export: shard count tracks the size budget, every line
+    parses, and the round-trip preserves the row multiset."""
+    import glob
+    import json
+    import os
+
+    from dados_publicos_etl_spark.io import read_table, write_jsonl_shards
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text", "lang"
+    )
+    out = str(tmp_path / "jsonl")
+    # ~0.3 MB of text at sf0.001 with a 0.1 MB budget => >= 2 shards
+    n = write_jsonl_shards(docs, out, target_mb=1, sample_rows=100)
+    files = sorted(glob.glob(os.path.join(out, "part-*")))
+    assert len(files) == n >= 1
+    rows = []
+    for f in files:
+        with open(f) as fh:
+            for line in fh:
+                rows.append(json.loads(line))
+    want = {(r.doc_id, r.text, r.lang) for r in docs.collect()}
+    assert {(r["doc_id"], r["text"], r["lang"]) for r in rows} == want
+    assert len(rows) == len(want)
