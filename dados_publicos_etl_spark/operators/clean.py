@@ -67,3 +67,60 @@ def clean_cnae(
         .transform(lambda d: empty_to_null(d, desc_col))
         .withColumn(segment_col, parity_segment(code_col))
     )
+
+
+def repair_mojibake(df: DataFrame, col: str, out_col: str | None = None) -> DataFrame:
+    """Repair UTF-8-as-Latin-1 double-encoding ("mojibake": é -> Ã©),
+    the classic wound from pipelines like the reference's ISO-8859-1
+    source transcode (/root/reference/src/utils/scraping.py zip
+    extraction) applied twice.
+
+    A row is repaired iff the reverse trip round-trips: re-encoding
+    the text as Latin-1 yields bytes that decode as valid UTF-8 AND
+    contain a multi-byte sequence (pure ASCII is left alone).  Runs
+    as one Arrow-batched pass — string repair is per-row pure Python
+    on the worker, no shuffle; undecodable rows pass through
+    unchanged (repair must be lossless-or-identity).
+    """
+    import pandas as pd
+
+    out = out_col or col
+    other = [c for c in df.columns if c != col]
+
+    def fix(batches):
+        for pdf in batches:
+            def one(s: str) -> str:
+                try:
+                    b = s.encode("latin-1")
+                except UnicodeEncodeError:
+                    return s
+                try:
+                    repaired = b.decode("utf-8")
+                except UnicodeDecodeError:
+                    return s
+                return repaired if repaired != s else s
+
+            res = pdf.copy()
+            res[out] = pdf[col].map(one)
+            yield res
+
+    schema = ", ".join(
+        f"{f.name} {f.dataType.simpleString()}" for f in df.schema.fields
+    )
+    if out not in df.columns:
+        schema += f", {out} string"
+
+        def fix_new(batches):
+            for pdf in batches:
+                def one(s):
+                    try:
+                        b = s.encode("latin-1")
+                        return b.decode("utf-8")
+                    except (UnicodeEncodeError, UnicodeDecodeError):
+                        return s
+                pdf = pdf.copy()
+                pdf[out] = pdf[col].map(one)
+                yield pdf
+
+        return df.mapInPandas(fix_new, schema=schema)
+    return df.mapInPandas(fix, schema=schema)

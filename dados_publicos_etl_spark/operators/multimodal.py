@@ -489,6 +489,9 @@ def synth_images(
                  "payload": pd.Series(payloads, dtype=object)}
             )
 
+    from dados_publicos_etl_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
     return df.select(id_col).mapInPandas(
         gen, schema=f"{id_col} long, payload binary"
     )
@@ -505,6 +508,9 @@ def image_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
                  "dhash": pd.Series(hs, dtype="int64")}
             )
 
+    from dados_publicos_etl_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
     return df.select(id_col, "payload").mapInPandas(
         hashes, schema=f"{id_col} long, dhash long"
     )
@@ -709,6 +715,9 @@ def detect_scene_cuts(
     def cuts(pdf: pd.DataFrame) -> pd.DataFrame:
         return _frame_cuts_pdf(pdf, id_col, threshold)
 
+    from dados_publicos_etl_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(frames.sparkSession)
     return frames.groupBy(id_col).applyInPandas(
         cuts, schema=_CUTS_SCHEMA.format(id=id_col)
     )
@@ -761,6 +770,9 @@ def synth_and_detect_cuts(
                 columns=[id_col, "frame_idx", "mean_abs_diff", "is_cut"],
             )
 
+    from dados_publicos_etl_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
     return df.select(id_col).mapInPandas(
         gen_detect, schema=_CUTS_SCHEMA.format(id=id_col)
     )

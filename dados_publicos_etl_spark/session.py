@@ -72,3 +72,37 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+def ensure_package_on_workers(spark: SparkSession) -> None:
+    """Make ``dados_publicos_etl_spark`` importable on Python workers
+    regardless of the driver's cwd/sys.path.
+
+    Worker closures that reference module-level functions (the pixel
+    operators' ``decode_image`` / ``video_cut_points``) are pickled
+    BY REFERENCE, so the worker must import the package — which only
+    works by accident when the driver happens to run from the repo
+    root.  ``addPyFile`` of a package zip fixes it for any host
+    session (the real driver's included).  Idempotent per
+    SparkContext; the zip is built once per process.
+    """
+    sc = spark.sparkContext
+    if getattr(sc, "_dpe_pkg_shipped", False):
+        return
+    import tempfile
+    import zipfile
+
+    pkg_dir = os.path.dirname(os.path.abspath(__file__))
+    root = os.path.dirname(pkg_dir)
+    zpath = os.path.join(
+        tempfile.gettempdir(), f"dpe_spark_pkg_{os.getpid()}.zip"
+    )
+    if not os.path.exists(zpath):
+        with zipfile.ZipFile(zpath, "w") as z:
+            for dirpath, _dirs, files in os.walk(pkg_dir):
+                for f in files:
+                    if f.endswith(".py"):
+                        full = os.path.join(dirpath, f)
+                        z.write(full, os.path.relpath(full, root))
+    sc.addPyFile(zpath)
+    sc._dpe_pkg_shipped = True

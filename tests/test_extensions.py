@@ -875,3 +875,38 @@ def test_stream_ann_probe_equals_batch_probe(spark):
         for r in QUERIES["similarity_ivf_persisted"].fn(spark, sf).collect()
     )
     assert stream == batch and len(stream) == 50
+
+
+def test_pixel_queries_work_from_neutral_cwd():
+    """Driver-contract regression: worker closures referencing
+    module-level pixel helpers are pickled BY REFERENCE, so the
+    package must reach the Python workers via addPyFile — running
+    pytest from the repo root masks this (workers inherit the cwd).
+    Reproduce the driver's condition: vanilla session, cwd=/tmp,
+    package only on the DRIVER's sys.path."""
+    import subprocess
+    import sys
+
+    code = (
+        "import sys; sys.path.insert(0, '/root/repo')\n"
+        "from pyspark.sql import SparkSession\n"
+        "spark = SparkSession.builder.master('local[2]').getOrCreate()\n"
+        "spark.sparkContext.setLogLevel('ERROR')\n"
+        "from dados_publicos_etl_spark.plans import QUERIES, catalog\n"
+        "n = QUERIES['image_neardup_dhash'].fn(spark, '/root/testdata/sf0.001').count()\n"
+        "m = QUERIES['video_scene_detect'].fn(spark, '/root/testdata/sf0.001').count()\n"
+        "print('OK', n, m)\n"
+    )
+    out = subprocess.run(
+        [sys.executable, "-c", code],
+        cwd="/tmp",
+        capture_output=True,
+        text=True,
+        timeout=300,
+        env={
+            k: v
+            for k, v in __import__("os").environ.items()
+            if k != "PYTHONPATH"
+        },
+    )
+    assert "OK" in out.stdout, out.stderr[-2000:]

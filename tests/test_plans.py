@@ -394,3 +394,50 @@ def test_bucketed_join_has_no_join_exchange(spark, sf_dir):
     join_subtree = plan.split("SortMergeJoin", 1)[1]
     assert "Exchange" not in join_subtree
     assert plan.count("Exchange") == 1
+
+
+def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
+    """Runtime row-level join pruning: with a selective dim filter,
+    Spark injects bloom_filter_agg on the creation side and a
+    might_contain semi-filter into the fact scan — the 100 TB
+    mechanism that drops non-joining fact rows BEFORE the shuffle.
+    Size thresholds are cluster-scale (10 GB application side), so
+    the test scales them down, as the AQE skew test does."""
+    from dados_publicos_etl_spark.io import read_table
+
+    saved = {
+        k: spark.conf.get(k, None)
+        for k in (
+            "spark.sql.autoBroadcastJoinThreshold",
+            "spark.sql.optimizer.runtime.bloomFilter."
+            "applicationSideScanSizeThreshold",
+        )
+    }
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    spark.conf.set(
+        "spark.sql.optimizer.runtime.bloomFilter."
+        "applicationSideScanSizeThreshold",
+        "1KB",
+    )
+    try:
+        li = read_table(spark, sf_dir, "lineitem")
+        o = read_table(spark, sf_dir, "orders").filter(
+            F.col("o_orderpriority") == "1-URGENT"
+        )
+        j = (
+            li.join(o, F.col("l_orderkey") == F.col("o_orderkey"))
+            .groupBy("o_orderpriority")
+            .count()
+        )
+        plan = _plan(j)
+    finally:
+        for k, v in saved.items():
+            if v is None:
+                spark.conf.unset(k)
+            else:
+                spark.conf.set(k, v)
+    assert "bloom_filter_agg" in plan
+    assert "might_contain" in plan
+    # the semi-filter lands on the FACT side, keyed on its join key
+    fact_side = plan.split("might_contain", 1)[1]
+    assert "l_orderkey" in fact_side.split(")")[0] + fact_side[:200]

@@ -86,3 +86,35 @@ def test_upsert_source_wins(spark):
     )
     got = {r.k: r.v for r in upsert(target, source, "k").collect()}
     assert got == {1: "new", 2: "keep", 3: "ins"}
+
+
+def test_repair_mojibake_roundtrips_planted_damage(spark):
+    """Plant mojibake by double-encoding accented text (the
+    reference's ISO-8859-1 pipeline applied twice), repair it, and
+    require exact equality with the original; pure-ASCII and
+    already-clean rows must pass through untouched."""
+    from dados_publicos_etl_spark.operators.clean import repair_mojibake
+
+    originals = [
+        "coração de São Paulo",   # pt accents (the reference's domain)
+        "crème brûlée à côté",
+        "plain ascii survives",
+        "Müller-Straße",
+    ]
+    rows = []
+    for i, t in enumerate(originals):
+        damaged = t.encode("utf-8").decode("latin-1")  # é -> Ã©
+        rows.append((i, damaged, t))
+    df = spark.createDataFrame(rows, "id long, text string, want string")
+    got = {
+        r.id: r.text
+        for r in repair_mojibake(df, "text").collect()
+    }
+    for i, t in enumerate(originals):
+        assert got[i] == t, (i, got[i], t)
+    # idempotence: repairing clean text changes nothing
+    clean = spark.createDataFrame(
+        [(i, t) for i, t in enumerate(originals)], "id long, text string"
+    )
+    again = {r.id: r.text for r in repair_mojibake(clean, "text").collect()}
+    assert again == {i: t for i, t in enumerate(originals)}
