@@ -289,6 +289,25 @@ def overwrite_partitions(
 HIVE_DEFAULT_PARTITION = "__HIVE_DEFAULT_PARTITION__"
 
 
+# The characters Spark escapes in partition directory names
+# (ExternalCatalogUtils.charToEscape): ASCII control chars plus the
+# filesystem/Hive-meaningful set below.
+_PATH_ESCAPE_CHARS = set('"#%\'*/:=?\\{[]^')
+
+
+def escape_path_name(s: str) -> str:
+    """Spark/Hive %XX escaping of a partition value for use in a
+    directory name (ExternalCatalogUtils.escapePathName): ``a:b`` ->
+    ``a%3Ab``.  Paired inverse of :func:`unescape_path_name`."""
+    out = []
+    for c in s:
+        if c in _PATH_ESCAPE_CHARS or ord(c) < 0x20:
+            out.append(f"%{ord(c):02X}")
+        else:
+            out.append(c)
+    return "".join(out)
+
+
 def unescape_path_name(s: str) -> str:
     """Inverse of the %XX escaping Spark/Hive apply to partition
     values in directory names (ExternalCatalogUtils.unescapePathName):

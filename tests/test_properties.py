@@ -108,3 +108,56 @@ def test_redact_pii_is_idempotent(spark, text):
         redact_pii("t").alias("a"), redact_pii(redact_pii("t")).alias("b")
     ).head()
     assert once == twice
+
+
+@settings(max_examples=200, deadline=None)
+@given(st.text(min_size=0, max_size=80))
+def test_mojibake_repair_inverts_double_encoding(text):
+    """For ANY text whose UTF-8 bytes are Latin-1-decodable, the
+    repair inverts the damage exactly; and repair of already-clean
+    Latin-1-encodable text is the identity (pure-function property,
+    no Spark needed — the operator maps this per row)."""
+    damaged = None
+    try:
+        damaged = text.encode("utf-8").decode("latin-1")
+    except UnicodeDecodeError:
+        pass  # damage itself impossible for this text
+
+    def one(s: str) -> str:
+        try:
+            return s.encode("latin-1").decode("utf-8")
+        except (UnicodeEncodeError, UnicodeDecodeError):
+            return s
+
+    if damaged is not None:
+        assert one(damaged) == text
+
+
+@settings(max_examples=100, deadline=None)
+@given(st.text(alphabet=st.characters(min_codepoint=32, max_codepoint=500), max_size=40))
+def test_hive_partition_path_roundtrip(value):
+    """unescape_path_name inverts Spark's partition-path escaping for
+    any printable value (the compaction correctness property from the
+    round-3 advice)."""
+    from dados_publicos_etl_spark.io import escape_path_name, unescape_path_name
+
+    assert unescape_path_name(escape_path_name(value)) == value
+
+
+@settings(max_examples=50, deadline=None)
+@given(st.integers(min_value=0, max_value=2**63 - 1))
+def test_dhash_signed_packing_roundtrip(bits_int):
+    """The signed-64-bit dHash representation preserves all 64 bits:
+    band extraction via unsigned shifts recovers every byte."""
+    import numpy as np
+
+    bits = np.array(
+        [(bits_int >> k) & 1 for k in range(64)], dtype=bool
+    )
+    signed = int.from_bytes(
+        np.packbits(bits, bitorder="little").tobytes(), "little", signed=True
+    )
+    unsigned = signed & (2**64 - 1)
+    assert unsigned == bits_int
+    for b in range(8):
+        assert (unsigned >> (8 * b)) & 255 == (bits_int >> (8 * b)) & 255
