@@ -44,7 +44,11 @@ _THRESH = 0.8
 
 
 def connected_components(
-    edges: DataFrame, src: str = "src", dst: str = "dst", max_iter: int = 20
+    edges: DataFrame,
+    src: str = "src",
+    dst: str = "dst",
+    max_iter: int = 20,
+    initial_labels: DataFrame | None = None,
 ) -> DataFrame:
     """Undirected connected components by min-label propagation with
     pointer jumping.
@@ -74,8 +78,31 @@ def connected_components(
         both.select(F.col("a").alias("node"))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
     )
+    if initial_labels is not None:
+        # Warm start for INCREMENTAL maintenance: seed each node with
+        # its previous component label where one exists (new nodes
+        # self-label).  Converged old components propagate their min
+        # in one hop, so rounds scale with the diameter of the NEW
+        # edges' effect, not the whole graph's.  REQUIRES ``edges``
+        # to still contain the full (old + new) edge set — a label is
+        # a reachability claim, valid only while the old co-membership
+        # holds; this accelerates convergence, it does not replace
+        # edges.  Fixpoint is unchanged (pytest pins equality with
+        # the cold run, including old-component merges).
+        prev = initial_labels.select(
+            F.col("node").alias("p_n"), F.col("label").alias("p_l")
+        )
+        labels = (
+            labels.join(prev, labels.node == prev.p_n, "left")
+            .select(
+                "node",
+                F.least(
+                    F.col("label"), F.coalesce("p_l", F.col("label"))
+                ).alias("label"),
+            )
+        )
+    labels = labels.localCheckpoint()
     for _ in range(max_iter):
         # The label table is |V| rows over the DEDUP-PAIR graph —
         # orders of magnitude smaller than the corpus (only docs with

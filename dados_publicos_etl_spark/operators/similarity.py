@@ -536,6 +536,37 @@ def write_ivf_index(
     return centroids
 
 
+def append_ivf_index(
+    emb_increment: DataFrame,
+    path: str,
+    centroids,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> None:
+    """Incrementally ingest new vectors into a persisted IVF index:
+    assign the INCREMENT to the EXISTING centroids (one narrow Arrow
+    pass over the new rows only) and append its partitioned files.
+
+    The ops story that makes the persisted index viable under
+    continuous ingestion: per-batch cost is O(increment) — the
+    snapshot is never rescanned or rewritten — and probes see old
+    and new vectors uniformly because ``partitionBy`` appends into
+    the same ``cell=`` directories the pruned reader lists.  The
+    coarse quantizer is intentionally FROZEN (FAISS semantics:
+    retrain/rebuild is a deliberate offline event when drift
+    accumulates, not an ingest-path side effect) — so an appended
+    index is bit-identical to a full rebuild under the same
+    centroids (pytest-pinned).
+    """
+    cells = _assign_cells(emb_increment, centroids, id_col, vec_col)
+    (
+        emb_increment.join(F.broadcast(cells), id_col)
+        .write.mode("append")
+        .partitionBy("cell")
+        .parquet(path)
+    )
+
+
 def session_ivf_index(
     emb: DataFrame,
     sf_dir: str,

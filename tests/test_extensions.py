@@ -910,3 +910,88 @@ def test_pixel_queries_work_from_neutral_cwd():
         },
     )
     assert "OK" in out.stdout, out.stderr[-2000:]
+
+
+def test_ivf_append_equals_full_rebuild(spark, tmp_path):
+    """Appending an increment to a persisted IVF index (frozen
+    centroids, O(increment) ingest) must yield probe results
+    IDENTICAL to a full rebuild over snapshot+increment with the
+    same centroids."""
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.operators.similarity import (
+        _assign_cells,
+        _train_ivf_centroids,
+        append_ivf_index,
+        probe_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = read_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    snapshot = emb.filter("vec_id % 5 != 0")
+    increment = emb.filter("vec_id % 5 = 0")
+    # centroids trained once on the snapshot; FROZEN thereafter
+    centroids = _train_ivf_centroids(
+        snapshot, 16, "vec_id", "embedding", 42
+    )
+
+    def write(df, path):
+        cells = _assign_cells(df, centroids, "vec_id", "embedding")
+        (
+            df.join(F.broadcast(cells), "vec_id")
+            .write.mode("append")
+            .partitionBy("cell")
+            .parquet(path)
+        )
+
+    inc_path = str(tmp_path / "incremental")
+    write(snapshot, inc_path)
+    append_ivf_index(increment, inc_path, centroids)
+
+    full_path = str(tmp_path / "full")
+    write(emb, full_path)
+
+    qrows = [
+        (r.vec_id, r.embedding)
+        for r in emb.filter("vec_id < 10").collect()
+    ]
+    probe = lambda p: sorted(
+        tuple(r)
+        for r in probe_ivf_index(
+            spark, p, centroids, qrows, n_probe=4, k=5
+        ).collect()
+    )
+    a, b = probe(inc_path), probe(full_path)
+    assert a == b and len(a) == 50
+
+
+def test_warm_start_cc_equals_cold_and_merges_components(spark):
+    """Incremental CC: seeding with the previous labels must reach
+    the SAME fixpoint as a cold run over the full edge set —
+    including when new edges MERGE two previously-separate
+    components — in fewer rounds."""
+    from dados_publicos_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    old_edges = spark.createDataFrame(
+        [(1, 2), (2, 3), (10, 11), (11, 12), (20, 21)], "src long, dst long"
+    )
+    old = connected_components(old_edges)
+    # new edges: extend one chain AND merge components {1..3} x {10..12}
+    new_edges = spark.createDataFrame(
+        [(3, 10), (21, 22)], "src long, dst long"
+    )
+    full = old_edges.unionByName(new_edges)
+    cold = {
+        (r.node, r.label) for r in connected_components(full).collect()
+    }
+    warm = {
+        (r.node, r.label)
+        for r in connected_components(
+            full, initial_labels=old, max_iter=3
+        ).collect()
+    }
+    assert warm == cold
+    comp_of = dict(warm)
+    assert comp_of[12] == comp_of[1] == 1  # merged across old components
+    assert comp_of[22] == 20
