@@ -259,6 +259,29 @@ def ann_topk_lsh(
     )
 
 
+def cap_bucket_sizes(
+    bucketed: DataFrame, keys: list[str], cap: int
+) -> DataFrame:
+    """Drop LSH buckets holding more than ``cap`` members — the
+    hot-bucket guard every production LSH needs: one degenerate
+    bucket (boilerplate, empty strings, zero vectors) otherwise
+    yields cap-free O(bucket²) candidate pairs and a straggler task
+    that dominates the join.  Dropping is the STANDARD remedy (the
+    bucket's members collide with everything, so it carries no
+    discriminative signal — the "stop words" of LSH); pairs between
+    hot-bucket members are still found through their OTHER tables
+    when genuinely similar.  One extra partial-aggregated count +
+    broadcast anti-join of the (tiny) hot-bucket list.
+    """
+    hot = (
+        bucketed.groupBy(*keys)
+        .agg(F.count(F.lit(1)).alias("_n"))
+        .filter(F.col("_n") > cap)
+        .select(*keys)
+    )
+    return bucketed.join(F.broadcast(hot), keys, "left_anti")
+
+
 def ann_pairs_lsh(
     emb: DataFrame,
     threshold: float,
@@ -266,6 +289,7 @@ def ann_pairs_lsh(
     vec_col: str = "embedding",
     n_planes: int = N_PLANES,
     n_tables: int = N_TABLES,
+    bucket_cap: int | None = None,
 ) -> DataFrame:
     """Approximate near-dup pairs: LSH candidates -> exact re-rank.
 
@@ -274,12 +298,19 @@ def ann_pairs_lsh(
     dedup_ngram_jaccard); candidate ids then join the embedding
     payloads back for the exact cosine re-rank, so vectors are read
     once per matched side instead of being exploded through every LSH
-    table.
+    table.  ``bucket_cap`` (off by default — the catalog's seeded
+    corpus has no degenerate buckets) enables the hot-bucket guard
+    (:func:`cap_bucket_sizes`) a boilerplate-heavy real corpus needs.
     """
     bucketed = add_hyperplane_buckets(
         emb, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, n_tables=n_tables,
-    ).localCheckpoint()
+    )
+    if bucket_cap is not None:
+        bucketed = cap_bucket_sizes(
+            bucketed, ["table_idx", "bucket"], bucket_cap
+        )
+    bucketed = bucketed.localCheckpoint()
     a = bucketed.alias("a")
     b = bucketed.alias("b")
     cands = (

@@ -995,3 +995,32 @@ def test_warm_start_cc_equals_cold_and_merges_components(spark):
     comp_of = dict(warm)
     assert comp_of[12] == comp_of[1] == 1  # merged across old components
     assert comp_of[22] == 20
+
+
+def test_lsh_hot_bucket_cap_bounds_pair_volume(spark):
+    """A degenerate cluster (many identical vectors — the 'empty
+    boilerplate' of embedding space) must not produce O(cluster^2)
+    candidate pairs when the cap is on, while genuinely similar
+    SMALL groups still pair up."""
+    import numpy as np
+
+    from dados_publicos_etl_spark.operators.similarity import (
+        ann_pairs_lsh,
+    )
+
+    rng = np.random.RandomState(7)
+    fl = lambda v: [float(x) for x in v]
+    hot = fl(rng.randn(64))  # one vector repeated 120x
+    rows = [(i, hot) for i in range(120)]
+    small = fl(rng.randn(64))
+    rows += [(200, small), (201, fl(np.asarray(small) + 0.01))]
+    for i in range(300, 340):  # background noise
+        rows.append((i, fl(rng.randn(64))))
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<double>")
+
+    uncapped = ann_pairs_lsh(emb, threshold=0.9).count()
+    capped_df = ann_pairs_lsh(emb, threshold=0.9, bucket_cap=50)
+    capped = {(r.vec_id_a, r.vec_id_b) for r in capped_df.collect()}
+    assert uncapped >= 120 * 119 // 2  # hot cluster explodes uncapped
+    assert len(capped) < 100  # cap bounds the volume
+    assert (200, 201) in capped  # small near-dup group survives

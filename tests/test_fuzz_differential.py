@@ -1,0 +1,123 @@
+"""Differential fuzzing: hypothesis-generated relational queries run
+on BOTH engines and compared exactly.
+
+The hand-written catalog pins each operator once; the fuzzer sweeps
+the COMPOSITION space (predicate x projection x group-by x aggregate)
+where engine-semantics mismatches hide — null ordering, numeric
+widening, predicate short-circuiting, empty-group behavior.  Every
+generated query uses only constructs with engine-identical semantics
+(exact integer aggregates, cents-integer sums — the repo's standard
+oracle-stability rules), so ANY diff is a real defect, not noise.
+
+Determinism: examples derive from hypothesis's seeded generator and
+the fixture data; a failing example shrinks to a minimal query.
+"""
+
+from __future__ import annotations
+
+from hypothesis import HealthCheck, given, settings
+from hypothesis import strategies as st
+
+from dados_publicos_etl_spark.io import read_table
+from oracle_harness import compare
+
+from pyspark.sql import functions as F
+
+SF_DIR = "/root/testdata/sf0.001"
+
+_NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
+_STR_COLS = ["l_returnflag", "l_linestatus"]
+_STR_VALS = {
+    "l_returnflag": ["A", "N", "R"],
+    "l_linestatus": ["F", "O"],
+}
+_CMP = ["<", "<=", ">", ">=", "=", "<>"]
+
+
+@st.composite
+def predicates(draw):
+    """A random AND/OR tree (depth <= 2) of portable comparisons."""
+
+    def leaf():
+        if draw(st.booleans()):
+            c = draw(st.sampled_from(_NUM_COLS))
+            op = draw(st.sampled_from(_CMP))
+            v = round(draw(st.floats(0, 100)), 2)
+            return f"({c} {op} {v})"
+        c = draw(st.sampled_from(_STR_COLS))
+        v = draw(st.sampled_from(_STR_VALS[c]))
+        op = draw(st.sampled_from(["=", "<>"]))
+        return f"({c} {op} '{v}')"
+
+    n = draw(st.integers(1, 3))
+    glue = draw(st.sampled_from([" AND ", " OR "]))
+    return glue.join(leaf() for _ in range(n))
+
+
+@st.composite
+def agg_queries(draw):
+    """(group_cols, agg_exprs) with engine-exact semantics only."""
+    groups = draw(
+        st.lists(st.sampled_from(_STR_COLS), unique=True, max_size=2)
+    )
+    aggs = []
+    for i in range(draw(st.integers(1, 3))):
+        c = draw(st.sampled_from(_NUM_COLS))
+        kind = draw(st.sampled_from(["count", "min", "max", "cents_sum"]))
+        if kind == "count":
+            aggs.append((f"a{i}", "CAST(COUNT(*) AS BIGINT)", None))
+        elif kind == "cents_sum":
+            aggs.append(
+                (
+                    f"a{i}",
+                    f"CAST(SUM(CAST(ROUND({c} * 100, 0) AS BIGINT)) AS BIGINT)",
+                    None,
+                )
+            )
+        else:
+            aggs.append((f"a{i}", f"ROUND({kind.upper()}({c}), 2)", None))
+    return groups, aggs
+
+
+_FUZZ = settings(
+    max_examples=15,
+    deadline=None,
+    suppress_health_check=[HealthCheck.function_scoped_fixture],
+)
+
+
+@_FUZZ
+@given(pred=predicates(), q=agg_queries())
+def test_random_filter_group_agg_matches_duckdb(spark, pred, q):
+    groups, aggs = q
+    li = read_table(spark, SF_DIR, "lineitem")
+    filtered = li.filter(F.expr(pred))
+    agg_cols = [F.expr(sql).alias(name) for name, sql, _ in aggs]
+    if groups:
+        df = filtered.groupBy(*groups).agg(*agg_cols)
+    else:
+        df = filtered.agg(*agg_cols)
+    select = ", ".join(
+        groups + [f"{sql} AS {name}" for name, sql, _ in aggs]
+    )
+    group_sql = f" GROUP BY {', '.join(groups)}" if groups else ""
+    oracle = f"SELECT {select} FROM lineitem WHERE {pred}{group_sql}"
+    compare(df, oracle, SF_DIR)
+
+
+@_FUZZ
+@given(pred=predicates())
+def test_random_filter_projection_matches_duckdb(spark, pred):
+    li = read_table(spark, SF_DIR, "lineitem")
+    df = li.filter(F.expr(pred)).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.expr("CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) "
+               "AS BIGINT)").alias("rev_cents"),
+    )
+    oracle = (
+        "SELECT l_orderkey, l_linenumber, "
+        "CAST(ROUND(l_extendedprice * (1 - l_discount) * 100, 0) AS BIGINT)"
+        f" AS rev_cents FROM lineitem WHERE {pred}"
+    )
+    compare(df, oracle, SF_DIR)
