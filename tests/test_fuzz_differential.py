@@ -121,3 +121,63 @@ def test_random_filter_projection_matches_duckdb(spark, pred):
         f" AS rev_cents FROM lineitem WHERE {pred}"
     )
     compare(df, oracle, SF_DIR)
+
+
+@st.composite
+def order_predicates(draw):
+    prios = [
+        "1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"
+    ]
+    n = draw(st.integers(1, 2))
+    glue = draw(st.sampled_from([" AND ", " OR "]))
+    leaves = []
+    for _ in range(n):
+        if draw(st.booleans()):
+            v = round(draw(st.floats(0, 400000)), 2)
+            op = draw(st.sampled_from(_CMP))
+            leaves.append(f"(o_totalprice {op} {v})")
+        else:
+            v = draw(st.sampled_from(prios))
+            op = draw(st.sampled_from(["=", "<>"]))
+            leaves.append(f"(o_orderpriority {op} '{v}')")
+    return glue.join(leaves)
+
+
+@_FUZZ
+@given(lpred=predicates(), opred=order_predicates(), how=st.sampled_from(
+    ["inner", "left_semi", "left_anti"]))
+def test_random_join_matches_duckdb(spark, lpred, opred, how):
+    """Random two-sided predicates x join type over the orderkey
+    equi-join — inner/semi/anti each exercise different null/dedup
+    semantics."""
+    li = read_table(spark, SF_DIR, "lineitem").filter(F.expr(lpred))
+    o = read_table(spark, SF_DIR, "orders").filter(F.expr(opred))
+    joined = li.join(o, li.l_orderkey == o.o_orderkey, how)
+    if how == "inner":
+        df = joined.groupBy("o_orderpriority").agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"),
+            F.expr(
+                "CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))"
+                " AS BIGINT)"
+            ).alias("cents"),
+        )
+        oracle = f"""
+        SELECT o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                 AS BIGINT) AS cents
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+        WHERE ({lpred}) AND ({opred})
+        GROUP BY o_orderpriority
+        """
+    else:
+        word = "IN" if how == "left_semi" else "NOT IN"
+        df = joined.groupBy("l_returnflag").agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n")
+        )
+        oracle = f"""
+        SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n
+        FROM lineitem WHERE ({lpred}) AND l_orderkey {word}
+          (SELECT o_orderkey FROM orders WHERE {opred})
+        GROUP BY l_returnflag
+        """
+    compare(df, oracle, SF_DIR)
