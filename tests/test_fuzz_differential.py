@@ -181,3 +181,41 @@ def test_random_join_matches_duckdb(spark, lpred, opred, how):
         GROUP BY l_returnflag
         """
     compare(df, oracle, SF_DIR)
+
+
+@_FUZZ
+@given(pred=predicates(), mod=st.integers(2, 7))
+def test_random_null_semantics_match_duckdb(spark, pred, mod):
+    """NULL semantics sweep — the testdata has no organic NULLs, so
+    inject them IDENTICALLY on both sides (doc_id-hash based) and
+    compare COUNT(col) vs COUNT(*), null-skipping MIN/MAX, and
+    GROUP BY over a nullable key.  Three-valued predicate logic on
+    the nullable column is exercised by the WHERE clause."""
+    null_q = f"CASE WHEN l_orderkey % {mod} = 0 THEN NULL ELSE l_quantity END"
+    null_g = (
+        f"CASE WHEN l_linenumber % {mod} = 1 THEN NULL "
+        "ELSE l_returnflag END"
+    )
+    li = read_table(spark, SF_DIR, "lineitem")
+    df = (
+        li.withColumn("nq", F.expr(null_q))
+        .withColumn("ng", F.expr(null_g))
+        .filter(F.expr(pred))
+        .groupBy("ng")
+        .agg(
+            F.expr("CAST(COUNT(*) AS BIGINT)").alias("n_rows"),
+            F.expr("CAST(COUNT(nq) AS BIGINT)").alias("n_nonnull"),
+            F.expr("ROUND(MIN(nq), 2)").alias("mn"),
+            F.expr("ROUND(MAX(nq), 2)").alias("mx"),
+        )
+    )
+    oracle = f"""
+    SELECT {null_g} AS ng,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT({null_q}) AS BIGINT) AS n_nonnull,
+           ROUND(MIN({null_q}), 2) AS mn,
+           ROUND(MAX({null_q}), 2) AS mx
+    FROM lineitem WHERE {pred}
+    GROUP BY {null_g}
+    """
+    compare(df, oracle, SF_DIR)
