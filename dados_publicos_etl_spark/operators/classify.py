@@ -286,3 +286,55 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("raw_ppl", 2).alias("ppl"),
         (F.col("raw_ppl") <= 300).alias("keep"),
     )
+
+
+@query(
+    "mojibake_repair_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           md5(text || ' coração São Paulo é ótima à noite #'
+                    || CAST(doc_id AS STRING)) AS clean_md5,
+           CAST(LENGTH(text || ' coração São Paulo é ótima à noite #'
+                    || CAST(doc_id AS STRING)) AS BIGINT) AS n_chars_clean
+    FROM documents
+    """,
+    description="Mojibake repair proven by round-trip: plant accented "
+    "Portuguese per doc (the reference's ISO-8859-1 domain), DAMAGE "
+    "it in-engine (UTF-8 bytes re-decoded as Latin-1 — the "
+    "double-encoding wound), repair with the latin1->utf8 inversion "
+    "pass, and md5 against the oracle's UNDAMAGED text — equality "
+    "proves exact lossless inversion on every row.  Damage and "
+    "repair are one Arrow mapInPandas pass each; the ASCII corpus "
+    "body passes through both unchanged.",
+)
+def mojibake_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    from dados_publicos_etl_spark.operators.clean import repair_mojibake
+    from dados_publicos_etl_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(spark)
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.lit(" coração São Paulo é ótima à noite #"),
+            F.col("doc_id").cast("string"),
+        ).alias("text"),
+    )
+
+    def damage(batches):
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["text"] = pdf["text"].map(
+                lambda s: s.encode("utf-8").decode("latin-1")
+            )
+            yield pdf
+
+    damaged = docs.mapInPandas(damage, schema="doc_id long, text string")
+    repaired = repair_mojibake(damaged, "text")
+    return repaired.select(
+        "doc_id",
+        F.md5("text").alias("clean_md5"),
+        F.length("text").cast("long").alias("n_chars_clean"),
+    )

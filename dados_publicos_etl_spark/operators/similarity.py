@@ -1313,3 +1313,37 @@ def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         "vec_id", "embedding"
     )
     return mine_contrastive_pairs(emb)
+
+
+@query(
+    "similarity_filtered_topk",
+    oracle=f"""
+    WITH q AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND({_COS_DOUBLE_SQL.format(a='embedding', b='qe')}, 4)
+             AS cos_sim
+    FROM embeddings, q
+    WHERE label = 3 AND vec_id <> 0
+    ORDER BY cos_sim DESC, vec_id
+    LIMIT 5
+    """,
+    description="Hybrid (filtered) vector search: top-5 cosine "
+    "neighbors of vec_id=0 AMONG label=3 vectors only — the "
+    "metadata-constrained ANN query every retrieval stack needs.  "
+    "PRE-filtering is the correct default: the label predicate "
+    "pushes into the scan (partition/file pruning when the corpus "
+    "is label-partitioned), distances are computed over survivors "
+    "only, and k results are guaranteed — unlike post-filtering an "
+    "unfiltered ANN probe, which can starve below k when the filter "
+    "is selective.",
+)
+def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    cos = cosine(F.col("embedding"), lit_vector([float(x) for x in qvec]))
+    return (
+        emb.filter((F.col("label") == 3) & (F.col("vec_id") != 0))
+        .select("vec_id", "label", F.round(cos, 4).alias("cos_sim"))
+        .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
+        .limit(5)
+    )
