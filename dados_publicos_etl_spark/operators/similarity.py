@@ -1347,3 +1347,37 @@ def similarity_filtered_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cos_sim"), F.asc("vec_id"))
         .limit(5)
     )
+
+
+def ivf_balance_report(spark: SparkSession, path: str) -> DataFrame:
+    """Cell-occupancy report for a persisted IVF index — the rebuild
+    trigger that completes the incremental-ingest loop: appends under
+    a FROZEN quantizer slowly skew cell sizes as the data drifts, and
+    a skewed index probes badly (hot cells do all the work).  Returns
+    one row per cell plus the skew summary a monitor alerts on
+    (``max/mean`` occupancy); when it crosses the operator's budget,
+    retrain + rebuild offline (``write_ivf_index``).
+
+    Cost: the scan projects ONLY the partition column, so row counts
+    come from parquet metadata paths without touching vector data.
+    """
+    counts = (
+        spark.read.parquet(path)
+        .groupBy("cell")
+        .agg(F.count(F.lit(1)).alias("n_vectors"))
+    )
+    stats = counts.agg(
+        F.avg("n_vectors").alias("_mean"), F.max("n_vectors").alias("_max")
+    )
+    return (
+        counts.crossJoin(F.broadcast(stats))
+        .select(
+            "cell",
+            "n_vectors",
+            F.round(F.col("n_vectors") / F.col("_mean"), 4).alias(
+                "occupancy_ratio"
+            ),
+            F.round(F.col("_max") / F.col("_mean"), 4).alias("index_skew"),
+        )
+        .orderBy("cell")
+    )

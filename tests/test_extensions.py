@@ -1024,3 +1024,36 @@ def test_lsh_hot_bucket_cap_bounds_pair_volume(spark):
     assert uncapped >= 120 * 119 // 2  # hot cluster explodes uncapped
     assert len(capped) < 100  # cap bounds the volume
     assert (200, 201) in capped  # small near-dup group survives
+
+
+def test_ivf_balance_report_flags_skewed_appends(spark, tmp_path):
+    """The balance report must read only the partition column (no
+    vector bytes) and report the skew a drifted append creates."""
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.operators.similarity import (
+        _train_ivf_centroids,
+        append_ivf_index,
+        ivf_balance_report,
+        write_ivf_index,
+    )
+
+    sf = "/root/testdata/sf0.01"
+    emb = read_table(spark, sf, "embeddings").select("vec_id", "embedding")
+    path = str(tmp_path / "idx")
+    centroids = write_ivf_index(emb, path, n_cells=16)
+    base = ivf_balance_report(spark, path).collect()
+    base_skew = base[0].index_skew
+    # drifted append: 300 copies of ONE vector -> lands in one cell
+    hot = emb.filter("vec_id = 1").collect()[0].embedding
+    inc = spark.createDataFrame(
+        [(10_000 + i, [float(x) for x in hot]) for i in range(300)],
+        "vec_id long, embedding array<double>",
+    )
+    append_ivf_index(inc, path, centroids)
+    after = ivf_balance_report(spark, path)
+    rows = after.collect()
+    assert rows[0].index_skew > base_skew * 2
+    assert sum(r.n_vectors for r in rows) == 500 + 300
+    # the report's scan reads ONLY the partition column
+    plan = after._jdf.queryExecution().executedPlan().toString()
+    assert "ReadSchema: struct<>" in plan
