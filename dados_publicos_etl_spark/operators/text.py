@@ -478,3 +478,66 @@ def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("pmi"), "w1", "w2")
         .limit(25)
     )
+
+
+@query(
+    "unicode_nfc_normalize",
+    oracle="""
+    WITH planted AS (
+      SELECT doc_id,
+             text || ' cafe' || chr(769) || ' A' || chr(778)
+                  || chr(64257) || 'nal #' || CAST(doc_id AS STRING)
+               AS raw
+      FROM documents
+    )
+    SELECT doc_id,
+           md5(nfc_normalize(raw)) AS nfc_md5,
+           CAST(LENGTH(nfc_normalize(raw)) AS BIGINT) AS n_cp_nfc,
+           CAST(LENGTH(raw) AS BIGINT) AS n_cp_raw
+    FROM planted
+    """,
+    description="Unicode NFC normalization — the canonical-form pass "
+    "a multilingual corpus needs before dedup/tokenization (the SAME "
+    "text in composed vs decomposed form would hash differently and "
+    "escape exact dedup).  Decomposed sequences (combining acute, "
+    "ring) are planted per doc on both sides; Spark normalizes via "
+    "one Arrow pass (unicodedata NFC), the oracle via DuckDB's "
+    "nfc_normalize — md5 equality proves the two Unicode "
+    "implementations agree codepoint-for-codepoint; the codepoint "
+    "counts expose the composition (raw > nfc).",
+)
+def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents")
+    planted = docs.select(
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            # decomposed forms, explicit escapes (an editor
+            # NFC-normalizing this file must not change the plant):
+            # "cafe" + U+0301, "A" + U+030A, U+FB01 ligature
+            F.lit(" cafe\u0301 A\u030a\ufb01nal #"),
+            F.col("doc_id").cast("string"),
+        ).alias("raw"),
+    )
+
+    def norm(batches):
+        import unicodedata
+
+        for pdf in batches:
+            pdf = pdf.copy()
+            pdf["nfc"] = pdf["raw"].map(
+                lambda s: unicodedata.normalize("NFC", s)
+            )
+            yield pdf
+
+    out = planted.mapInPandas(
+        norm, schema="doc_id long, raw string, nfc string"
+    )
+    return out.select(
+        "doc_id",
+        F.md5("nfc").alias("nfc_md5"),
+        F.length("nfc").cast("long").alias("n_cp_nfc"),
+        F.length("raw").cast("long").alias("n_cp_raw"),
+    )
