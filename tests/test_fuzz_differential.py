@@ -219,3 +219,40 @@ def test_random_null_semantics_match_duckdb(spark, pred, mod):
     GROUP BY {null_g}
     """
     compare(df, oracle, SF_DIR)
+
+
+@_FUZZ
+@given(
+    pred=predicates(),
+    part=st.sampled_from(_STR_COLS),
+    fn=st.sampled_from(["ROW_NUMBER()", "RANK()", "DENSE_RANK()"]),
+    direction=st.sampled_from(["ASC", "DESC"]),
+)
+def test_random_window_ranking_matches_duckdb(spark, pred, part, fn, direction):
+    """Window-function sweep: ranking functions over random
+    partitions/orderings.  The ORDER BY ends in the unique
+    (l_orderkey, l_linenumber) pair so every rank is deterministic
+    even for RANK/DENSE_RANK tie semantics."""
+    order = (
+        f"l_quantity {direction}, l_orderkey, l_linenumber"
+    )
+    li = read_table(spark, SF_DIR, "lineitem")
+    df = (
+        li.filter(F.expr(pred))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.expr(
+                f"{fn} OVER (PARTITION BY {part} ORDER BY {order})"
+            ).alias("rk"),
+        )
+        .filter(F.col("rk") <= 5)
+    )
+    oracle = f"""
+    SELECT l_orderkey, l_linenumber, rk FROM (
+      SELECT l_orderkey, l_linenumber,
+             {fn} OVER (PARTITION BY {part} ORDER BY {order}) AS rk
+      FROM lineitem WHERE {pred})
+    WHERE rk <= 5
+    """
+    compare(df, oracle, SF_DIR)
