@@ -639,3 +639,154 @@ def retention_cohorts(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("retention"),
         )
     )
+
+
+@query(
+    "time_weighted_avg",
+    oracle="""
+    WITH stepped AS (
+      SELECT user_id, value,
+             CAST(epoch_us(LEAD(ts) OVER (PARTITION BY user_id
+                                          ORDER BY ts, event_id)
+                           ) - epoch_us(ts) AS BIGINT) AS dt_us
+      FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_steps,
+           ROUND(SUM(value * dt_us) / SUM(dt_us), 4) AS twap
+    FROM stepped WHERE dt_us IS NOT NULL
+    GROUP BY user_id
+    """,
+    description="Time-weighted average (the TWAP/time_weight "
+    "operator of time-series stores): each observation holds until "
+    "the user's next event, so the mean weights each value by its "
+    "holding duration — last-observation-carried-forward integral "
+    "over irregular samples.  One window pass (lead) + one "
+    "aggregate; a plain AVG over-weights bursts of rapid events.",
+)
+def time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    stepped = ev.select(
+        "user_id",
+        "value",
+        F.expr(
+            "timestampdiff(MICROSECOND, ts, "
+            "lead(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id))"
+        ).cast("long").alias("dt_us"),
+    )
+    return (
+        stepped.filter(F.col("dt_us").isNotNull())
+        .groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_steps"),
+            F.round(
+                F.sum(F.col("value") * F.col("dt_us")) / F.sum("dt_us"), 4
+            ).alias("twap"),
+        )
+    )
+
+
+@query(
+    "activity_islands",
+    oracle="""
+    WITH days AS (
+      SELECT DISTINCT user_id, CAST(date_trunc('day', ts) AS DATE) AS d
+      FROM events
+    ), anchored AS (
+      SELECT user_id, d,
+             d - CAST(ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY d)
+                      AS INT) AS anchor
+      FROM days
+    ), islands AS (
+      SELECT user_id, anchor,
+             MIN(d) AS island_start, CAST(COUNT(*) AS INT) AS island_days
+      FROM anchored GROUP BY user_id, anchor
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_islands,
+           CAST(MAX(island_days) AS INT) AS longest_island,
+           strftime(MIN(island_start), '%Y-%m-%d') AS first_island_start
+    FROM islands GROUP BY user_id
+    """,
+    description="Gaps-and-islands: maximal runs of CONSECUTIVE active "
+    "days per user via the classic date-minus-row_number anchor "
+    "(consecutive days share one anchor; no self-join, no recursion) "
+    "— streak/churn analysis as two window-free aggregates around "
+    "one window pass.",
+)
+def activity_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    days = ev.select(
+        "user_id", F.date_trunc("day", "ts").cast("date").alias("d")
+    ).distinct()
+    w = W.partitionBy("user_id").orderBy("d")
+    anchored = days.select(
+        "user_id",
+        "d",
+        F.expr(
+            "date_add(d, -CAST(ROW_NUMBER() OVER "
+            "(PARTITION BY user_id ORDER BY d) AS INT))"
+        ).alias("anchor"),
+    )
+    islands = anchored.groupBy("user_id", "anchor").agg(
+        F.min("d").alias("island_start"),
+        F.count(F.lit(1)).cast("int").alias("island_days"),
+    )
+    return islands.groupBy("user_id").agg(
+        F.count(F.lit(1)).alias("n_islands"),
+        F.max("island_days").alias("longest_island"),
+        F.date_format(F.min("island_start"), "yyyy-MM-dd").alias(
+            "first_island_start"
+        ),
+    )
+
+
+@query(
+    "concurrent_events_peak",
+    oracle="""
+    WITH deltas AS (
+      SELECT event_type, ts AS t, 1 AS delta FROM events
+      UNION ALL
+      SELECT event_type, ts + INTERVAL 10 MINUTE, -1 FROM events
+    ), swept AS (
+      SELECT event_type,
+             SUM(delta) OVER (PARTITION BY event_type
+                              ORDER BY t, delta
+                              ROWS UNBOUNDED PRECEDING) AS live
+      FROM deltas
+    )
+    SELECT event_type,
+           CAST(MAX(live) AS BIGINT) AS peak_concurrency,
+           CAST(COUNT(*) / 2 AS BIGINT) AS n_intervals
+    FROM swept GROUP BY event_type
+    """,
+    description="Peak concurrency via the sweep line: each event "
+    "opens a 10-minute interval; +1/-1 deltas sorted by time (ends "
+    "BEFORE starts at a boundary — half-open intervals, delta ASC "
+    "tie-break) and a running sum give instantaneous concurrency; "
+    "MAX per type is the peak.  O(n log n) with NO interval "
+    "self-join — the overlap-counting shape that scales where "
+    "pairwise overlap joins explode.",
+)
+def concurrent_events_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    opens = ev.select("event_type", F.col("ts").alias("t"), F.lit(1).alias("delta"))
+    closes = ev.select(
+        "event_type",
+        F.expr("ts + INTERVAL 10 MINUTE").alias("t"),
+        F.lit(-1).alias("delta"),
+    )
+    deltas = opens.unionByName(closes)
+    w = (
+        W.partitionBy("event_type")
+        .orderBy("t", "delta")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    swept = deltas.select(
+        "event_type", F.sum("delta").over(w).alias("live")
+    )
+    return swept.groupBy("event_type").agg(
+        F.max("live").cast("long").alias("peak_concurrency"),
+        (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
+    )
