@@ -1095,3 +1095,101 @@ def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
         ) c
         """
     )
+
+
+@query(
+    "rfm_segments",
+    oracle="""
+    WITH per_cust AS (
+      SELECT o_custkey,
+             MAX(o_orderdate) AS last_order,
+             COUNT(*) AS frequency,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS monetary_c
+      FROM orders GROUP BY o_custkey
+    ), scored AS (
+      SELECT o_custkey,
+             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r,
+             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f,
+             NTILE(5) OVER (ORDER BY monetary_c, o_custkey) AS m
+      FROM per_cust
+    )
+    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM scored GROUP BY r, f, m
+    """,
+    description="RFM segmentation: recency/frequency/monetary "
+    "quintiles per customer (NTILE with a unique tie-break key so "
+    "bucket boundaries are engine-deterministic), rolled up to "
+    "segment sizes.  One aggregate + three global NTILEs over the "
+    "per-customer table (|customers| rows, not |orders|) — at scale "
+    "replace the global sort with percentile-bound buckets.",
+)
+def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    per_cust = orders.groupBy("o_custkey").agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("frequency"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("monetary_c"),
+    )
+    scored = per_cust.select(
+        "o_custkey",
+        F.ntile(5)
+        .over(W.orderBy("last_order", "o_custkey"))
+        .alias("r"),
+        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f"),
+        F.ntile(5).over(W.orderBy("monetary_c", "o_custkey")).alias("m"),
+    )
+    return scored.groupBy("r", "f", "m").agg(
+        F.count(F.lit(1)).alias("n_customers")
+    )
+
+
+@query(
+    "benford_audit",
+    oracle="""
+    WITH digits AS (
+      SELECT CAST(substr(CAST(CAST(floor(o_totalprice) AS BIGINT) AS STRING), 1, 1)
+                  AS INT) AS d
+      FROM orders WHERE o_totalprice >= 1
+    ), counts AS (
+      SELECT d, COUNT(*) AS n FROM digits GROUP BY d
+    ), tot AS (SELECT CAST(SUM(n) AS DOUBLE) AS t FROM counts)
+    SELECT d, CAST(n AS BIGINT) AS n,
+           ROUND(n / t, 4) AS observed,
+           ROUND(log10(1.0 + 1.0 / d), 4) AS benford_expected,
+           ROUND(ABS(n / t - log10(1.0 + 1.0 / d)) * 1000, 4)
+             AS abs_dev_x1000
+    FROM counts CROSS JOIN tot
+    """,
+    description="Benford's-law first-digit audit over order totals: "
+    "observed leading-digit shares vs log10(1+1/d) with per-digit "
+    "absolute deviation — the classic forensic screen for fabricated "
+    "or truncated numeric columns, as one conditional aggregate "
+    "(9-row output at any corpus size).  Synthetic uniform-ish "
+    "totals will deviate from Benford — the AUDIT is the operator, "
+    "the verdict is data-dependent.",
+)
+def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    digits = orders.filter(F.col("o_totalprice") >= 1).select(
+        # floor, not a raw double->bigint cast: Spark's cast
+        # truncates but DuckDB's ROUNDS — floor is explicit on both
+        F.substring(
+            F.floor("o_totalprice").cast("bigint").cast("string"), 1, 1
+        )
+        .cast("int")
+        .alias("d")
+    )
+    counts = digits.groupBy("d").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").cast("double").alias("t"))
+    obs = F.col("n") / F.col("t")
+    exp = F.log10(1.0 + 1.0 / F.col("d"))
+    return counts.crossJoin(F.broadcast(tot)).select(
+        "d",
+        "n",
+        F.round(obs, 4).alias("observed"),
+        F.round(exp, 4).alias("benford_expected"),
+        F.round(F.abs(obs - exp) * 1000, 4).alias("abs_dev_x1000"),
+    )
