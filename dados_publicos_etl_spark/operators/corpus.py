@@ -624,3 +624,94 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("n_docs") >= 2)
     )
+
+
+@query(
+    "basket_association_rules",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 50 AS item
+      FROM lineitem
+    ), n AS (SELECT CAST(COUNT(DISTINCT l_orderkey) AS DOUBLE)
+             AS n_baskets FROM baskets),
+    item_counts AS (
+      SELECT item, COUNT(*) AS cnt FROM baskets GROUP BY item
+    ), pair_counts AS (
+      SELECT a.item AS item_a, b.item AS item_b, COUNT(*) AS both_cnt
+      FROM baskets a JOIN baskets b
+        ON a.l_orderkey = b.l_orderkey AND a.item < b.item
+      GROUP BY a.item, b.item
+    )
+    SELECT item_a, item_b,
+           CAST(both_cnt AS BIGINT) AS both_cnt,
+           ROUND(both_cnt / n.n_baskets, 6) AS support,
+           ROUND(both_cnt / CAST(ia.cnt AS DOUBLE), 6) AS confidence,
+           ROUND((both_cnt * n.n_baskets)
+                 / (CAST(ia.cnt AS DOUBLE) * ib.cnt), 4) AS lift
+    FROM pair_counts
+    JOIN item_counts ia ON ia.item = item_a
+    JOIN item_counts ib ON ib.item = item_b
+    CROSS JOIN n
+    WHERE both_cnt >= 20
+    ORDER BY lift DESC, item_a, item_b
+    LIMIT 25
+    """,
+    description="Market-basket association rules (frequent-itemset "
+    "family): parts co-occurring within an order (hashed to 50 item "
+    "classes so pair support is meaningful at test scale), "
+    "support/confidence/lift with a min-support cut, top-25 by "
+    "lift.  The pair self-join is WITHIN baskets — bounded by "
+    "items-per-basket (~7), so pair volume is O(n x basket_size), "
+    "never O(n^2); marginals broadcast back.  The co-occurrence "
+    "shape behind 'related items' and feature cross-stats.",
+)
+def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    ).distinct()
+    n_baskets = float(
+        baskets.select("l_orderkey").distinct().count()
+    )
+    item_counts = baskets.groupBy("item").agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    a, b = baskets.alias("a"), baskets.alias("b")
+    pair_counts = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
+        )
+        .agg(F.count(F.lit(1)).alias("both_cnt"))
+        .filter(F.col("both_cnt") >= 20)
+    )
+    ia = item_counts.select(
+        F.col("item").alias("item_a"), F.col("cnt").alias("cnt_a")
+    )
+    ib = item_counts.select(
+        F.col("item").alias("item_b"), F.col("cnt").alias("cnt_b")
+    )
+    return (
+        pair_counts.join(F.broadcast(ia), "item_a")
+        .join(F.broadcast(ib), "item_b")
+        .select(
+            "item_a",
+            "item_b",
+            "both_cnt",
+            F.round(F.col("both_cnt") / n_baskets, 6).alias("support"),
+            F.round(
+                F.col("both_cnt") / F.col("cnt_a").cast("double"), 6
+            ).alias("confidence"),
+            F.round(
+                (F.col("both_cnt") * n_baskets)
+                / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
+                4,
+            ).alias("lift"),
+        )
+        .orderBy(F.desc("lift"), "item_a", "item_b")
+        .limit(25)
+    )
