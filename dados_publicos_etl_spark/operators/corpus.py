@@ -715,3 +715,49 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("lift"), "item_a", "item_b")
         .limit(25)
     )
+
+
+@query(
+    "corpus_global_shuffle",
+    oracle="""
+    WITH keyed AS (
+      SELECT doc_id, md5(CAST(doc_id AS STRING) || ':shuffle42') AS k
+      FROM documents
+    ), positioned AS (
+      SELECT doc_id,
+             ROW_NUMBER() OVER (ORDER BY k, doc_id) - 1 AS pos
+      FROM keyed
+    )
+    SELECT doc_id,
+           CAST(floor(pos / 100.0) AS INT) AS shard,
+           CAST(pos % 100 AS INT) AS pos_in_shard
+    FROM positioned
+    """,
+    description="Deterministic global corpus shuffle — the shard-prep "
+    "step every training run needs: position = rank in seeded-hash "
+    "order (md5(id || salt) — reproducible across runs/engines, no "
+    "RNG state), docs then map to fixed-size shards.  The global "
+    "order is ONE range-partitioned sort of (hash, id) keys — 40ish "
+    "bytes a row, not documents — and at 100 TB the sort stays on "
+    "the key table with shard files written by partition; "
+    "re-shuffling = changing the salt.",
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    keyed = docs.select(
+        "doc_id",
+        F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle42"))).alias("k"),
+    )
+    pos = (
+        F.row_number().over(W.orderBy("k", "doc_id")) - 1
+    )
+    positioned = keyed.select("doc_id", pos.alias("pos"))
+    # floor, not a raw double->int cast (Spark truncates, DuckDB
+    # rounds — same trap as benford_audit)
+    return positioned.select(
+        "doc_id",
+        F.floor(F.col("pos") / 100.0).cast("int").alias("shard"),
+        (F.col("pos") % 100).cast("int").alias("pos_in_shard"),
+    )
