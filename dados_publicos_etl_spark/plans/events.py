@@ -790,3 +790,55 @@ def concurrent_events_peak(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max("live").cast("long").alias("peak_concurrency"),
         (F.count(F.lit(1)) / 2).cast("long").alias("n_intervals"),
     )
+
+
+@query(
+    "event_sequence_match",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id,
+             string_agg(substr(event_type, 1, 1), ''
+                        ORDER BY ts, event_id) AS s
+      FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LENGTH(s) AS INT) AS n_events,
+           CAST(len(regexp_extract_all(s, 'v[^p]*cp')) AS INT)
+             AS n_vcp_runs,
+           regexp_matches(s, 'v.*c.*p') AS has_funnel
+    FROM seq
+    """,
+    description="Sequence-pattern matching over event streams "
+    "(MATCH_RECOGNIZE emulation): each user's ordered event types "
+    "collapse to a symbol string (one grouped ordered string-agg), "
+    "then regular expressions detect temporal patterns — here "
+    "view->click->purchase funnels and non-overlapping "
+    "view-then-click-then-purchase runs without an intervening "
+    "purchase.  Regex over the symbol string expresses "
+    "variable-length temporal patterns that window functions "
+    "cannot; state per user is one string, the classic sequence-"
+    "mining trick.",
+)
+def event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    seq = (
+        ev.select(
+            "user_id",
+            F.struct("ts", "event_id").alias("ord"),
+            F.substring("event_type", 1, 1).alias("sym"),
+        )
+        .groupBy("user_id")
+        .agg(
+            F.concat_ws(
+                "", F.expr("transform(array_sort(collect_list(struct(ord, sym))), x -> x.sym)")
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("int").alias("n_events"),
+        F.size(F.expr("regexp_extract_all(s, 'v[^p]*cp', 0)"))
+        .cast("int")
+        .alias("n_vcp_runs"),
+        F.expr("s RLIKE 'v.*c.*p'").alias("has_funnel"),
+    )

@@ -1193,3 +1193,53 @@ def benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(exp, 4).alias("benford_expected"),
         F.round(F.abs(obs - exp) * 1000, 4).alias("abs_dev_x1000"),
     )
+
+
+@query(
+    "diversified_topk",
+    oracle="""
+    WITH ranked AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY o_totalprice DESC, o_orderkey)
+               AS rank_in_group
+      FROM orders
+    ), capped AS (
+      SELECT * FROM ranked WHERE rank_in_group <= 5
+    )
+    SELECT o_orderkey, o_orderpriority,
+           ROUND(o_totalprice, 2) AS o_totalprice,
+           CAST(rank_in_group AS INT) AS rank_in_group
+    FROM capped
+    ORDER BY o_totalprice DESC, o_orderkey
+    LIMIT 20
+    """,
+    description="Diversified top-k (group quotas): global top-20 "
+    "orders by value, but at most 5 per priority class — the "
+    "result-diversification rule of retrieval/feed ranking.  One "
+    "per-group window caps the quota map-side-ish (only 5 rows per "
+    "group survive to the final TakeOrdered), so the global sort "
+    "sees |groups| x quota rows, not the corpus.",
+)
+def diversified_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    w = W.partitionBy("o_orderpriority").orderBy(
+        F.desc("o_totalprice"), F.asc("o_orderkey")
+    )
+    capped = (
+        orders.select(
+            "o_orderkey", "o_orderpriority", "o_totalprice"
+        )
+        .withColumn("rank_in_group", F.row_number().over(w))
+        .filter(F.col("rank_in_group") <= 5)
+    )
+    return (
+        capped.select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rank_in_group").cast("int").alias("rank_in_group"),
+        )
+        .orderBy(F.desc("o_totalprice"), F.asc("o_orderkey"))
+        .limit(20)
+    )
