@@ -842,3 +842,99 @@ def event_sequence_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("n_vcp_runs"),
         F.expr("s RLIKE 'v.*c.*p'").alias("has_funnel"),
     )
+
+
+@query(
+    "geo_proximity_join",
+    oracle="""
+    WITH pts AS (
+      SELECT c_custkey AS id,
+             CAST(CAST('0x' || substr(md5(CAST(c_custkey AS STRING)
+                    || ':lat'), 1, 6) AS BIGINT) % 1000 AS DOUBLE)
+               / 1000.0 AS x,
+             CAST(CAST('0x' || substr(md5(CAST(c_custkey AS STRING)
+                    || ':lon'), 1, 6) AS BIGINT) % 1000 AS DOUBLE)
+               / 1000.0 AS y
+      FROM customer
+    ), cells AS (
+      SELECT id, x, y,
+             CAST(floor(x / 0.02) AS INT) AS cx,
+             CAST(floor(y / 0.02) AS INT) AS cy
+      FROM pts
+    )
+    SELECT a.id AS id_a, b.id AS id_b,
+           ROUND((a.x - b.x) * (a.x - b.x)
+                 + (a.y - b.y) * (a.y - b.y), 8) AS dist_sq
+    FROM cells a JOIN cells b
+      ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+     AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+     AND a.id < b.id
+    WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+          <= 0.02 * 0.02
+    """,
+    description="Spatial proximity join via grid blocking: points "
+    "(deterministic hash-synthesized coordinates) bucket into cells "
+    "of the query radius; candidate pairs come ONLY from the 3x3 "
+    "neighborhood (grid guarantees no pair within radius is missed), "
+    "exact planar distance refilters.  The canonical spatial-join "
+    "shape — candidate volume ~ density x n, never the O(n^2) cross "
+    "join a raw distance predicate would plan.  Planar squared "
+    "distance keeps the oracle bit-exact (no libm sin/cos "
+    "divergence).",
+)
+def geo_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    # engine-portable hash: md5 hex -> int on BOTH sides (Spark conv,
+    # DuckDB '0x' cast) — hash()/xxhash differ across engines
+    pts = cust.select(
+        F.col("c_custkey").alias("id"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":lat"))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        ).cast("double").alias("xi"),
+        (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.col("c_custkey").cast("string"), F.lit(":lon"))), 1, 6
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        ).cast("double").alias("yi"),
+    ).select(
+        "id",
+        (F.col("xi") / 1000.0).alias("x"),
+        (F.col("yi") / 1000.0).alias("y"),
+    )
+    cells = pts.select(
+        "id",
+        "x",
+        "y",
+        F.floor(F.col("x") / 0.02).cast("int").alias("cx"),
+        F.floor(F.col("y") / 0.02).cast("int").alias("cy"),
+    )
+    a, b = cells.alias("a"), cells.alias("b")
+    dsq = (F.col("a.x") - F.col("b.x")) ** 2 + (
+        F.col("a.y") - F.col("b.y")
+    ) ** 2
+    return (
+        a.join(
+            b,
+            F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
+            & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1)
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .filter(dsq <= 0.02 * 0.02)
+        .select(
+            F.col("a.id").alias("id_a"),
+            F.col("b.id").alias("id_b"),
+            F.round(dsq, 8).alias("dist_sq"),
+        )
+    )
