@@ -878,3 +878,60 @@ def bootstrap_mean_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
     li.createOrReplaceTempView("boot_lineitem")
     return spark.sql(_bootstrap_sql("boot_lineitem"))
+
+
+@query(
+    "json_quarantine",
+    oracle="""
+    WITH raw AS (
+      SELECT event_type,
+             CASE WHEN event_id % 7 = 0
+                  THEN substr(props, 1, LENGTH(props) - 1)
+                  ELSE props END AS j
+      FROM events
+    )
+    SELECT event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CASE WHEN json_valid(j) THEN 0 ELSE 1 END) AS BIGINT)
+             AS n_quarantined,
+           CAST(SUM(CASE WHEN json_valid(j)
+                         THEN CAST(j ->> 'k' AS BIGINT) ELSE 0 END)
+                AS BIGINT) AS sum_k
+    FROM raw GROUP BY event_type
+    """,
+    description="Dead-letter / quarantine pattern for semi-structured "
+    "ingestion: malformed JSON (planted deterministically on both "
+    "sides) is detected and COUNTED per partition instead of failing "
+    "the job or silently nulling — Spark's from_json PERMISSIVE null "
+    "vs DuckDB json_valid agree row-for-row; valid rows aggregate "
+    "normally.  The route-don't-crash contract every 100 TB ingest "
+    "needs (a quarantine sink gets the bad rows + error context).",
+)
+def json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    raw = ev.select(
+        "event_type",
+        # structural damage (drop the closing brace): Spark's Jackson
+        # parser tolerates trailing garbage, so appended bytes are NOT
+        # a portable corruption
+        F.when(
+            F.col("event_id") % 7 == 0,
+            F.expr("substr(props, 1, length(props) - 1)"),
+        )
+        .otherwise(F.col("props"))
+        .alias("j"),
+    )
+    parsed = raw.select(
+        "event_type",
+        F.from_json(F.col("j"), "k bigint").alias("p"),
+    )
+    return parsed.groupBy("event_type").agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        # PERMISSIVE from_json yields a struct of NULL FIELDS (not a
+        # null struct) on malformed input; every valid props row
+        # carries k, so a null k IS the malformed-row signal
+        F.sum(F.when(F.col("p.k").isNull(), 1).otherwise(0)).alias(
+            "n_quarantined"
+        ),
+        F.sum(F.coalesce(F.col("p.k"), F.lit(0))).alias("sum_k"),
+    )

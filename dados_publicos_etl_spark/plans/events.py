@@ -938,3 +938,74 @@ def geo_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(dsq, 8).alias("dist_sq"),
         )
     )
+
+
+@query(
+    "cusum_changepoint",
+    oracle="""
+    WITH m AS (
+      SELECT user_id, AVG(value) AS mu FROM events GROUP BY user_id
+    ), pre AS (
+      SELECT e.user_id, e.ts, e.event_id,
+             SUM(e.value - m.mu) OVER (PARTITION BY e.user_id
+                                       ORDER BY e.ts, e.event_id
+                                       ROWS UNBOUNDED PRECEDING) AS p
+      FROM events e JOIN m ON e.user_id = m.user_id
+    ), s AS (
+      SELECT user_id,
+             p - LEAST(0.0, MIN(p) OVER (PARTITION BY user_id
+                                         ORDER BY ts, event_id
+                                         ROWS UNBOUNDED PRECEDING)) AS slack
+      FROM pre
+    )
+    SELECT user_id,
+           ROUND(MAX(slack), 4) AS cusum_max,
+           MAX(slack) > 400 AS shifted
+    FROM s GROUP BY user_id
+    """,
+    description="CUSUM change-point statistic per user series: the "
+    "reset-at-zero recursion s_i = max(0, s_{i-1} + (x_i - mu)) has "
+    "the closed form s_i = prefix_i - min(prefix_<=i, 0), so the "
+    "whole detector is TWO window passes (running sum + running min) "
+    "— no sequential fold, no UDF — plus the per-user mean joined "
+    "back.  max(s) over the series is the drift statistic a "
+    "monitoring pipeline thresholds.",
+)
+def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    mu = ev.groupBy("user_id").agg(F.avg("value").alias("mu"))
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    pre = ev.join(F.broadcast(mu), "user_id").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.sum(F.col("value") - F.col("mu")).over(w).alias("p"),
+    )
+    wp = (
+        W.partitionBy("user_id")
+        .orderBy("p")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    # running min over p-order equals min over the time-prefix only
+    # because min is order-insensitive within the frame; use the
+    # time-ordered frame for exact prefix-min semantics:
+    wt = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    s = pre.select(
+        "user_id",
+        (
+            F.col("p")
+            - F.least(F.lit(0.0), F.min("p").over(wt))
+        ).alias("slack"),
+    )
+    return s.groupBy("user_id").agg(
+        F.round(F.max("slack"), 4).alias("cusum_max"),
+        (F.max("slack") > 400).alias("shifted"),
+    )
