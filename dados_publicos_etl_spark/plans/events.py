@@ -920,21 +920,39 @@ def geo_proximity_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("x") / 0.02).cast("int").alias("cx"),
         F.floor(F.col("y") / 0.02).cast("int").alias("cy"),
     )
-    a, b = cells.alias("a"), cells.alias("b")
-    dsq = (F.col("a.x") - F.col("b.x")) ** 2 + (
-        F.col("a.y") - F.col("b.y")
-    ) ** 2
+    # EQUI-join formulation: side a explodes into its 3x3 neighbor
+    # cells, side b keeps its home cell — each in-radius pair matches
+    # on exactly ONE (cx, cy) key (b's home cell), so the join is a
+    # hash/sort-merge EQUI-join on the cell key with no dedup needed.
+    # A raw BETWEEN condition on cell ids plans a
+    # BroadcastNestedLoopJoin — O(n^2) comparisons, the exact thing
+    # grid blocking exists to avoid (plan-pinned in test_plans).
+    a = cells.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                "struct(cx + dx AS cx, cy + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("id_a", "xa", "ya", "cell.cx", "cell.cy")
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    dsq = (F.col("xa") - F.col("xb")) ** 2 + (F.col("ya") - F.col("yb")) ** 2
     return (
-        a.join(
-            b,
-            F.col("b.cx").between(F.col("a.cx") - 1, F.col("a.cx") + 1)
-            & F.col("b.cy").between(F.col("a.cy") - 1, F.col("a.cy") + 1)
-            & (F.col("a.id") < F.col("b.id")),
-        )
-        .filter(dsq <= 0.02 * 0.02)
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("id_a") < F.col("id_b")) & (dsq <= 0.02 * 0.02))
         .select(
-            F.col("a.id").alias("id_a"),
-            F.col("b.id").alias("id_b"),
+            "id_a",
+            "id_b",
             F.round(dsq, 8).alias("dist_sq"),
         )
     )

@@ -441,3 +441,13 @@ def test_runtime_bloom_filter_prunes_fact_join(spark, sf_dir):
     # the semi-filter lands on the FACT side, keyed on its join key
     fact_side = plan.split("might_contain", 1)[1]
     assert "l_orderkey" in fact_side.split(")")[0] + fact_side[:200]
+
+
+def test_geo_proximity_join_is_equi_join(spark, sf_dir):
+    """Grid blocking must plan a hash/sort-merge EQUI-join on the
+    cell key — a BETWEEN range condition on cell ids silently planned
+    BroadcastNestedLoopJoin (O(n^2) comparisons), defeating the
+    operator's whole purpose."""
+    plan = _plan(QUERIES["geo_proximity_join"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
