@@ -451,3 +451,39 @@ def test_geo_proximity_join_is_equi_join(spark, sf_dir):
     plan = _plan(QUERIES["geo_proximity_join"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan)
+
+
+# Queries where BroadcastNestedLoopJoin is the CORRECT plan: the
+# build side is a scalar/few-row aggregate or a calendar spine (the
+# canonical scalar-subquery broadcast), not data-scale.
+_BNLJ_OK = {
+    "benford_audit",       # 1-row total
+    "dq_report",           # scalar stats row
+    "nb_classifier_train_score",  # |classes| = 5-row model table
+    "psi_drift",           # 1-row totals
+    "q11_important_stock",  # TPC-H scalar HAVING subquery
+    "q22_global_sales",     # TPC-H scalar AVG subquery
+    "range_join_price_band",  # few-band broadcast range join
+    "time_spine_zero_fill",   # calendar spine
+}
+
+
+def test_no_catalog_query_plans_data_scale_nested_loops(spark, sf_dir):
+    """Catalog-wide plan audit: NO CartesianProduct anywhere, and
+    BroadcastNestedLoopJoin only where the build side is scalar-
+    small by construction (whitelist).  Guards the whole catalog
+    against the silent O(n^2) regression class found in the geo
+    join's first version (BETWEEN on cell ids -> BNLJ)."""
+    from dados_publicos_etl_spark.plans import QUERIES
+
+    offenders = {}
+    for name in sorted(QUERIES):
+        try:
+            plan = _plan(QUERIES[name].fn(spark, sf_dir))
+        except Exception:
+            continue  # execution-environment issues are other tests' job
+        if "CartesianProduct" in plan:
+            offenders[name] = "CartesianProduct"
+        elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
+            offenders[name] = "BroadcastNestedLoopJoin"
+    assert not offenders, offenders
