@@ -21,6 +21,7 @@ import dados_publicos_etl_spark.plans.events  # noqa: F401
 import dados_publicos_etl_spark.plans.relational  # noqa: F401
 import dados_publicos_etl_spark.plans.tpch_extra  # noqa: F401
 import dados_publicos_etl_spark.plans.tpch_full  # noqa: F401
+import dados_publicos_etl_spark.streaming.sinks  # noqa: F401
 import dados_publicos_etl_spark.streaming.windows  # noqa: F401
 
 __all__: list[str] = []

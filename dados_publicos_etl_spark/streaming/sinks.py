@@ -60,3 +60,134 @@ def stream_events_foreach_batch(
     )
     q.awaitTermination()
     return n_batches["n"]
+
+
+from dados_publicos_etl_spark.plans.registry import query  # noqa: E402
+
+# (sf_dir,) -> TemporaryDirectory holding the 2-file split copy of
+# events used to force multiple micro-batches (scaffolding for an
+# external CDC feed; cached so repeat invocations measure the merge)
+_CDC_FEED_DIRS: dict[tuple, object] = {}
+
+
+def _cdc_feed_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    key = (sf_dir,)
+    hit = _CDC_FEED_DIRS.get(key)
+    if hit is not None:
+        return hit.name
+    tmp = tempfile.TemporaryDirectory(prefix="spark_cdc_feed_")
+    src = (
+        spark.read.schema(_RAW_EVENTS_SCHEMA)
+        .option("pathGlobFilter", "events.parquet")
+        .parquet(sf_dir)
+    )
+    for half in (0, 1):
+        (
+            src.filter(F.col("event_id") % 2 == half)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(tmp.name)
+        )
+    _CDC_FEED_DIRS[key] = tmp
+    return tmp.name
+
+
+@query(
+    "stream_cdc_upsert",
+    oracle="""
+    WITH per AS (
+      SELECT user_id, CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events GROUP BY user_id
+    ), ranked AS (
+      SELECT user_id, event_type, value,
+             ROW_NUMBER() OVER (PARTITION BY user_id
+                                ORDER BY ts DESC, event_id DESC) AS rk
+      FROM events
+    )
+    SELECT p.user_id, p.n_events,
+           r.event_type AS last_type,
+           ROUND(r.value, 2) AS last_value
+    FROM per p JOIN ranked r ON p.user_id = r.user_id AND r.rk = 1
+    """,
+    description="Streaming CDC upsert end-to-end: a 2-file event feed "
+    "streams in micro-batches (maxFilesPerTrigger=1); each batch "
+    "aggregates per-user state (count + max_by latest event) and "
+    "MERGES it into the persisted state table — counts add, latest-"
+    "event wins by (ts, event_id) ACROSS batches, so the result is "
+    "batch-split-invariant and equals the batch oracle over the "
+    "whole feed.  The foreachBatch-merge loop is the standard "
+    "warehouse CDC shape; state versions alternate directories so a "
+    "batch never reads the file it overwrites.",
+)
+def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dados_publicos_etl_spark.io import parquet_ts_unit, epoch_micros_sql
+    from dados_publicos_etl_spark.streaming.windows import _streaming_shuffle
+
+    feed = _cdc_feed_dir(spark, sf_dir)
+    unit = parquet_ts_unit(f"{sf_dir}/events.parquet")
+    state_tmp = tempfile.TemporaryDirectory(prefix="spark_cdc_state_")
+    state = {"path": None, "version": 0}
+
+    def upsert(batch_df: DataFrame, _bid: int) -> None:
+        b = (
+            batch_df.withColumn(
+                "ts_us", F.expr(epoch_micros_sql("ts", unit))
+            )
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n_events"),
+                F.max(
+                    F.struct("ts_us", "event_id", "event_type", "value")
+                ).alias("last"),
+            )
+        )
+        if state["path"] is not None:
+            s = spark.read.parquet(state["path"]).alias("s")
+            merged = (
+                s.join(b.alias("b"), "user_id", "full_outer")
+                .select(
+                    "user_id",
+                    (
+                        F.coalesce(F.col("s.n_events"), F.lit(0))
+                        + F.coalesce(F.col("b.n_events"), F.lit(0))
+                    ).alias("n_events"),
+                    F.greatest(
+                        F.col("s.last"), F.col("b.last")
+                    ).alias("last"),
+                )
+            )
+        else:
+            merged = b
+        state["version"] += 1
+        new_path = f"{state_tmp.name}/v{state['version']}"
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    stream = (
+        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    with _streaming_shuffle(spark):
+        q = stream.writeStream.foreachBatch(upsert).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    final = spark.read.parquet(state["path"]).select(
+        "user_id",
+        "n_events",
+        F.col("last.event_type").alias("last_type"),
+        F.round(F.col("last.value"), 2).alias("last_value"),
+    )
+    # materialize before the TemporaryDirectory is collected
+    out = spark.createDataFrame(
+        final.collect(),
+        "user_id long, n_events long, last_type string, last_value double",
+    )
+    state_tmp.cleanup()
+    return out

@@ -1057,3 +1057,34 @@ def test_ivf_balance_report_flags_skewed_appends(spark, tmp_path):
     # the report's scan reads ONLY the partition column
     plan = after._jdf.queryExecution().executedPlan().toString()
     assert "ReadSchema: struct<>" in plan
+
+
+def test_geo_grid_join_equals_brute_force(spark):
+    """Grid blocking is COMPLETE: the 3x3-neighborhood equi-join must
+    find exactly the pairs a brute-force all-pairs sweep finds within
+    the radius (cells are sized to the radius, so no in-radius pair
+    can span farther than adjacent cells)."""
+    import itertools
+
+    import numpy as np
+
+    sf = "/root/testdata/sf0.001"
+    rows = QUERIES["geo_proximity_join"].fn(spark, sf).collect()
+    got = {(r.id_a, r.id_b) for r in rows}
+    # brute force over the same deterministic coordinates
+    from dados_publicos_etl_spark.io import read_table
+
+    import hashlib
+
+    cust = [r.c_custkey for r in read_table(spark, sf, "customer").select("c_custkey").collect()]
+    def coord(k, salt):
+        h = hashlib.md5(f"{k}:{salt}".encode()).hexdigest()[:6]
+        return (int(h, 16) % 1000) / 1000.0
+    pts = {k: (coord(k, "lat"), coord(k, "lon")) for k in cust}
+    want = set()
+    for a, b in itertools.combinations(sorted(cust), 2):
+        dx = pts[a][0] - pts[b][0]
+        dy = pts[a][1] - pts[b][1]
+        if dx * dx + dy * dy <= 0.02 * 0.02:
+            want.add((a, b))
+    assert got == want and len(want) > 0
