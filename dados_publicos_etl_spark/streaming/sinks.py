@@ -69,6 +69,10 @@ from dados_publicos_etl_spark.plans.registry import query  # noqa: E402
 # external CDC feed; cached so repeat invocations measure the merge)
 _CDC_FEED_DIRS: dict[tuple, object] = {}
 
+# state dirs of completed runs — kept for the session so returned
+# DataFrames stay readable; removed by finalizers at interpreter exit
+_CDC_STATE_DIRS: list = []
+
 
 def _cdc_feed_dir(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
@@ -178,16 +182,13 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.processAllAvailable()
         finally:
             q.stop()
-    final = spark.read.parquet(state["path"]).select(
+    # the state table is DATA-scale (one row per user) — never
+    # collect it; keep the final version's directory alive for the
+    # session (finalizer removes it at exit) and hand back the scan
+    _CDC_STATE_DIRS.append(state_tmp)
+    return spark.read.parquet(state["path"]).select(
         "user_id",
         "n_events",
         F.col("last.event_type").alias("last_type"),
         F.round(F.col("last.value"), 2).alias("last_value"),
     )
-    # materialize before the TemporaryDirectory is collected
-    out = spark.createDataFrame(
-        final.collect(),
-        "user_id long, n_events long, last_type string, last_value double",
-    )
-    state_tmp.cleanup()
-    return out
