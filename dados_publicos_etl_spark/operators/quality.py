@@ -366,3 +366,92 @@ def psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "psi_x1000"
         ),
     )
+
+
+@query(
+    "table_profile",
+    oracle="""
+    SELECT 'o_totalprice' AS column_name,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(o_totalprice) AS BIGINT) AS n_nonnull,
+           CAST(COUNT(DISTINCT o_totalprice) AS BIGINT) AS n_distinct,
+           ROUND(MIN(o_totalprice), 4) AS min_num,
+           ROUND(MAX(o_totalprice), 4) AS max_num,
+           NULL AS min_str, NULL AS max_str
+    FROM orders
+    UNION ALL
+    SELECT 'o_custkey',
+           CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_custkey) AS BIGINT),
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           ROUND(MIN(o_custkey), 4), ROUND(MAX(o_custkey), 4),
+           NULL, NULL
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderstatus',
+           CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_orderstatus) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderstatus) AS BIGINT),
+           NULL, NULL, MIN(o_orderstatus), MAX(o_orderstatus)
+    FROM orders
+    UNION ALL
+    SELECT 'o_orderpriority',
+           CAST(COUNT(*) AS BIGINT), CAST(COUNT(o_orderpriority) AS BIGINT),
+           CAST(COUNT(DISTINCT o_orderpriority) AS BIGINT),
+           NULL, NULL, MIN(o_orderpriority), MAX(o_orderpriority)
+    FROM orders
+    """,
+    description="ANALYZE-style column profiling: per-column row/"
+    "non-null/exact-distinct counts and min/max, computed for ALL "
+    "profiled columns in ONE scan (a single multi-aggregate job "
+    "unpivoted to a row per column — never a scan per column; the "
+    "oracle's UNION form is the semantic spec, not the plan).  The "
+    "profile feeds CBO statistics, DQ baselines and drift "
+    "comparisons.",
+)
+def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    num_cols = ["o_totalprice", "o_custkey"]
+    str_cols = ["o_orderstatus", "o_orderpriority"]
+    aggs = [F.count(F.lit(1)).alias("n_rows")]
+    for c in num_cols + str_cols:
+        aggs += [
+            F.count(c).alias(f"{c}__nn"),
+            F.countDistinct(c).alias(f"{c}__nd"),
+        ]
+    for c in num_cols:
+        aggs += [
+            F.round(F.min(c).cast("double"), 4).alias(f"{c}__mn"),
+            F.round(F.max(c).cast("double"), 4).alias(f"{c}__mx"),
+        ]
+    for c in str_cols:
+        aggs += [F.min(c).alias(f"{c}__smn"), F.max(c).alias(f"{c}__smx")]
+    one = orders.agg(*aggs)
+    rows = []
+    for c in num_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_nonnull"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.col(f"{c}__mn").alias("min_num"),
+                F.col(f"{c}__mx").alias("max_num"),
+                F.lit(None).cast("string").alias("min_str"),
+                F.lit(None).cast("string").alias("max_str"),
+            )
+        )
+    for c in str_cols:
+        rows.append(
+            F.struct(
+                F.lit(c).alias("column_name"),
+                F.col("n_rows").alias("n_rows"),
+                F.col(f"{c}__nn").alias("n_nonnull"),
+                F.col(f"{c}__nd").alias("n_distinct"),
+                F.lit(None).cast("double").alias("min_num"),
+                F.lit(None).cast("double").alias("max_num"),
+                F.col(f"{c}__smn").alias("min_str"),
+                F.col(f"{c}__smx").alias("max_str"),
+            )
+        )
+    return one.select(
+        F.explode(F.array(*rows)).alias("p")
+    ).select("p.*")

@@ -335,3 +335,72 @@ def sequence_packing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_tok").cast("long").alias("n_tokens"),
         F.min("doc_id").alias("first_doc_id"),
     )
+
+
+@query(
+    "weighted_sample_aes",
+    oracle="""
+    WITH keyed AS (
+      SELECT o_orderkey, o_orderpriority, o_totalprice,
+             -ln((CAST(CAST('0x' || substr(md5(CAST(o_orderkey AS STRING)
+                       || ':aes42'), 1, 6) AS BIGINT) AS DOUBLE) + 0.5)
+                 / 16777216.0) / o_totalprice AS aes_key
+      FROM orders
+    ), ranked AS (
+      SELECT o_orderkey, o_orderpriority,
+             ROUND(o_totalprice, 2) AS o_totalprice,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY aes_key, o_orderkey) AS rk
+      FROM keyed
+    )
+    SELECT o_orderkey, o_orderpriority, o_totalprice,
+           CAST(rk AS INT) AS rk
+    FROM ranked WHERE rk <= 20
+    """,
+    description="Weighted sampling WITHOUT replacement (Efraimidis-"
+    "Spirtsas A-ES): each row draws u from a deterministic md5 "
+    "uniform and ranks by -ln(u)/weight — the top-k per group is an "
+    "exact weighted sample, in one window pass with no sequential "
+    "draw loop.  Deterministic u (engine-portable hex-int md5) makes "
+    "the 'random' sample reproducible AND oracle-checkable; weights "
+    "here are order values (value-biased eval-set sampling).  The "
+    "distributed-sampling algorithm when Bernoulli rates can't hit "
+    "an exact k.",
+)
+def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    u = (
+        F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("o_orderkey").cast("string"), F.lit(":aes42")
+                    )
+                ),
+                1,
+                6,
+            ),
+            16,
+            10,
+        ).cast("double")
+        + 0.5
+    ) / 16777216.0
+    keyed = orders.select(
+        "o_orderkey",
+        "o_orderpriority",
+        "o_totalprice",
+        (-F.log(u) / F.col("o_totalprice")).alias("aes_key"),
+    )
+    w = W.partitionBy("o_orderpriority").orderBy("aes_key", "o_orderkey")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 20)
+        .select(
+            "o_orderkey",
+            "o_orderpriority",
+            F.round("o_totalprice", 2).alias("o_totalprice"),
+            F.col("rk").cast("int").alias("rk"),
+        )
+    )
