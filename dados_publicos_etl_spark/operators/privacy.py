@@ -143,3 +143,46 @@ def k_anonymity_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("l_diversity"),
         )
     )
+
+
+@query(
+    "masked_customer_view",
+    oracle="""
+    SELECT c_custkey,
+           CASE WHEN c_acctbal >= 5000
+                THEN 'REDACTED' ELSE c_mktsegment END AS segment_visible,
+           md5('governance-salt:' || CAST(c_custkey AS STRING)
+               || ':' || c_name) AS name_token,
+           CAST(floor(c_acctbal / 1000) * 1000 AS BIGINT)
+             AS acctbal_bucket,
+           c_nationkey
+    FROM customer
+    """,
+    description="Row/column security as a policy view: sensitive "
+    "columns leave the trust boundary masked (salted-hash name "
+    "token, bucketed balance, conditional segment redaction for "
+    "high-value rows) while join keys stay intact — the governance "
+    "projection every warehouse enforces.  Pure narrow map; the "
+    "policy composes with any downstream query at zero extra cost "
+    "and the token is stable for joins across masked tables.",
+)
+def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    return cust.select(
+        "c_custkey",
+        F.when(F.col("c_acctbal") >= 5000, "REDACTED")
+        .otherwise(F.col("c_mktsegment"))
+        .alias("segment_visible"),
+        F.md5(
+            F.concat(
+                F.lit("governance-salt:"),
+                F.col("c_custkey").cast("string"),
+                F.lit(":"),
+                F.col("c_name"),
+            )
+        ).alias("name_token"),
+        (F.floor(F.col("c_acctbal") / 1000) * 1000)
+        .cast("long")
+        .alias("acctbal_bucket"),
+        "c_nationkey",
+    )
