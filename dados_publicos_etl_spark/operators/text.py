@@ -541,3 +541,60 @@ def unicode_nfc_normalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.length("nfc").cast("long").alias("n_cp_nfc"),
         F.length("raw").cast("long").alias("n_cp_raw"),
     )
+
+
+@query(
+    "inverted_index_build",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id, unnest(string_split_regex(lower(text), '{WS}')) AS term
+      FROM documents
+    ), tf AS (
+      SELECT term, doc_id, CAST(COUNT(*) AS INT) AS tf
+      FROM tok GROUP BY term, doc_id
+    )
+    SELECT term,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           CAST(SUM(tf) AS BIGINT) AS total_tf,
+           array_to_string(list(doc_id ORDER BY tf DESC, doc_id)[1:5], ',')
+             AS top_postings
+    FROM tf GROUP BY term
+    HAVING COUNT(*) >= 50
+    """,
+    description="Inverted-index construction (the IR/search shape): "
+    "tokenize -> per-(term, doc) tf -> per-term posting lists "
+    "ordered by tf (truncated to the top-5 postings for the "
+    "impact-ordered index head; full lists would just be the same "
+    "collect without the slice).  Two hash aggregates, both "
+    "map-side combinable; per-term state is the posting list — at "
+    "100 TB postings write as parquet partitioned by term prefix "
+    "and the HAVING floor drops the hapax tail that dominates "
+    "vocabulary size.",
+)
+def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    tf = tok.groupBy("term", "doc_id").agg(
+        F.count(F.lit(1)).cast("int").alias("tf")
+    )
+    return (
+        tf.groupBy("term")
+        .agg(
+            F.count(F.lit(1)).alias("doc_freq"),
+            F.sum("tf").cast("long").alias("total_tf"),
+            F.array_join(
+                F.slice(
+                    F.expr(
+                        "transform(array_sort(collect_list(struct(-tf AS ntf,"
+                        " doc_id))), x -> x.doc_id)"
+                    ),
+                    1,
+                    5,
+                ),
+                ",",
+            ).alias("top_postings"),
+        )
+        .filter(F.col("doc_freq") >= 50)
+    )
