@@ -598,3 +598,69 @@ def inverted_index_build(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("doc_freq") >= 50)
     )
+
+
+@query(
+    "lexical_logodds_divergence",
+    oracle=f"""
+    WITH tok AS (
+      SELECT lang, unnest(string_split_regex(lower(text), '{WS}')) AS term
+      FROM documents WHERE lang IN ('en', 'de')
+    ), c AS (
+      SELECT term,
+             SUM(CASE WHEN lang = 'en' THEN 1 ELSE 0 END) AS a,
+             SUM(CASE WHEN lang = 'de' THEN 1 ELSE 0 END) AS b
+      FROM tok GROUP BY term
+    ), tot AS (
+      SELECT CAST(SUM(a) AS DOUBLE) AS na, CAST(SUM(b) AS DOUBLE) AS nb,
+             CAST(COUNT(*) AS DOUBLE) AS v
+      FROM c
+    )
+    SELECT term, CAST(a AS BIGINT) AS cnt_en, CAST(b AS BIGINT) AS cnt_de,
+           ROUND(ln((a + 0.5) / (tot.na - a + tot.v * 0.5))
+                 - ln((b + 0.5) / (tot.nb - b + tot.v * 0.5)), 4)
+             AS log_odds
+    FROM c CROSS JOIN tot
+    WHERE a + b >= 30
+    ORDER BY log_odds DESC, term
+    LIMIT 20
+    """,
+    description="Corpus-comparison lexical divergence: per-term "
+    "log-odds ratio with a Dirichlet(0.5) prior (Monroe et al.'s "
+    "'fightin' words' statistic) between the en and de slices — "
+    "which terms characterize one sub-corpus against another, the "
+    "standard audit when merging corpus sources or debugging a "
+    "contaminated language split.  One conditional aggregate over "
+    "the exploded tokens + scalar totals; vocabulary-bounded state.",
+)
+def lexical_logodds_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("lang").isin("en", "de")
+    )
+    tok = docs.select("lang", F.explode(tokens("text")).alias("term"))
+    c = tok.groupBy("term").agg(
+        F.sum(F.when(F.col("lang") == "en", 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("lang") == "de", 1).otherwise(0)).alias("b"),
+    )
+    tot = c.agg(
+        F.sum("a").cast("double").alias("na"),
+        F.sum("b").cast("double").alias("nb"),
+        F.count(F.lit(1)).cast("double").alias("v"),
+    )
+    lo = F.log(
+        (F.col("a") + 0.5) / (F.col("na") - F.col("a") + F.col("v") * 0.5)
+    ) - F.log(
+        (F.col("b") + 0.5) / (F.col("nb") - F.col("b") + F.col("v") * 0.5)
+    )
+    return (
+        c.filter(F.col("a") + F.col("b") >= 30)
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "term",
+            F.col("a").alias("cnt_en"),
+            F.col("b").alias("cnt_de"),
+            F.round(lo, 4).alias("log_odds"),
+        )
+        .orderBy(F.desc("log_odds"), "term")
+        .limit(20)
+    )

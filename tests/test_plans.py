@@ -465,6 +465,7 @@ _BNLJ_OK = {
     "q22_global_sales",     # TPC-H scalar AVG subquery
     "range_join_price_band",  # few-band broadcast range join
     "time_spine_zero_fill",   # calendar spine
+    "lexical_logodds_divergence",  # 1-row totals
 }
 
 
