@@ -153,6 +153,56 @@ def connected_components(
     return labels
 
 
+
+# (applicationId, sf_dir) -> materialized near-dup pair DataFrame.
+# dedup_components and dedup_quality_survivor consume the SAME
+# blocked-Jaccard pair graph; the pair table (two longs per edge) is
+# localCheckpoint'd once per session and shared — the build-once
+# economics of every session cache in this repo (IVF index, bucketed
+# layout).  Keyed on applicationId so a fresh session never sees a
+# stale block-manager reference.
+_PAIR_CACHE: dict[tuple, DataFrame] = {}
+
+
+def near_dup_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Blocked exact-Jaccard near-dup pairs (src, dst), session-cached.
+
+    Materializes the signature table before the self-join (same
+    reasoning as dedup_ngram_jaccard: un-checkpointed, Catalyst
+    inlines the shingle expression tree into both join sides and
+    re-optimizes the doubled tree — measured 25s -> 2s at sf0.1),
+    then materializes the PAIR table so repeat consumers skip the
+    join entirely.
+    """
+    key = (spark.sparkContext.applicationId, sf_dir)
+    hit = _PAIR_CACHE.get(key)
+    if hit is not None:
+        return hit
+    docs = read_table(spark, sf_dir, "documents")
+    blocked = (
+        docs.select("doc_id", tokens("text").alias("toks"))
+        .select("doc_id", shingles_from_tokens(F.col("toks")).alias("sh"))
+        .withColumn("blk", F.array_min("sh"))
+        .localCheckpoint()
+    )
+    a = blocked.alias("a")
+    b = blocked.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.blk") == F.col("b.blk"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jaccard_tokens(F.col("a.sh"), F.col("b.sh")) >= _THRESH)
+        .select(
+            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
+        )
+        .localCheckpoint()
+    )
+    _PAIR_CACHE[key] = pairs
+    return pairs
+
+
 @query(
     "dedup_components",
     oracle=f"""
@@ -184,32 +234,7 @@ def connected_components(
     "CTE transitive closure.",
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    # Materialize the signature table before the self-join (same
-    # reasoning as dedup_ngram_jaccard: un-checkpointed, Catalyst
-    # inlines the shingle expression tree into both join sides and
-    # re-optimizes the doubled tree — measured 25s -> 2s at sf0.1).
-    blocked = (
-        docs.select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", shingles_from_tokens(F.col("toks")).alias("sh"))
-        .withColumn("blk", F.array_min("sh"))
-        .localCheckpoint()
-    )
-    a = blocked.alias("a")
-    b = blocked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(
-            jaccard_tokens(F.col("a.sh"), F.col("b.sh")) >= _THRESH
-        )
-        .select(
-            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
-        )
-    )
+    pairs = near_dup_pair_graph(spark, sf_dir)
     comps = connected_components(pairs)
     # n_reachable = component size, from the final labels (all members
     # share the min-id label) — proves the fixpoint, not just the pair
@@ -434,24 +459,7 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
     docs = read_table(spark, sf_dir, "documents")
-    blocked = (
-        docs.select("doc_id", tokens("text").alias("toks"))
-        .select("doc_id", shingles_from_tokens(F.col("toks")).alias("sh"))
-        .withColumn("blk", F.array_min("sh"))
-        .localCheckpoint()
-    )
-    a, b = blocked.alias("a"), blocked.alias("b")
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.blk") == F.col("b.blk"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jaccard_tokens(F.col("a.sh"), F.col("b.sh")) >= _THRESH)
-        .select(
-            F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
-        )
-    )
+    pairs = near_dup_pair_graph(spark, sf_dir)
     comps = connected_components(pairs).select(
         F.col("node").alias("doc_id"), F.col("label").alias("comp")
     )
