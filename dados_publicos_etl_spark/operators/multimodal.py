@@ -471,17 +471,24 @@ def synth_images(
     import numpy as np
 
     def gen(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_cache: dict[int, object] = {}
         for pdf in batches:
             payloads = []
             for i in pdf[id_col]:
-                base = np.random.RandomState(
-                    17 + int(i) % n_groups
-                ).randint(0, 256, (IMG_H, IMG_W, 3))
+                g = int(i) % n_groups
+                base = base_cache.get(g)
+                if base is None:
+                    # each group's base generated once per task, not
+                    # once per image (bit-identical: same seed)
+                    base = np.random.RandomState(17 + g).randint(
+                        0, 256, (IMG_H, IMG_W, 3)
+                    ).astype("uint8")
+                    base_cache[g] = base
                 noise = np.random.RandomState(int(i))
                 n_flip = int(noise.randint(0, 40))
                 ys = noise.randint(0, IMG_H, n_flip)
                 xs = noise.randint(0, IMG_W, n_flip)
-                img = base.astype("uint8")
+                img = base.copy()
                 img[ys, xs] = 255 - img[ys, xs]
                 payloads.append(encode_ppm(img))
             yield pd.DataFrame(
