@@ -154,14 +154,19 @@ def connected_components(
 
 
 
-# (applicationId, sf_dir) -> materialized near-dup pair DataFrame.
-# dedup_components and dedup_quality_survivor consume the SAME
-# blocked-Jaccard pair graph; the pair table (two longs per edge) is
-# localCheckpoint'd once per session and shared — the build-once
-# economics of every session cache in this repo (IVF index, bucketed
-# layout).  Keyed on applicationId so a fresh session never sees a
-# stale block-manager reference.
-_PAIR_CACHE: dict[tuple, DataFrame] = {}
+# (applicationId, sf_dir) -> (TemporaryDirectory, reader DataFrame)
+# of the materialized near-dup pair graph.  dedup_components and
+# dedup_quality_survivor consume the SAME blocked-Jaccard pair graph;
+# the pair table (two longs per edge) is built once per session and
+# shared — the build-once economics of every session cache in this
+# repo (IVF index, bucketed layout).  DISK-backed (parquet in a
+# finalizer-cleaned tempdir), NOT a cached localCheckpoint: a host
+# harness may unpersist all blocks between queries (bench.py does,
+# for memory hygiene), and a localCheckpoint DataFrame cannot be
+# recomputed once its blocks are gone — file-backed reads survive
+# any unpersist.  Keyed on applicationId so a fresh session never
+# sees a stale reference.
+_PAIR_CACHE: dict[tuple, tuple] = {}
 
 
 def near_dup_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -171,13 +176,15 @@ def near_dup_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
     reasoning as dedup_ngram_jaccard: un-checkpointed, Catalyst
     inlines the shingle expression tree into both join sides and
     re-optimizes the doubled tree — measured 25s -> 2s at sf0.1),
-    then materializes the PAIR table so repeat consumers skip the
-    join entirely.
+    then persists the PAIR table to parquet so repeat consumers skip
+    the join entirely.
     """
+    import tempfile
+
     key = (spark.sparkContext.applicationId, sf_dir)
     hit = _PAIR_CACHE.get(key)
     if hit is not None:
-        return hit
+        return hit[1]
     docs = read_table(spark, sf_dir, "documents")
     blocked = (
         docs.select("doc_id", tokens("text").alias("toks"))
@@ -197,10 +204,13 @@ def near_dup_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("src"), F.col("b.doc_id").alias("dst")
         )
-        .localCheckpoint()
     )
-    _PAIR_CACHE[key] = pairs
-    return pairs
+    tmp = tempfile.TemporaryDirectory(prefix="spark_pair_graph_")
+    path = tmp.name + "/pairs"
+    pairs.write.mode("overwrite").parquet(path)
+    reader = spark.read.parquet(path)
+    _PAIR_CACHE[key] = (tmp, reader)
+    return reader
 
 
 @query(
