@@ -256,3 +256,38 @@ def test_random_window_ranking_matches_duckdb(spark, pred, part, fn, direction):
     WHERE rk <= 5
     """
     compare(df, oracle, SF_DIR)
+
+
+@_FUZZ
+@given(
+    pred=predicates(),
+    ops=st.lists(
+        st.sampled_from(["upper", "lower", "trim", "reverse"]),
+        min_size=1,
+        max_size=3,
+    ),
+    a=st.integers(1, 5),
+    b=st.integers(1, 8),
+)
+def test_random_string_pipelines_match_duckdb(spark, pred, ops, a, b):
+    """String-function composition sweep: chained case/trim/reverse
+    transforms plus substr windows over concatenated key columns —
+    the scalar-function surface where off-by-one (1-based substr)
+    and empty-string semantics bite."""
+    expr = "l_returnflag || '-' || l_linestatus || '-' " \
+           "|| CAST(l_orderkey AS STRING)"
+    for op in ops:
+        expr = f"{op}({expr})"
+    expr = f"substr({expr}, {a}, {b})"
+    li = read_table(spark, SF_DIR, "lineitem")
+    df = (
+        li.filter(F.expr(pred))
+        .select(F.expr(expr).alias("s"))
+        .groupBy("s")
+        .agg(F.expr("CAST(COUNT(*) AS BIGINT)").alias("n"))
+    )
+    oracle = f"""
+    SELECT {expr} AS s, CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem WHERE {pred} GROUP BY s
+    """
+    compare(df, oracle, SF_DIR)
