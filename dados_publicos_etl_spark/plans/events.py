@@ -1027,3 +1027,84 @@ def cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("slack"), 4).alias("cusum_max"),
         (F.max("slack") > 400).alias("shifted"),
     )
+
+
+@query(
+    "touch_attribution",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN event_type END AS touch,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN ts END AS touch_ts
+      FROM events
+    ), carried AS (
+      SELECT user_id, ts, event_id, event_type, value,
+             LAST_VALUE(touch IGNORE NULLS) OVER w AS last_touch,
+             LAST_VALUE(touch_ts IGNORE NULLS) OVER w AS last_touch_ts
+      FROM flagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT COALESCE(CASE WHEN ts - last_touch_ts <= INTERVAL 1 DAY
+                         THEN last_touch END, 'direct') AS channel,
+           CAST(COUNT(*) AS BIGINT) AS n_conversions,
+           (CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS DOUBLE)
+            / 100.0) AS attributed_value
+    FROM carried
+    WHERE event_type = 'purchase'
+    GROUP BY channel
+    """,
+    description="Last-touch attribution: each purchase credits the "
+    "user's most recent click/view within a 1-day lookback (older "
+    "or absent touches fall to 'direct').  The as-of union+window "
+    "shape — one shuffle on user_id, LAST_VALUE IGNORE NULLS carries "
+    "the touch forward, no per-conversion lookup join — with "
+    "cents-exact revenue attribution per channel.",
+)
+def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.functions.numeric import money_sum
+
+    ev = read_table(spark, sf_dir, "events")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        "value",
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("touch"),
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("ts")
+        ).alias("touch_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = flagged.select(
+        "user_id",
+        "ts",
+        "event_type",
+        "value",
+        F.last("touch", ignorenulls=True).over(w).alias("last_touch"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("last_touch_ts"),
+    )
+    channel = F.coalesce(
+        F.when(
+            F.expr("ts - last_touch_ts <= INTERVAL 1 DAY"),
+            F.col("last_touch"),
+        ),
+        F.lit("direct"),
+    )
+    return (
+        carried.filter(F.col("event_type") == "purchase")
+        .groupBy(channel.alias("channel"))
+        .agg(
+            F.count(F.lit(1)).alias("n_conversions"),
+            money_sum("value").alias("attributed_value"),
+        )
+    )
