@@ -1108,3 +1108,86 @@ def touch_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
             money_sum("value").alias("attributed_value"),
         )
     )
+
+
+@query(
+    "conversion_lag_stats",
+    oracle="""
+    WITH flagged AS (
+      SELECT user_id, ts, event_id, event_type,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN event_type END AS touch,
+             CASE WHEN event_type IN ('click', 'view')
+                  THEN ts END AS touch_ts
+      FROM events
+    ), carried AS (
+      SELECT user_id, ts, event_type,
+             LAST_VALUE(touch IGNORE NULLS) OVER w AS last_touch,
+             LAST_VALUE(touch_ts IGNORE NULLS) OVER w AS last_touch_ts
+      FROM flagged
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS UNBOUNDED PRECEDING)
+    ), lags AS (
+      SELECT last_touch AS channel,
+             CAST(epoch_us(ts) - epoch_us(last_touch_ts) AS BIGINT)
+               / 1000000.0 AS lag_s
+      FROM carried
+      WHERE event_type = 'purchase' AND last_touch_ts IS NOT NULL
+        AND ts - last_touch_ts <= INTERVAL 1 DAY
+    )
+    SELECT channel,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           ROUND(quantile_cont(lag_s, 0.5), 2) AS p50_lag_s,
+           ROUND(quantile_cont(lag_s, 0.9), 2) AS p90_lag_s,
+           ROUND(MAX(lag_s), 2) AS max_lag_s
+    FROM lags GROUP BY channel
+    """,
+    description="Conversion-lag distribution: for every attributed "
+    "purchase, the time since its last touch, summarized as exact "
+    "p50/p90/max per channel — the 'how long does a click take to "
+    "convert' latency curve that sizes attribution lookback windows "
+    "honestly.  Same single user-ordered window pass as "
+    "touch_attribution plus one sort-based percentile aggregate.",
+)
+def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    flagged = ev.select(
+        "user_id",
+        "ts",
+        "event_id",
+        "event_type",
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("event_type")
+        ).alias("touch"),
+        F.when(
+            F.col("event_type").isin("click", "view"), F.col("ts")
+        ).alias("touch_ts"),
+    )
+    w = (
+        W.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(W.unboundedPreceding, 0)
+    )
+    carried = flagged.select(
+        "ts",
+        "event_type",
+        F.last("touch", ignorenulls=True).over(w).alias("channel"),
+        F.last("touch_ts", ignorenulls=True).over(w).alias("last_touch_ts"),
+    )
+    lags = carried.filter(
+        (F.col("event_type") == "purchase")
+        & F.col("last_touch_ts").isNotNull()
+        & F.expr("ts - last_touch_ts <= INTERVAL 1 DAY")
+    ).select(
+        "channel",
+        (
+            F.expr("timestampdiff(MICROSECOND, last_touch_ts, ts)")
+            / 1_000_000.0
+        ).alias("lag_s"),
+    )
+    return lags.groupBy("channel").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.percentile("lag_s", F.lit(0.5)), 2).alias("p50_lag_s"),
+        F.round(F.percentile("lag_s", F.lit(0.9)), 2).alias("p90_lag_s"),
+        F.round(F.max("lag_s"), 2).alias("max_lag_s"),
+    )
