@@ -692,3 +692,132 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return emb.join(dup_ids, "vec_id", "left_anti").select(
         "vec_id", "label"
     )
+
+
+# ---------------------------------------------------------------------------
+# Prefix-filtered exact set-similarity join (PPJoin-lite)
+# ---------------------------------------------------------------------------
+
+_PFX_T_NUM, _PFX_T_DEN = 4, 5  # threshold t = 4/5 = 0.8, kept rational
+
+
+@query(
+    "dedup_prefix_join",
+    oracle=f"""
+    WITH t AS (
+      SELECT doc_id, {duck_shingles_sql("text")} AS sh FROM documents
+    ), ex AS (
+      SELECT doc_id, unnest(sh) AS s FROM t
+    ), sizes AS (
+      SELECT doc_id, len(sh) AS n FROM t
+    ), inter AS (
+      SELECT a.doc_id AS da, b.doc_id AS db, COUNT(*) AS i
+      FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT da AS doc_id_a, db AS doc_id_b,
+           ROUND(CAST(i AS DOUBLE) / (sa.n + sb.n - i), 4) AS jaccard
+    FROM inter
+    JOIN sizes sa ON sa.doc_id = da
+    JOIN sizes sb ON sb.doc_id = db
+    WHERE {_PFX_T_DEN} * i >= {_PFX_T_NUM} * (sa.n + sb.n - i)
+    """,
+    description="EXACT set-similarity self-join (shingle Jaccard >= "
+    "0.8) with FULL recall via prefix filtering (SSJoin/PPJoin "
+    "family): shingles ranked rarest-first globally, each doc "
+    "explodes only its first n - ceil(t*n) + 1 rarest shingles, and "
+    "the prefix-filter theorem guarantees every qualifying pair "
+    "collides on at least one prefix shingle — unlike min-shingle "
+    "blocking (~j recall) or MinHash LSH (probabilistic), nothing "
+    "is missed, yet the join touches ~(1-t) of the shingle volume "
+    "on the rarest (least-collision-prone) tokens.  Size filter "
+    "(5*min >= 4*max) prunes length-incompatible candidates at the "
+    "join; exact Jaccard verifies in integer arithmetic (5i >= "
+    "4(na+nb-i)), so the engine/oracle agreement is exact.  The "
+    "oracle is the UNBLOCKED ground truth — the driver check proves "
+    "full recall, not just self-consistency.",
+)
+def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ksantanac/dados-publicos-etl has no similarity join; this is
+    the §2.B near-dup tier's exact-algorithm member.
+
+    Scale shape: rarity ordering is the (document-frequency,
+    shingle) tuple — no global rank structure is ever built, the df
+    table joins back onto the exploded stream (shuffle on shingle);
+    prefix candidates shuffle on shingle, sized ~(1-t) of the
+    exploded stream and skewed AWAY from hot shingles by
+    rarest-first ordering; verification joins the fat signature
+    table only against the (small) distinct candidate set.
+    """
+    from pyspark.sql import Window
+
+    from dados_publicos_etl_spark.functions.text import (
+        shingles_from_tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", tokens("text").alias("_tk"))
+        .select("doc_id", shingles_from_tokens(F.col("_tk")).alias("sh"))
+        .withColumn("n", F.size("sh"))
+        .localCheckpoint()  # materialize: signature table, built once
+    )
+    ex = t.select("doc_id", "n", F.explode("sh").alias("s"))
+    # rarity ordering key = (document frequency, shingle text).  Any
+    # CONSISTENT total order preserves the prefix-filter guarantee,
+    # so no global dense rank is needed — ordering by the (df, s)
+    # tuple directly avoids a single-partition row_number over the
+    # whole shingle vocabulary (near-unique shingles => vocab ~ corpus
+    # scale; measured 2.6 -> 1.9 s at sf0.1).
+    freq = ex.groupBy("s").agg(F.count(F.lit(1)).alias("df"))
+    with_rank = ex.join(freq, "s").select("doc_id", "n", "s", "df")
+    # prefix length L = n - ceil(t*n) + 1, in exact integer math
+    ceil_tn = F.expr(
+        f"({_PFX_T_NUM} * n + {_PFX_T_DEN} - 1) div {_PFX_T_DEN}"
+    )
+    in_doc = Window.partitionBy("doc_id").orderBy("df", "s")
+    prefix = with_rank.withColumn(
+        "pos", F.row_number().over(in_doc)
+    ).filter(F.col("pos") <= F.col("n") - ceil_tn + 1)
+    pa, pb = prefix.alias("pa"), prefix.alias("pb")
+    cand = (
+        pa.join(
+            pb,
+            (F.col("pa.s") == F.col("pb.s"))
+            & (F.col("pa.doc_id") < F.col("pb.doc_id"))
+            # size-compatibility: 5*min(na,nb) >= 4*max(na,nb)
+            & (
+                _PFX_T_DEN * F.least(F.col("pa.n"), F.col("pb.n"))
+                >= _PFX_T_NUM * F.greatest(F.col("pa.n"), F.col("pb.n"))
+            ),
+        )
+        .select(
+            F.col("pa.doc_id").alias("doc_id_a"),
+            F.col("pb.doc_id").alias("doc_id_b"),
+        )
+        .distinct()
+    )
+    ta = t.select(F.col("doc_id").alias("doc_id_a"), F.col("sh").alias("sh_a"))
+    tb = t.select(F.col("doc_id").alias("doc_id_b"), F.col("sh").alias("sh_b"))
+    verified = (
+        cand.join(ta, "doc_id_a")
+        .join(tb, "doc_id_b")
+        .withColumn(
+            "i", F.size(F.array_intersect("sh_a", "sh_b"))
+        )
+        .withColumn("na", F.size("sh_a"))
+        .withColumn("nb", F.size("sh_b"))
+        .filter(
+            _PFX_T_DEN * F.col("i")
+            >= _PFX_T_NUM * (F.col("na") + F.col("nb") - F.col("i"))
+        )
+    )
+    return verified.select(
+        "doc_id_a",
+        "doc_id_b",
+        F.round(
+            F.col("i").cast("double")
+            / (F.col("na") + F.col("nb") - F.col("i")),
+            4,
+        ).alias("jaccard"),
+    )

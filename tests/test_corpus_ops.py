@@ -87,3 +87,26 @@ def test_repetition_stats_extremes(spark, sf_dir):
     for x in r.values():
         assert 0 < x.top_token_frac <= 1.0
         assert 0 <= x.dup_bigram_frac <= 1.0
+
+
+def test_prefix_join_is_superset_of_blocked_exact_tier(spark, sf_dir):
+    """dedup_prefix_join is the FULL-recall exact similarity join;
+    dedup_ngram_jaccard is the same predicate (shingle Jaccard >=
+    0.8) under min-shingle blocking, whose recall is ~j < 1 by
+    construction.  Every blocked pair must therefore appear in the
+    prefix join's result with the identical jaccard value — and any
+    extra prefix-join pairs are exactly the blocking's misses."""
+    from dados_publicos_etl_spark.plans import QUERIES
+    from dados_publicos_etl_spark.plans import catalog  # noqa: F401
+
+    exact = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in QUERIES["dedup_prefix_join"].fn(spark, sf_dir).collect()
+    }
+    blocked = {
+        (r.doc_id_a, r.doc_id_b): r.jaccard
+        for r in QUERIES["dedup_ngram_jaccard"].fn(spark, sf_dir).collect()
+    }
+    assert set(blocked) <= set(exact)
+    for pair, j in blocked.items():
+        assert exact[pair] == j

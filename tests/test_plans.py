@@ -466,6 +466,7 @@ _BNLJ_OK = {
     "range_join_price_band",  # few-band broadcast range join
     "time_spine_zero_fill",   # calendar spine
     "lexical_logodds_divergence",  # 1-row totals
+    "woe_information_value",  # 1-row good/bad totals
 }
 
 
