@@ -467,6 +467,7 @@ _BNLJ_OK = {
     "time_spine_zero_fill",   # calendar spine
     "lexical_logodds_divergence",  # 1-row totals
     "woe_information_value",  # 1-row good/bad totals
+    "fk_orphan_audit",  # 1-row count x 1-row count per relation
 }
 
 
