@@ -666,27 +666,30 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
     "shape behind 'related items' and feature cross-stats.",
 )
 def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # the within-basket pair self-join is shared with the graph
+    # family (triangle_count / n_hop / clustering_coefficient) via
+    # the session-cached pair-count table
+    from dados_publicos_etl_spark.plans.mining import co_pair_counts
+
     li = read_table(spark, sf_dir, "lineitem")
     baskets = li.select(
         "l_orderkey", (F.col("l_partkey") % 50).alias("item")
     ).distinct()
-    n_baskets = float(
-        baskets.select("l_orderkey").distinct().count()
+    # n_baskets as a LAZY 1-row broadcast (benford_audit's scalar
+    # shape) — no eager driver count(), one job runs everything
+    n_tbl = baskets.agg(
+        F.countDistinct("l_orderkey").cast("double").alias("n_baskets")
     )
     item_counts = baskets.groupBy("item").agg(
         F.count(F.lit(1)).alias("cnt")
     )
-    a, b = baskets.alias("a"), baskets.alias("b")
     pair_counts = (
-        a.join(
-            b,
-            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
-            & (F.col("a.item") < F.col("b.item")),
+        co_pair_counts(spark, sf_dir)
+        .select(
+            F.col("a").alias("item_a"),
+            F.col("b").alias("item_b"),
+            F.col("cnt").alias("both_cnt"),
         )
-        .groupBy(
-            F.col("a.item").alias("item_a"), F.col("b.item").alias("item_b")
-        )
-        .agg(F.count(F.lit(1)).alias("both_cnt"))
         .filter(F.col("both_cnt") >= 20)
     )
     ia = item_counts.select(
@@ -698,16 +701,19 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         pair_counts.join(F.broadcast(ia), "item_a")
         .join(F.broadcast(ib), "item_b")
+        .crossJoin(F.broadcast(n_tbl))
         .select(
             "item_a",
             "item_b",
             "both_cnt",
-            F.round(F.col("both_cnt") / n_baskets, 6).alias("support"),
+            F.round(F.col("both_cnt") / F.col("n_baskets"), 6).alias(
+                "support"
+            ),
             F.round(
                 F.col("both_cnt") / F.col("cnt_a").cast("double"), 6
             ).alias("confidence"),
             F.round(
-                (F.col("both_cnt") * n_baskets)
+                (F.col("both_cnt") * F.col("n_baskets"))
                 / (F.col("cnt_a").cast("double") * F.col("cnt_b")),
                 4,
             ).alias("lift"),

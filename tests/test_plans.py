@@ -468,6 +468,7 @@ _BNLJ_OK = {
     "lexical_logodds_divergence",  # 1-row totals
     "woe_information_value",  # 1-row good/bad totals
     "fk_orphan_audit",  # 1-row count x 1-row count per relation
+    "basket_association_rules",  # 1-row n_baskets total
 }
 
 
@@ -490,3 +491,42 @@ def test_no_catalog_query_plans_data_scale_nested_loops(spark, sf_dir):
         elif "BroadcastNestedLoopJoin" in plan and name not in _BNLJ_OK:
             offenders[name] = "BroadcastNestedLoopJoin"
     assert not offenders, offenders
+
+
+def test_log_parse_stays_jvm_side(spark, sf_dir):
+    """regexp_extract parsing of the text source must compile to JVM
+    expressions — a Python-UDF parse here would serialize every log
+    line through a worker at 100 TB."""
+    plan = _plan(QUERIES["log_parse_text_source"].fn(spark, sf_dir))
+    assert "BatchEvalPython" not in plan
+    assert "ArrowEvalPython" not in plan
+    assert "partial_count" in plan  # map-side combine before shuffle
+
+
+def test_prefix_join_no_quadratic_join(spark, sf_dir):
+    """The prefix-filtered similarity join must plan every join as an
+    equi-join (shingle / doc_id keys) — no cartesian and no
+    nested-loop anywhere, which is the entire point of prefix
+    filtering vs all-pairs."""
+    plan = _plan(QUERIES["dedup_prefix_join"].fn(spark, sf_dir))
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_pareto_frontier_broadcasts_frontier(spark, sf_dir):
+    """The recover-rows join must broadcast the (tiny) frontier, not
+    shuffle the part table."""
+    plan = _plan(QUERIES["pareto_frontier"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "CartesianProduct" not in plan
+
+
+def test_proration_windows_share_one_partitioning(spark, sf_dir):
+    """Both window passes partition on l_orderkey: the plan must
+    reuse ONE hash partitioning for them (plus the fact-dim join
+    exchange at most) — re-shuffling between windows would double
+    the shuffle volume of the allocation at scale."""
+    plan = _plan(QUERIES["proration_largest_remainder"].fn(spark, sf_dir))
+    assert "Window" in plan
+    n_hash_exchanges = plan.count("Exchange hashpartitioning")
+    assert n_hash_exchanges <= 2, plan
