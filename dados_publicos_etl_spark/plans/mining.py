@@ -1301,3 +1301,149 @@ def log_parse_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum("n_bytes").alias("total_bytes"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Correlation matrix between daily series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "correlation_matrix_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT event_type, CAST(ts AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events GROUP BY event_type, CAST(ts AS DATE)
+    ), paired AS (
+      SELECT a.event_type AS type_a, b.event_type AS type_b,
+             a.n AS x, b.n AS y
+      FROM daily a JOIN daily b
+        ON a.day = b.day AND a.event_type < b.event_type
+    ), moments AS (
+      SELECT type_a, type_b,
+             CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+             CAST(SUM(x * x) AS BIGINT) AS sxx,
+             CAST(SUM(y * y) AS BIGINT) AS syy,
+             CAST(SUM(x * y) AS BIGINT) AS sxy
+      FROM paired GROUP BY type_a, type_b
+    )
+    SELECT type_a, type_b, n_days,
+           ROUND((n_days * sxy - sx * sy)
+                 / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6)
+             AS pearson_r
+    FROM moments
+    """,
+    description="Pearson correlation matrix between the daily volume "
+    "series of every event-type pair: the corpus collapses to a "
+    "(days x types) table first, pairs align on day with a "
+    "type_a < type_b self-join, and r comes from EXACT integer "
+    "moment sums (sum, sum-of-squares, cross-product) divided once "
+    "— mergeable partials, no float accumulation, engine-identical.  "
+    "The metric-correlation screen (which signals co-move?) whose "
+    "cost is independent of event volume after the first aggregate.",
+)
+def correlation_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "event_type", F.col("ts").cast("date").alias("day")
+    ).agg(F.count(F.lit(1)).alias("n"))
+    a, b = daily.alias("a"), daily.alias("b")
+    paired = a.join(
+        b,
+        (F.col("a.day") == F.col("b.day"))
+        & (F.col("a.event_type") < F.col("b.event_type")),
+    ).select(
+        F.col("a.event_type").alias("type_a"),
+        F.col("b.event_type").alias("type_b"),
+        F.col("a.n").alias("x"),
+        F.col("b.n").alias("y"),
+    )
+    m = paired.groupBy("type_a", "type_b").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        "type_a",
+        "type_b",
+        "n_days",
+        F.round(num / den, 6).alias("pearson_r"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Gini concentration per group
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gini_concentration",
+    oracle="""
+    WITH cents AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS x,
+             o_orderkey
+      FROM orders
+    ), ranked AS (
+      SELECT o_orderpriority, x,
+             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
+                                ORDER BY x, o_orderkey) AS i
+      FROM cents
+    ), sums AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sx,
+             CAST(SUM(i * x) AS BIGINT) AS six
+      FROM ranked GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n,
+           ROUND((2.0 * six - (n + 1.0) * sx) / (CAST(n AS DOUBLE) * sx), 6)
+             AS gini
+    FROM sums
+    """,
+    description="Gini concentration coefficient of order value per "
+    "priority class — the revenue-concentration / inequality metric "
+    "(how much of the spend sits in the biggest orders): values as "
+    "exact integer cents, ascending rank per group (deterministic "
+    "tie-break), G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) from "
+    "TWO integer sums — one window pass + one aggregate, no "
+    "pairwise |x_i - x_j| join (the naive O(n^2) Gini formula).",
+)
+def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cents = orders.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
+        "o_orderkey",
+    )
+    w = Window.partitionBy("o_orderpriority").orderBy("x", "o_orderkey")
+    ranked = cents.select(
+        "o_orderpriority", "x", F.row_number().over(w).alias("i")
+    )
+    sums = ranked.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum(F.col("i") * F.col("x")).alias("six"),
+    )
+    gini = (2.0 * F.col("six") - (F.col("n") + 1.0) * F.col("sx")) / (
+        F.col("n").cast("double") * F.col("sx")
+    )
+    return sums.select(
+        "o_orderpriority", "n", F.round(gini, 6).alias("gini")
+    )
