@@ -1447,3 +1447,149 @@ def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
     return sums.select(
         "o_orderpriority", "n", F.round(gini, 6).alias("gini")
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling median (exact aggregate-as-window over a sliding frame)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rolling_median",
+    oracle="""
+    SELECT event_id,
+           ROUND(quantile_cont(value, 0.5) OVER (
+             PARTITION BY user_id ORDER BY ts, event_id
+             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS med7
+    FROM events
+    """,
+    description="Rolling EXACT median over a 7-observation sliding "
+    "frame per user — the robust smoother (resistant to the spikes "
+    "a moving average chases): Spark's percentile aggregate runs as "
+    "a WINDOW function over a ROWS frame, matched against DuckDB's "
+    "quantile_cont with identical linear interpolation, proving the "
+    "exact-median-in-frame semantics across engines.  One window "
+    "shuffle on user_id; each frame holds <= 7 values so the "
+    "per-row sort is O(1).",
+)
+def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    return ev.selectExpr(
+        "event_id",
+        "round(percentile(value, 0.5) OVER ("
+        "PARTITION BY user_id ORDER BY ts, event_id "
+        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS med7",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Bidirectional nearest-event join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "nearest_event_join",
+    oracle="""
+    WITH base AS (
+      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
+             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
+             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_us
+      FROM events WHERE event_type IN ('purchase', 'click')
+    ), spanned AS (
+      SELECT event_id, user_id, event_type, us,
+             last_value(c_id IGNORE NULLS) OVER wp AS prev_id,
+             last_value(c_us IGNORE NULLS) OVER wp AS prev_us,
+             first_value(c_id IGNORE NULLS) OVER wn AS next_id,
+             first_value(c_us IGNORE NULLS) OVER wn AS next_us
+      FROM base
+      WINDOW
+        wp AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+        wn AS (PARTITION BY user_id ORDER BY us, event_id
+               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    )
+    SELECT event_id AS purchase_id, user_id,
+           CAST(CASE
+             WHEN prev_us IS NULL THEN next_id
+             WHEN next_us IS NULL THEN prev_id
+             WHEN us - prev_us <= next_us - us THEN prev_id
+             ELSE next_id END AS BIGINT) AS nearest_click_id,
+           CAST(CASE
+             WHEN prev_us IS NULL THEN next_us - us
+             WHEN next_us IS NULL THEN us - prev_us
+             WHEN us - prev_us <= next_us - us THEN us - prev_us
+             ELSE next_us - us END AS BIGINT) AS gap_us
+    FROM spanned
+    WHERE event_type = 'purchase'
+      AND (prev_us IS NOT NULL OR next_us IS NOT NULL)
+    """,
+    description="Bidirectional nearest-event join: each purchase "
+    "matched to the user's temporally CLOSEST click — before or "
+    "after, ties to the earlier one — completing the as-of family "
+    "(asof_join_events is backward-only).  Same union+window shape: "
+    "one shuffle on user_id, a backward and a forward IGNORE NULLS "
+    "window carry the candidate from each side, a row-local CASE "
+    "picks the closer — no per-purchase lookup join, no interval "
+    "product.  The microsecond arithmetic is integer, so the "
+    "choice is engine-exact.",
+)
+def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    click = F.col("event_type") == "click"
+    base = ev.filter(
+        F.col("event_type").isin("purchase", "click")
+    ).select(
+        "event_id",
+        "user_id",
+        "event_type",
+        us.alias("us"),
+        F.when(click, F.col("event_id")).alias("c_id"),
+        F.when(click, us).alias("c_us"),
+    )
+    wp = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    wn = (
+        Window.partitionBy("user_id")
+        .orderBy("us", "event_id")
+        .rowsBetween(1, Window.unboundedFollowing)
+    )
+    s = base.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        "us",
+        F.last("c_id", ignorenulls=True).over(wp).alias("prev_id"),
+        F.last("c_us", ignorenulls=True).over(wp).alias("prev_us"),
+        F.first("c_id", ignorenulls=True).over(wn).alias("next_id"),
+        F.first("c_us", ignorenulls=True).over(wn).alias("next_us"),
+    )
+    prev_closer = (F.col("us") - F.col("prev_us")) <= (
+        F.col("next_us") - F.col("us")
+    )
+    pick_id = (
+        F.when(F.col("prev_us").isNull(), F.col("next_id"))
+        .when(F.col("next_us").isNull(), F.col("prev_id"))
+        .when(prev_closer, F.col("prev_id"))
+        .otherwise(F.col("next_id"))
+    )
+    pick_gap = (
+        F.when(F.col("prev_us").isNull(), F.col("next_us") - F.col("us"))
+        .when(F.col("next_us").isNull(), F.col("us") - F.col("prev_us"))
+        .when(prev_closer, F.col("us") - F.col("prev_us"))
+        .otherwise(F.col("next_us") - F.col("us"))
+    )
+    return s.filter(
+        (F.col("event_type") == "purchase")
+        & (F.col("prev_us").isNotNull() | F.col("next_us").isNotNull())
+    ).select(
+        F.col("event_id").alias("purchase_id"),
+        "user_id",
+        pick_id.cast("long").alias("nearest_click_id"),
+        pick_gap.cast("long").alias("gap_us"),
+    )
