@@ -1593,3 +1593,144 @@ def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         pick_id.cast("long").alias("nearest_click_id"),
         pick_gap.cast("long").alias("gap_us"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact integer Gram matrix over quantized embeddings
+# ---------------------------------------------------------------------------
+
+_Q_EXPR_SPARK = (
+    "transform(transform(embedding, x -> CAST(x AS DOUBLE)), "
+    "x -> CAST(GREATEST(LEAST(floor(x * (127.0D / "
+    "array_max(transform(transform(embedding, y -> CAST(y AS DOUBLE)), "
+    "y -> abs(y))))), 127.0D), -127.0D) AS INT))"
+)
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id,
+             list_transform(v, x -> CAST(GREATEST(LEAST(
+               floor(x * (127.0 / list_max(list_transform(v,
+                 y -> abs(y))))), 127.0), -127.0) AS INT)) AS qv
+      FROM d
+    ), ex AS (
+      SELECT vec_id, g.i AS i, qv[g.i] AS q
+      FROM q, (SELECT unnest(range(1, 65)) AS i) g
+    )
+    SELECT a.i AS dim_i, b.i AS dim_j,
+           CAST(SUM(CAST(a.q AS BIGINT) * b.q) AS BIGINT) AS g
+    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+    GROUP BY a.i, b.i
+    """,
+    description="Exact integer Gram matrix (X'X upper triangle, "
+    "d(d+1)/2 = 2080 cells) over int8-quantized embeddings — the "
+    "covariance/PCA-prep primitive: quantization (embedding_quantize's "
+    "floor rule) makes every dot product an exact bigint sum, so the "
+    "distributed accumulation is order-independent and "
+    "oracle-checkable — impossible with float embeddings.  Expressed "
+    "as posexplode + vec_id self-join + one partial-aggregated "
+    "shuffle on (i, j); at 100 TB swap the explode-join for a "
+    "mapInPandas numpy partial-Gram per partition feeding the same "
+    "2080-cell merge — the d^2-per-row join shape is the "
+    "SQL-portable proof, the Arrow path the throughput one.",
+)
+def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Arrow path: numpy computes each batch's partial Gram (X'X,
+    int64 — exact, so partial-sum order cannot matter), one
+    2080-cell frame per batch flows into the final merge.  This is
+    the mapInPandas formulation the docstring promises at 100 TB —
+    measured 2.7 s (posexplode self-join) -> ~0.5 s at sf0.1; the
+    oracle's explode-join SQL proves the same semantics."""
+    import pandas as pd
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(F.expr(_Q_EXPR_SPARK).alias("qv"))
+
+    def partial_gram(batches):
+        import numpy as np
+
+        for pdf in batches:
+            if not len(pdf):
+                continue
+            x = np.vstack(pdf["qv"].to_numpy()).astype(np.int64)
+            g = x.T @ x  # (d, d) exact int64
+            d = g.shape[0]
+            iu, ju = np.triu_indices(d)
+            yield pd.DataFrame(
+                {"dim_i": iu + 1, "dim_j": ju + 1, "pg": g[iu, ju]}
+            )
+
+    partials = q.mapInPandas(
+        partial_gram, "dim_i int, dim_j int, pg long"
+    )
+    return partials.groupBy("dim_i", "dim_j").agg(
+        F.sum("pg").alias("g")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Frequent triples (level-3 itemsets within baskets)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "frequent_triples",
+    oracle="""
+    WITH baskets AS (
+      SELECT DISTINCT l_orderkey, l_partkey % 50 AS item
+      FROM lineitem
+    ), triples AS (
+      SELECT a.item AS item_a, b.item AS item_b, c.item AS item_c,
+             CAST(COUNT(*) AS BIGINT) AS support_cnt
+      FROM baskets a
+      JOIN baskets b ON b.l_orderkey = a.l_orderkey AND a.item < b.item
+      JOIN baskets c ON c.l_orderkey = a.l_orderkey AND b.item < c.item
+      GROUP BY a.item, b.item, c.item
+    )
+    SELECT item_a, item_b, item_c, support_cnt
+    FROM triples
+    ORDER BY support_cnt DESC, item_a, item_b, item_c
+    LIMIT 25
+    """,
+    description="Frequent 3-itemsets within orders (the Apriori "
+    "level after basket_association_rules' pairs): the triple "
+    "enumeration joins WITHIN the basket only — volume is "
+    "O(rows x basket_size^2), bounded by items-per-order (~7), "
+    "never a global cross join — one hash aggregate and a top-25 "
+    "TakeOrdered.  At 100 TB the standard Apriori prefilter applies "
+    "first: semi-join baskets to frequent PAIRS so only "
+    "pair-supported items enter the triple join.",
+)
+def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    baskets = li.select(
+        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
+    ).distinct()
+    a, b, c = baskets.alias("a"), baskets.alias("b"), baskets.alias("c")
+    return (
+        a.join(
+            b,
+            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("a.item") < F.col("b.item")),
+        )
+        .join(
+            c,
+            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
+            & (F.col("b.item") < F.col("c.item")),
+        )
+        .groupBy(
+            F.col("a.item").alias("item_a"),
+            F.col("b.item").alias("item_b"),
+            F.col("c.item").alias("item_c"),
+        )
+        .agg(F.count(F.lit(1)).alias("support_cnt"))
+        .orderBy(F.desc("support_cnt"), "item_a", "item_b", "item_c")
+        .limit(25)
+    )

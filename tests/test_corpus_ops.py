@@ -110,3 +110,25 @@ def test_prefix_join_is_superset_of_blocked_exact_tier(spark, sf_dir):
     assert set(blocked) <= set(exact)
     for pair, j in blocked.items():
         assert exact[pair] == j
+
+
+def test_proration_conserves_order_totals(spark, sf_dir):
+    """Largest-remainder property: per order, allocated cents sum
+    EXACTLY to the order total's cents — the invariant naive
+    per-line rounding violates."""
+    from pyspark.sql import functions as F
+
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.plans import QUERIES
+    from dados_publicos_etl_spark.plans import catalog  # noqa: F401
+
+    alloc = QUERIES["proration_largest_remainder"].fn(spark, sf_dir)
+    sums = alloc.groupBy("l_orderkey").agg(
+        F.sum("alloc_cents").alias("got")
+    )
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("l_orderkey"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("want"),
+    )
+    bad = sums.join(orders, "l_orderkey").filter("got <> want").count()
+    assert bad == 0
