@@ -1381,3 +1381,126 @@ def ivf_balance_report(spark: SparkSession, path: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+# ---------------------------------------------------------------------------
+# Hybrid retrieval: reciprocal-rank fusion (dense + lexical)
+# ---------------------------------------------------------------------------
+
+_RRF_K = 60  # the standard RRF smoothing constant (Cormack et al.)
+_RRF_DEPTH = 50  # per-retriever candidate depth
+
+
+@query(
+    "hybrid_rrf_fusion",
+    oracle=f"""
+    WITH qv AS (SELECT embedding AS qe FROM embeddings WHERE vec_id = 0),
+    dense AS (
+      SELECT vec_id AS id,
+             ROW_NUMBER() OVER (ORDER BY
+               {_COS_DOUBLE_SQL.format(a='embedding', b='qe')} DESC, vec_id)
+               AS rank_dense
+      FROM embeddings, qv
+    ), qtoks AS (
+      SELECT list_distinct(string_split_regex(lower(text), '\\s+')) AS qt
+      FROM documents WHERE doc_id = 0
+    ), lexical AS (
+      SELECT doc_id AS id,
+             ROW_NUMBER() OVER (ORDER BY
+               len(list_intersect(
+                 list_distinct(string_split_regex(lower(text), '\\s+')), qt))
+               DESC, doc_id) AS rank_lex
+      FROM documents, qtoks
+    ), fused AS (
+      SELECT COALESCE(d.id, l.id) AS id,
+             d.rank_dense, l.rank_lex,
+             COALESCE(1.0 / ({_RRF_K} + d.rank_dense), 0)
+             + COALESCE(1.0 / ({_RRF_K} + l.rank_lex), 0) AS rrf
+      FROM (SELECT * FROM dense WHERE rank_dense <= {_RRF_DEPTH}) d
+      FULL OUTER JOIN (SELECT * FROM lexical WHERE rank_lex <= {_RRF_DEPTH}) l
+        ON l.id = d.id
+    )
+    SELECT CAST(id AS BIGINT) AS id,
+           CAST(COALESCE(rank_dense, -1) AS INT) AS rank_dense,
+           CAST(COALESCE(rank_lex, -1) AS INT) AS rank_lex,
+           ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf DESC, id
+    LIMIT 10
+    """,
+    description="Hybrid retrieval via reciprocal-rank fusion: a "
+    "DENSE ranking (exact cosine vs the query vector) and a LEXICAL "
+    "ranking (distinct-token overlap with the query document) each "
+    "contribute 1/(60+rank) for their top-50, full-outer fused, "
+    "top-10 — the score-scale-free list fusion every hybrid search "
+    "stack runs over its ANN + keyword retrievers (RRF needs no "
+    "score calibration, which is why it wins in practice).  Both "
+    "rankings are rank-deterministic (id tie-breaks), so the fusion "
+    "is oracle-exact.  At scale each retriever's candidate list is "
+    "top-k bounded (ANN index / inverted-index postings — both "
+    "operators exist in this engine); the fusion itself touches "
+    "2k rows.",
+)
+def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered shape ranks the full corpus to stay oracle-exact;
+    the production composition feeds `probe_ivf_index` (dense) and
+    `inverted_index_build` postings (lexical) into the same fusion."""
+    from pyspark.sql import Window as W
+
+    from dados_publicos_etl_spark.functions.text import distinct_tokens
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    qvec = emb.filter(F.col("vec_id") == 0).select("embedding").head()[0]
+    qlit = F.array(*[F.lit(float(x)) for x in qvec])
+    dense = (
+        emb.select(
+            F.col("vec_id").alias("id"),
+            cosine(F.col("embedding"), qlit).alias("cos"),
+        )
+        .select(
+            "id",
+            F.row_number()
+            .over(W.orderBy(F.desc("cos"), "id"))
+            .alias("rank_dense"),
+        )
+        .filter(F.col("rank_dense") <= _RRF_DEPTH)
+    )
+    docs = read_table(spark, sf_dir, "documents")
+    qt = docs.filter(F.col("doc_id") == 0).select(
+        distinct_tokens("text").alias("qt")
+    )
+    lexical = (
+        docs.crossJoin(F.broadcast(qt))
+        .select(
+            F.col("doc_id").alias("id"),
+            F.size(
+                F.array_intersect(distinct_tokens("text"), F.col("qt"))
+            ).alias("overlap"),
+        )
+        .select(
+            "id",
+            F.row_number()
+            .over(W.orderBy(F.desc("overlap"), "id"))
+            .alias("rank_lex"),
+        )
+        .filter(F.col("rank_lex") <= _RRF_DEPTH)
+    )
+    fused = dense.join(lexical, "id", "full_outer").select(
+        "id",
+        "rank_dense",
+        "rank_lex",
+        (
+            F.coalesce(1.0 / (_RRF_K + F.col("rank_dense")), F.lit(0.0))
+            + F.coalesce(1.0 / (_RRF_K + F.col("rank_lex")), F.lit(0.0))
+        ).alias("rrf"),
+    )
+    return (
+        fused.orderBy(F.desc("rrf"), "id")
+        .limit(10)
+        .select(
+            F.col("id").cast("long").alias("id"),
+            F.coalesce(F.col("rank_dense"), F.lit(-1)).alias("rank_dense"),
+            F.coalesce(F.col("rank_lex"), F.lit(-1)).alias("rank_lex"),
+            F.round("rrf", 6).alias("rrf_score"),
+        )
+    )

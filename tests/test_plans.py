@@ -469,6 +469,7 @@ _BNLJ_OK = {
     "woe_information_value",  # 1-row good/bad totals
     "fk_orphan_audit",  # 1-row count x 1-row count per relation
     "basket_association_rules",  # 1-row n_baskets total
+    "hybrid_rrf_fusion",  # 1-row query-token-set broadcast
 }
 
 
