@@ -404,3 +404,125 @@ def weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rk").cast("int").alias("rk"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Neyman-allocation stratified sampling
+# ---------------------------------------------------------------------------
+
+_NEYMAN_BUDGET = 2000
+_NEYMAN_BUCKETS = 10_000
+
+
+@query(
+    "neyman_allocation_sample",
+    oracle=f"""
+    WITH vals AS (
+      SELECT o_orderpriority, o_orderkey,
+             CAST(ROUND(o_totalprice, 0) AS BIGINT) AS x
+      FROM orders
+    ), moments AS (
+      SELECT o_orderpriority,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM vals GROUP BY o_orderpriority
+    ), strata AS (
+      SELECT o_orderpriority, n,
+             sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n) / (n - 1)) AS sd,
+             CAST(ROUND(n * sqrt((s2 - CAST(s1 AS DOUBLE) * s1 / n)
+                                 / (n - 1)), 0) AS BIGINT) AS w
+      FROM moments
+    ), tot AS (SELECT CAST(SUM(w) AS BIGINT) AS sum_w FROM strata),
+    alloc AS (
+      SELECT s.o_orderpriority, s.n, s.sd, s.w,
+             ({_NEYMAN_BUDGET} * s.w) // t.sum_w AS n_target,
+             LEAST(({_NEYMAN_BUDGET} * s.w * {_NEYMAN_BUCKETS})
+                   // (t.sum_w * s.n), {_NEYMAN_BUCKETS}) AS threshold
+      FROM strata s CROSS JOIN tot t
+    ), sampled AS (
+      SELECT v.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_sampled
+      FROM vals v JOIN alloc a ON a.o_orderpriority = v.o_orderpriority
+      WHERE (CAST(('0x' || substr(md5(CAST(v.o_orderkey AS VARCHAR)), 1, 8))
+                  AS BIGINT) % {_NEYMAN_BUCKETS}) < a.threshold
+      GROUP BY v.o_orderpriority
+    )
+    SELECT a.o_orderpriority,
+           a.n AS n_pop,
+           ROUND(a.sd, 4) AS sd,
+           CAST(a.n_target AS BIGINT) AS n_target,
+           COALESCE(s.n_sampled, 0) AS n_sampled
+    FROM alloc a LEFT JOIN sampled s
+      ON s.o_orderpriority = a.o_orderpriority
+    """,
+    description="Neyman-allocation stratified sampling (design-based "
+    "optimal allocation): each stratum's share of the 2000-row budget "
+    "is proportional to n_h * sd_h, so high-variance strata get more "
+    "samples — the minimum-variance design for estimating the "
+    "population mean at fixed budget.  Standard deviations come from "
+    "exact integer moment sums; the allocation and the per-row "
+    "md5-bucket keep decision are FULLY INTEGER (w = round(n*sd), "
+    "threshold = (N*w*buckets) div (sum_w*n)), so the 'optimal "
+    "rates' and the sample membership are engine-exact, not just "
+    "approximately equal.  One moments pass + one broadcast of the "
+    "5-row allocation table back onto the scan.",
+)
+def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    vals = orders.select(
+        "o_orderpriority",
+        "o_orderkey",
+        F.round("o_totalprice", 0).cast("long").alias("x"),
+    )
+    moments = vals.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    sd = F.sqrt(
+        (
+            F.col("s2")
+            - F.col("s1").cast("double") * F.col("s1") / F.col("n")
+        )
+        / (F.col("n") - 1)
+    )
+    strata = moments.select(
+        "o_orderpriority",
+        "n",
+        sd.alias("sd"),
+        F.round(F.col("n") * sd, 0).cast("long").alias("w"),
+    )
+    tot = strata.agg(F.sum("w").alias("sum_w"))
+    alloc = strata.crossJoin(F.broadcast(tot)).select(
+        "o_orderpriority",
+        "n",
+        "sd",
+        F.expr(f"({_NEYMAN_BUDGET} * w) div sum_w").alias("n_target"),
+        F.least(
+            F.expr(
+                f"({_NEYMAN_BUDGET} * w * {_NEYMAN_BUCKETS})"
+                " div (sum_w * n)"
+            ),
+            F.lit(_NEYMAN_BUCKETS).cast("long"),
+        ).alias("threshold"),
+    )
+    kept = (
+        vals.join(
+            F.broadcast(alloc.select("o_orderpriority", "threshold")),
+            "o_orderpriority",
+        )
+        .filter(
+            hash_bucket("o_orderkey", _NEYMAN_BUCKETS) < F.col("threshold")
+        )
+        .groupBy("o_orderpriority")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+    )
+    return alloc.join(F.broadcast(kept), "o_orderpriority", "left").select(
+        "o_orderpriority",
+        F.col("n").alias("n_pop"),
+        F.round("sd", 4).alias("sd"),
+        F.col("n_target").cast("long").alias("n_target"),
+        F.coalesce(F.col("n_sampled"), F.lit(0).cast("long")).alias(
+            "n_sampled"
+        ),
+    )

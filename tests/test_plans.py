@@ -470,6 +470,7 @@ _BNLJ_OK = {
     "fk_orphan_audit",  # 1-row count x 1-row count per relation
     "basket_association_rules",  # 1-row n_baskets total
     "hybrid_rrf_fusion",  # 1-row query-token-set broadcast
+    "neyman_allocation_sample",  # 1-row sum_w total
 }
 
 
