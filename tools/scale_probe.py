@@ -1,0 +1,111 @@
+#!/usr/bin/env python
+"""10x scale probe: replicate an sf dir with FK-consistent key
+offsets into a temp dir and compare per-query wall times 1x vs 10x.
+
+The catalog's correctness gate runs at sf0.01 and the bench at
+sf0.1; this tool is the scaling evidence between them — it answers
+"which operators go superlinear?" without touching the read-only
+testdata.  Document text gets a per-copy tag so exact-duplicate
+volume stays proportional (identical copies would square the
+near-dup pair count and measure the DATA pathology, not the
+operator).
+
+Usage: python tools/scale_probe.py [sf_dir] [n_copies]
+Results land on stdout; see BENCH_NOTES.md "10x scaling probe" for
+a recorded run and its reading.
+"""
+from __future__ import annotations
+
+import os
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+
+from pyspark.sql import functions as F  # noqa: E402
+
+from dados_publicos_etl_spark.io import read_table  # noqa: E402
+from dados_publicos_etl_spark.plans import QUERIES  # noqa: E402
+from dados_publicos_etl_spark.plans import catalog  # noqa: E402,F401
+from dados_publicos_etl_spark.session import get_session  # noqa: E402
+
+PROBE = [
+    "q1_pricing_summary", "q8_market_share", "q21_waiting_suppliers",
+    "dedup_exact", "dedup_prefix_join", "passage_scrub",
+    "corpus_pipeline_e2e", "sessionize_gaps",
+    "proration_largest_remainder", "pagerank_suppliers",
+    "term_frequency", "scd2_history",
+]
+
+
+def main() -> None:
+    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
+    n_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    spark = get_session(app_name="scale_probe", master="local[32]",
+                        shuffle_partitions=64)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    def key_max(t, c):
+        return read_table(spark, sf, t).agg(F.max(c)).head()[0] + 1
+
+    ok, ck = key_max("orders", "o_orderkey"), key_max("customer", "c_custkey")
+    pk, sk = key_max("part", "p_partkey"), key_max("supplier", "s_suppkey")
+    ek, uk = key_max("events", "event_id"), key_max("events", "user_id")
+    dk, vk = key_max("documents", "doc_id"), key_max("embeddings", "vec_id")
+
+    tmp = tempfile.mkdtemp(prefix="scale_probe_")
+    print("scaled dir:", tmp)
+
+    def scale(table, offsets, text_tag=False):
+        base = read_table(spark, sf, table)
+        parts = []
+        for i in range(n_copies):
+            df = base
+            for col, mx in offsets:
+                df = df.withColumn(col, F.col(col) + i * mx)
+            if text_tag:
+                df = df.withColumn(
+                    "text", F.concat("text", F.lit(f" copytag{i}"))
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        out.write.mode("overwrite").parquet(f"{tmp}/{table}.parquet")
+
+    scale("orders", [("o_orderkey", ok), ("o_custkey", ck)])
+    scale("lineitem", [("l_orderkey", ok), ("l_partkey", pk),
+                       ("l_suppkey", sk)])
+    scale("customer", [("c_custkey", ck)])
+    scale("supplier", [("s_suppkey", sk)])
+    scale("part", [("p_partkey", pk)])
+    scale("events", [("event_id", ek), ("user_id", uk)])
+    scale("documents", [("doc_id", dk)], text_tag=True)
+    scale("embeddings", [("vec_id", vk)])
+    for t in ("region", "nation"):  # key dims referenced unshifted
+        read_table(spark, sf, t).write.mode("overwrite").parquet(
+            f"{tmp}/{t}.parquet"
+        )
+    print("scaled data written")
+
+    # warm both paths (Python workers, file-index caches) so the
+    # first probe row doesn't carry session cold-start
+    for d in (sf, tmp):
+        QUERIES["audit_counts"].fn(spark, d).count()
+        QUERIES["dedup_exact"].fn(spark, d).count()
+
+    print(f"{'query':35s} {'1x':>7s} {f'{n_copies}x':>8s} {'ratio':>6s}")
+    for name in PROBE:
+        t0 = time.time()
+        QUERIES[name].fn(spark, sf).count()
+        t1 = time.time() - t0
+        t0 = time.time()
+        QUERIES[name].fn(spark, tmp).count()
+        tn = time.time() - t0
+        print(f"{name:35s} {t1:7.2f} {tn:8.2f} {tn / t1:6.1f}")
+
+
+if __name__ == "__main__":
+    main()
