@@ -1734,3 +1734,86 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support_cnt"), "item_a", "item_b", "item_c")
         .limit(25)
     )
+
+
+# ---------------------------------------------------------------------------
+# Decile lift table (model-evaluation ranking diagnostic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "decile_lift_table",
+    oracle="""
+    WITH scored AS (
+      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad,
+             NTILE(10) OVER (ORDER BY l_discount DESC,
+                             l_orderkey, l_linenumber) AS decile
+      FROM lineitem
+    ), per_decile AS (
+      SELECT decile,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(bad) AS BIGINT) AS n_bad
+      FROM scored GROUP BY decile
+    ), tot AS (
+      SELECT CAST(SUM(n_bad) AS DOUBLE) / SUM(n) AS base_rate
+      FROM per_decile
+    )
+    SELECT decile, n, n_bad,
+           ROUND(n_bad / CAST(n AS DOUBLE), 6) AS bad_rate,
+           ROUND((n_bad / CAST(n AS DOUBLE)) / t.base_rate, 4) AS lift,
+           ROUND(SUM(n_bad) OVER (ORDER BY decile
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                 / (t.base_rate * SUM(n) OVER (ORDER BY decile
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
+                 4) AS cum_lift
+    FROM per_decile CROSS JOIN tot t
+    """,
+    description="Decile lift table — the standard ranking diagnostic "
+    "for a scoring model (here: discount as the score, returned-flag "
+    "as the outcome): rows ranked into score deciles (deterministic "
+    "NTILE tie-break), per-decile capture rate vs the base rate, "
+    "plus cumulative lift down the ranking.  Exact integer counts "
+    "throughout; the cumulative windows run over the 10-row decile "
+    "table, so cost is one ranking window + one aggregate at any "
+    "corpus size.  Pairs with woe_information_value as the "
+    "model-evaluation half of supervised feature screening.",
+)
+def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    scored = li.select(
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+        F.ntile(10)
+        .over(
+            Window.orderBy(
+                F.desc("l_discount"), "l_orderkey", "l_linenumber"
+            )
+        )
+        .alias("decile"),
+    )
+    per_decile = scored.groupBy("decile").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("bad").alias("n_bad")
+    )
+    tot = per_decile.agg(
+        (F.sum("n_bad").cast("double") / F.sum("n")).alias("base_rate")
+    )
+    wcum = Window.orderBy("decile").rowsBetween(
+        Window.unboundedPreceding, 0
+    )
+    return per_decile.crossJoin(F.broadcast(tot)).select(
+        "decile",
+        "n",
+        "n_bad",
+        F.round(F.col("n_bad") / F.col("n").cast("double"), 6).alias(
+            "bad_rate"
+        ),
+        F.round(
+            (F.col("n_bad") / F.col("n").cast("double"))
+            / F.col("base_rate"),
+            4,
+        ).alias("lift"),
+        F.round(
+            F.sum("n_bad").over(wcum)
+            / (F.col("base_rate") * F.sum("n").over(wcum)),
+            4,
+        ).alias("cum_lift"),
+    )

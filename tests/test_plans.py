@@ -471,6 +471,7 @@ _BNLJ_OK = {
     "basket_association_rules",  # 1-row n_baskets total
     "hybrid_rrf_fusion",  # 1-row query-token-set broadcast
     "neyman_allocation_sample",  # 1-row sum_w total
+    "decile_lift_table",  # 1-row base-rate total
 }
 
 
