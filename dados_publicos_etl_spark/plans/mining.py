@@ -655,35 +655,41 @@ _BFS_MAX_HOPS = 3
     "to recursive_cte_tree_walk's hierarchy descent.",
 )
 def n_hop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Driver-side loop over a bounded hop count (3): each iteration
-    is one shuffle; frontier/visited stay skinny (node, hops).  At
-    100 TB graph scale the identical loop runs with the visited set
-    checkpointed per round (dedup_components does the same)."""
+    """BOUNDED depth (3) unrolls into ONE lazy plan: level k =
+    neighbors of level k-1 (broadcast joins, no distinct, no
+    anti-join), min hop per node recovered by the final groupBy —
+    path enumeration + MIN, mirroring the oracle exactly.  Level
+    sizes are bounded by sum-of-degree products on the thresholded
+    graph, so skipping visited-set subtraction costs nothing here;
+    an UNBOUNDED BFS needs the subtraction and therefore the
+    per-round-materialized frontier loop (dedup_components'
+    checkpointed shape — a previous revision of this query; it
+    benched 3-18 s because each round is its own latency-sensitive
+    job, vs one job and ~0.5 s for the unrolled form)."""
     edges = _co_edges(spark, sf_dir)
-    bidir = edges.select(
-        F.col("a").alias("src"), F.col("b").alias("dst")
-    ).unionAll(edges.select(F.col("b").alias("src"), F.col("a").alias("dst")))
-    seed = spark.createDataFrame(
-        [(_BFS_SEED, 0)], "node int, hops int"
-    )
-    visited = seed
-    frontier = seed
-    for k in range(1, _BFS_MAX_HOPS + 1):
-        nxt = (
-            frontier.join(F.broadcast(bidir), frontier.node == bidir.src)
-            .select(F.col("dst").alias("node"))
-            .distinct()
-            .join(F.broadcast(visited), "node", "left_anti")
-            .withColumn("hops", F.lit(k))
-            # materialize each round: the frontier feeds BOTH the
-            # next round's join and the visited union — left lazy,
-            # every later round re-evaluates the whole prefix per
-            # reference (measured 2.4 -> 5.5 s at sf0.1)
-            .localCheckpoint()
+    bidir = F.broadcast(
+        edges.select(F.col("a").alias("src"), F.col("b").alias("dst"))
+        .unionAll(
+            edges.select(F.col("b").alias("src"), F.col("a").alias("dst"))
         )
-        visited = visited.unionAll(nxt)
-        frontier = nxt
-    return visited.orderBy("hops", "node")
+    )
+    seed = spark.createDataFrame([(_BFS_SEED, 0)], "node int, hops int")
+    levels = [seed]
+    for k in range(1, _BFS_MAX_HOPS + 1):
+        prev = levels[-1]
+        levels.append(
+            prev.join(bidir, prev.node == bidir.src)
+            .select(F.col("dst").alias("node"))
+            .withColumn("hops", F.lit(k))
+        )
+    walk = levels[0]
+    for lvl in levels[1:]:
+        walk = walk.unionAll(lvl)
+    return (
+        walk.groupBy("node")
+        .agg(F.min("hops").cast("int").alias("hops"))
+        .orderBy("hops", "node")
+    )
 
 
 # ---------------------------------------------------------------------------
