@@ -37,6 +37,12 @@ PROBE = [
     "corpus_pipeline_e2e", "sessionize_gaps",
     "proration_largest_remainder", "pagerank_suppliers",
     "term_frequency", "scd2_history",
+    # ANN / near-dup family: vectors are IDENTICAL across copies
+    # (only ids shift), so LSH buckets and IVF cells hold n_copies x
+    # the population — the worst case for candidate generation;
+    # near-linear ratios here mean the bucket/cell bounding holds.
+    "dedup_minhash_lsh", "dedup_simhash", "similarity_ann_lsh",
+    "similarity_ivf", "n_hop_reachability",
 ]
 
 
