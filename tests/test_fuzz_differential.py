@@ -387,3 +387,46 @@ def test_random_rollup_cube_matches_duckdb(spark, pred, mode, cols):
     li.createOrReplaceTempView("lineitem")
     df = spark.sql(sql)
     compare(df, sql, SF_DIR)
+
+
+@_FUZZ
+@given(
+    lpred=predicates(),
+    opred=order_predicates(),
+    form=st.sampled_from(["in", "not_in", "exists", "scalar_avg"]),
+)
+def test_random_subquery_predicates_match_duckdb(spark, lpred, opred, form):
+    """Subquery-predicate sweep: IN / NOT IN / correlated EXISTS /
+    scalar-aggregate comparisons with random predicates on both
+    sides — decorrelation, empty-subquery semantics (IN over empty
+    => false, NOT IN over empty => true, NULL scalar comparison =>
+    filtered) must agree across engines.  The scalar form compares
+    in EXACT integer cross-multiplied cents (x*count > sum) so no
+    float average can sit on a comparison boundary."""
+    if form == "in":
+        sub = (f"l_orderkey IN (SELECT o_orderkey FROM orders "
+               f"WHERE {opred})")
+    elif form == "not_in":
+        sub = (f"l_orderkey NOT IN (SELECT o_orderkey FROM orders "
+               f"WHERE {opred})")
+    elif form == "exists":
+        sub = (f"EXISTS (SELECT 1 FROM orders WHERE "
+               f"o_orderkey = l_orderkey AND ({opred}))")
+    else:
+        sub = (
+            "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"
+            f" * (SELECT COUNT(*) FROM orders WHERE {opred})"
+            " > (SELECT CAST(SUM(CAST(ROUND(o_totalprice * 100, 0)"
+            f" AS BIGINT)) AS BIGINT) FROM orders WHERE {opred})"
+        )
+    sql = f"""
+    SELECT l_returnflag, CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM lineitem
+    WHERE ({lpred}) AND ({sub})
+    GROUP BY l_returnflag
+    """
+    read_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
+    read_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
+    compare(spark.sql(sql), sql, SF_DIR)
