@@ -625,3 +625,86 @@ def streaming_ann_probe(
 )
 def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_ann_probe(spark, sf_dir)
+
+
+@query(
+    "stream_topk_windows",
+    oracle=f"""
+    WITH agg AS (
+      SELECT {_DUCK_BUCKET.format(w=600)} AS window_start,
+             user_id,
+             CAST(COUNT(*) AS BIGINT) AS n_events
+      FROM events
+      GROUP BY window_start, user_id
+    ), ranked AS (
+      SELECT window_start, user_id, n_events,
+             ROW_NUMBER() OVER (PARTITION BY window_start
+                                ORDER BY n_events DESC, user_id)
+               AS rank_in_window
+      FROM agg
+    )
+    SELECT window_start, user_id, n_events,
+           CAST(rank_in_window AS INT) AS rank_in_window
+    FROM ranked WHERE rank_in_window <= 3
+    """,
+    description="Streaming top-k: per-(window, user) counts "
+    "aggregated IN the stream (complete-mode memory sink — the "
+    "mergeable state), top-3 users per 10-minute window ranked "
+    "DOWNSTREAM of the sink, because Structured Streaming forbids "
+    "rank windows on unbounded streams — the standard leaderboard "
+    "split: streaming owns the additive aggregate, the serving "
+    "layer owns the ordering.  availableNow drives the stream to "
+    "completion, so the result equals the batch oracle.",
+)
+def stream_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leaderboard shape: the ONLY streaming state is the additive
+    (window, user) count — bounded by watermark eviction; the rank
+    runs over the sink table (tiny: windows x active users)."""
+    import uuid
+
+    from pyspark.sql import Window as W
+
+    from dados_publicos_etl_spark.streaming.source import read_event_stream
+
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    stream = read_event_stream(spark, sf_dir)
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(
+                F.to_utc_timestamp(F.col("window.start"), tz), _TS_FMT
+            ).alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+    )
+    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    with _streaming_shuffle(spark):
+        q = (
+            agg.writeStream.outputMode("complete")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    sink = spark.table(name)
+    rk = F.row_number().over(
+        W.partitionBy("window_start").orderBy(
+            F.desc("n_events"), "user_id"
+        )
+    )
+    return (
+        sink.withColumn("rank_in_window", rk)
+        .filter(F.col("rank_in_window") <= 3)
+        .select(
+            "window_start",
+            "user_id",
+            "n_events",
+            F.col("rank_in_window").cast("int").alias("rank_in_window"),
+        )
+    )
