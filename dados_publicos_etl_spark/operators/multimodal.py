@@ -809,3 +809,135 @@ def video_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
         .repartition(spark.sparkContext.defaultParallelism)
     )
     return synth_and_detect_cuts(docs).filter(F.col("is_cut"))
+
+
+# ---------------------------------------------------------------------------
+# WAV / RIFF container round-trip (real header byte math)
+# ---------------------------------------------------------------------------
+
+
+def build_wav(pcm_bytes: bytes, sample_rate: int, n_channels: int) -> bytes:
+    """Canonical 44-byte RIFF/WAVE header + int16 PCM data chunk —
+    real container bytes, no codec library."""
+    import struct
+
+    bits = 16
+    byte_rate = sample_rate * n_channels * bits // 8
+    block_align = n_channels * bits // 8
+    return (
+        b"RIFF"
+        + struct.pack("<I", 36 + len(pcm_bytes))
+        + b"WAVEfmt "
+        + struct.pack(
+            "<IHHIIHH", 16, 1, n_channels, sample_rate, byte_rate,
+            block_align, bits,
+        )
+        + b"data"
+        + struct.pack("<I", len(pcm_bytes))
+        + pcm_bytes
+    )
+
+
+def parse_wav(payload: bytes):
+    """Parse a RIFF/WAVE payload: returns (sample_rate, n_channels,
+    n_frames, duration_ms) or None if the container is malformed
+    (bad magics, truncated header, short data chunk)."""
+    import struct
+
+    if len(payload) < 44 or payload[:4] != b"RIFF" or payload[8:16] != b"WAVEfmt ":
+        return None
+    (fmt_len, fmt_tag, n_channels, sample_rate, _byte_rate,
+     _block_align, bits) = struct.unpack("<IHHIIHH", payload[16:36])
+    if fmt_len != 16 or fmt_tag != 1 or bits != 16 or payload[36:40] != b"data":
+        return None
+    (data_len,) = struct.unpack("<I", payload[40:44])
+    if len(payload) < 44 + data_len:
+        return None
+    n_frames = data_len // (2 * n_channels)
+    duration_ms = (1000 * n_frames) // sample_rate
+    return sample_rate, n_channels, n_frames, duration_ms
+
+
+@query(
+    "multimodal_wav_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           (doc_id % 97) <> 0 AS parse_ok,
+           CASE WHEN doc_id % 97 <> 0
+                THEN CAST(8000 + (doc_id % 4) * 4000 AS INT) END
+             AS sample_rate,
+           CASE WHEN doc_id % 97 <> 0
+                THEN CAST(1 + doc_id % 2 AS INT) END AS n_channels,
+           CASE WHEN doc_id % 97 <> 0
+                THEN CAST(n_chars AS BIGINT) END AS n_frames,
+           CASE WHEN doc_id % 97 <> 0
+                THEN CAST((1000 * n_chars)
+                          // (8000 + (doc_id % 4) * 4000) AS BIGINT) END
+             AS duration_ms
+    FROM documents
+    """,
+    description="WAV/RIFF container round-trip: per-doc audio "
+    "synthesized as REAL RIFF/WAVE bytes (44-byte canonical header "
+    "+ int16 PCM, rate/channels derived from doc_id, one frame per "
+    "text char), then PARSED back by a separate byte-level pass — "
+    "magics, fmt chunk, data length all validated; docs at doc_id % "
+    "97 == 0 get a deterministically TRUNCATED header and must come "
+    "back parse_ok=false with null fields (the quarantine path).  "
+    "The oracle predicts every parsed field relationally, so the "
+    "synthesize -> container bytes -> parse loop is proven lossless "
+    "end-to-end; both passes are Arrow-batched maps — payloads "
+    "never shuffle.",
+)
+def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Real container-format handling for the audio leg (the PCM
+    feature pass is multimodal_audio_segments); ksantanac/
+    dados-publicos-etl has no binary-format surface at all."""
+    import pandas as pd
+
+    from dados_publicos_etl_spark.session import ensure_package_on_workers
+
+    # the closure references module-level build_wav/parse_wav, pickled
+    # BY REFERENCE — workers need the package importable
+    ensure_package_on_workers(spark)
+
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", "text"
+    )
+
+    def synth_and_parse(batches):
+        for pdf in batches:
+            out = []
+            for doc_id, text in zip(pdf["doc_id"], pdf["text"]):
+                raw = text.encode("utf-8")
+                rate = 8000 + (doc_id % 4) * 4000
+                channels = 1 + doc_id % 2
+                n_frames = len(text)  # one frame per CHARACTER
+                # int16 samples from the text bytes (deterministic)
+                import numpy as np
+
+                b = np.frombuffer(raw, dtype=np.uint8)
+                samples = (
+                    np.resize(b, n_frames * channels).astype(np.int16)
+                    * 257
+                ).astype("<i2")
+                wav = build_wav(samples.tobytes(), rate, channels)
+                if doc_id % 97 == 0:
+                    wav = wav[:20]  # deterministic corruption
+                parsed = parse_wav(wav)
+                if parsed is None:
+                    out.append((doc_id, False, None, None, None, None))
+                else:
+                    out.append((doc_id, True) + parsed)
+            yield pd.DataFrame(
+                out,
+                columns=[
+                    "doc_id", "parse_ok", "sample_rate",
+                    "n_channels", "n_frames", "duration_ms",
+                ],
+            )
+
+    return docs.mapInPandas(
+        synth_and_parse,
+        "doc_id long, parse_ok boolean, sample_rate int, "
+        "n_channels int, n_frames long, duration_ms long",
+    )

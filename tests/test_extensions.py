@@ -1088,3 +1088,31 @@ def test_geo_grid_join_equals_brute_force(spark):
         if dx * dx + dy * dy <= 0.02 * 0.02:
             want.add((a, b))
     assert got == want and len(want) > 0
+
+
+def test_wav_build_parse_roundtrip_exact():
+    """Byte-level WAV contract: a hand-built container parses back to
+    the exact header fields, and every malformation class (bad magic,
+    truncated header, short data chunk, non-PCM fmt) is rejected."""
+    import struct
+
+    from dados_publicos_etl_spark.operators.multimodal import (
+        build_wav,
+        parse_wav,
+    )
+
+    pcm = struct.pack("<4h", 100, -200, 300, -400)  # 4 samples
+    wav = build_wav(pcm, sample_rate=16_000, n_channels=2)
+    assert wav[:4] == b"RIFF" and wav[8:16] == b"WAVEfmt "
+    assert len(wav) == 44 + len(pcm)
+    assert parse_wav(wav) == (16_000, 2, 2, 0)  # 2 frames @ 2ch
+
+    mono = build_wav(pcm, sample_rate=8_000, n_channels=1)
+    assert parse_wav(mono) == (8_000, 1, 4, 0)
+
+    assert parse_wav(b"JUNK" + wav[4:]) is None          # bad magic
+    assert parse_wav(wav[:20]) is None                   # truncated
+    assert parse_wav(wav[:-2]) is None                   # short data
+    broken_fmt = bytearray(wav)
+    broken_fmt[20] = 9  # fmt_tag != 1 (non-PCM)
+    assert parse_wav(bytes(broken_fmt)) is None
