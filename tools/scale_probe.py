@@ -10,9 +10,11 @@ volume stays proportional (identical copies would square the
 near-dup pair count and measure the DATA pathology, not the
 operator).
 
-Usage: python tools/scale_probe.py [sf_dir] [n_copies]
-Results land on stdout; see BENCH_NOTES.md "10x scaling probe" for
-a recorded run and its reading.
+Usage: python tools/scale_probe.py [sf_dir] [n_copies] [--json]
+Human table on stdout by default; ``--json`` emits one JSON line
+({"sf_dir", "n_copies", "queries": {name: {"t1", "tn", "ratio"}}})
+for drivers.  See BENCH_NOTES.md "10x scaling probe" for a recorded
+run and its reading.
 """
 from __future__ import annotations
 
@@ -47,8 +49,10 @@ PROBE = [
 
 
 def main() -> None:
-    sf = sys.argv[1] if len(sys.argv) > 1 else "/root/testdata/sf0.1"
-    n_copies = int(sys.argv[2]) if len(sys.argv) > 2 else 10
+    args = [a for a in sys.argv[1:] if a != "--json"]
+    as_json = "--json" in sys.argv[1:]
+    sf = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
+    n_copies = int(args[1]) if len(args) > 1 else 10
     spark = get_session(app_name="scale_probe", master="local[32]",
                         shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
@@ -102,7 +106,9 @@ def main() -> None:
         QUERIES["audit_counts"].fn(spark, d).count()
         QUERIES["dedup_exact"].fn(spark, d).count()
 
-    print(f"{'query':35s} {'1x':>7s} {f'{n_copies}x':>8s} {'ratio':>6s}")
+    results = {}
+    if not as_json:
+        print(f"{'query':35s} {'1x':>7s} {f'{n_copies}x':>8s} {'ratio':>6s}")
     for name in PROBE:
         t0 = time.time()
         QUERIES[name].fn(spark, sf).count()
@@ -110,7 +116,18 @@ def main() -> None:
         t0 = time.time()
         QUERIES[name].fn(spark, tmp).count()
         tn = time.time() - t0
-        print(f"{name:35s} {t1:7.2f} {tn:8.2f} {tn / t1:6.1f}")
+        results[name] = {
+            "t1": round(t1, 3), "tn": round(tn, 3),
+            "ratio": round(tn / t1, 2),
+        }
+        if not as_json:
+            print(f"{name:35s} {t1:7.2f} {tn:8.2f} {tn / t1:6.1f}")
+    if as_json:
+        import json
+
+        print(json.dumps({
+            "sf_dir": sf, "n_copies": n_copies, "queries": results,
+        }))
 
 
 if __name__ == "__main__":
