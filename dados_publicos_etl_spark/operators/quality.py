@@ -224,7 +224,9 @@ def dq_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     table_rules = (
         pk_dupes.unionByName(fk_orphans)
-        .crossJoin(n_rows)
+        # n_rows is a 1-row scalar side: broadcast explicitly so the
+        # plan pins BroadcastNestedLoopJoin regardless of stats
+        .crossJoin(F.broadcast(n_rows))
         .select(
             "rule",
             "n_violations",

@@ -437,8 +437,13 @@ _NEYMAN_BUCKETS = 10_000
     alloc AS (
       SELECT s.o_orderpriority, s.n, s.sd, s.w,
              ({_NEYMAN_BUDGET} * s.w) // t.sum_w AS n_target,
-             LEAST(({_NEYMAN_BUDGET} * s.w * {_NEYMAN_BUCKETS})
-                   // (t.sum_w * s.n), {_NEYMAN_BUCKETS}) AS threshold
+             -- threshold derives from n_target (<= budget), so the
+             -- product is bounded by budget*buckets and can never
+             -- overflow int64 regardless of stratum size (w ~ n*sd
+             -- in the direct form overflows at TPC-H sf>=100)
+             LEAST(((({_NEYMAN_BUDGET} * s.w) // t.sum_w)
+                    * {_NEYMAN_BUCKETS}) // s.n,
+                   {_NEYMAN_BUCKETS}) AS threshold
       FROM strata s CROSS JOIN tot t
     ), sampled AS (
       SELECT v.o_orderpriority, CAST(COUNT(*) AS BIGINT) AS n_sampled
@@ -462,7 +467,9 @@ _NEYMAN_BUCKETS = 10_000
     "population mean at fixed budget.  Standard deviations come from "
     "exact integer moment sums; the allocation and the per-row "
     "md5-bucket keep decision are FULLY INTEGER (w = round(n*sd), "
-    "threshold = (N*w*buckets) div (sum_w*n)), so the 'optimal "
+    "threshold = (n_target*buckets) div n with n_target = "
+    "(N*w) div sum_w — bounded products, overflow-proof), so the "
+    "'optimal "
     "rates' and the sample membership are engine-exact, not just "
     "approximately equal.  One moments pass + one broadcast of the "
     "5-row allocation table back onto the scan.",
@@ -498,10 +505,14 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         "sd",
         F.expr(f"({_NEYMAN_BUDGET} * w) div sum_w").alias("n_target"),
+        # threshold from n_target (<= budget): bounded product, no
+        # int64 overflow at any stratum size — the direct
+        # (budget*w*buckets) form wraps in non-ANSI Spark while the
+        # oracle raises, diverging exactly at large sf
         F.least(
             F.expr(
-                f"({_NEYMAN_BUDGET} * w * {_NEYMAN_BUCKETS})"
-                " div (sum_w * n)"
+                f"((({_NEYMAN_BUDGET} * w) div sum_w)"
+                f" * {_NEYMAN_BUCKETS}) div n"
             ),
             F.lit(_NEYMAN_BUCKETS).cast("long"),
         ).alias("threshold"),

@@ -1753,7 +1753,9 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     WITH scored AS (
       SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad,
              NTILE(10) OVER (ORDER BY l_discount DESC,
-                             l_orderkey, l_linenumber) AS decile
+                             l_orderkey, l_linenumber,
+                             CASE WHEN l_returnflag = 'R' THEN 1
+                                  ELSE 0 END) AS decile
       FROM lineitem
     ), per_decile AS (
       SELECT decile,
@@ -1786,12 +1788,19 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     li = read_table(spark, sf_dir, "lineitem")
+    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
+    # and tie groups can mix bad flags — append `bad` to the NTILE
+    # order (mirrored in the oracle) so any rows still tied are
+    # interchangeable w.r.t. the per-decile counts, making the
+    # ranking engine-permutation-proof even when a decile boundary
+    # lands inside a tie group.
+    bad = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
     scored = li.select(
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
+        bad.alias("bad"),
         F.ntile(10)
         .over(
             Window.orderBy(
-                F.desc("l_discount"), "l_orderkey", "l_linenumber"
+                F.desc("l_discount"), "l_orderkey", "l_linenumber", bad
             )
         )
         .alias("decile"),

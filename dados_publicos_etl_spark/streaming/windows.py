@@ -523,6 +523,10 @@ def stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
 # held for the session, removed by the finalizer at interpreter exit
 _ANN_STREAM_QDIRS: dict[tuple, object] = {}
 
+# sink dirs of completed probe runs — kept alive so the returned
+# DataFrames stay readable; finalizers remove them at interpreter exit
+_ANN_SINK_DIRS: list = []
+
 
 def _ann_stream_query_dir(
     spark: SparkSession, emb: DataFrame, sf_dir: str, n_queries: int
@@ -588,16 +592,28 @@ def streaming_ann_probe(
         .option("maxFilesPerTrigger", 1)
         .parquet(qdir)
     )
-    results: list[tuple] = []
+    # Per-batch results land in a parquet SINK table (path embeds
+    # batch_id -> idempotent under replay), never a driver-side list:
+    # a serving stream runs indefinitely, so accumulating results on
+    # the driver is unbounded state by construction.  The returned
+    # DataFrame is a scan of the sink — data-scale stays distributed.
+    import tempfile
 
-    def probe_batch(bdf: DataFrame, _bid: int) -> None:
+    sink_tmp = tempfile.TemporaryDirectory(prefix="spark_ann_sink_")
+    _ANN_SINK_DIRS.append(sink_tmp)
+
+    def probe_batch(bdf: DataFrame, bid: int) -> None:
+        # query vectors per batch are a handful of rows (the serving
+        # request), so this collect is request-scale, not data-scale
         q = [(r.vec_id, r.embedding) for r in bdf.collect()]
         if q:
             res = probe_ivf_index(
                 spark, path, centroids, q, n_probe=4, k=5,
                 index_df=index_df,
             )
-            results.extend(tuple(r) for r in res.collect())
+            res.write.mode("overwrite").parquet(
+                f"{sink_tmp.name}/batch_id={bid}"
+            )
 
     with _streaming_shuffle(spark):
         q = stream.writeStream.foreachBatch(probe_batch).start()
@@ -605,9 +621,9 @@ def streaming_ann_probe(
             q.processAllAvailable()
         finally:
             q.stop()
-    return spark.createDataFrame(
-        results,
-        "query_id long, neighbor_id long, cos_sim double, rank int",
+    return (
+        spark.read.parquet(sink_tmp.name)
+        .select("query_id", "neighbor_id", "cos_sim", "rank")
     )
 
 
@@ -625,6 +641,62 @@ def streaming_ann_probe(
 )
 def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_ann_probe(spark, sf_dir)
+
+
+# sf_dir -> TemporaryDirectory of the time-split 2-file event feed;
+# cached so repeat invocations measure the stream, not the fixture
+_TOPK_FEED_DIRS: dict[str, object] = {}
+# state dirs of completed runs — kept so returned DataFrames stay
+# readable; removed by finalizers at interpreter exit
+_TOPK_STATE_DIRS: list = []
+# run metadata of the most recent stream_topk_windows execution
+# (output mode, batch count, streaming progress) — pytest pins the
+# watermark-eviction claim against this
+_TOPK_LAST_RUN: dict = {}
+
+
+def _topk_feed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events split into two files AT THE TIME MIDPOINT, ``ts``
+    pre-normalized to epoch-micros longs.
+
+    The time-ordered split makes the feed a faithful stand-in for a
+    live stream: the file source processes oldest-mtime first, so
+    batch 0 is strictly earlier than batch 1, the watermark advances
+    monotonically, and no event is late.  (An arbitrary split — e.g.
+    by event_id parity — would interleave times and force the
+    watermark to hold ALL state until the end, hiding eviction.)
+    """
+    import os as _os
+    import tempfile
+
+    hit = _TOPK_FEED_DIRS.get(sf_dir)
+    if hit is not None:
+        return hit.name
+    tmp = tempfile.TemporaryDirectory(prefix="spark_topk_feed_")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "user_id",
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    mid = (lo + hi) // 2
+    seen: set = set()
+    for half, pred in enumerate(
+        [F.col("ts_us") <= mid, F.col("ts_us") > mid]
+    ):
+        ev.filter(pred).coalesce(1).write.mode("append").parquet(tmp.name)
+        # pin file order for the mtime-ordered source: half 1 newer
+        for f in _os.listdir(tmp.name):
+            if f.endswith(".parquet") and f not in seen:
+                seen.add(f)
+                p = _os.path.join(tmp.name, f)
+                st = _os.stat(p)
+                _os.utime(p, (st.st_atime, st.st_mtime + half * 600))
+    _TOPK_FEED_DIRS[sf_dir] = tmp
+    return tmp.name
 
 
 @query(
@@ -648,26 +720,53 @@ def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     FROM ranked WHERE rank_in_window <= 3
     """,
     description="Streaming top-k: per-(window, user) counts "
-    "aggregated IN the stream (complete-mode memory sink — the "
-    "mergeable state), top-3 users per 10-minute window ranked "
-    "DOWNSTREAM of the sink, because Structured Streaming forbids "
-    "rank windows on unbounded streams — the standard leaderboard "
-    "split: streaming owns the additive aggregate, the serving "
-    "layer owns the ordering.  availableNow drives the stream to "
-    "completion, so the result equals the batch oracle.",
+    "aggregated IN the stream (update-mode foreachBatch keyed "
+    "upsert — only keys changed this batch are re-emitted, and the "
+    "watermark evicts closed windows from the state store), top-3 "
+    "users per 10-minute window ranked DOWNSTREAM over the sink "
+    "table, because Structured Streaming forbids rank windows on "
+    "unbounded streams — the standard leaderboard split: streaming "
+    "owns the additive aggregate, the serving layer owns the "
+    "ordering.  A time-ordered 2-file feed drives two micro-"
+    "batches, so the watermark actually advances and evicts between "
+    "batches; the upsert is batch-split-invariant, so the result "
+    "equals the batch oracle.",
 )
 def stream_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Leaderboard shape: the ONLY streaming state is the additive
-    (window, user) count — bounded by watermark eviction; the rank
-    runs over the sink table (tiny: windows x active users)."""
-    import uuid
+    """Leaderboard shape with genuinely BOUNDED streaming state.
+
+    The only streaming state is the additive (window, user) count,
+    and the query runs in ``update`` output mode: each micro-batch
+    emits only the keys whose count changed, and the 1-hour
+    watermark EVICTS state for windows that closed more than an hour
+    before the max observed event time (complete mode — the previous
+    shape — ignores the watermark and retains every (window, user)
+    pair forever, which is unbounded on a continuous stream).  The
+    emitted rows are keyed-upserted into a versioned parquet state
+    table by ``foreachBatch`` (same machinery as
+    ``sinks.stream_cdc_upsert``), and the top-3 rank runs over that
+    sink — windows x active users, tiny next to the event volume.
+
+    The feed is the events table split into two files AT THE TIME
+    MEDIAN (all of file 1's events are strictly later than file
+    0's), so (a) no event is ever late — nothing is dropped and the
+    result equals the batch oracle — and (b) the watermark advanced
+    by batch 0 evicts most of file 0's windows during batch 1, which
+    the pytest pins via ``numRowsRemoved`` in the run's progress
+    (captured in ``_TOPK_LAST_RUN``).
+    """
+    import tempfile
 
     from pyspark.sql import Window as W
 
-    from dados_publicos_etl_spark.streaming.source import read_event_stream
-
     tz = spark.conf.get("spark.sql.session.timeZone")
-    stream = read_event_stream(spark, sf_dir)
+    feed = _topk_feed_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("event_id long, ts_us long, user_id long")
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
     agg = (
         stream.withWatermark("ts", "1 hour")
         .groupBy(F.window("ts", "10 minutes"), "user_id")
@@ -680,19 +779,38 @@ def stream_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    name = f"stream_topk_{uuid.uuid4().hex[:8]}"
+    state_tmp = tempfile.TemporaryDirectory(prefix="spark_topk_state_")
+    state = {"path": None, "version": 0}
+
+    def upsert(bdf: DataFrame, _bid: int) -> None:
+        # update-mode batches carry the CURRENT count for each
+        # changed key -> upsert is delete-matching-keys + insert
+        if state["path"] is not None:
+            s = spark.read.parquet(state["path"])
+            merged = s.join(
+                bdf, ["window_start", "user_id"], "left_anti"
+            ).unionByName(bdf)
+        else:
+            merged = bdf
+        state["version"] += 1
+        new_path = f"{state_tmp.name}/v{state['version']}"
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
     with _streaming_shuffle(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
+        q = agg.writeStream.outputMode("update").foreachBatch(upsert).start()
         try:
             q.processAllAvailable()
+            _TOPK_LAST_RUN.clear()
+            _TOPK_LAST_RUN.update(
+                output_mode="update",
+                n_batches=state["version"],
+                progress=list(q.recentProgress or []),
+            )
         finally:
             q.stop()
-    sink = spark.table(name)
+    _TOPK_STATE_DIRS.append(state_tmp)
+    sink = spark.read.parquet(state["path"])
     rk = F.row_number().over(
         W.partitionBy("window_start").orderBy(
             F.desc("n_events"), "user_id"

@@ -11,6 +11,7 @@ from pyspark.sql import functions as F
 
 from dados_publicos_etl_spark.plans import QUERIES
 from dados_publicos_etl_spark.plans import catalog  # noqa: F401
+from tests.conftest import SF_CORRECT, SF_SMOKE
 
 
 def test_minhash_candidates_cover_exact_pairs(spark, sf_dir):
@@ -728,7 +729,7 @@ def test_image_dhash_bands_find_all_pairs_exactly(spark):
         synth_images,
     )
 
-    docs = read_table(spark, "/root/testdata/sf0.01", "documents").select(
+    docs = read_table(spark, SF_CORRECT, "documents").select(
         "doc_id"
     )
     hashes = image_dhash(synth_images(docs))
@@ -781,7 +782,7 @@ def test_nb_classifier_learns_planted_signal(spark):
     priors+noise)."""
     rows = (
         QUERIES["nb_classifier_train_score"]
-        .fn(spark, "/root/testdata/sf0.01")
+        .fn(spark, SF_CORRECT)
         .collect()
     )
     acc = sum(r.correct for r in rows) / len(rows)
@@ -803,7 +804,7 @@ def test_video_scene_cuts_equal_planted_ground_truth(spark):
 
     rows = (
         QUERIES["video_scene_detect"]
-        .fn(spark, "/root/testdata/sf0.01")
+        .fn(spark, SF_CORRECT)
         .collect()
     )
     got: dict[int, list[int]] = {}
@@ -843,7 +844,7 @@ def test_contrastive_pairs_class_properties(spark):
 
     from dados_publicos_etl_spark.io import read_table
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF_CORRECT
     rows = QUERIES["contrastive_pair_mining"].fn(spark, sf).collect()
     assert {r.pair_type for r in rows} == {"positive", "hard_negative"}
     vecs = {
@@ -866,7 +867,7 @@ def test_stream_ann_probe_equals_batch_probe(spark):
     """Streaming foreachBatch probes of the session IVF index must
     equal the batch probe of the same query set — batch-split
     invariance is the correctness property of stateless serving."""
-    sf = "/root/testdata/sf0.01"
+    sf = SF_CORRECT
     stream = sorted(
         tuple(r) for r in QUERIES["stream_ann_probe"].fn(spark, sf).collect()
     )
@@ -877,39 +878,153 @@ def test_stream_ann_probe_equals_batch_probe(spark):
     assert stream == batch and len(stream) == 50
 
 
-def test_pixel_queries_work_from_neutral_cwd():
-    """Driver-contract regression: worker closures referencing
-    module-level pixel helpers are pickled BY REFERENCE, so the
-    package must reach the Python workers via addPyFile — running
-    pytest from the repo root masks this (workers inherit the cwd).
-    Reproduce the driver's condition: vanilla session, cwd=/tmp,
-    package only on the DRIVER's sys.path."""
+def test_stream_topk_windows_state_is_watermark_bounded(spark):
+    """The leaderboard's docstring claims streaming state is bounded
+    by watermark eviction — pin that it is TRUE of the executed
+    plan, not just prose: the query must run in update output mode
+    (complete mode ignores the watermark and retains all state), the
+    watermark must actually advance, and a later batch must report
+    numRowsRemoved > 0 (closed windows evicted from the state
+    store).  Also pin the no-drops half of the contract: the
+    2-batch streaming upsert equals the one-shot batch aggregate."""
+    from pyspark.sql import functions as F
+
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.streaming import windows as SW
+
+    sf = SF_CORRECT
+    got = sorted(
+        tuple(r)
+        for r in QUERIES["stream_topk_windows"].fn(spark, sf).collect()
+    )
+    run = SW._TOPK_LAST_RUN
+    assert run["output_mode"] == "update"
+    assert run["n_batches"] >= 2, "feed must drive multiple batches"
+    removed = sum(
+        s.get("numRowsRemoved", 0)
+        for p in run["progress"]
+        for s in (p.get("stateOperators") or [])
+    )
+    assert removed > 0, "watermark never evicted any state"
+    wms = [
+        (p.get("eventTime") or {}).get("watermark")
+        for p in run["progress"]
+    ]
+    assert any(
+        w and not w.startswith("1970-") for w in wms
+    ), f"watermark never advanced: {wms}"
+
+    # batch-split invariance: same agg over the whole table at once
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    ev = read_table(spark, sf, "events").select(
+        F.timestamp_micros(
+            F.expr(
+                "timestampdiff(MICROSECOND, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+            )
+        ).alias("ts"),
+        "user_id",
+    )
+    from pyspark.sql import Window as W
+
+    batch = (
+        ev.groupBy(F.window("ts", "10 minutes"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(
+                F.to_utc_timestamp(F.col("window.start"), tz),
+                "yyyy-MM-dd HH:mm:ss",
+            ).alias("window_start"),
+            "user_id",
+            "n_events",
+        )
+        .withColumn(
+            "rank_in_window",
+            F.row_number()
+            .over(
+                W.partitionBy("window_start").orderBy(
+                    F.desc("n_events"), "user_id"
+                )
+            )
+            .cast("int"),
+        )
+        .filter(F.col("rank_in_window") <= 3)
+        .select("window_start", "user_id", "n_events", "rank_in_window")
+    )
+    exp = sorted(tuple(r) for r in batch.collect())
+    assert got == exp
+
+
+# CHECKLIST: every registered query whose plan ships an Arrow UDF
+# (mapInPandas / applyInPandas / pandas_udf) to the Python workers
+# must be listed here — the neutral-cwd probe below is the only test
+# that catches pickle-by-reference worker-shipping bugs (it has
+# caught two: pixel helpers in round 3, the WAV closure in round 4).
+# One representative per Arrow-UDF call site / module.
+ARROW_UDF_QUERIES = [
+    "image_neardup_dhash",       # multimodal: pixel decode helpers
+    "video_scene_detect",        # multimodal: fused decode pass
+    "multimodal_frame_sample",   # multimodal: 1->N Arrow fan-out
+    "multimodal_wav_roundtrip",  # multimodal: RIFF build/parse closure
+    "mojibake_repair_roundtrip", # classify+clean: damage/repair maps
+    "dedup_simhash",             # dedup: signature mapInPandas
+    "dedup_minhash_lsh",         # dedup: minhash signature map
+    "similarity_ann_lsh",        # similarity: projection matmul
+    "similarity_ivf",            # similarity: cell-assign map
+    "doc_quality_pandas_udf",    # text: scalar pandas_udf
+    "doc_fingerprint",           # text: rolling-hash map
+    "grouped_demean",            # advanced: applyInPandas
+    "weighted_avg_pandas_udaf",  # advanced: pandas UDAF
+    "udtf_chunk_documents",      # advanced: UDTF
+    "embedding_gram_matrix",     # mining: partial-Gram mapInPandas
+]
+
+
+def test_arrow_udf_queries_work_from_neutral_cwd():
+    """Driver-contract regression, parametrized over the Arrow-UDF
+    checklist: worker closures referencing module-level helpers are
+    pickled BY REFERENCE, so the package must reach the Python
+    workers via addPyFile — running pytest from the repo root masks
+    this (workers inherit the cwd).  Reproduce the driver's
+    condition: vanilla session, cwd=/tmp, package only on the
+    DRIVER's sys.path.  One subprocess runs the whole checklist
+    (session startup dominates; per-query cost at smoke scale is
+    small)."""
     import subprocess
     import sys
 
+    names = ",".join(ARROW_UDF_QUERIES)
     code = (
         "import sys; sys.path.insert(0, '/root/repo')\n"
         "from pyspark.sql import SparkSession\n"
         "spark = SparkSession.builder.master('local[2]').getOrCreate()\n"
         "spark.sparkContext.setLogLevel('ERROR')\n"
         "from dados_publicos_etl_spark.plans import QUERIES, catalog\n"
-        "n = QUERIES['image_neardup_dhash'].fn(spark, '/root/testdata/sf0.001').count()\n"
-        "m = QUERIES['video_scene_detect'].fn(spark, '/root/testdata/sf0.001').count()\n"
-        "print('OK', n, m)\n"
+        f"names = '{names}'.split(',')\n"
+        f"sf = '{SF_SMOKE}'\n"
+        "bad = []\n"
+        "for n in names:\n"
+        "    try:\n"
+        "        QUERIES[n].fn(spark, sf).count()\n"
+        "    except Exception as e:\n"
+        "        bad.append((n, str(e)[:200]))\n"
+        "print('FAILED', bad) if bad else print('OK', len(names))\n"
     )
     out = subprocess.run(
         [sys.executable, "-c", code],
         cwd="/tmp",
         capture_output=True,
         text=True,
-        timeout=300,
+        timeout=600,
         env={
             k: v
             for k, v in __import__("os").environ.items()
             if k != "PYTHONPATH"
         },
     )
-    assert "OK" in out.stdout, out.stderr[-2000:]
+    assert f"OK {len(ARROW_UDF_QUERIES)}" in out.stdout, (
+        out.stdout[-2000:] + out.stderr[-2000:]
+    )
 
 
 def test_ivf_append_equals_full_rebuild(spark, tmp_path):
@@ -925,7 +1040,7 @@ def test_ivf_append_equals_full_rebuild(spark, tmp_path):
         probe_ivf_index,
     )
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF_CORRECT
     emb = read_table(spark, sf, "embeddings").select("vec_id", "embedding")
     snapshot = emb.filter("vec_id % 5 != 0")
     increment = emb.filter("vec_id % 5 = 0")
@@ -1037,7 +1152,7 @@ def test_ivf_balance_report_flags_skewed_appends(spark, tmp_path):
         write_ivf_index,
     )
 
-    sf = "/root/testdata/sf0.01"
+    sf = SF_CORRECT
     emb = read_table(spark, sf, "embeddings").select("vec_id", "embedding")
     path = str(tmp_path / "idx")
     centroids = write_ivf_index(emb, path, n_cells=16)
@@ -1068,7 +1183,7 @@ def test_geo_grid_join_equals_brute_force(spark):
 
     import numpy as np
 
-    sf = "/root/testdata/sf0.001"
+    sf = SF_SMOKE
     rows = QUERIES["geo_proximity_join"].fn(spark, sf).collect()
     got = {(r.id_a, r.id_b) for r in rows}
     # brute force over the same deterministic coordinates

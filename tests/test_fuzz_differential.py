@@ -23,7 +23,9 @@ from oracle_harness import compare
 
 from pyspark.sql import functions as F
 
-SF_DIR = "/root/testdata/sf0.001"
+from tests.conftest import SF_SMOKE
+
+SF_DIR = SF_SMOKE
 
 _NUM_COLS = ["l_quantity", "l_extendedprice", "l_discount", "l_tax"]
 _STR_COLS = ["l_returnflag", "l_linestatus"]
@@ -430,3 +432,80 @@ def test_random_subquery_predicates_match_duckdb(spark, lpred, opred, form):
     read_table(spark, SF_DIR, "lineitem").createOrReplaceTempView("lineitem")
     read_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
     compare(spark.sql(sql), sql, SF_DIR)
+
+
+# dimension 9: set operations x per-engine date-function rendering.
+# Spark and DuckDB spell date arithmetic differently (date_add vs
+# + INTERVAL), so this dimension renders the SAME logical expression
+# per engine — the first fuzz family where the two SQL texts differ.
+_DATE_FNS = {
+    # name -> (spark renderer, duckdb renderer); n is the free knob
+    "shift_days": (
+        lambda n: f"date_add(CAST(o_orderdate AS DATE), {n})",
+        lambda n: (
+            "CAST(CAST(o_orderdate AS DATE)"
+            f" + ({n}) * INTERVAL 1 DAY AS DATE)"
+        ),
+    ),
+    "add_months": (
+        lambda n: f"add_months(CAST(o_orderdate AS DATE), {n})",
+        lambda n: (
+            "CAST(CAST(o_orderdate AS DATE)"
+            f" + ({n}) * INTERVAL 1 MONTH AS DATE)"
+        ),
+    ),
+    "trunc_month": (
+        lambda n: "trunc(CAST(o_orderdate AS DATE), 'MM')",
+        lambda n: "CAST(date_trunc('month', o_orderdate) AS DATE)",
+    ),
+    "last_day": (
+        lambda n: "last_day(CAST(o_orderdate AS DATE))",
+        lambda n: "last_day(CAST(o_orderdate AS DATE))",
+    ),
+}
+
+
+@_FUZZ
+@given(
+    pred_a=order_predicates(),
+    pred_b=order_predicates(),
+    setop=st.sampled_from(
+        ["UNION", "UNION ALL", "INTERSECT", "EXCEPT",
+         "INTERSECT ALL", "EXCEPT ALL"]
+    ),
+    fn=st.sampled_from(sorted(_DATE_FNS)),
+    n=st.integers(-45, 45),
+)
+def test_random_set_ops_with_dates_match_duckdb(
+    spark, pred_a, pred_b, setop, fn, n
+):
+    """Set-operation sweep over date-derived keys: INTERSECT/EXCEPT/
+    UNION (and their ALL multiset forms) between two randomly
+    predicated scans of orders, keyed on a per-engine-rendered date
+    expression — distinct-vs-multiset semantics, date arithmetic
+    month-end clamping (add_months / + INTERVAL MONTH), and
+    trunc/last_day edge dates must agree exactly across engines."""
+    render_spark, render_duck = _DATE_FNS[fn]
+    sd, dd = render_spark(n), render_duck(n)
+
+    def body(dexpr, datefmt):
+        # render the date key as an ISO string IN the query: pandas
+        # has no date dtype, so a raw DATE column round-trips as
+        # datetime64 from DuckDB but object(date) from Spark and the
+        # exact comparison would diff on formatting, not semantics
+        return (
+            f"SELECT {datefmt.format(d=dexpr)} AS d, "
+            f"o_orderpriority AS prio "
+            f"FROM orders WHERE {pred_a} "
+            f"{setop} "
+            f"SELECT {datefmt.format(d=dexpr)} AS d, "
+            f"o_orderpriority AS prio "
+            f"FROM orders WHERE {pred_b}"
+        )
+
+    read_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
+    compare(
+        spark.sql(body(sd, "date_format({d}, 'yyyy-MM-dd')")),
+        body(dd, "strftime({d}, '%Y-%m-%d')"),
+        SF_DIR,
+    )

@@ -26,7 +26,9 @@ from dados_publicos_etl_spark.plans import QUERIES
 from dados_publicos_etl_spark.plans import catalog  # noqa: F401  (registers queries)
 
 GOLDEN_DIR = os.path.join(os.path.dirname(__file__), "golden")
-GOLDEN_SF_DIR = "/root/testdata/sf0.01"
+from tests.conftest import SF_CORRECT
+
+GOLDEN_SF_DIR = SF_CORRECT
 
 SEEDED_QUERIES = [
     "dedup_minhash_lsh",

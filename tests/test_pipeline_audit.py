@@ -29,7 +29,7 @@ def test_monitoring_row_schema_and_sink(spark, tmp_path):
         spark,
         nm_project="dados-publicos",
         step="raw",
-        path="/root/testdata/sf0.001/nation.parquet",
+        path=f"{SF_SMOKE}/nation.parquet",
         sink_path=str(tmp_path / "monitoring"),
     )
     assert (res.qtd_files, res.qtd_rows) == (1, 25)
