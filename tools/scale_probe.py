@@ -45,6 +45,17 @@ PROBE = [
     # near-linear ratios here mean the bucket/cell bounding holds.
     "dedup_minhash_lsh", "dedup_simhash", "similarity_ann_lsh",
     "similarity_ivf", "n_hop_reachability",
+    # round-5 family widening: every catalog family has a probe row
+    "retention_cohorts",           # window/event analytics
+    "dq_report",                   # data quality (multi-table audit)
+    "neyman_allocation_sample",    # sampling (moments + broadcast)
+    "tfidf_top_terms",             # text (two-level agg)
+    "nb_classifier_train_score",   # classify (train GROUP BY + score)
+    "multimodal_features",         # multimodal (Arrow decode path)
+    "stream_topk_windows",         # streaming (stateful upsert loop)
+    "bitmap_distinct_count",       # advanced (mergeable bitmap aggs)
+    "weighted_sample_aes",         # weighted reservoir
+    "fuzzy_match_customers",       # record linkage (blocked join)
 ]
 
 
