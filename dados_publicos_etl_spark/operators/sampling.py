@@ -537,3 +537,91 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_sampled"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe dataset split (near-dup-component-aware)
+# ---------------------------------------------------------------------------
+
+def _leakage_split_oracle() -> str:
+    from dados_publicos_etl_spark.functions.text import duck_shingles_sql
+    from dados_publicos_etl_spark.operators.graph import _THRESH
+
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {duck_shingles_sql("text")} AS sh FROM documents
+    ), blocked AS (
+      SELECT doc_id, sh, list_min(sh) AS blk FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) >= {_THRESH}
+    ), edges AS (
+      SELECT src AS a, dst AS b FROM pairs
+      UNION SELECT dst, src FROM pairs
+    ), reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+    ), labels AS (
+      SELECT n AS doc_id, MIN(m) AS label FROM reach GROUP BY n
+    ), grouped AS (
+      SELECT d.doc_id,
+             COALESCE(l.label, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, group_key,
+           CASE WHEN bucket < 80 THEN 'train'
+                WHEN bucket < 90 THEN 'valid'
+                ELSE 'test' END AS split
+    FROM (
+      SELECT doc_id, group_key,
+             CAST(('0x' || substr(md5(CAST(group_key AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 100 AS bucket
+      FROM grouped
+    )
+    """
+
+
+@query(
+    "split_leakage_safe",
+    oracle=_leakage_split_oracle(),
+    description="Leakage-safe train/valid/test split: the split key "
+    "is the document's NEAR-DUP COMPONENT (min-label over the "
+    "blocked exact-Jaccard pair graph), not the document id — so a "
+    "near-duplicate pair can never straddle train and test, the "
+    "contamination mode that inflates eval scores when test "
+    "documents have training near-copies (the Lee et al. "
+    "deduplication finding).  Singleton docs key on themselves; "
+    "membership is the deterministic md5 bucket (80/10/10).  "
+    "Oracle: recursive-CTE transitive closure + the same md5 "
+    "arithmetic.  Reuses the session-cached pair graph, so the "
+    "marginal cost over dedup_components is one broadcast-ready "
+    "left join + a hash projection.",
+)
+def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.operators.graph import (
+        connected_components,
+        near_dup_pair_graph,
+    )
+
+    pairs = near_dup_pair_graph(spark, sf_dir)
+    comps = connected_components(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    group = F.coalesce("label", "doc_id")
+    bucket = hash_bucket(group, 100)
+    return (
+        docs.join(comps, "doc_id", "left")
+        .select(
+            "doc_id",
+            group.alias("group_key"),
+            F.when(bucket < 80, "train")
+            .when(bucket < 90, "valid")
+            .otherwise("test")
+            .alias("split"),
+        )
+    )

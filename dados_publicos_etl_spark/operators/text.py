@@ -664,3 +664,228 @@ def lexical_logodds_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("log_odds"), "term")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# BPE tokenizer training (merge-rule learning at corpus scale)
+# ---------------------------------------------------------------------------
+
+_BPE_ROUNDS = 6
+
+
+def _bpe_oracle() -> str:
+    """The BPE merge recurrence unrolled into a CTE chain (same
+    precedent as the PageRank oracle): each round counts adjacent
+    symbol pairs over the CURRENT vocab segmentation, picks the
+    (count DESC, pair ASC) argmax, and rewrites every word's
+    segmentation with the double-space boundary-safe replace that
+    exactly reproduces greedy left-to-right BPE merging."""
+    parts = ["""
+    WITH w0 AS (
+      SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
+             array_to_string(string_split(word, ''), ' ') AS seq
+      FROM (SELECT unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+            AS word FROM documents)
+      GROUP BY word
+    )"""]
+    for r in range(1, _BPE_ROUNDS + 1):
+        prev = f"w{r - 1}"
+        parts.append(f""",
+    p{r} AS (
+      SELECT u.p[1] AS a, u.p[2] AS b, CAST(SUM(freq) AS BIGINT) AS cnt
+      FROM (SELECT freq, string_split(seq, ' ') AS toks FROM {prev}) s,
+           (SELECT unnest(list_zip(s.toks[1:len(s.toks)-1],
+                                   s.toks[2:len(s.toks)])) AS p) u
+      GROUP BY a, b
+    ),
+    m{r} AS (SELECT a, b, cnt FROM p{r} ORDER BY cnt DESC, a, b LIMIT 1),
+    w{r} AS (
+      SELECT word, freq,
+             trim(regexp_replace(
+               replace(' ' || replace(seq, ' ', '  ') || ' ',
+                       ' ' || m.a || '  ' || m.b || ' ',
+                       ' ' || m.a || m.b || ' '),
+               ' +', ' ', 'g')) AS seq
+      FROM {prev} CROSS JOIN m{r} m
+    )""")
+    sel = " UNION ALL ".join(
+        f"SELECT {r} AS merge_rank, a || ' ' || b AS pair, "
+        f"a || b AS new_token, cnt AS pair_count FROM m{r}"
+        for r in range(1, _BPE_ROUNDS + 1)
+    )
+    parts.append(
+        f"\n    SELECT CAST(merge_rank AS INT) AS merge_rank, pair, "
+        f"new_token, pair_count FROM ({sel}) ORDER BY merge_rank"
+    )
+    return "".join(parts)
+
+
+@query(
+    "bpe_train_merges",
+    oracle=_bpe_oracle(),
+    description=f"BPE tokenizer TRAINING at corpus scale: learn the "
+    f"first {_BPE_ROUNDS} merge rules over the corpus vocabulary — "
+    "each round one pair-count aggregate over the (distinct-word, "
+    "frequency) table, a 1-row argmax collected to the driver "
+    "(O(1) scalar, the same pattern as PageRank's node count), and "
+    "a boundary-safe segmentation rewrite pushed back down as a "
+    "Catalyst string expression.  The corpus reduces to its VOCAB "
+    "after one shuffle (freq-weighted pair counts make word "
+    "multiplicity free), so round cost scales with distinct words, "
+    "not tokens — the property that makes BPE training feasible at "
+    "100 TB.  Oracle: the recurrence unrolled into CTEs; the "
+    "double-space replace trick reproduces greedy left-to-right "
+    "merging exactly (pytest pins it against a canonical pure-"
+    "Python BPE).",
+)
+def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Learn BPE merges: vocab = word->freq (one GROUP BY), then per
+    round: explode adjacent symbol pairs of each word's current
+    segmentation weighted by freq, argmax (count DESC, pair ASC),
+    rewrite segmentations.  The rewrite pads token boundaries with
+    doubled spaces so ' a  b ' matches are non-overlapping BUT
+    adjacent merge sites each keep their own boundary space —
+    replace() left-to-right semantics then equals canonical greedy
+    BPE ('a a a a' -> 'aa aa', 'a a a' -> 'aa a')."""
+    docs = read_table(spark, sf_dir, "documents")
+    words = docs.select(
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            "freq",
+            F.array_join(F.split("word", ""), " ").alias("seq"),
+        )
+        .localCheckpoint()
+    )
+    merges = []
+    for r in range(1, _BPE_ROUNDS + 1):
+        s = vocab.select("freq", F.split("seq", " ").alias("toks"))
+        n1 = F.size("toks") - 1
+        pairs = s.select(
+            "freq",
+            F.explode(
+                F.zip_with(
+                    F.slice("toks", 1, n1),
+                    F.slice("toks", 2, n1),
+                    lambda a, b: F.struct(a.alias("a"), b.alias("b")),
+                )
+            ).alias("p"),
+        )
+        top = (
+            pairs.groupBy(
+                F.col("p.a").alias("a"), F.col("p.b").alias("b")
+            )
+            .agg(F.sum("freq").alias("cnt"))
+            .orderBy(F.desc("cnt"), "a", "b")
+            .limit(1)
+            .collect()
+        )
+        if not top:
+            break
+        a, b, cnt = top[0]["a"], top[0]["b"], top[0]["cnt"]
+        merges.append((r, f"{a} {b}", a + b, cnt))
+        padded = F.concat(
+            F.lit(" "),
+            F.replace(F.col("seq"), F.lit(" "), F.lit("  ")),
+            F.lit(" "),
+        )
+        vocab = vocab.select(
+            "word",
+            "freq",
+            F.trim(
+                F.regexp_replace(
+                    F.replace(
+                        padded,
+                        F.lit(f" {a}  {b} "),
+                        F.lit(f" {a}{b} "),
+                    ),
+                    " +",
+                    " ",
+                )
+            ).alias("seq"),
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, pair string, new_token string, "
+        "pair_count bigint",
+    )
+
+
+# ---------------------------------------------------------------------------
+# Compression-ratio quality signal (Gopher-style repetitiveness filter)
+# ---------------------------------------------------------------------------
+
+# Gopher-style keep band: below the floor the text is pathologically
+# repetitive (compresses too well); above the ceiling it is
+# noise-like (low redundancy for its length — random ASCII tops out
+# near 0.76, natural language sits around 0.3-0.5).  The band only
+# means anything once the document is long enough that DEFLATE's
+# fixed overhead (~tens of bytes) stops dominating the ratio — short
+# docs pass through unflagged.
+_ZRATIO_LO, _ZRATIO_HI = 0.25, 0.70
+_ZRATIO_MIN_BYTES = 500
+
+
+@query(
+    "compression_ratio_quality",
+    oracle=None,  # zlib is not SQL-expressible; the output is
+    # deterministic for a fixed zlib level, so it is golden-pinned
+    # (tests/golden) and property-tested (planted repetitive vs
+    # noise docs land on the correct side of the band)
+    description="Compression-ratio quality signal: per-document "
+    "DEFLATE ratio (zlib level 6) as the cheap, language-agnostic "
+    "repetitiveness/noise detector used by large-corpus quality "
+    "pipelines — highly repetitive text compresses far below the "
+    f"natural-language band ([{_ZRATIO_LO}, {_ZRATIO_HI}]), random "
+    "noise sits above it; documents under "
+    f"{_ZRATIO_MIN_BYTES} bytes pass unflagged (DEFLATE overhead "
+    "dominates their ratio).  One Arrow mapInPandas pass (narrow, "
+    "no shuffle): compressing a few KB per document is the cheapest "
+    "whole-document signal there is, and it needs no model or "
+    "vocabulary.",
+)
+def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-doc zlib compression ratio + keep flag; Arrow-batched."""
+    import pandas as pd
+
+    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+
+    def comp(batches):
+        import zlib
+
+        for pdf in batches:
+            raw = [t.encode("utf-8") for t in pdf["text"]]
+            n_raw = [len(b) for b in raw]
+            n_comp = [len(zlib.compress(b, 6)) for b in raw]
+            ratio = [
+                round(c / r, 6) if r else 1.0
+                for c, r in zip(n_comp, n_raw)
+            ]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"],
+                    "n_bytes": pd.Series(n_raw, dtype="int64"),
+                    "n_compressed": pd.Series(n_comp, dtype="int64"),
+                    "ratio": pd.Series(ratio, dtype="float64"),
+                    "keep": pd.Series(
+                        [
+                            n < _ZRATIO_MIN_BYTES
+                            or _ZRATIO_LO <= x <= _ZRATIO_HI
+                            for n, x in zip(n_raw, ratio)
+                        ],
+                        dtype="bool",
+                    ),
+                }
+            )
+
+    return docs.mapInPandas(
+        comp,
+        "doc_id long, n_bytes long, n_compressed long, "
+        "ratio double, keep boolean",
+    )

@@ -935,3 +935,102 @@ def json_quarantine(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         F.sum(F.coalesce(F.col("p.k"), F.lit(0))).alias("sum_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Two-pass exact heavy hitters (Misra-Gries candidates -> exact recount)
+# ---------------------------------------------------------------------------
+
+_HH_K = 700  # report items with frequency > N/_HH_K
+
+
+@query(
+    "heavy_hitters_exact",
+    oracle=f"""
+    WITH d AS (
+      SELECT regexp_extract_all(lower(text), '[a-z0-9]+') AS ws
+      FROM documents
+    ), b AS (
+      SELECT u.p[1] || ' ' || u.p[2] AS bigram
+      FROM d, (SELECT unnest(list_zip(ws[1:len(ws)-1], ws[2:len(ws)]))
+               AS p) u
+    ), c AS (
+      SELECT bigram, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM b GROUP BY bigram
+    ), t AS (SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM c)
+    SELECT c.bigram, c.cnt, t.n AS n_total
+    FROM c CROSS JOIN t
+    WHERE c.cnt * {_HH_K} > t.n
+    """,
+    description=f"Exact heavy hitters over word bigrams, the standard "
+    "two-pass shape for 100 TB frequency mining: pass 1 runs a "
+    f"Misra-Gries summary with {_HH_K} counters PER PARTITION inside "
+    "an Arrow batch iterator (bounded memory however large or skewed "
+    "the partition; the union of per-partition candidates provably "
+    "contains every item with global frequency > N/k, by the "
+    "averaging argument), pass 2 exactly recounts ONLY the "
+    "candidates via a broadcast semi-join and keeps those above "
+    "threshold — so the output is EXACT (count and membership), "
+    "never sketch-approximate, while the full-key shuffle of a "
+    "naive global GROUP BY over a heavy-tailed key space is "
+    "replaced by one bounded-size candidate list.",
+)
+def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Misra-Gries two-pass heavy hitters.
+
+    Plan shape: bigram explode -> mapInPandas MG summary (one
+    candidate row per counter per partition) -> distinct candidate
+    list (tiny: <= k * n_partitions) -> broadcast semi-join back
+    onto the bigram stream -> exact GROUP BY of candidates only.
+    The N total is a 1-row aggregate cross-joined broadcast (same
+    scalar pattern as dq_report).
+    """
+    from typing import Iterator
+
+    docs = read_table(spark, sf_dir, "documents")
+    ws = F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+    toks = docs.select(ws.alias("ws"))
+    n_1 = F.size("ws") - 1
+    bigrams = toks.select(
+        F.explode(
+            F.zip_with(
+                F.slice("ws", 1, n_1),
+                F.slice("ws", 2, n_1),
+                lambda a, b: F.concat_ws(" ", a, b),
+            )
+        ).alias("bigram")
+    )
+
+    def mg_partition(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # classic Misra-Gries: k counters; decrement-all on overflow.
+        # Emitted keys are a SUPERSET of partition-heavy items; exact
+        # counts come from pass 2, so undercounting here is fine.
+        counters: dict = {}
+        for pdf in batches:
+            for g in pdf["bigram"]:
+                if g in counters:
+                    counters[g] += 1
+                elif len(counters) < _HH_K:
+                    counters[g] = 1
+                else:
+                    dead = [key for key in counters
+                            if counters[key] == 1]
+                    for key in counters:
+                        counters[key] -= 1
+                    for key in dead:
+                        del counters[key]
+        yield pd.DataFrame({"bigram": list(counters.keys())})
+
+    candidates = (
+        bigrams.mapInPandas(mg_partition, schema="bigram string")
+        .distinct()
+    )
+    total = bigrams.agg(F.count(F.lit(1)).alias("n_total"))
+    return (
+        bigrams.join(F.broadcast(candidates), "bigram", "left_semi")
+        .groupBy("bigram")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .crossJoin(F.broadcast(total))
+        .filter(F.col("cnt") * _HH_K > F.col("n_total"))
+        .select("bigram", "cnt", "n_total")
+    )

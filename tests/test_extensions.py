@@ -977,6 +977,8 @@ ARROW_UDF_QUERIES = [
     "weighted_avg_pandas_udaf",  # advanced: pandas UDAF
     "udtf_chunk_documents",      # advanced: UDTF
     "embedding_gram_matrix",     # mining: partial-Gram mapInPandas
+    "heavy_hitters_exact",       # advanced: Misra-Gries mapInPandas
+    "compression_ratio_quality", # text: zlib mapInPandas
 ]
 
 
@@ -1231,3 +1233,125 @@ def test_wav_build_parse_roundtrip_exact():
     broken_fmt = bytearray(wav)
     broken_fmt[20] = 9  # fmt_tag != 1 (non-PCM)
     assert parse_wav(bytes(broken_fmt)) is None
+
+
+def test_bpe_merges_equal_canonical_python_bpe(spark):
+    """The double-space replace trick in bpe_train_merges claims to
+    reproduce canonical greedy left-to-right BPE merging exactly —
+    pin that against a pure-Python reference implementation run on
+    the same (word, freq) vocabulary."""
+    from collections import Counter
+    import re
+
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.operators.text import _BPE_ROUNDS
+
+    sf = SF_CORRECT
+    got = [
+        tuple(r)
+        for r in QUERIES["bpe_train_merges"].fn(spark, sf).collect()
+    ]
+
+    docs = read_table(spark, sf, "documents").select("text").collect()
+    vocab: Counter = Counter()
+    for r in docs:
+        vocab.update(re.findall(r"[a-z0-9]+", r.text.lower()))
+
+    seqs = {w: list(w) for w in vocab}
+    merges = []
+    for rank in range(1, _BPE_ROUNDS + 1):
+        cnt: Counter = Counter()
+        for w, f in vocab.items():
+            s = seqs[w]
+            for i in range(len(s) - 1):
+                cnt[(s[i], s[i + 1])] += f
+        if not cnt:
+            break
+        (a, b), c = sorted(cnt.items(), key=lambda kv: (-kv[1], kv[0]))[0]
+        merges.append((rank, f"{a} {b}", a + b, c))
+        for w in seqs:  # canonical greedy left-to-right merge
+            s = seqs[w]
+            out, i = [], 0
+            while i < len(s):
+                if i + 1 < len(s) and s[i] == a and s[i + 1] == b:
+                    out.append(a + b)
+                    i += 2
+                else:
+                    out.append(s[i])
+                    i += 1
+            seqs[w] = out
+    assert got == merges
+
+
+def test_leakage_safe_split_never_straddles_neardup_pairs(spark):
+    """The operator's whole point: no near-dup pair may have its two
+    members in different splits (the straddle is eval
+    contamination).  Check every edge of the pair graph lands within
+    one split, and that the naive doc-id split WOULD have straddled
+    at least one pair (i.e. the test has teeth on this corpus)."""
+    from dados_publicos_etl_spark.operators.graph import near_dup_pair_graph
+
+    sf = SF_CORRECT
+    split = {
+        r.doc_id: r.split
+        for r in QUERIES["split_leakage_safe"].fn(spark, sf).collect()
+    }
+    pairs = [
+        (r.src, r.dst) for r in near_dup_pair_graph(spark, sf).collect()
+    ]
+    assert pairs, "fixture should contain near-dup pairs"
+    assert all(split[a] == split[b] for a, b in pairs)
+    # teeth: the doc-id hash split straddles at least one pair
+    import hashlib
+
+    def naive_split(doc_id):
+        b = int(hashlib.md5(str(doc_id).encode()).hexdigest()[:8], 16) % 100
+        return "train" if b < 80 else ("valid" if b < 90 else "test")
+
+    assert any(naive_split(a) != naive_split(b) for a, b in pairs)
+
+
+def test_compression_ratio_flags_planted_extremes(spark):
+    """Property check behind the golden pin: a pathologically
+    repetitive document compresses below the keep band, random noise
+    sits above it, a short doc passes regardless (DEFLATE overhead
+    dominates its ratio), and ordinary corpus text lands inside."""
+    import random
+    import string
+
+    import pandas as pd
+
+    from dados_publicos_etl_spark.operators.text import (
+        _ZRATIO_HI,
+        _ZRATIO_LO,
+        _ZRATIO_MIN_BYTES,
+    )
+
+    rng = random.Random(11)
+    noise = "".join(
+        rng.choice(string.ascii_letters + string.digits + " ")
+        for _ in range(4000)
+    )
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3], dtype="int64"),
+            "text": ["spam ham " * 500, noise, "hi"],
+        }
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        pdf.to_parquet(f"{d}/documents.parquet")
+        rows = {
+            r.doc_id: r
+            for r in QUERIES["compression_ratio_quality"]
+            .fn(spark, d)
+            .collect()
+        }
+    assert rows[1].ratio < _ZRATIO_LO and not rows[1].keep
+    assert rows[2].ratio > _ZRATIO_HI and not rows[2].keep
+    assert rows[3].n_bytes < _ZRATIO_MIN_BYTES and rows[3].keep
+
+    corpus = QUERIES["compression_ratio_quality"].fn(spark, SF_CORRECT)
+    kept = corpus.filter("keep").count()
+    assert kept / corpus.count() > 0.95

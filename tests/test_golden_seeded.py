@@ -47,6 +47,7 @@ SEEDED_QUERIES = [
     "image_neardup_dhash",   # deterministic synth images + dHash (round 4)
     "video_scene_detect",    # planted scene cuts, frame-diff detection (round 4)
     "contrastive_pair_mining",  # LSH-bucket positives/hard-negatives (round 4)
+    "compression_ratio_quality",  # zlib level-6 ratios, deterministic (round 5)
 ]
 
 
