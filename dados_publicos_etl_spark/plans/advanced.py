@@ -1034,3 +1034,145 @@ def heavy_hitters_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("cnt") * _HH_K > F.col("n_total"))
         .select("bigram", "cnt", "n_total")
     )
+
+
+# ---------------------------------------------------------------------------
+# Global row numbering without a single-partition sort
+# ---------------------------------------------------------------------------
+
+_GRN_PARTS = 16
+
+
+@query(
+    "global_row_number",
+    oracle="""
+    SELECT o_orderkey,
+           CAST(ROW_NUMBER() OVER (ORDER BY o_totalprice DESC,
+                                   o_orderkey) AS BIGINT) AS rn
+    FROM orders
+    WHERE o_orderpriority = '1-URGENT'
+    """,
+    description="Global row numbering over a total order WITHOUT the "
+    "naive plan's fatal flaw: ROW_NUMBER() OVER (ORDER BY ...) with "
+    "no PARTITION BY collapses the whole table into ONE task — the "
+    "classic 100 TB killer.  Instead: repartitionByRange on the sort "
+    "key (ranges are globally ordered), materialize the layout, "
+    "count rows per range partition (a P-row driver scalar), convert "
+    "to cumulative offsets, and add each partition's offset to its "
+    "LOCAL row_number — every partition ranks independently, the "
+    "only global step is the P-row offset scan.  The same shape "
+    "implements deterministic zipWithIndex / global ranking / "
+    "percentile id assignment at any scale.",
+)
+def global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range-partitioned global row_number.
+
+    The layout is localCheckpoint-materialized so the offset-count
+    job and the ranking job read the SAME physical partitioning
+    (repartitionByRange samples range boundaries; two independent
+    executions could draw different bounds).  On a cluster, persist
+    the ranged layout to storage instead — same two-job shape.
+    """
+    from pyspark.sql import Window as W
+
+    orders = (
+        read_table(spark, sf_dir, "orders")
+        .filter(F.col("o_orderpriority") == "1-URGENT")
+        .select("o_orderkey", "o_totalprice")
+    )
+    ranged = (
+        orders.repartitionByRange(
+            _GRN_PARTS, F.desc("o_totalprice"), "o_orderkey"
+        )
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        ranged.groupBy("pid").count().collect(), key=lambda r: r.pid
+    )
+    offsets, acc = [], 0
+    for r in counts:
+        offsets.append((r.pid, acc))
+        acc += r["count"]
+    off = spark.createDataFrame(offsets, "pid int, off long")
+    w = W.partitionBy("pid").orderBy(
+        F.desc("o_totalprice"), "o_orderkey"
+    )
+    return (
+        ranged.withColumn("rn_local", F.row_number().over(w))
+        .join(F.broadcast(off), "pid")
+        .select(
+            "o_orderkey",
+            (F.col("rn_local") + F.col("off")).cast("long").alias("rn"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency audit (profiling: does det -> dep hold?)
+# ---------------------------------------------------------------------------
+
+# (determinant, dependent) candidates over lineitem: the PK-ish key
+# determines everything; part does NOT determine supplier (multi-
+# sourced parts) — the audit quantifies, not assumes.
+_FD_CANDIDATES = [
+    ("l_orderkey", "l_returnflag"),
+    ("l_partkey", "l_suppkey"),
+    ("l_suppkey", "l_linestatus"),
+    ("l_orderkey", "l_linestatus"),
+]
+
+
+def _fd_oracle() -> str:
+    parts = []
+    for det, dep in _FD_CANDIDATES:
+        parts.append(f"""
+    SELECT '{det}' AS det_col, '{dep}' AS dep_col,
+           CAST(COUNT(*) AS BIGINT) AS n_groups,
+           CAST(SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           SUM(CASE WHEN c > 1 THEN 1 ELSE 0 END) = 0 AS holds
+    FROM (SELECT {det}, COUNT(DISTINCT {dep}) AS c
+          FROM lineitem GROUP BY {det})""")
+    return " UNION ALL ".join(parts)
+
+
+@query(
+    "fd_discovery",
+    oracle=_fd_oracle(),
+    description="Functional-dependency audit (schema profiling, the "
+    "Metanome/data-catalog primitive): for each candidate det->dep "
+    "pair, count determinant groups carrying >1 distinct dependent "
+    "value — holds/violation stats that drive normalization, "
+    "dedup-key choice, and CDC key validation.  Each candidate is "
+    "one partial-aggregated GROUP BY over two columns (column-"
+    "pruned scan); candidates union into a rows-per-candidate "
+    "report, O(candidates) output at any corpus size.",
+)
+def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    outs = []
+    for det, dep in _FD_CANDIDATES:
+        g = li.groupBy(det).agg(
+            F.countDistinct(dep).alias("c")
+        )
+        outs.append(
+            g.agg(
+                F.lit(det).alias("det_col"),
+                F.lit(dep).alias("dep_col"),
+                F.count(F.lit(1)).alias("n_groups"),
+                F.sum(F.when(F.col("c") > 1, 1).otherwise(0)).alias(
+                    "n_violating"
+                ),
+            ).select(
+                "det_col",
+                "dep_col",
+                "n_groups",
+                "n_violating",
+                (F.col("n_violating") == 0).alias("holds"),
+            )
+        )
+    res = outs[0]
+    for o in outs[1:]:
+        res = res.unionByName(o)
+    return res

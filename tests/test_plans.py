@@ -195,11 +195,14 @@ def test_histogram_partial_agg_and_tiny_window(spark, sf_dir):
 def test_pagerank_final_plan_broadcasts_ranks(spark, sf_dir):
     """The 5-iteration loop stays LAZY (each round's rank table is
     materialized exactly once by its broadcast exchange inside the one
-    final job): the plan must read the checkpointed edge/node tables
-    (ExistingRDD), join every rank table as a broadcast (the edge
-    table never re-shuffles), and top-k via TakeOrderedAndProject."""
+    final job): the plan must read the session-cached parquet
+    edge/node tables (built once per corpus — round 5 moved the
+    cache from localCheckpoint blocks to disk so it survives bench
+    unpersist hygiene), join every rank table as a broadcast (the
+    edge table never re-shuffles), and top-k via
+    TakeOrderedAndProject."""
     plan = _plan(QUERIES["pagerank_suppliers"].fn(spark, sf_dir))
-    assert "ExistingRDD" in plan
+    assert "spark_pr_graph_" in plan  # cached graph parquet scan
     assert "TakeOrderedAndProject" in plan
     assert "BroadcastHashJoin" in plan
     # the only sanctioned shuffles are the per-round contribution
@@ -459,6 +462,7 @@ def test_geo_proximity_join_is_equi_join(spark, sf_dir):
 _BNLJ_OK = {
     "benford_audit",       # 1-row total
     "dq_report",           # scalar stats row
+    "heavy_hitters_exact",  # 1-row N-total crossJoin onto candidates
     "nb_classifier_train_score",  # |classes| = 5-row model table
     "psi_drift",           # 1-row totals
     "q11_important_stock",  # TPC-H scalar HAVING subquery
@@ -533,3 +537,22 @@ def test_proration_windows_share_one_partitioning(spark, sf_dir):
     assert "Window" in plan
     n_hash_exchanges = plan.count("Exchange hashpartitioning")
     assert n_hash_exchanges <= 2, plan
+
+
+def test_heavy_hitters_recount_is_broadcast_semi(spark, sf_dir):
+    """Pass 2 of the heavy-hitter shape must recount ONLY the
+    MG candidates: the candidate list joins back as a broadcast
+    LeftSemi (bounded list, no full-key shuffle before the filter)."""
+    plan = _plan(QUERIES["heavy_hitters_exact"].fn(spark, sf_dir))
+    assert "BroadcastHashJoin" in plan and "LeftSemi" in plan
+
+
+def test_global_row_number_avoids_single_partition_sort(spark, sf_dir):
+    """The whole point of the operator: the ranking window runs per
+    range-partition, never over a SinglePartition exchange (the
+    naive global ROW_NUMBER plan)."""
+    plan = _plan(QUERIES["global_row_number"].fn(spark, sf_dir))
+    assert "Window" in plan
+    assert "SinglePartition" not in plan
+    # the offset side is the broadcast
+    assert "BroadcastHashJoin" in plan
