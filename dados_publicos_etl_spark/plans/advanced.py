@@ -1176,3 +1176,89 @@ def fd_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o in outs[1:]:
         res = res.unionByName(o)
     return res
+
+
+# ---------------------------------------------------------------------------
+# Corrupt-file-tolerant scan (route-don't-crash at the FILE level)
+# ---------------------------------------------------------------------------
+
+# sf_dir -> TemporaryDirectory holding the copy-with-planted-corruption
+_CORRUPT_DIRS: dict[str, object] = {}
+
+
+def _corrupt_scan_dir(spark: SparkSession, sf_dir: str) -> str:
+    """A copy of documents.parquet plus one deliberately corrupt
+    parquet file (valid magic, garbage body — the torn-write /
+    truncated-upload artifact every 100 TB ingest eventually meets),
+    built once per (session, corpus)."""
+    import os
+    import shutil
+    import tempfile
+
+    hit = _CORRUPT_DIRS.get(sf_dir)
+    if hit is not None:
+        return hit.name
+    tmp = tempfile.TemporaryDirectory(prefix="spark_corrupt_scan_")
+    shutil.copy(
+        os.path.join(sf_dir, "documents.parquet"),
+        os.path.join(tmp.name, "part-000.parquet"),
+    )
+    with open(os.path.join(tmp.name, "part-bad.parquet"), "wb") as f:
+        # parquet magic + garbage: footer parse fails, row count is
+        # unrecoverable — exactly the shape ignoreCorruptFiles skips
+        f.write(b"PAR1" + b"\x00garbage\x00" * 64)
+    _CORRUPT_DIRS[sf_dir] = tmp
+    return tmp.name
+
+
+@query(
+    "scan_corrupt_tolerant",
+    oracle="""
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(1 AS BIGINT) AS n_corrupt_files
+    FROM documents
+    """,
+    description="File-level route-don't-crash: a landing zone with a "
+    "planted torn-write parquet (valid magic, unreadable footer) is "
+    "scanned with spark.sql.files.ignoreCorruptFiles — the job "
+    "completes, healthy files contribute every row, and the corrupt "
+    "file count is derived by differencing the directory listing "
+    "against distinct input_file_name() in the scan (the quarantine "
+    "listing an operator would route to a dead-letter bucket).  "
+    "Complements json_quarantine (row-level) one level down the "
+    "stack; without the conf one bad object fails a 100 TB job.",
+)
+def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import os
+
+    d = _corrupt_scan_dir(spark, sf_dir)
+    # the tolerance is a READ OPTION, not a session conf toggle: the
+    # returned DataFrame is lazy, so a conf set/restore around plan
+    # construction would be unwound before execution — the option is
+    # bound into the scan node and travels with the plan.  An
+    # explicit schema skips footer-driven inference, which would
+    # fail on the corrupt file before the option could apply.
+    scan = (
+        spark.read.option("ignoreCorruptFiles", "true")
+        .schema(
+            "doc_id long, text string, lang string, source string, "
+            "n_chars long"
+        )
+        .parquet(d)
+    )
+    per_file = (
+        scan.select(F.input_file_name().alias("f"))
+        .groupBy("f")
+        .agg(F.count(F.lit(1)).alias("n"))
+    )
+    stats = per_file.agg(
+        F.sum("n").alias("n_rows"),
+        F.count(F.lit(1)).alias("n_files_read"),
+    )
+    n_listed = len([x for x in os.listdir(d) if x.endswith(".parquet")])
+    return stats.select(
+        F.col("n_rows").cast("long"),
+        (F.lit(n_listed) - F.col("n_files_read"))
+        .cast("long")
+        .alias("n_corrupt_files"),
+    )

@@ -509,3 +509,37 @@ def test_random_set_ops_with_dates_match_duckdb(
         body(dd, "strftime({d}, '%Y-%m-%d')"),
         SF_DIR,
     )
+
+
+# dimension 10: aggregation grouped on per-engine-rendered date keys
+# (reuses dimension 9's renderers — GROUP BY pushes the rendered
+# expression through partial aggregation, a different plan shape
+# from the set-op scan).
+@_FUZZ
+@given(
+    pred=order_predicates(),
+    fn=st.sampled_from(sorted(_DATE_FNS)),
+    n=st.integers(-45, 45),
+)
+def test_random_date_key_aggregation_matches_duckdb(spark, pred, fn, n):
+    """Group-by over a date-derived key: per-engine date arithmetic
+    feeding a partial-aggregated GROUP BY with exact integer cents —
+    month-end clamping and trunc boundaries must bucket identically
+    across engines."""
+    render_spark, render_duck = _DATE_FNS[fn]
+
+    def body(dexpr, datefmt):
+        return (
+            f"SELECT {datefmt.format(d=dexpr)} AS d_key, "
+            "CAST(COUNT(*) AS BIGINT) AS n, "
+            "CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) "
+            "AS BIGINT) AS cents "
+            f"FROM orders WHERE {pred} GROUP BY d_key"
+        )
+
+    read_table(spark, SF_DIR, "orders").createOrReplaceTempView("orders")
+    compare(
+        spark.sql(body(render_spark(n), "date_format({d}, 'yyyy-MM-dd')")),
+        body(render_duck(n), "strftime({d}, '%Y-%m-%d')"),
+        SF_DIR,
+    )
