@@ -1832,3 +1832,162 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("cum_lift"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Integer-exact Lloyd k-means (differential-checked iterative ML)
+# ---------------------------------------------------------------------------
+
+_KM_K = 4
+_KM_ROUNDS = 3
+
+
+def _kmeans_oracle() -> str:
+    """Lloyd's recurrence unrolled into CTEs (the PageRank/BPE oracle
+    precedent): per round an argmin assignment (squared L2 over the
+    milli-quantized integer vectors, ties to the lowest cell) and an
+    integer half-away-from-zero mean update."""
+    k, rounds = _KM_K, _KM_ROUNDS
+    dist = (
+        "list_sum(list_transform(list_zip(q.v, c.c), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    parts = [f"""
+    WITH q AS (
+      SELECT vec_id,
+             list_transform(embedding,
+               x -> CAST(ROUND(CAST(x AS DOUBLE) * 1000, 0) AS BIGINT))
+               AS v
+      FROM embeddings
+    ), c0 AS (
+      SELECT vec_id AS cell, v AS c FROM q WHERE vec_id < {k}
+    )"""]
+    for r in range(1, rounds + 1):
+        parts.append(f""",
+    a{r} AS (
+      SELECT vec_id, v, cell, dist FROM (
+        SELECT q.vec_id, q.v, c.cell,
+               {dist} AS dist,
+               ROW_NUMBER() OVER (PARTITION BY q.vec_id
+                                  ORDER BY {dist}, c.cell) AS rk
+        FROM q CROSS JOIN c{r - 1} c
+      ) WHERE rk = 1
+    ),
+    s{r} AS (
+      SELECT cell, pos, CAST(SUM(val) AS BIGINT) AS s,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM (SELECT cell, unnest(v) AS val,
+                   generate_subscripts(v, 1) AS pos FROM a{r})
+      GROUP BY cell, pos
+    ),
+    c{r} AS (
+      SELECT cell,
+             list(CASE WHEN s >= 0 THEN (2*s + n) // (2*n)
+                       ELSE -((2*(-s) + n) // (2*n)) END
+                  ORDER BY pos) AS c
+      FROM s{r} GROUP BY cell
+    )""")
+    parts.append(f"""
+    SELECT a.cell,
+           CAST(COUNT(*) AS BIGINT) AS n_members,
+           CAST(SUM(a.dist) AS BIGINT) AS inertia,
+           CAST(MAX(cl.l1) AS BIGINT) AS centroid_l1
+    FROM a{rounds} a JOIN (
+      SELECT cell, list_sum(list_transform(c, x -> abs(x))) AS l1
+      FROM c{rounds}
+    ) cl ON a.cell = cl.cell
+    GROUP BY a.cell
+    """)
+    return "".join(parts)
+
+
+@query(
+    "kmeans_lloyd_exact",
+    oracle=_kmeans_oracle(),
+    description=f"Integer-EXACT Lloyd k-means (k={_KM_K}, "
+    f"{_KM_ROUNDS} rounds) over milli-quantized embeddings — the "
+    "iterative-ML differential completing the PageRank/BPE family: "
+    "assignment is an argmin of exact int64 squared L2 against a "
+    "BROADCAST k-row centroid table (ties to the lowest cell), the "
+    "update is an integer half-away-from-zero mean via posexplode + "
+    "(cell, dim) partial aggregation — no float accumulation "
+    "anywhere, so Spark and the unrolled-CTE oracle agree bit-for-"
+    "bit.  Per round: one broadcast join + one partial-aggregated "
+    "shuffle of (cell, dim) rows; centroids never leave the "
+    "cluster.  Output: per-cell membership, exact inertia, centroid "
+    "L1 checksum.",
+)
+def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        F.expr(
+            "transform(embedding, x -> CAST(ROUND(CAST(x AS DOUBLE)"
+            " * 1000, 0) AS BIGINT))"
+        ).alias("v"),
+    ).localCheckpoint()  # scanned every round; pin it once
+    cents = q.filter(F.col("vec_id") < _KM_K).select(
+        F.col("vec_id").alias("cell"), F.col("v").alias("c")
+    )
+    dist = F.expr(
+        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0L,"
+        " (acc, x) -> acc + x)"
+    )
+    assigned = None
+    for _ in range(_KM_ROUNDS):
+        assigned = (
+            q.crossJoin(F.broadcast(cents))
+            .withColumn("dist", dist)
+            .withColumn(
+                "rk",
+                F.row_number().over(
+                    W.partitionBy("vec_id").orderBy("dist", "cell")
+                ),
+            )
+            .filter("rk = 1")
+            .select("vec_id", "v", "cell", "dist")
+        )
+        sums = (
+            assigned.select(
+                "cell", F.posexplode("v").alias("pos", "val")
+            )
+            .groupBy("cell", "pos")
+            .agg(
+                F.sum("val").alias("s"),
+                F.count(F.lit(1)).alias("n"),
+            )
+        )
+        cents = (
+            sums.withColumn(
+                "cv",
+                F.expr(
+                    "CASE WHEN s >= 0 THEN (2*s + n) div (2*n) "
+                    "ELSE -((2*(-s) + n) div (2*n)) END"
+                ),
+            )
+            .groupBy("cell")
+            .agg(
+                F.expr(
+                    "transform(array_sort(collect_list("
+                    "struct(pos, cv))), t -> t.cv)"
+                ).alias("c")
+            )
+            .localCheckpoint()  # k rows; truncate per-round lineage
+        )
+    l1 = cents.select(
+        "cell",
+        F.expr("aggregate(c, 0L, (acc, x) -> acc + abs(x))").alias(
+            "centroid_l1"
+        ),
+    )
+    return (
+        assigned.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).alias("n_members"),
+            F.sum("dist").alias("inertia"),
+        )
+        .join(F.broadcast(l1), "cell")
+        .select("cell", "n_members", "inertia", "centroid_l1")
+    )
