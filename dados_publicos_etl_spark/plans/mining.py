@@ -2058,3 +2058,81 @@ def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round(F.sum(contrib).over(wall), 6).alias("chi2"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Mergeable deterministic quantiles via fixed-width histograms
+# ---------------------------------------------------------------------------
+
+_HQ_BIN = 100  # fixed price-bin width; bins are stable across batches
+
+
+@query(
+    "histogram_quantile_mergeable",
+    oracle=f"""
+    WITH bins AS (
+      SELECT l_returnflag AS flag,
+             CAST(floor(l_extendedprice / {_HQ_BIN}) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY flag, bin
+    ), cum AS (
+      SELECT flag, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY flag ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY flag) AS n
+      FROM bins
+    )
+    SELECT flag,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum * 2 >= n THEN (bin + 1) * {_HQ_BIN}
+                    END) AS BIGINT) AS p50_upper,
+           CAST(MIN(CASE WHEN cum * 10 >= n * 9 THEN (bin + 1) * {_HQ_BIN}
+                    END) AS BIGINT) AS p90_upper
+    FROM cum GROUP BY flag
+    """,
+    description=f"Mergeable DETERMINISTIC quantiles: fixed-width "
+    f"({_HQ_BIN}-unit) histogram bins per group, cumulative counts "
+    "over the BIN table, quantile = upper bound of the first bin "
+    "whose cumulative count crosses the exact integer threshold "
+    "(cum*2 >= n for p50, cum*10 >= 9n for p90 — no float "
+    "rank arithmetic).  Unlike percentile_approx's KLL sketch the "
+    "state is plain (group, bin, count) rows: exact-arithmetic "
+    "reproducible on any engine, mergeable across ingest batches by "
+    "simple count addition (persist per-batch histograms, add, "
+    "re-derive quantiles — no re-scan of history), and bounded by "
+    "value range / bin width regardless of row count.",
+)
+def histogram_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    bins = li.groupBy(
+        F.col("l_returnflag").alias("flag"),
+        F.floor(F.col("l_extendedprice") / _HQ_BIN)
+        .cast("long")
+        .alias("bin"),
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    wcum = Window.partitionBy("flag").orderBy("bin")
+    wall = Window.partitionBy("flag")
+    cum = bins.select(
+        "flag",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    return cum.groupBy("flag").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(
+                F.col("cum") * 2 >= F.col("n"),
+                (F.col("bin") + 1) * _HQ_BIN,
+            )
+        )
+        .cast("long")
+        .alias("p50_upper"),
+        F.min(
+            F.when(
+                F.col("cum") * 10 >= F.col("n") * 9,
+                (F.col("bin") + 1) * _HQ_BIN,
+            )
+        )
+        .cast("long")
+        .alias("p90_upper"),
+    )

@@ -1355,3 +1355,71 @@ def test_compression_ratio_flags_planted_extremes(spark):
     corpus = QUERIES["compression_ratio_quality"].fn(spark, SF_CORRECT)
     kept = corpus.filter("keep").count()
     assert kept / corpus.count() > 0.95
+
+
+def test_histogram_quantile_merge_equals_whole(spark):
+    """The operator's mergeability claim: per-batch (group, bin,
+    count) histograms added together must re-derive the SAME
+    quantiles as one pass over the whole table."""
+    from pyspark.sql import Window as W
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.plans.mining import _HQ_BIN
+
+    sf = SF_CORRECT
+    whole = sorted(
+        tuple(r)
+        for r in QUERIES["histogram_quantile_mergeable"]
+        .fn(spark, sf)
+        .collect()
+    )
+
+    li = read_table(spark, sf, "lineitem")
+
+    def bins(df):
+        return df.groupBy(
+            F.col("l_returnflag").alias("flag"),
+            F.floor(F.col("l_extendedprice") / _HQ_BIN)
+            .cast("long")
+            .alias("bin"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+
+    # two "ingest batches" -> add their histograms
+    merged = (
+        bins(li.filter("l_orderkey % 2 = 0"))
+        .unionByName(bins(li.filter("l_orderkey % 2 = 1")))
+        .groupBy("flag", "bin")
+        .agg(F.sum("cnt").alias("cnt"))
+    )
+    wcum = W.partitionBy("flag").orderBy("bin")
+    wall = W.partitionBy("flag")
+    cum = merged.select(
+        "flag",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    rederived = sorted(
+        tuple(r)
+        for r in cum.groupBy("flag")
+        .agg(
+            F.max("n").cast("long").alias("n"),
+            F.min(
+                F.when(
+                    F.col("cum") * 2 >= F.col("n"),
+                    (F.col("bin") + 1) * _HQ_BIN,
+                )
+            )
+            .cast("long")
+            .alias("p50_upper"),
+            F.min(
+                F.when(
+                    F.col("cum") * 10 >= F.col("n") * 9,
+                    (F.col("bin") + 1) * _HQ_BIN,
+                )
+            )
+            .cast("long")
+            .alias("p90_upper"),
+        )
+        .collect()
+    )
+    assert rederived == whole

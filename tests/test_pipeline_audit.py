@@ -7,6 +7,7 @@ from pyspark.sql import functions as F
 from dados_publicos_etl_spark import audit
 from dados_publicos_etl_spark.pipeline import Pipeline, run_stages
 from dados_publicos_etl_spark.schemas import MONITORING
+from tests.conftest import SF_SMOKE
 
 
 def test_observe_counts_no_extra_scan(spark, sf_dir):

@@ -463,6 +463,7 @@ _BNLJ_OK = {
     "benford_audit",       # 1-row total
     "dq_report",           # scalar stats row
     "heavy_hitters_exact",  # 1-row N-total crossJoin onto candidates
+    "kmeans_lloyd_exact",   # k-row centroid table broadcast per round
     "nb_classifier_train_score",  # |classes| = 5-row model table
     "psi_drift",           # 1-row totals
     "q11_important_stock",  # TPC-H scalar HAVING subquery
