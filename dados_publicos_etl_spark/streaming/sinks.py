@@ -192,3 +192,114 @@ def stream_cdc_upsert(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("last.event_type").alias("last_type"),
         F.round(F.col("last.value"), 2).alias("last_value"),
     )
+
+
+_SHQ_BIN = 10  # fixed value-bin width (values ~0-500 -> ~50 bins/type)
+
+
+@query(
+    "stream_histogram_quantile",
+    oracle=f"""
+    WITH bins AS (
+      SELECT event_type,
+             CAST(floor(value / {_SHQ_BIN}) AS BIGINT) AS bin,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM events GROUP BY event_type, bin
+    ), cum AS (
+      SELECT event_type, bin, cnt,
+             SUM(cnt) OVER (PARTITION BY event_type ORDER BY bin) AS cum,
+             SUM(cnt) OVER (PARTITION BY event_type) AS n
+      FROM bins
+    )
+    SELECT event_type,
+           CAST(MAX(n) AS BIGINT) AS n,
+           CAST(MIN(CASE WHEN cum * 2 >= n
+                    THEN (bin + 1) * {_SHQ_BIN} END) AS BIGINT)
+             AS p50_upper,
+           CAST(MIN(CASE WHEN cum * 10 >= n * 9
+                    THEN (bin + 1) * {_SHQ_BIN} END) AS BIGINT)
+             AS p90_upper
+    FROM cum GROUP BY event_type
+    """,
+    description="STREAMING quantiles via the mergeable fixed-bin "
+    "histogram: each micro-batch aggregates its (event_type, bin) "
+    "counts and foreachBatch ADDS them into a versioned state table "
+    "— count addition commutes, so the result is batch-split-"
+    "invariant and equals the batch quantile oracle over the whole "
+    "feed; the serving read derives p50/p90 by integer threshold "
+    "crossing.  State is bins x types (bounded by value range / bin "
+    "width), NOT rows — the streaming percentile monitor that never "
+    "grows with traffic, vs approx_percentile which cannot run on "
+    "an unbounded stream at all.  Composes histogram_quantile_"
+    "mergeable's merge law with the stream_cdc_upsert machinery.",
+)
+def stream_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from pyspark.sql import Window as W
+
+    from dados_publicos_etl_spark.streaming.windows import (
+        _streaming_shuffle,
+    )
+
+    feed = _cdc_feed_dir(spark, sf_dir)
+    state_tmp = tempfile.TemporaryDirectory(prefix="spark_shq_state_")
+    state = {"path": None, "version": 0}
+
+    def merge_hist(batch_df: DataFrame, _bid: int) -> None:
+        b = batch_df.groupBy(
+            "event_type",
+            F.floor(F.col("value") / _SHQ_BIN).cast("long").alias("bin"),
+        ).agg(F.count(F.lit(1)).alias("cnt"))
+        if state["path"] is not None:
+            s = spark.read.parquet(state["path"])
+            b = (
+                s.unionByName(b)
+                .groupBy("event_type", "bin")
+                .agg(F.sum("cnt").alias("cnt"))
+            )
+        state["version"] += 1
+        new_path = f"{state_tmp.name}/v{state['version']}"
+        b.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    stream = (
+        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    with _streaming_shuffle(spark):
+        q = stream.writeStream.foreachBatch(merge_hist).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    _CDC_STATE_DIRS.append(state_tmp)
+    hist = spark.read.parquet(state["path"])
+    wcum = W.partitionBy("event_type").orderBy("bin")
+    wall = W.partitionBy("event_type")
+    cum = hist.select(
+        "event_type",
+        "bin",
+        F.sum("cnt").over(wcum).alias("cum"),
+        F.sum("cnt").over(wall).alias("n"),
+    )
+    return cum.groupBy("event_type").agg(
+        F.max("n").cast("long").alias("n"),
+        F.min(
+            F.when(
+                F.col("cum") * 2 >= F.col("n"),
+                (F.col("bin") + 1) * _SHQ_BIN,
+            )
+        )
+        .cast("long")
+        .alias("p50_upper"),
+        F.min(
+            F.when(
+                F.col("cum") * 10 >= F.col("n") * 9,
+                (F.col("bin") + 1) * _SHQ_BIN,
+            )
+        )
+        .cast("long")
+        .alias("p90_upper"),
+    )

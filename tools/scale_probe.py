@@ -56,6 +56,13 @@ PROBE = [
     "bitmap_distinct_count",       # advanced (mergeable bitmap aggs)
     "weighted_sample_aes",         # weighted reservoir
     "fuzzy_match_customers",       # record linkage (blocked join)
+    # round-5 additions
+    "heavy_hitters_exact",         # 2-pass MG (candidate list fixed)
+    "bpe_train_merges",            # iterative (vocab-reduced rounds)
+    "kmeans_lloyd_exact",          # iterative (broadcast centroids)
+    "split_leakage_safe",          # component split over pair graph
+    "global_row_number",           # range-partitioned ranking
+    "histogram_quantile_mergeable",  # fixed-bin quantiles
 ]
 
 
