@@ -707,13 +707,15 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.parquet(path)
 
 
-def _bpe_oracle() -> str:
+def _bpe_cte_chain() -> str:
     """The BPE merge recurrence unrolled into a CTE chain (same
     precedent as the PageRank oracle): each round counts adjacent
     symbol pairs over the CURRENT vocab segmentation, picks the
     (count DESC, pair ASC) argmax, and rewrites every word's
     segmentation with the double-space boundary-safe replace that
-    exactly reproduces greedy left-to-right BPE merging."""
+    exactly reproduces greedy left-to-right BPE merging.  Shared by
+    the training oracle (reads m1..mR) and the encoding oracle
+    (reads the final segmentation wR)."""
     parts = ["""
     WITH w0 AS (
       SELECT word, CAST(COUNT(*) AS BIGINT) AS freq,
@@ -742,16 +744,41 @@ def _bpe_oracle() -> str:
                ' +', ' ', 'g')) AS seq
       FROM {prev} CROSS JOIN m{r} m
     )""")
+    return "".join(parts)
+
+
+def _bpe_oracle() -> str:
     sel = " UNION ALL ".join(
         f"SELECT {r} AS merge_rank, a || ' ' || b AS pair, "
         f"a || b AS new_token, cnt AS pair_count FROM m{r}"
         for r in range(1, _BPE_ROUNDS + 1)
     )
-    parts.append(
-        f"\n    SELECT CAST(merge_rank AS INT) AS merge_rank, pair, "
+    return (
+        _bpe_cte_chain()
+        + f"\n    SELECT CAST(merge_rank AS INT) AS merge_rank, pair, "
         f"new_token, pair_count FROM ({sel}) ORDER BY merge_rank"
     )
-    return "".join(parts)
+
+
+def _bpe_encode_oracle() -> str:
+    return (
+        _bpe_cte_chain()
+        + f""",
+    dw AS (
+      SELECT source, doc_id,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS word
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(len(string_split(w.seq, ' '))) AS BIGINT)
+             AS n_bpe_tokens
+    FROM dw JOIN w{_BPE_ROUNDS} w USING (word)
+    GROUP BY source
+    """
+    )
 
 
 @query(
@@ -781,6 +808,28 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
     adjacent merge sites each keep their own boundary space —
     replace() left-to-right semantics then equals canonical greedy
     BPE ('a a a a' -> 'aa aa', 'a a a' -> 'aa a')."""
+    merges, _final = _bpe_train(spark, sf_dir)
+    return spark.createDataFrame(
+        merges,
+        "merge_rank int, pair string, new_token string, "
+        "pair_count bigint",
+    )
+
+
+# sf_dir -> (merges list, tempdir handle, final-vocab parquet path):
+# training is deterministic per corpus, so both the merge table and
+# the fully-merged segmentation are computed once per session
+_BPE_TRAIN_CACHE: dict[str, tuple] = {}
+
+
+def _bpe_train(spark: SparkSession, sf_dir: str):
+    """Run the merge-learning loop; returns (merges, final vocab DF
+    with the post-merge segmentation). Session-cached."""
+    import tempfile
+
+    hit = _BPE_TRAIN_CACHE.get(sf_dir)
+    if hit is not None:
+        return hit[0], spark.read.parquet(hit[2])
     vocab = _bpe_vocab(spark, sf_dir)
     merges = []
     for r in range(1, _BPE_ROUNDS + 1):
@@ -829,11 +878,11 @@ def bpe_train_merges(spark: SparkSession, sf_dir: str) -> DataFrame:
                 )
             ).alias("seq"),
         ).localCheckpoint()
-    return spark.createDataFrame(
-        merges,
-        "merge_rank int, pair string, new_token string, "
-        "pair_count bigint",
-    )
+    tmp = tempfile.TemporaryDirectory(prefix="spark_bpe_final_")
+    path = f"{tmp.name}/final"
+    vocab.write.mode("overwrite").parquet(path)
+    _BPE_TRAIN_CACHE[sf_dir] = (merges, tmp, path)
+    return merges, spark.read.parquet(path)
 
 
 # ---------------------------------------------------------------------------
@@ -907,4 +956,41 @@ def compression_ratio_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
         comp,
         "doc_id long, n_bytes long, n_compressed long, "
         "ratio double, keep boolean",
+    )
+
+
+@query(
+    "bpe_encode_corpus",
+    oracle=_bpe_encode_oracle(),
+    description="Tokenizer APPLICATION completing the BPE story: "
+    "encode the corpus under the learned merge table and count BPE "
+    "tokens per source — the token-budget accounting every training-"
+    "data pipeline runs after tokenizer training.  The encoder "
+    "never re-segments documents: each document word joins the "
+    "BROADCAST final vocab segmentation (train once per corpus, "
+    "session-cached), so encoding is one explode + one broadcast "
+    "join + one partial-aggregated GROUP BY at any corpus size.  "
+    "Oracle: the training CTE chain extended with the corpus join.",
+)
+def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, final_vocab = _bpe_train(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "source",
+        "doc_id",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("word"),
+    )
+    vocab_tokens = final_vocab.select(
+        "word", F.size(F.split("seq", " ")).alias("n_tok")
+    )
+    return (
+        dw.join(F.broadcast(vocab_tokens), "word")
+        .groupBy("source")
+        .agg(
+            F.countDistinct("doc_id").alias("n_docs"),
+            F.count(F.lit(1)).alias("n_words"),
+            F.sum("n_tok").alias("n_bpe_tokens"),
+        )
     )
