@@ -338,3 +338,102 @@ def mojibake_repair_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5("text").alias("clean_md5"),
         F.length("text").cast("long").alias("n_chars_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact AUC via the Mann-Whitney rank statistic
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "classifier_auc_exact",
+    oracle="""
+    WITH labeled AS (
+      SELECT source,
+             CAST(n_chars AS BIGINT) AS score,
+             CASE WHEN lang = 'en' THEN 1 ELSE 0 END AS pos
+      FROM documents
+    ), tied AS (
+      SELECT source, score,
+             CAST(COUNT(*) AS BIGINT) AS cnt,
+             CAST(SUM(pos) AS BIGINT) AS pos_cnt
+      FROM labeled GROUP BY source, score
+    ), ranked AS (
+      SELECT source, score, cnt, pos_cnt,
+             COALESCE(SUM(cnt) OVER (PARTITION BY source ORDER BY score
+                          ROWS BETWEEN UNBOUNDED PRECEDING
+                          AND 1 PRECEDING), 0) AS cum_before
+      FROM tied
+    ), agg AS (
+      SELECT source,
+             CAST(SUM(pos_cnt * (2 * cum_before + cnt + 1)) AS BIGINT)
+               AS twice_rank_sum,
+             CAST(SUM(pos_cnt) AS BIGINT) AS n_pos,
+             CAST(SUM(cnt - pos_cnt) AS BIGINT) AS n_neg
+      FROM ranked GROUP BY source
+    )
+    SELECT source, n_pos, n_neg,
+           CAST(twice_rank_sum - n_pos * (n_pos + 1) AS BIGINT) AS auc_num,
+           CAST(2 * n_pos * n_neg AS BIGINT) AS auc_den,
+           ROUND(CAST(twice_rank_sum - n_pos * (n_pos + 1) AS DOUBLE)
+                 / (2.0 * n_pos * n_neg), 6) AS auc
+    FROM agg
+    WHERE n_pos > 0 AND n_neg > 0
+    """,
+    description="Exact ROC-AUC per source via the Mann-Whitney U rank "
+    "statistic (label: lang='en', score: n_chars) — the classifier "
+    "evaluation that is usually approximated by threshold sweeping "
+    "computed EXACTLY from rank sums with midrank tie handling.  "
+    "Scale shape: rows first collapse to (group, score) tie groups "
+    "(one hash aggregate — cardinality bounded by distinct scores, "
+    "not rows), one cumulative window per group orders those tie "
+    "groups, and AUC = (2*sum(ranks_pos) - n_pos(n_pos+1)) / "
+    "(2 n_pos n_neg) stays in int64 until the final division; "
+    "numerator/denominator are emitted as exact integers so the "
+    "check is float-free.  No per-threshold pass, no crossjoin of "
+    "pos x neg pairs (the naive O(n^2) AUC).",
+)
+def classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    labeled = docs.select(
+        "source",
+        F.col("n_chars").cast("long").alias("score"),
+        F.when(F.col("lang") == "en", 1).otherwise(0).alias("pos"),
+    )
+    tied = labeled.groupBy("source", "score").agg(
+        F.count(F.lit(1)).alias("cnt"),
+        F.sum("pos").alias("pos_cnt"),
+    )
+    w = (
+        Window.partitionBy("source")
+        .orderBy("score")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ranked = tied.withColumn(
+        "cum_before", F.coalesce(F.sum("cnt").over(w), F.lit(0))
+    )
+    agg = ranked.groupBy("source").agg(
+        F.sum(
+            F.col("pos_cnt")
+            * (2 * F.col("cum_before") + F.col("cnt") + 1)
+        ).alias("twice_rank_sum"),
+        F.sum("pos_cnt").alias("n_pos"),
+        F.sum(F.col("cnt") - F.col("pos_cnt")).alias("n_neg"),
+    )
+    num = (
+        F.col("twice_rank_sum") - F.col("n_pos") * (F.col("n_pos") + 1)
+    ).cast("long")
+    den = (2 * F.col("n_pos") * F.col("n_neg")).cast("long")
+    return (
+        agg.filter((F.col("n_pos") > 0) & (F.col("n_neg") > 0))
+        .select(
+            "source",
+            "n_pos",
+            "n_neg",
+            num.alias("auc_num"),
+            den.alias("auc_den"),
+            F.round(num.cast("double") / den.cast("double"), 6).alias(
+                "auc"
+            ),
+        )
+    )

@@ -767,3 +767,80 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.col("pos") / 100.0).cast("int").alias("shard"),
         (F.col("pos") % 100).cast("int").alias("pos_in_shard"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain/source-level curation: aggregate stats gate whole sources
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_quality_curation",
+    oracle="""
+    WITH src AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             CAST(SUM(n_chars) AS BIGINT) AS sum_chars,
+             CAST(SUM(CASE WHEN n_chars < 120 THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n_short
+      FROM documents GROUP BY source
+    ), verdict AS (
+      SELECT source, n_docs, n_short,
+             (sum_chars >= 280 * n_docs) AS len_ok,
+             (100 * n_short <= 15 * n_docs) AS short_ok
+      FROM src
+    )
+    SELECT d.doc_id, d.source,
+           v.n_docs AS source_n_docs,
+           v.len_ok, v.short_ok,
+           (v.len_ok AND v.short_ok) AS source_kept,
+           CASE WHEN v.len_ok AND v.short_ok THEN 'keep'
+                WHEN NOT v.len_ok AND NOT v.short_ok
+                  THEN 'drop:thin+short'
+                WHEN NOT v.len_ok THEN 'drop:thin'
+                ELSE 'drop:short' END AS reason
+    FROM documents d JOIN verdict v USING (source)
+    """,
+    description="Domain/source-level corpus curation (the Common-"
+    "Crawl-style gate that drops WHOLE sources, not single docs): "
+    "pass 1 aggregates per-source evidence (doc count, total chars, "
+    "short-doc count) in one hash aggregate whose output is bounded "
+    "by |sources| << |docs|; pass 2 broadcast-joins the tiny verdict "
+    "table back onto every document to stamp keep/drop + reason.  "
+    "Keep rules are INTEGER-crossmultiplied (sum_chars >= 280*n, "
+    "100*n_short <= 15*n) so no float ratio enters the decision.  "
+    "At 100 TB the verdict table stays a broadcast (domains are "
+    "~1e7 even web-scale) and the doc scan stays shuffle-free.",
+)
+def source_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    src = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_docs"),
+        F.sum("n_chars").alias("sum_chars"),
+        F.sum(F.when(F.col("n_chars") < 120, 1).otherwise(0)).alias(
+            "n_short"
+        ),
+    )
+    verdict = src.select(
+        "source",
+        "n_docs",
+        "n_short",
+        (F.col("sum_chars") >= 280 * F.col("n_docs")).alias("len_ok"),
+        (100 * F.col("n_short") <= 15 * F.col("n_docs")).alias(
+            "short_ok"
+        ),
+    )
+    kept = F.col("len_ok") & F.col("short_ok")
+    return docs.join(F.broadcast(verdict), "source").select(
+        "doc_id",
+        "source",
+        F.col("n_docs").alias("source_n_docs"),
+        "len_ok",
+        "short_ok",
+        kept.alias("source_kept"),
+        F.when(kept, "keep")
+        .when(~F.col("len_ok") & ~F.col("short_ok"), "drop:thin+short")
+        .when(~F.col("len_ok"), "drop:thin")
+        .otherwise("drop:short")
+        .alias("reason"),
+    )

@@ -1191,3 +1191,63 @@ def conversion_lag_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.percentile("lag_s", F.lit(0.9)), 2).alias("p90_lag_s"),
         F.round(F.max("lag_s"), 2).alias("max_lag_s"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact distinct count over a sliding window (trailing 7 days)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "sliding_distinct_users",
+    oracle="""
+    WITH pairs AS (
+      SELECT DISTINCT CAST(ts AS DATE) AS day, user_id FROM events
+    ), days AS (
+      SELECT DISTINCT day FROM pairs
+    ), contrib AS (
+      SELECT DISTINCT d.day AS day, p.user_id
+      FROM days d JOIN pairs p
+        ON p.day <= d.day AND p.day >= d.day - 6
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day,
+           CAST(COUNT(*) AS BIGINT) AS active_users_7d
+    FROM contrib GROUP BY day
+    """,
+    description="Exact trailing-7-day distinct active users per day — "
+    "the rolling COUNT(DISTINCT) that SQL window frames cannot "
+    "express (DISTINCT is illegal in a frame) and approximate "
+    "sketches only estimate.  Scale shape: the corpus first "
+    "collapses to distinct (day, user) pairs (one shuffle, output "
+    "bounded by days x users, tiny vs raw events), then each pair "
+    "EXPLODES into the <=7 target days it can serve "
+    "(F.sequence - a narrow map, no nested-loop range join), a "
+    "semi-join prunes target days that never occur, and one final "
+    "distinct+count per day.  Every step is a hash shuffle on "
+    "bounded keys; contrast with the BNLJ a day BETWEEN d-6 AND d "
+    "range join would plan.  The DAU/WAU family at 100 TB.",
+)
+def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    pairs = ev.select(
+        F.col("ts").cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = pairs.select("day").distinct()
+    contrib = (
+        pairs.withColumn(
+            "day",
+            F.explode(
+                F.sequence(
+                    F.col("day"), F.date_add(F.col("day"), 6)
+                )
+            ),
+        )
+        .join(days, "day", "left_semi")
+        .distinct()
+    )
+    return contrib.groupBy("day").agg(
+        F.count(F.lit(1)).alias("active_users_7d")
+    ).select(
+        F.date_format("day", "yyyy-MM-dd").alias("day"),
+        "active_users_7d",
+    )

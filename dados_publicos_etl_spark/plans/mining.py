@@ -2136,3 +2136,98 @@ def histogram_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_upper"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Autocorrelation function of the daily revenue series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "acf_daily_revenue",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS HUGEINT) AS x
+      FROM orders GROUP BY CAST(o_orderdate AS DATE)
+    ), lags AS (
+      SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) t(lag)
+    ), paired AS (
+      SELECT l.lag, a.x AS x, b.x AS y
+      FROM daily a
+      CROSS JOIN lags l
+      JOIN daily b ON b.day = a.day + l.lag
+    ), moments AS (
+      SELECT lag,
+             CAST(COUNT(*) AS HUGEINT) AS n,
+             SUM(x) AS sx, SUM(y) AS sy,
+             SUM(x * x) AS sxx, SUM(y * y) AS syy,
+             SUM(x * y) AS sxy
+      FROM paired GROUP BY lag
+    )
+    SELECT lag, CAST(n AS BIGINT) AS n_pairs,
+           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
+                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
+             AS acf
+    FROM moments
+    """,
+    description="Autocorrelation function (lags 1-7) of the daily "
+    "revenue series in correlation form — the seasonality detector "
+    "behind 'is there a weekly cycle?'.  Calendar-lag pairs come "
+    "from a distributed EQUI-join (b.day = a.day + k after a 7-row "
+    "lag-dimension explode), not a single-partition LAG window and "
+    "not a range join, so the pairing shuffles on date keys and "
+    "survives gaps in the calendar.  Moments are exact fixed-point: "
+    "cents as decimal(38,0) in Spark / HUGEINT in DuckDB, so "
+    "sum-of-products never sees float accumulation and never "
+    "overflows int64 even at sf100-scale daily revenue; one double "
+    "division at the end, rounded on both engines.",
+)
+def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
+        .cast("decimal(18,0)")
+        .alias("x")
+    )
+    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
+    a = daily.alias("a").crossJoin(F.broadcast(lags)).select(
+        F.expr("date_add(a.day, lag)").alias("target_day"),
+        "lag",
+        F.col("a.x").alias("x"),
+    )
+    b = daily.select(
+        F.col("day").alias("b_day"), F.col("x").alias("y")
+    )
+    paired = a.join(b, F.col("target_day") == F.col("b_day")).select(
+        "lag", "x", "y"
+    )
+    m = paired.groupBy("lag").agg(
+        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
+        "double"
+    )
+    den = F.sqrt(
+        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        "lag",
+        F.col("n").cast("long").alias("n_pairs"),
+        F.round(num / den, 6).alias("acf"),
+    )
