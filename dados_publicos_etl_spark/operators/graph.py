@@ -511,3 +511,106 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
         "quality",
         (F.col("rk") == 1).alias("keep"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Bounded-hop cheapest path (Bellman-Ford relaxation rounds)
+# ---------------------------------------------------------------------------
+
+_BF_ROUNDS = 4
+_BF_SOURCE = "s1"
+
+
+def _bellman_ford_oracle() -> str:
+    """Unrolled min-plus relaxation as a CTE chain (aggregation in a
+    recursive member is not portable SQL — same trick as PageRank)."""
+    steps = []
+    for k in range(1, _BF_ROUNDS + 1):
+        steps.append(
+            f"""d{k} AS (
+      SELECT node, MIN(dist) AS dist FROM (
+        SELECT node, dist FROM d{k - 1}
+        UNION ALL
+        SELECT e.b AS node, p.dist + e.w AS dist
+        FROM und e JOIN d{k - 1} p ON e.a = p.node
+      ) u GROUP BY node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH wedges AS (
+      SELECT 'c' || o_custkey AS c, 's' || l_suppkey AS s,
+             MIN(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)) AS w
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+      GROUP BY o_custkey, l_suppkey
+    ), und AS (
+      SELECT c AS a, s AS b, w FROM wedges
+      UNION ALL
+      SELECT s, c, w FROM wedges
+    ), d0 AS (
+      SELECT '{_BF_SOURCE}' AS node, CAST(0 AS BIGINT) AS dist
+    ),
+    {chain}
+    SELECT node, CAST(dist AS BIGINT) AS dist_cents
+    FROM d{_BF_ROUNDS}
+    """
+
+
+@query(
+    "cheapest_path_bounded",
+    oracle=_bellman_ford_oracle(),
+    description=f"Bounded-hop cheapest path: {_BF_ROUNDS} Bellman-Ford "
+    "min-plus relaxation rounds over the undirected customer-supplier "
+    "purchase graph, edge weight = cheapest lineitem (exact integer "
+    "cents) between the pair, source supplier 's1'.  Each round is "
+    "one equi-join shuffle (frontier x edges) + one min-aggregate — "
+    "the Pregel SSSP recurrence — with localCheckpoint truncating "
+    "lineage so the plan stays flat across rounds; distances stay "
+    "int64 (<= hops x max edge weight).  Oracle = the same "
+    "recurrence unrolled into CTEs, engine-identical by "
+    "construction.  With PageRank, min-label components, Lloyd "
+    "k-means and BPE training this is the fifth differential-checked "
+    "iterative algorithm.",
+)
+def cheapest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_suppkey", "l_extendedprice"
+    )
+    wedges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .groupBy("o_custkey", "l_suppkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("w")
+        )
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            "w",
+        )
+    )
+    und = wedges.select(
+        F.col("c").alias("a"), F.col("s").alias("b"), "w"
+    ).unionAll(
+        wedges.select(F.col("s").alias("a"), F.col("c").alias("b"), "w")
+    ).localCheckpoint()
+    dist = spark.createDataFrame(
+        [(_BF_SOURCE, 0)], "node string, dist long"
+    )
+    for _ in range(_BF_ROUNDS):
+        # The distance table is |V| rows (tiny vs |E|): broadcast it
+        # so the edge table is never re-shuffled across rounds.
+        relaxed = und.join(
+            F.broadcast(dist), und.a == dist.node
+        ).select(F.col("b").alias("node"), (F.col("dist") + F.col("w")).alias("dist"))
+        dist = (
+            dist.unionAll(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+            .localCheckpoint()
+        )
+    return dist.select("node", F.col("dist").alias("dist_cents"))

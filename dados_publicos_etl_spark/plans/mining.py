@@ -2231,3 +2231,113 @@ def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("n").cast("long").alias("n_pairs"),
         F.round(num / den, 6).alias("acf"),
     )
+
+
+# ---------------------------------------------------------------------------
+# FIFO lot allocation as a running-sum interval join
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "fifo_lot_allocation",
+    oracle="""
+    WITH supply AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT)) OVER w
+               - CAST(l_quantity AS BIGINT) AS s_lo,
+             SUM(CAST(l_quantity AS BIGINT)) OVER w AS s_hi
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
+        AND l_shipdate < TIMESTAMP '1997-01-01'
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING)
+    ), demand AS (
+      SELECT l_partkey, l_orderkey, l_linenumber,
+             CAST(l_quantity AS BIGINT) AS qty,
+             SUM(CAST(l_quantity AS BIGINT)) OVER w
+               - CAST(l_quantity AS BIGINT) AS d_lo,
+             SUM(CAST(l_quantity AS BIGINT)) OVER w AS d_hi
+      FROM lineitem
+      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
+        AND l_shipdate < TIMESTAMP '1997-04-01'
+      WINDOW w AS (PARTITION BY l_partkey
+                   ORDER BY l_shipdate, l_orderkey, l_linenumber
+                   ROWS UNBOUNDED PRECEDING)
+    )
+    SELECT d.l_partkey AS partkey,
+           d.l_orderkey AS demand_orderkey,
+           d.l_linenumber AS demand_linenumber,
+           s.l_orderkey AS supply_orderkey,
+           s.l_linenumber AS supply_linenumber,
+           CAST(LEAST(d.d_hi, s.s_hi) - GREATEST(d.d_lo, s.s_lo)
+                AS BIGINT) AS matched_qty
+    FROM demand d JOIN supply s
+      ON d.l_partkey = s.l_partkey
+     AND d.d_lo < s.s_hi AND s.s_lo < d.d_hi
+    """,
+    description="FIFO lot allocation (1996 shipments per part are "
+    "supply lots, 1997-Q1 shipments are demands): the allocation "
+    "that ERP systems run as a per-row cursor loop, recast as pure "
+    "set algebra — running sums per part turn lots and demands into "
+    "half-open integer intervals on the part's cumulative-quantity "
+    "axis, and FIFO matching IS interval overlap: equi-join on "
+    "partkey + two inequality post-filters, matched_qty = "
+    "least(hi)-greatest(lo).  Two window passes + one partkey-"
+    "partitioned join; no loop, no state, arbitrarily parallel over "
+    "parts at 100 TB.  Demand beyond remaining supply simply finds "
+    "no overlapping lot — short allocations fall out for free.",
+)
+def fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+
+    def intervals(df: DataFrame, lo: str, hi: str) -> DataFrame:
+        w = (
+            Window.partitionBy("l_partkey")
+            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        qty = F.col("l_quantity").cast("long")
+        run = F.sum(qty).over(w)
+        return df.select(
+            "l_partkey",
+            "l_orderkey",
+            "l_linenumber",
+            (run - qty).alias(lo),
+            run.alias(hi),
+        )
+
+    supply = intervals(
+        li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        ),
+        "s_lo",
+        "s_hi",
+    )
+    demand = intervals(
+        li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        ),
+        "d_lo",
+        "d_hi",
+    )
+    d, s = demand.alias("d"), supply.alias("s")
+    return d.join(
+        s,
+        (F.col("d.l_partkey") == F.col("s.l_partkey"))
+        & (F.col("d.d_lo") < F.col("s.s_hi"))
+        & (F.col("s.s_lo") < F.col("d.d_hi")),
+    ).select(
+        F.col("d.l_partkey").alias("partkey"),
+        F.col("d.l_orderkey").alias("demand_orderkey"),
+        F.col("d.l_linenumber").alias("demand_linenumber"),
+        F.col("s.l_orderkey").alias("supply_orderkey"),
+        F.col("s.l_linenumber").alias("supply_linenumber"),
+        (
+            F.least(F.col("d.d_hi"), F.col("s.s_hi"))
+            - F.greatest(F.col("d.d_lo"), F.col("s.s_lo"))
+        ).alias("matched_qty"),
+    )
