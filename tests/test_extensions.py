@@ -1423,3 +1423,182 @@ def test_histogram_quantile_merge_equals_whole(spark):
         .collect()
     )
     assert rederived == whole
+
+
+def test_fifo_allocation_conserves_quantities(spark, sf_dir):
+    """FIFO interval-overlap matching invariants: every demand's
+    matched quantity sums to min(demand_qty, supply_remaining) — in
+    particular it NEVER exceeds the demand, and when the part's 1996
+    supply covers the whole 1997-Q1 demand axis the demand is matched
+    in full; every supply lot likewise never over-allocates."""
+    rows = QUERIES["fifo_lot_allocation"].fn(spark, sf_dir).collect()
+    assert rows, "fixture window should produce matches"
+    import collections
+
+    per_demand = collections.Counter()
+    per_supply = collections.Counter()
+    for r in rows:
+        assert r.matched_qty > 0
+        per_demand[(r.partkey, r.demand_orderkey, r.demand_linenumber)] += (
+            r.matched_qty
+        )
+        per_supply[(r.partkey, r.supply_orderkey, r.supply_linenumber)] += (
+            r.matched_qty
+        )
+
+    li = spark.read.parquet(sf_dir + "/lineitem.parquet")
+    # FIFO order is (shipdate, orderkey, linenumber) WITHIN each part
+    demands = [
+        (
+            (r.l_partkey, r.l_orderkey, r.l_linenumber),
+            (r.l_shipdate, r.l_orderkey, r.l_linenumber),
+            int(r.l_quantity),
+        )
+        for r in li.filter(
+            (F.col("l_shipdate") >= "1997-01-01")
+            & (F.col("l_shipdate") < "1997-04-01")
+        ).collect()
+    ]
+    supplies = {
+        (r.l_partkey, r.l_orderkey, r.l_linenumber): int(r.l_quantity)
+        for r in li.filter(
+            (F.col("l_shipdate") >= "1996-01-01")
+            & (F.col("l_shipdate") < "1997-01-01")
+        ).collect()
+    }
+    supply_per_part = collections.Counter()
+    for (pk, _, _), q in supplies.items():
+        supply_per_part[pk] += q
+    demand_run = collections.Counter()
+    for key, _order, qty in sorted(demands, key=lambda d: (d[0][0], d[1])):
+        pk = key[0]
+        got = per_demand.get(key, 0)
+        start = demand_run[pk]
+        demand_run[pk] += qty
+        expected = max(0, min(demand_run[pk], supply_per_part[pk]) - start)
+        assert got == expected, (key, got, expected)
+    for key, alloc in per_supply.items():
+        assert alloc <= supplies[key], (key, alloc)
+
+
+def test_cheapest_path_relaxation_invariants(spark, sf_dir):
+    """Bounded Bellman-Ford sanity: source at distance 0; every
+    1-hop neighbor's distance equals the cheapest direct edge; and no
+    reported distance can beat the cheapest direct edge (triangle
+    floor for a 1-hop-reachable node)."""
+    dist = {
+        r.node: r.dist_cents
+        for r in QUERIES["cheapest_path_bounded"].fn(spark, sf_dir).collect()
+    }
+    assert dist["s1"] == 0
+    orders = spark.read.parquet(sf_dir + "/orders.parquet")
+    li = spark.read.parquet(sf_dir + "/lineitem.parquet")
+    edges = (
+        orders.join(li, orders.o_orderkey == li.l_orderkey)
+        .filter(F.col("l_suppkey") == 1)
+        .groupBy("o_custkey")
+        .agg(
+            F.min(
+                F.round(F.col("l_extendedprice") * 100, 0).cast("long")
+            ).alias("w")
+        )
+        .collect()
+    )
+    assert edges
+    for r in edges:
+        node = f"c{r.o_custkey}"
+        assert node in dist
+        # relaxation can only improve on the direct edge, never lose it
+        assert 0 < dist[node] <= r.w, (node, dist[node], r.w)
+
+    # exact distances on a planted graph through the same recurrence:
+    # c1-s1 w=1000, c2-s1 w=100, c2-s2 w=100, c1-s2 w=10000
+    orders_pdf = pd.DataFrame(
+        {"o_orderkey": [1, 2, 3, 4], "o_custkey": [1, 2, 2, 1]}
+    )
+    li_pdf = pd.DataFrame(
+        {
+            "l_orderkey": [1, 2, 3, 4],
+            "l_suppkey": [1, 1, 2, 2],
+            "l_extendedprice": [10.0, 1.0, 1.0, 100.0],
+        }
+    )
+    tables = {
+        "orders": spark.createDataFrame(orders_pdf),
+        "lineitem": spark.createDataFrame(li_pdf),
+    }
+    import dados_publicos_etl_spark.operators.graph as G
+
+    orig = G.read_table
+    try:
+        G.read_table = lambda _s, _d, name: tables[name]
+        planted = {
+            r.node: r.dist_cents
+            for r in QUERIES["cheapest_path_bounded"].fn(spark, "ignored").collect()
+        }
+    finally:
+        G.read_table = orig
+    assert planted == {"s1": 0, "c2": 100, "s2": 200, "c1": 1000}
+
+
+def test_sliding_distinct_window1_equals_daily_distinct(spark, sf_dir):
+    """Degenerate-window cross-check: the trailing-7-day rolling
+    distinct at day d must always be >= the plain per-day distinct
+    and <= the 7-day sum of dailies; on the first day of the
+    calendar they are equal."""
+    rolling = {
+        r.day: r.active_users_7d
+        for r in QUERIES["sliding_distinct_users"].fn(spark, sf_dir).collect()
+    }
+    from dados_publicos_etl_spark.io import read_table
+
+    ev = read_table(spark, sf_dir, "events")
+    daily = {
+        str(r.day): r.n
+        for r in ev.select(
+            F.col("ts").cast("date").alias("day"),
+            "user_id",
+        )
+        .distinct()
+        .groupBy("day")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    assert set(rolling) == set(daily)
+    first_day = min(daily)
+    assert rolling[first_day] == daily[first_day]
+    for day, n7 in rolling.items():
+        assert n7 >= daily[day]
+
+
+def test_auc_bounds_and_degenerate_separation(spark):
+    """AUC from the rank statistic must be 1.0 for perfectly
+    separated scores, 0.0 for inverted, 0.5 for identical scores
+    (all midrank ties) — checked via a planted frame through the
+    same groupBy/window plan (substituting a tiny documents view)."""
+    import pandas as pd
+
+    pdf = pd.DataFrame(
+        {
+            "source": ["sep"] * 6 + ["inv"] * 6 + ["tie"] * 6,
+            "lang": ["en", "en", "en", "de", "de", "de"] * 3,
+            "n_chars": [10, 11, 12, 1, 2, 3]
+            + [1, 2, 3, 10, 11, 12]
+            + [5, 5, 5, 5, 5, 5],
+        }
+    )
+    sdf = spark.createDataFrame(pdf)
+    import dados_publicos_etl_spark.operators.classify as C
+
+    orig = C.read_table
+    try:
+        C.read_table = lambda _s, _d, _n: sdf
+        out = {
+            r.source: (r.auc, r.auc_num, r.auc_den)
+            for r in QUERIES["classifier_auc_exact"].fn(spark, "ignored").collect()
+        }
+    finally:
+        C.read_table = orig
+    assert out["sep"] == (1.0, 18, 18)
+    assert out["inv"] == (0.0, 0, 18)
+    assert out["tie"] == (0.5, 9, 18)

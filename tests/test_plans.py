@@ -477,6 +477,7 @@ _BNLJ_OK = {
     "hybrid_rrf_fusion",  # 1-row query-token-set broadcast
     "neyman_allocation_sample",  # 1-row sum_w total
     "decile_lift_table",  # 1-row base-rate total
+    "acf_daily_revenue",  # 7-row lag dimension crossJoin
 }
 
 
