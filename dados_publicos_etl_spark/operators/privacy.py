@@ -186,3 +186,79 @@ def masked_customer_view(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("acctbal_bucket"),
         "c_nationkey",
     )
+
+
+# ---------------------------------------------------------------------------
+# Right-to-erasure propagation across the relational star
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "erasure_propagation",
+    oracle="""
+    WITH tombstones AS (
+      SELECT c_custkey FROM customer WHERE c_custkey % 97 = 0
+    ), o AS (
+      SELECT o_orderkey,
+             (o_custkey IN (SELECT c_custkey FROM tombstones)) AS purge
+      FROM orders
+    ), l AS (
+      SELECT (o.purge) AS purge
+      FROM lineitem li JOIN o ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT 'customer' AS tbl,
+           CAST((SELECT COUNT(*) FROM tombstones) AS BIGINT) AS rows_purged,
+           CAST((SELECT COUNT(*) FROM customer) -
+                (SELECT COUNT(*) FROM tombstones) AS BIGINT) AS rows_kept
+    UNION ALL
+    SELECT 'orders',
+           CAST((SELECT COUNT(*) FROM o WHERE purge) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM o WHERE NOT purge) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem',
+           CAST((SELECT COUNT(*) FROM l WHERE purge) AS BIGINT),
+           CAST((SELECT COUNT(*) FROM l WHERE NOT purge) AS BIGINT)
+    """,
+    description="Right-to-erasure (GDPR art. 17) propagation audit: "
+    "a deletion-request list (customers keyed % 97 — the stand-in "
+    "for the tombstone table a DSR workflow maintains) cascades "
+    "through the FK star customer -> orders -> lineitem, reporting "
+    "purged vs retained row counts per table BEFORE any destructive "
+    "write.  Scale shape: the tombstone list broadcasts (requests "
+    "are << corpus), orders stamp purge with one broadcast semi-"
+    "lookup, lineitem inherits through its orderkey equi-join; one "
+    "conditional aggregate per table, no anti-join materialization "
+    "of survivors.  The dry-run report IS the audit artifact; the "
+    "destructive pass reuses the same stamped plans as filters.",
+)
+def erasure_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    orders = read_table(spark, sf_dir, "orders")
+    li = read_table(spark, sf_dir, "lineitem")
+    tomb = cust.filter(F.col("c_custkey") % 97 == 0).select("c_custkey")
+    o = orders.join(
+        F.broadcast(tomb), orders.o_custkey == tomb.c_custkey, "left"
+    ).select(
+        "o_orderkey", F.col("c_custkey").isNotNull().alias("purge")
+    )
+    l = li.join(o, li.l_orderkey == o.o_orderkey).select("purge")
+
+    def counts(df: DataFrame, name: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("tbl"),
+            F.sum(F.when(F.col("purge"), 1).otherwise(0))
+            .cast("long")
+            .alias("rows_purged"),
+            F.sum(F.when(F.col("purge"), 0).otherwise(1))
+            .cast("long")
+            .alias("rows_kept"),
+        )
+
+    c = cust.select(
+        (F.col("c_custkey") % 97 == 0).alias("purge")
+    )
+    return (
+        counts(c, "customer")
+        .unionAll(counts(o.select("purge"), "orders"))
+        .unionAll(counts(l, "lineitem"))
+    )

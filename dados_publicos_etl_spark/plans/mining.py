@@ -2341,3 +2341,77 @@ def fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.greatest(F.col("d.d_lo"), F.col("s.s_lo"))
         ).alias("matched_qty"),
     )
+
+
+# ---------------------------------------------------------------------------
+# One-way ANOVA F statistic from exact integer moments
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "anova_f_oneway",
+    oracle="""
+    WITH g AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(n_chars) AS BIGINT) AS s,
+             CAST(SUM(CAST(n_chars AS BIGINT) * n_chars) AS BIGINT) AS ss
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT CAST(SUM(n) AS BIGINT) AS n_tot,
+             CAST(SUM(s) AS BIGINT) AS s_tot,
+             CAST(SUM(ss) AS BIGINT) AS ss_tot,
+             CAST(COUNT(*) AS BIGINT) AS k
+      FROM g
+    )
+    SELECT k AS n_groups, n_tot,
+           ROUND((SELECT SUM(CAST(s AS DOUBLE) * s / n) FROM g)
+                 - CAST(s_tot AS DOUBLE) * s_tot / n_tot, 6) AS ss_between,
+           ROUND(CAST(ss_tot AS DOUBLE)
+                 - (SELECT SUM(CAST(s AS DOUBLE) * s / n) FROM g), 6)
+             AS ss_within,
+           ROUND(((SELECT SUM(CAST(s AS DOUBLE) * s / n) FROM g)
+                  - CAST(s_tot AS DOUBLE) * s_tot / n_tot) / (k - 1)
+                 / ((CAST(ss_tot AS DOUBLE)
+                     - (SELECT SUM(CAST(s AS DOUBLE) * s / n) FROM g))
+                    / (n_tot - k)), 6) AS f_stat
+    FROM tot
+    """,
+    description="One-way ANOVA F statistic (does mean document "
+    "length differ across sources?): group sums and sums-of-squares "
+    "accumulate as EXACT int64 (mergeable partials — the only "
+    "data-wide pass is one hash aggregate bounded by |sources|), "
+    "then SSB/SSW/F are a few double divisions over that kilobyte "
+    "moment table, rounded identically on both engines.  Completes "
+    "the hypothesis-testing family (chi-square independence for "
+    "categorical x categorical, Welch z for two groups, ANOVA for "
+    "k-group means).",
+)
+def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    g = docs.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("n_chars").alias("s"),
+        F.sum(F.col("n_chars").cast("long") * F.col("n_chars")).alias(
+            "ss"
+        ),
+    )
+    tot = g.agg(
+        F.sum("n").alias("n_tot"),
+        F.sum("s").alias("s_tot"),
+        F.sum("ss").alias("ss_tot"),
+        F.count(F.lit(1)).alias("k"),
+        F.sum(
+            F.col("s").cast("double") * F.col("s") / F.col("n")
+        ).alias("sb"),
+    )
+    ssb = F.col("sb") - F.col("s_tot").cast("double") * F.col("s_tot") / F.col("n_tot")
+    ssw = F.col("ss_tot").cast("double") - F.col("sb")
+    f_stat = (ssb / (F.col("k") - 1)) / (ssw / (F.col("n_tot") - F.col("k")))
+    return tot.select(
+        F.col("k").alias("n_groups"),
+        "n_tot",
+        F.round(ssb, 6).alias("ss_between"),
+        F.round(ssw, 6).alias("ss_within"),
+        F.round(f_stat, 6).alias("f_stat"),
+    )
