@@ -683,16 +683,24 @@ def _topk_feed_dir(spark: SparkSession, sf_dir: str) -> str:
     )
     lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
     mid = (lo + hi) // 2
-    seen: set = set()
-    for half, pred in enumerate(
-        [F.col("ts_us") <= mid, F.col("ts_us") > mid]
-    ):
-        ev.filter(pred).coalesce(1).write.mode("append").parquet(tmp.name)
-        # pin file order for the mtime-ordered source: half 1 newer
-        for f in _os.listdir(tmp.name):
-            if f.endswith(".parquet") and f not in seen:
-                seen.add(f)
-                p = _os.path.join(tmp.name, f)
+    # ONE write pass instead of two filtered writes: a single
+    # coalesced task splits rows into half=0/half=1 directories
+    # (partitionBy on write is a per-task file split, no shuffle).
+    # The consumer reads with recursiveFileLookup, so `half` stays a
+    # directory name, not a column.
+    (
+        ev.withColumn("half", (F.col("ts_us") > mid).cast("int"))
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("half")
+        .parquet(tmp.name)
+    )
+    # pin file order for the mtime-ordered source: half 1 newer
+    for half in (0, 1):
+        d = _os.path.join(tmp.name, f"half={half}")
+        for f in _os.listdir(d):
+            if f.endswith(".parquet"):
+                p = _os.path.join(d, f)
                 st = _os.stat(p)
                 _os.utime(p, (st.st_atime, st.st_mtime + half * 600))
     _TOPK_FEED_DIRS[sf_dir] = tmp
@@ -764,6 +772,7 @@ def stream_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     stream = (
         spark.readStream.schema("event_id long, ts_us long, user_id long")
         .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
         .parquet(feed)
         .withColumn("ts", F.timestamp_micros("ts_us"))
     )

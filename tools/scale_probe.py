@@ -63,6 +63,13 @@ PROBE = [
     "split_leakage_safe",          # component split over pair graph
     "global_row_number",           # range-partitioned ranking
     "histogram_quantile_mergeable",  # fixed-bin quantiles
+    # round-5 late additions
+    "sliding_distinct_users",      # explode-to-day rolling distinct
+    "classifier_auc_exact",        # tie-group rank sums
+    "cheapest_path_bounded",       # Bellman-Ford broadcast frontier
+    "fifo_lot_allocation",         # running-sum interval join
+    "acf_daily_revenue",           # decimal-exact lag moments
+    "erasure_propagation",         # FK-star cascade audit
 ]
 
 
