@@ -994,3 +994,185 @@ def bpe_encode_corpus(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tok").alias("n_bpe_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Vocabulary overlap between sources (pairwise Jaccard matrix)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_vocab_jaccard",
+    oracle=f"""
+    WITH vocab AS (
+      SELECT DISTINCT source,
+             unnest(string_split_regex(lower(text), '{WS}')) AS term
+      FROM documents
+    ), sizes AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_terms
+      FROM vocab GROUP BY source
+    ), inter AS (
+      SELECT a.source AS src_a, b.source AS src_b,
+             CAST(COUNT(*) AS BIGINT) AS n_inter
+      FROM vocab a JOIN vocab b
+        ON a.term = b.term AND a.source < b.source
+      GROUP BY a.source, b.source
+    )
+    SELECT i.src_a, i.src_b,
+           sa.n_terms AS n_a, sb.n_terms AS n_b, i.n_inter,
+           ROUND(CAST(i.n_inter AS DOUBLE)
+                 / (sa.n_terms + sb.n_terms - i.n_inter), 6) AS jaccard
+    FROM inter i
+    JOIN sizes sa ON i.src_a = sa.source
+    JOIN sizes sb ON i.src_b = sb.source
+    """,
+    description="Pairwise vocabulary Jaccard between sources — the "
+    "corpus-diversity screen (which domains write in the same "
+    "register?).  The corpus collapses to a distinct (source, term) "
+    "table first (one hash aggregate; vocabulary is sublinear in "
+    "corpus size), pairs align on TERM with a self equi-join "
+    "(a.source < b.source) so the intersection count is a hash "
+    "aggregate over matched terms — never a source x source x "
+    "vocabulary cross product — and union sizes come from "
+    "inclusion-exclusion on the tiny per-source size table "
+    "(broadcast).  |sources|^2/2 output rows at any corpus scale.",
+)
+def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    vocab = docs.select(
+        "source", F.explode(tokens("text")).alias("term")
+    ).distinct()
+    sizes = vocab.groupBy("source").agg(
+        F.count(F.lit(1)).alias("n_terms")
+    )
+    a, b = vocab.alias("a"), vocab.alias("b")
+    inter = (
+        a.join(
+            b,
+            (F.col("a.term") == F.col("b.term"))
+            & (F.col("a.source") < F.col("b.source")),
+        )
+        .groupBy(
+            F.col("a.source").alias("src_a"),
+            F.col("b.source").alias("src_b"),
+        )
+        .agg(F.count(F.lit(1)).alias("n_inter"))
+    )
+    sa = sizes.select(
+        F.col("source").alias("src_a"), F.col("n_terms").alias("n_a")
+    )
+    sb = sizes.select(
+        F.col("source").alias("src_b"), F.col("n_terms").alias("n_b")
+    )
+    return (
+        inter.join(F.broadcast(sa), "src_a")
+        .join(F.broadcast(sb), "src_b")
+        .select(
+            "src_a",
+            "src_b",
+            "n_a",
+            "n_b",
+            "n_inter",
+            F.round(
+                F.col("n_inter").cast("double")
+                / (F.col("n_a") + F.col("n_b") - F.col("n_inter")),
+                6,
+            ).alias("jaccard"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Zipf's-law fit over the term-frequency distribution
+# ---------------------------------------------------------------------------
+
+_ZIPF_TOP = 500
+
+
+@query(
+    "zipf_slope_fit",
+    oracle=f"""
+    WITH tf AS (
+      SELECT token, CAST(COUNT(*) AS BIGINT) AS freq
+      FROM (SELECT unnest(string_split_regex(lower(text), '{WS}'))
+              AS token FROM documents)
+      GROUP BY token
+    ), ranked AS (
+      SELECT LN(CAST(ROW_NUMBER() OVER (ORDER BY freq DESC, token)
+                     AS DOUBLE)) AS x,
+             LN(CAST(freq AS DOUBLE)) AS y
+      FROM tf
+      ORDER BY freq DESC, token
+      LIMIT {_ZIPF_TOP}
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             ROUND(SUM(x), 9) AS sx, ROUND(SUM(y), 9) AS sy,
+             ROUND(SUM(x * x), 9) AS sxx, ROUND(SUM(x * y), 9) AS sxy,
+             ROUND(SUM(y * y), 9) AS syy
+      FROM ranked
+    )
+    SELECT n AS n_terms,
+           ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 6) AS slope,
+           ROUND((sy - (n * sxy - sx * sy) / (n * sxx - sx * sx) * sx)
+                 / n, 6) AS intercept,
+           ROUND(POWER(n * sxy - sx * sy, 2)
+                 / ((n * sxx - sx * sx) * (n * syy - sy * sy)), 6)
+             AS r2
+    FROM m
+    """,
+    description=f"Zipf's-law fit: OLS regression of ln(freq) on "
+    f"ln(rank) over the top-{_ZIPF_TOP} corpus terms — natural "
+    "language sits near slope -1, so the slope is a corpus-health "
+    "diagnostic (templated/boilerplate corpora flatten it, OCR "
+    "noise steepens the tail).  One term-frequency aggregate, one "
+    "TakeOrdered top-k (the only data-wide work), then the "
+    "regression closes over a 500-row table: moment sums are "
+    "ROUNDED AT 1e-9 on both engines before the closed-form "
+    "slope/intercept/r2, absorbing partial-aggregation float "
+    "reorder while pinning 6-decimal outputs.",
+)
+def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    tf = (
+        docs.select(F.explode(tokens("text")).alias("token"))
+        .groupBy("token")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .orderBy(F.desc("freq"), F.asc("token"))
+        .limit(_ZIPF_TOP)
+    )
+    from pyspark.sql import Window as W
+
+    ranked = tf.select(
+        F.log(
+            F.row_number()
+            .over(W.orderBy(F.desc("freq"), F.asc("token")))
+            .cast("double")
+        ).alias("x"),
+        F.log(F.col("freq").cast("double")).alias("y"),
+    )
+    m = ranked.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.round(F.sum("x"), 9).alias("sx"),
+        F.round(F.sum("y"), 9).alias("sy"),
+        F.round(F.sum(F.col("x") * F.col("x")), 9).alias("sxx"),
+        F.round(F.sum(F.col("x") * F.col("y")), 9).alias("sxy"),
+        F.round(F.sum(F.col("y") * F.col("y")), 9).alias("syy"),
+    )
+    slope = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")) / (
+        F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")
+    )
+    return m.select(
+        F.col("n").alias("n_terms"),
+        F.round(slope, 6).alias("slope"),
+        F.round((F.col("sy") - slope * F.col("sx")) / F.col("n"), 6).alias(
+            "intercept"
+        ),
+        F.round(
+            F.pow(F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy"), 2)
+            / (
+                (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx"))
+                * (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy"))
+            ),
+            6,
+        ).alias("r2"),
+    )

@@ -1251,3 +1251,163 @@ def sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.date_format("day", "yyyy-MM-dd").alias("day"),
         "active_users_7d",
     )
+
+
+# ---------------------------------------------------------------------------
+# KL divergence of each user's event mix vs the global mix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kl_event_mix_divergence",
+    oracle="""
+    WITH per_user AS (
+      SELECT user_id, event_type, CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY user_id, event_type
+    ), user_tot AS (
+      SELECT user_id, CAST(SUM(c) AS BIGINT) AS n_u
+      FROM per_user GROUP BY user_id
+    ), gmix AS (
+      SELECT event_type, CAST(COUNT(*) AS BIGINT) AS g
+      FROM events GROUP BY event_type
+    ), glob_tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_g FROM events
+    )
+    SELECT u.user_id, t.n_u AS n_events,
+           ROUND(SUM((CAST(u.c AS DOUBLE) / t.n_u)
+                     * LN((CAST(u.c AS DOUBLE) / t.n_u)
+                          / (CAST(g.g AS DOUBLE) / gt.n_g))), 6)
+             AS kl_bits_nat
+    FROM per_user u
+    JOIN user_tot t ON u.user_id = t.user_id
+    JOIN gmix g ON u.event_type = g.event_type
+    CROSS JOIN glob_tot gt
+    GROUP BY u.user_id, t.n_u
+    """,
+    description="Per-user KL divergence of the event-type mix vs the "
+    "global mix — the behavioral-anomaly screen (bots and scrapers "
+    "sit far from the population distribution).  Both distributions "
+    "come from integer count aggregates; the global mix is a "
+    "|event_types|-row broadcast, the per-user sum ranges over at "
+    "most |event_types| terms (order-robust under round(6)), and "
+    "every p is a ratio of exact int64 counts — one user-keyed "
+    "shuffle total.  KL(user || global) in nats; 0 = "
+    "population-typical.",
+)
+def kl_event_mix_divergence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id", "event_type").agg(
+        F.count(F.lit(1)).alias("c")
+    )
+    user_tot = per_user.groupBy("user_id").agg(
+        F.sum("c").alias("n_u")
+    )
+    glob = ev.groupBy("event_type").agg(F.count(F.lit(1)).alias("g"))
+    n_g = ev.count()
+    p_u = F.col("c").cast("double") / F.col("n_u")
+    p_g = F.col("g").cast("double") / F.lit(n_g)
+    return (
+        per_user.join(user_tot, "user_id")
+        .join(F.broadcast(glob), "event_type")
+        .groupBy("user_id", "n_u")
+        .agg(F.round(F.sum(p_u * F.log(p_u / p_g)), 6).alias("kl_bits_nat"))
+        .select(
+            "user_id", F.col("n_u").alias("n_events"), "kl_bits_nat"
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kaplan-Meier survival curve over user lifetimes
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "survival_kaplan_meier",
+    oracle="""
+    WITH life AS (
+      SELECT user_id,
+             CAST((epoch_us(MAX(ts)) - epoch_us(MIN(ts)))
+                  // 3600000000 AS BIGINT) AS lifetime_h
+      FROM events GROUP BY user_id
+    ), steps AS (
+      SELECT lifetime_h, CAST(COUNT(*) AS BIGINT) AS d_i
+      FROM life GROUP BY lifetime_h
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n FROM life
+    ), risk AS (
+      SELECT lifetime_h, d_i,
+             tot.n - COALESCE(SUM(d_i) OVER (ORDER BY lifetime_h
+                        ROWS BETWEEN UNBOUNDED PRECEDING
+                        AND 1 PRECEDING), 0) AS n_at_risk
+      FROM steps CROSS JOIN tot
+    )
+    SELECT lifetime_h, n_at_risk, d_i AS d_events,
+           ROUND(EXP(SUM(LN(1.0 - CAST(d_i AS DOUBLE) / n_at_risk))
+                     OVER (ORDER BY lifetime_h
+                           ROWS UNBOUNDED PRECEDING)), 6) AS survival
+    FROM risk
+    WHERE n_at_risk > d_i
+    """,
+    description="Kaplan-Meier survival curve over user LIFETIMES "
+    "(hours between first and last observed event): the retention "
+    "curve with correct at-risk accounting, S(d) = prod(1 - "
+    "d_i/n_i).  The corpus collapses to one row per user (min/max "
+    "ts in one agg), then to one row per distinct lifetime length — "
+    "so the windowed part (at-risk counts by prefix-sum, the "
+    "product as exp-sum-ln in lifetime order) runs on a "
+    "calendar-bounded table, never the event log; every d_i/n_i is "
+    "a ratio of exact int64 counts and the cumulative product is "
+    "an ordered prefix over identical doubles on both engines.  "
+    "The terminal step (everyone remaining exits, S=0) is excluded "
+    "as right-censored.",
+)
+def survival_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    life = ev.groupBy("user_id").agg(
+        F.floor(
+            F.expr("timestampdiff(MICROSECOND, min(ts), max(ts))")
+            / 3_600_000_000
+        )
+        .cast("long")
+        .alias("lifetime_h")
+    )
+    steps = life.groupBy("lifetime_h").agg(
+        F.count(F.lit(1)).alias("d_i")
+    )
+    n = life.count()
+    w_prev = (
+        W.orderBy("lifetime_h")
+        .rowsBetween(W.unboundedPreceding, -1)
+    )
+    w_run = W.orderBy("lifetime_h").rowsBetween(
+        W.unboundedPreceding, 0
+    )
+    risk = steps.withColumn(
+        "n_at_risk",
+        F.lit(n) - F.coalesce(F.sum("d_i").over(w_prev), F.lit(0)),
+    )
+    return (
+        risk.withColumn(
+            "survival",
+            F.round(
+                F.exp(
+                    F.sum(
+                        F.log(
+                            1.0
+                            - F.col("d_i").cast("double")
+                            / F.col("n_at_risk")
+                        )
+                    ).over(w_run)
+                ),
+                6,
+            ),
+        )
+        .filter(F.col("n_at_risk") > F.col("d_i"))
+        .select(
+            "lifetime_h",
+            "n_at_risk",
+            F.col("d_i").alias("d_events"),
+            "survival",
+        )
+    )
