@@ -543,3 +543,62 @@ def test_random_date_key_aggregation_matches_duckdb(spark, pred, fn, n):
         body(render_duck(n), "strftime({d}, '%Y-%m-%d')"),
         SF_DIR,
     )
+
+
+# dimension 11: nested CASE WHEN expression trees inside aggregates
+# (conditional aggregation is the catalog's single most-used idiom —
+# dq_report, funnel, erasure, WOE all build on it; this dimension
+# sweeps the composition space of predicate x branch-value x
+# aggregate where short-circuit and null-branch semantics could
+# diverge).
+@st.composite
+def case_exprs(draw):
+    """A random 2-3-branch CASE WHEN over portable leaves, producing
+    an exact integer (cents or constant) per branch; ELSE optional
+    (NULL fallthrough exercises null-skipping aggregate semantics)."""
+    n_branches = draw(st.integers(1, 3))
+    branches = []
+    for _ in range(n_branches):
+        c = draw(st.sampled_from(_NUM_COLS))
+        op = draw(st.sampled_from(_CMP))
+        v = round(draw(st.floats(0, 100)), 2)
+        val = draw(
+            st.sampled_from(
+                [
+                    "CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)",
+                    "CAST(l_quantity AS BIGINT)",
+                    str(draw(st.integers(-5, 5))),
+                ]
+            )
+        )
+        branches.append(f"WHEN {c} {op} {v} THEN {val}")
+    has_else = draw(st.booleans())
+    else_part = " ELSE 0" if has_else else ""  # no ELSE -> NULL
+    return "CASE " + " ".join(branches) + else_part + " END"
+
+
+@_FUZZ
+@given(
+    pred=predicates(),
+    cexpr=case_exprs(),
+    agg=st.sampled_from(["SUM", "MIN", "MAX", "COUNT"]),
+    grp=st.sampled_from(_STR_COLS),
+)
+def test_random_case_when_aggregates_match_duckdb(
+    spark, pred, cexpr, agg, grp
+):
+    """Nested CASE WHEN trees feeding SUM/MIN/MAX/COUNT: branch
+    ordering, missing-ELSE NULL fallthrough (NULLs must be skipped by
+    the aggregate, and an all-NULL group must yield NULL for
+    SUM/MIN/MAX but 0 for COUNT) and predicate short-circuiting must
+    agree exactly."""
+    body = (
+        f"SELECT {grp}, "
+        f"CAST({agg}({cexpr}) AS BIGINT) AS agg_val, "
+        "CAST(COUNT(*) AS BIGINT) AS n "
+        f"FROM lineitem WHERE {pred} GROUP BY {grp}"
+    )
+    read_table(spark, SF_DIR, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    compare(spark.sql(body), body, SF_DIR)
