@@ -508,3 +508,91 @@ def write_jsonl_shards(
         .text(path)
     )
     return n_shards
+
+
+def enforce_retention(
+    path: str,
+    partition_col: str,
+    keep_from: str,
+) -> dict[str, int]:
+    """TTL / retention enforcement on a partitioned dataset: drop
+    every ``col=value`` partition whose (unescaped) value sorts
+    BEFORE ``keep_from``, leaving younger partitions byte-untouched.
+
+    Retention at 100 TB must be a METADATA operation — a directory
+    listing plus O(expired) directory deletes — never a read-rewrite
+    of surviving data (the difference between seconds and a full
+    rescan).  Values compare as strings, which for the canonical
+    zero-padded ``yyyy-MM-dd`` / ``yyyy-MM`` partition formats is
+    exactly date order; the comparison happens on the UNESCAPED
+    value (Hive %XX escaping — see escape_path_name — must not leak
+    into ordering).  The Hive NULL sentinel partition is never
+    dropped by a date cutoff (NULL provenance is a data-quality
+    question, not an age question).
+
+    Returns ``{"dropped": n, "kept": m}`` partition counts.
+    """
+    prefix = f"{partition_col}="
+    dropped = kept = 0
+    for entry in sorted(os.listdir(path)):
+        if not entry.startswith(prefix):
+            continue
+        raw = entry[len(prefix):]
+        value = unescape_path_name(raw)
+        if raw == HIVE_DEFAULT_PARTITION:
+            kept += 1
+            continue
+        if value < keep_from:
+            shutil.rmtree(os.path.join(path, entry))
+            dropped += 1
+        else:
+            kept += 1
+    return {"dropped": dropped, "kept": kept}
+
+
+def publish_version(
+    df: DataFrame,
+    table_root: str,
+    keep_versions: int = 3,
+) -> str:
+    """Atomic publish of a new table version: write into
+    ``v<N+1>/``, then swap the ``_CURRENT`` pointer file — readers
+    following the pointer never observe a half-written table.
+
+    The write-then-swap protocol is the minimal snapshot-isolation
+    story object stores support: the version directory is immutable
+    once the pointer moves (writers never modify published files),
+    concurrent readers keep reading the OLD version until they
+    re-resolve the pointer, and rollback is rewriting one tiny
+    pointer file.  Old versions beyond ``keep_versions`` are
+    garbage-collected (oldest first) — time travel within the
+    retained window is reading ``v<K>`` directly.
+
+    Returns the published version directory path.
+    """
+    os.makedirs(table_root, exist_ok=True)
+    versions = sorted(
+        int(d[1:])
+        for d in os.listdir(table_root)
+        if d.startswith("v") and d[1:].isdigit()
+    )
+    new_v = (versions[-1] + 1) if versions else 1
+    new_dir = os.path.join(table_root, f"v{new_v}")
+    df.write.mode("overwrite").parquet(new_dir)
+    pointer_tmp = os.path.join(table_root, "_CURRENT.tmp")
+    with open(pointer_tmp, "w", encoding="utf-8") as fh:
+        fh.write(f"v{new_v}\n")
+    os.replace(pointer_tmp, os.path.join(table_root, "_CURRENT"))
+    # GC beyond the retained window (never the one just published)
+    for v in versions[: max(0, len(versions) + 1 - keep_versions)]:
+        shutil.rmtree(os.path.join(table_root, f"v{v}"), ignore_errors=True)
+    return new_dir
+
+
+def read_current_version(spark: SparkSession, table_root: str) -> DataFrame:
+    """Resolve the ``_CURRENT`` pointer and read that version."""
+    with open(
+        os.path.join(table_root, "_CURRENT"), encoding="utf-8"
+    ) as fh:
+        v = fh.read().strip()
+    return spark.read.parquet(os.path.join(table_root, v))

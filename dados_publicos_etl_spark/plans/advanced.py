@@ -1262,3 +1262,71 @@ def scan_corrupt_tolerant(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("n_corrupt_files"),
     )
+
+
+@query(
+    "incremental_join_view_merge",
+    oracle="""
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS revenue_cents
+    FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    GROUP BY o_orderpriority
+    """,
+    description="Incremental JOIN-view maintenance: the aggregated "
+    "join view V = agg(orders >< lineitem) is maintained under "
+    "batch inserts to BOTH sides via the delta-join identity "
+    "(A+dA)><(B+dB) = A><B + dA><B + A><dB + dA><dB — the view "
+    "update touches only delta-sized joins (each delta join keys on "
+    "orderkey: dA><B and A><dB are delta x indexed-base lookups, "
+    "dA><dB is delta x delta), then the three delta partials MERGE "
+    "into the stored partial aggregate exactly like "
+    "incremental_agg_merge.  Oracle = the monolithic recompute; "
+    "equality IS the correctness proof that a 100 TB pipeline can "
+    "maintain join views per-batch without rescanning history.  "
+    "Deltas here are deterministic mod-splits standing in for "
+    "yesterday/today loads.",
+)
+def incremental_join_view_merge(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_custkey", "o_orderpriority"
+    )
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    )
+    # deterministic "prior snapshot" vs "today's delta" on each side
+    a = orders.filter(F.col("o_orderkey") % 3 != 0)
+    da = orders.filter(F.col("o_orderkey") % 3 == 0)
+    b = li.filter(F.col("l_extendedprice") < 50000)
+    db = li.filter(F.col("l_extendedprice") >= 50000)
+
+    def partial(o: DataFrame, l: DataFrame) -> DataFrame:
+        return (
+            o.join(l, o.o_orderkey == l.l_orderkey)
+            .groupBy("o_orderpriority")
+            .agg(
+                F.count(F.lit(1)).alias("n_items"),
+                F.sum(
+                    F.round(F.col("l_extendedprice") * 100, 0).cast(
+                        "long"
+                    )
+                ).alias("revenue_cents"),
+            )
+        )
+
+    # stored view partial + the three delta-sized maintenance joins
+    stored = partial(a, b)
+    deltas = [partial(da, b), partial(a, db), partial(da, db)]
+    merged = stored
+    for d in deltas:
+        merged = merged.unionByName(d)
+    return (
+        merged.groupBy("o_orderpriority")
+        .agg(
+            F.sum("n_items").cast("long").alias("n_items"),
+            F.sum("revenue_cents").cast("long").alias("revenue_cents"),
+        )
+    )

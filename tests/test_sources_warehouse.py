@@ -630,3 +630,85 @@ def test_write_jsonl_shards_sizes_and_roundtrip(spark, sf_dir, tmp_path):
     want = {(r.doc_id, r.text, r.lang) for r in docs.collect()}
     assert {(r["doc_id"], r["text"], r["lang"]) for r in rows} == want
     assert len(rows) == len(want)
+
+
+def test_enforce_retention_drops_only_expired(spark, tmp_path, sf_dir):
+    """TTL enforcement: partitions strictly before the cutoff are
+    deleted, survivors (incl. the cutoff day itself and the Hive
+    NULL sentinel) remain byte-identical; the op never reads data."""
+    from dados_publicos_etl_spark.io import (
+        enforce_retention,
+        overwrite_partitions,
+        read_table,
+    )
+
+    ev = read_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("date").cast("string").alias("day"),
+        "event_id",
+        "user_id",
+    )
+    # plant a NULL partition too
+    ev = ev.unionByName(
+        ev.limit(2).withColumn("day", F.lit(None).cast("string"))
+    )
+    root = str(tmp_path / "events_by_day")
+    overwrite_partitions(ev, root, ["day"])
+    days = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(root)
+        if d.startswith("day=") and "HIVE" not in d
+    )
+    assert len(days) > 3
+    cutoff = days[2]
+    survivor_file = None
+    for d in os.listdir(root):
+        if d == f"day={cutoff}":
+            files = sorted(os.listdir(os.path.join(root, d)))
+            survivor_file = os.path.join(root, d, files[0])
+            before = open(survivor_file, "rb").read()
+    res = enforce_retention(root, "day", cutoff)
+    assert res["dropped"] == 2
+    remaining = sorted(
+        d.split("=", 1)[1]
+        for d in os.listdir(root)
+        if d.startswith("day=") and "HIVE" not in d
+    )
+    assert remaining == days[2:]
+    assert any("HIVE" in d for d in os.listdir(root)), "NULL kept"
+    assert open(survivor_file, "rb").read() == before
+    # survivors still read consistently
+    got = spark.read.parquet(root).count()
+    want = ev.filter(
+        F.col("day").isNull() | (F.col("day") >= cutoff)
+    ).count()
+    assert got == want
+
+
+def test_publish_version_atomic_pointer_and_gc(spark, tmp_path, sf_dir):
+    """Versioned publish: _CURRENT always resolves to a complete
+    version; republish bumps the version; GC keeps the newest
+    keep_versions dirs; old version stays readable until GC'd
+    (time travel)."""
+    from dados_publicos_etl_spark.io import (
+        publish_version,
+        read_current_version,
+        read_table,
+    )
+
+    root = str(tmp_path / "tbl")
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_quantity"
+    )
+    p1 = publish_version(li.limit(10), root, keep_versions=2)
+    assert p1.endswith("v1")
+    assert read_current_version(spark, root).count() == 10
+    p2 = publish_version(li.limit(25), root, keep_versions=2)
+    assert p2.endswith("v2")
+    assert read_current_version(spark, root).count() == 25
+    # time travel to v1 while retained
+    assert spark.read.parquet(os.path.join(root, "v1")).count() == 10
+    p3 = publish_version(li.limit(40), root, keep_versions=2)
+    assert p3.endswith("v3")
+    assert read_current_version(spark, root).count() == 40
+    dirs = {d for d in os.listdir(root) if d.startswith("v")}
+    assert dirs == {"v2", "v3"}, dirs  # v1 GC'd, window of 2 kept
