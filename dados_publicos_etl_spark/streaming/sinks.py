@@ -303,3 +303,108 @@ def stream_histogram_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_upper"),
     )
+
+
+@query(
+    "stream_kl_drift",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(ts AS DATE) AS day, event_type,
+             CAST(COUNT(*) AS BIGINT) AS c
+      FROM events GROUP BY day, event_type
+    ), day_tot AS (
+      SELECT day, CAST(SUM(c) AS BIGINT) AS n_d
+      FROM daily GROUP BY day
+    ), gmix AS (
+      SELECT event_type, CAST(SUM(c) AS BIGINT) AS g
+      FROM daily GROUP BY event_type
+    ), gtot AS (
+      SELECT CAST(SUM(g) AS BIGINT) AS n_g FROM gmix
+    )
+    SELECT strftime(d.day, '%Y-%m-%d') AS day,
+           t.n_d AS n_events,
+           ROUND(SUM((CAST(d.c AS DOUBLE) / t.n_d)
+                     * LN((CAST(d.c AS DOUBLE) / t.n_d)
+                          / (CAST(g.g AS DOUBLE) / gt.n_g))), 6)
+             AS kl_nat
+    FROM daily d
+    JOIN day_tot t ON d.day = t.day
+    JOIN gmix g ON d.event_type = g.event_type
+    CROSS JOIN gtot gt
+    GROUP BY d.day, t.n_d
+    """,
+    description="STREAMING drift monitor: each micro-batch's "
+    "(day, event_type) counts are ADDED into a versioned state "
+    "table by foreachBatch (count addition commutes -> batch-split-"
+    "invariant, equals the batch oracle over the whole feed), and "
+    "the serving read computes per-day KL divergence of that day's "
+    "event mix against the all-time mix.  State is days x "
+    "event-types — calendar-bounded, never row-bounded — so the "
+    "monitor runs forever at constant memory; the alerting read "
+    "costs O(state), not O(stream).  Composes the "
+    "kl_event_mix_divergence metric with the stream_cdc_upsert "
+    "mergeable-state machinery (same law as "
+    "stream_histogram_quantile's bin counts).",
+)
+def stream_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dados_publicos_etl_spark.streaming.windows import (
+        _streaming_shuffle,
+    )
+
+    feed = _cdc_feed_dir(spark, sf_dir)
+    state_tmp = tempfile.TemporaryDirectory(prefix="spark_skl_state_")
+    state = {"path": None, "version": 0}
+
+    def merge_counts(batch_df: DataFrame, _bid: int) -> None:
+        b = batch_df.groupBy(
+            # NTZ arithmetic: timestamp_micros yields LTZ and would
+            # shift the day bucket under a non-UTC driver session
+            F.expr(
+                "CAST(timestampadd(MICROSECOND, ts, "
+                "TIMESTAMP_NTZ '1970-01-01 00:00:00') AS DATE)"
+            ).alias("day"),
+            "event_type",
+        ).agg(F.count(F.lit(1)).alias("c"))
+        if state["path"] is not None:
+            s = spark.read.parquet(state["path"])
+            b = (
+                s.unionByName(b)
+                .groupBy("day", "event_type")
+                .agg(F.sum("c").alias("c"))
+            )
+        state["version"] += 1
+        new_path = f"{state_tmp.name}/v{state['version']}"
+        b.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    stream = (
+        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    with _streaming_shuffle(spark):
+        q = stream.writeStream.foreachBatch(merge_counts).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    _CDC_STATE_DIRS.append(state_tmp)
+    daily = spark.read.parquet(state["path"])
+    day_tot = daily.groupBy("day").agg(F.sum("c").alias("n_d"))
+    gmix = daily.groupBy("event_type").agg(F.sum("c").alias("g"))
+    n_g = daily.agg(F.sum("c")).first()[0]
+    p_d = F.col("c").cast("double") / F.col("n_d")
+    p_g = F.col("g").cast("double") / F.lit(float(n_g))
+    return (
+        daily.join(day_tot, "day")
+        .join(F.broadcast(gmix), "event_type")
+        .groupBy("day", "n_d")
+        .agg(F.round(F.sum(p_d * F.log(p_d / p_g)), 6).alias("kl_nat"))
+        .select(
+            F.date_format("day", "yyyy-MM-dd").alias("day"),
+            F.col("n_d").cast("long").alias("n_events"),
+            "kl_nat",
+        )
+    )
