@@ -148,3 +148,70 @@ def scd2_history(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w2).isNull().alias("is_current"),
     )
     return versions
+
+
+# ---------------------------------------------------------------------------
+# Full tri-state MERGE (update / insert / delete) with action audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "merge_tristate",
+    oracle="""
+    WITH target AS (
+      SELECT c_custkey AS k, c_mktsegment AS seg,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS bal_cents
+      FROM customer WHERE c_custkey % 3 <> 0
+    ), source AS (
+      SELECT c_custkey AS k, 'RESEG' AS seg,
+             CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) + 100 AS bal_cents
+      FROM customer WHERE c_custkey % 2 = 0
+    )
+    SELECT COALESCE(t.k, s.k) AS k,
+           CASE WHEN t.k IS NOT NULL AND s.k IS NOT NULL THEN 'update'
+                WHEN s.k IS NOT NULL THEN 'insert'
+                ELSE 'delete' END AS action,
+           CASE WHEN s.k IS NOT NULL THEN s.seg ELSE t.seg END AS seg,
+           CASE WHEN s.k IS NOT NULL THEN s.bal_cents
+                ELSE t.bal_cents END AS bal_cents,
+           (s.k IS NULL) AS removed
+    FROM target t FULL OUTER JOIN source s ON t.k = s.k
+    """,
+    description="Full tri-state MERGE semantics (the Delta/Iceberg "
+    "MERGE INTO contract): WHEN MATCHED -> update, WHEN NOT MATCHED "
+    "BY TARGET -> insert, WHEN NOT MATCHED BY SOURCE -> delete — "
+    "implemented as ONE null-safe full-outer join + row-local CASE "
+    "(one key shuffle; never three separate scans/anti-joins), "
+    "emitting the action audit log a lakehouse MERGE materializes "
+    "alongside the data.  Deterministic mod-keyed target/source "
+    "stand in for yesterday's table and today's feed; the `removed` "
+    "flag is what the destructive writer filters on, so audit and "
+    "apply share one plan.",
+)
+def merge_tristate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    cents = F.round(F.col("c_acctbal") * 100, 0).cast("long")
+    target = cust.filter(F.col("c_custkey") % 3 != 0).select(
+        F.col("c_custkey").alias("t_k"),
+        F.col("c_mktsegment").alias("t_seg"),
+        cents.alias("t_bal"),
+    )
+    source = cust.filter(F.col("c_custkey") % 2 == 0).select(
+        F.col("c_custkey").alias("s_k"),
+        F.lit("RESEG").alias("s_seg"),
+        (cents + 100).alias("s_bal"),
+    )
+    j = target.join(source, target.t_k == source.s_k, "full_outer")
+    in_t, in_s = F.col("t_k").isNotNull(), F.col("s_k").isNotNull()
+    return j.select(
+        F.coalesce("t_k", "s_k").alias("k"),
+        F.when(in_t & in_s, "update")
+        .when(in_s, "insert")
+        .otherwise("delete")
+        .alias("action"),
+        F.when(in_s, F.col("s_seg")).otherwise(F.col("t_seg")).alias("seg"),
+        F.when(in_s, F.col("s_bal"))
+        .otherwise(F.col("t_bal"))
+        .alias("bal_cents"),
+        (~in_s).alias("removed"),
+    )

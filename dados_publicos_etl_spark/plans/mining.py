@@ -2415,3 +2415,79 @@ def anova_f_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(ssw, 6).alias("ss_within"),
         F.round(f_stat, 6).alias("f_stat"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Exact weighted percentiles by integer threshold crossing
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weighted_percentile_exact",
+    oracle="""
+    WITH w AS (
+      SELECT l_returnflag,
+             CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS v,
+             CAST(l_quantity AS BIGINT) AS wt
+      FROM lineitem
+    ), cum AS (
+      SELECT l_returnflag, v, wt,
+             SUM(wt) OVER (PARTITION BY l_returnflag ORDER BY v
+                           ROWS UNBOUNDED PRECEDING) AS cw,
+             SUM(wt) OVER (PARTITION BY l_returnflag) AS tw
+      FROM w
+    )
+    SELECT l_returnflag,
+           CAST(MAX(tw) AS BIGINT) AS total_weight,
+           CAST(MIN(CASE WHEN cw * 2 >= tw THEN v END) AS BIGINT)
+             AS p50_cents,
+           CAST(MIN(CASE WHEN cw * 10 >= tw * 9 THEN v END) AS BIGINT)
+             AS p90_cents
+    FROM cum GROUP BY l_returnflag
+    """,
+    description="Exact WEIGHTED percentiles (quantity-weighted price "
+    "p50/p90 per return flag) by integer threshold crossing: one "
+    "value-ordered cumulative-weight window per group, the "
+    "p-quantile is the smallest value whose cumulative weight "
+    "crosses p x total — all comparisons in exact int64 "
+    "(cents x integer weights, cross-multiplied so no float ratio "
+    "exists).  The importance-weighted quantile of corpus-mix "
+    "weighting and cost-weighted SLA reporting; percentile_approx "
+    "cannot take weights and interpolating engines disagree — the "
+    "crossing rule is engine-exact.  NOTE the window sorts within "
+    "each group's partition only (the groups ARE the partitions); "
+    "for a single-group billion-row series use "
+    "histogram_quantile_mergeable's fixed bins instead.",
+)
+def weighted_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    w = li.select(
+        "l_returnflag",
+        F.round(F.col("l_extendedprice") * 100, 0)
+        .cast("long")
+        .alias("v"),
+        F.col("l_quantity").cast("long").alias("wt"),
+    )
+    wcum = (
+        Window.partitionBy("l_returnflag")
+        .orderBy("v")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    wall = Window.partitionBy("l_returnflag")
+    cum = w.select(
+        "l_returnflag",
+        "v",
+        F.sum("wt").over(wcum).alias("cw"),
+        F.sum("wt").over(wall).alias("tw"),
+    )
+    return cum.groupBy("l_returnflag").agg(
+        F.max("tw").cast("long").alias("total_weight"),
+        F.min(F.when(F.col("cw") * 2 >= F.col("tw"), F.col("v")))
+        .cast("long")
+        .alias("p50_cents"),
+        F.min(
+            F.when(F.col("cw") * 10 >= F.col("tw") * 9, F.col("v"))
+        )
+        .cast("long")
+        .alias("p90_cents"),
+    )
