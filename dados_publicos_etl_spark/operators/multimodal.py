@@ -941,3 +941,95 @@ def multimodal_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id long, parse_ok boolean, sample_rate int, "
         "n_channels int, n_frames long, duration_ms long",
     )
+
+
+# ---------------------------------------------------------------------------
+# Audio spectral features — rFFT centroid / peak per segment
+# ---------------------------------------------------------------------------
+
+
+def spectral_features(
+    df: DataFrame,
+    sample_rate: int = SAMPLE_RATE,
+    segment_seconds: float = SEGMENT_SECONDS,
+    id_col: str = "doc_id",
+) -> DataFrame:
+    """Per-segment spectral centroid and peak frequency over int16
+    PCM payloads — the frequency-domain leg of the audio surface
+    (RMS/ZCR in ``segment_audio`` are time-domain).
+
+    Per segment: real FFT magnitude spectrum |X_k|, spectral
+    centroid = sum(f_k * |X_k|) / sum(|X_k|) (the "brightness"
+    feature every audio-quality filter starts from), and the peak
+    bin's frequency.  numpy ``rfft`` over Arrow batches — identical
+    batch shape and 1->N fan-out as ``segment_audio``, fat payload
+    never shuffles.  A real codec corpus inserts a decode step
+    before the same windowing.
+    """
+    import numpy as np
+
+    seg_samples = max(int(sample_rate * segment_seconds), 1)
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, idxs, cents, peaks = [], [], [], []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                pcm = np.frombuffer(
+                    b[: len(b) - (len(b) % 2)], dtype="<i2"
+                ).astype("float64")
+                n_seg = (len(pcm) + seg_samples - 1) // seg_samples
+                for si in range(n_seg):
+                    w = pcm[si * seg_samples : (si + 1) * seg_samples]
+                    if len(w) < 2:
+                        continue
+                    mag = np.abs(np.fft.rfft(w))
+                    freqs = np.fft.rfftfreq(len(w), d=1.0 / sample_rate)
+                    total = float(mag.sum())
+                    cent = (
+                        float((freqs * mag).sum() / total)
+                        if total > 0
+                        else 0.0
+                    )
+                    ids.append(i)
+                    idxs.append(si)
+                    cents.append(round(cent, 2))
+                    peaks.append(round(float(freqs[int(mag.argmax())]), 2))
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "segment_idx": pd.Series(idxs, dtype="int32"),
+                    "centroid_hz": pd.Series(cents, dtype="float64"),
+                    "peak_hz": pd.Series(peaks, dtype="float64"),
+                }
+            )
+
+    return df.select(id_col, "payload").mapInPandas(
+        feats,
+        schema=(
+            f"{id_col} long, segment_idx int, "
+            "centroid_hz double, peak_hz double"
+        ),
+    )
+
+
+@query(
+    "audio_spectral_centroid",
+    oracle=None,  # FFT magnitudes; planted-sine + golden pytest pins
+    description="Audio modality, frequency domain: per-segment "
+    "spectral centroid + peak frequency via numpy rFFT over Arrow "
+    "batches (25 ms windows, payload never shuffles), aggregated to "
+    "per-doc brightness stats — the audio-quality filter signal "
+    "(hiss/silence/tone detection) beside segment_audio's RMS/ZCR.  "
+    "No SQL oracle (FFT is not SQL-expressible); correctness is "
+    "pinned by a planted-sine pytest (a pure 1 kHz tone's centroid "
+    "and peak land on 1 kHz) and the seeded golden.",
+)
+def audio_spectral_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    mm = to_multimodal(docs, "text", modality="audio", mime="audio/pcm")
+    feats = spectral_features(mm)
+    return feats.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_segments"),
+        F.round(F.avg("centroid_hz"), 2).alias("avg_centroid_hz"),
+        F.round(F.max("peak_hz"), 2).alias("max_peak_hz"),
+    )

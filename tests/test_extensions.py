@@ -979,6 +979,7 @@ ARROW_UDF_QUERIES = [
     "embedding_gram_matrix",     # mining: partial-Gram mapInPandas
     "heavy_hitters_exact",       # advanced: Misra-Gries mapInPandas
     "compression_ratio_quality", # text: zlib mapInPandas
+    "audio_spectral_centroid",   # multimodal: rFFT mapInPandas
 ]
 
 
@@ -1602,3 +1603,41 @@ def test_auc_bounds_and_degenerate_separation(spark):
     assert out["sep"] == (1.0, 18, 18)
     assert out["inv"] == (0.0, 0, 18)
     assert out["tie"] == (0.5, 9, 18)
+
+
+def test_spectral_centroid_planted_sine(spark):
+    """A pure 1 kHz sine must produce segment centroids and peak
+    bins at ~1 kHz through the Arrow rFFT path (DC-free signal:
+    centroid equals the single spectral line up to windowing
+    leakage); a 3 kHz tone likewise; silence yields centroid 0."""
+    import numpy as np
+
+    from dados_publicos_etl_spark.operators.multimodal import (
+        SAMPLE_RATE,
+        spectral_features,
+    )
+
+    def pcm_sine(freq, seconds=0.1, amp=12000):
+        t = np.arange(int(SAMPLE_RATE * seconds)) / SAMPLE_RATE
+        return (
+            (amp * np.sin(2 * np.pi * freq * t))
+            .astype("<i2")
+            .tobytes()
+        )
+
+    rows = [
+        (1, bytearray(pcm_sine(1000.0))),
+        (2, bytearray(pcm_sine(3000.0))),
+        (3, bytearray(b"\x00\x00" * 800)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = spectral_features(df).toPandas()
+    for doc, want in [(1, 1000.0), (2, 3000.0)]:
+        segs = out[out.doc_id == doc]
+        assert len(segs) > 2
+        assert (abs(segs.peak_hz - want) < 60).all(), segs.peak_hz
+        assert (abs(segs.centroid_hz - want) < 150).all(), (
+            segs.centroid_hz
+        )
+    silent = out[out.doc_id == 3]
+    assert (silent.centroid_hz == 0.0).all()

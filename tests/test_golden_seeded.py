@@ -48,6 +48,7 @@ SEEDED_QUERIES = [
     "video_scene_detect",    # planted scene cuts, frame-diff detection (round 4)
     "contrastive_pair_mining",  # LSH-bucket positives/hard-negatives (round 4)
     "compression_ratio_quality",  # zlib level-6 ratios, deterministic (round 5)
+    "audio_spectral_centroid",    # deterministic rFFT over synth PCM (round 5)
 ]
 
 
