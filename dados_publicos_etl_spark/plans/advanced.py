@@ -1330,3 +1330,96 @@ def incremental_join_view_merge(
             F.sum("revenue_cents").cast("long").alias("revenue_cents"),
         )
     )
+
+
+_CMS_D = 4      # hash rows
+_CMS_W = 16     # buckets per row (vocab is ~31 terms at
+                # test sf — w<|vocab| keeps the sketch in
+                # its collision regime so overcounts are real)
+_CMS_TOPK = 20  # terms to report estimates for
+
+
+@query(
+    "countmin_sketch_estimate",
+    oracle=f"""
+    WITH tok AS (
+      SELECT unnest(string_split_regex(lower(text), '\\s+')) AS term
+      FROM documents
+    ), truth AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS true_freq
+      FROM tok GROUP BY term
+    ), salts AS (
+      SELECT * FROM (VALUES (0),(1),(2),(3)) s(d)
+    ), cells AS (
+      SELECT d,
+             CAST(('0x' || substr(md5(d || ':' || term), 1, 8))
+                  AS BIGINT) % {_CMS_W} AS bucket,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM tok CROSS JOIN salts
+      GROUP BY d, bucket
+    ), top_terms AS (
+      SELECT term, true_freq FROM truth
+      ORDER BY true_freq DESC, term LIMIT {_CMS_TOPK}
+    ), probes AS (
+      SELECT t.term, t.true_freq, c.cnt
+      FROM top_terms t CROSS JOIN salts s
+      JOIN cells c ON c.d = s.d
+       AND c.bucket = CAST(('0x' || substr(md5(s.d || ':' || t.term),
+                                           1, 8)) AS BIGINT) % {_CMS_W}
+    )
+    SELECT term, true_freq,
+           CAST(MIN(cnt) AS BIGINT) AS cms_estimate,
+           CAST(MIN(cnt) - true_freq AS BIGINT) AS overcount
+    FROM probes GROUP BY term, true_freq
+    """,
+    description=f"Count-Min sketch, EXACTLY differentially checked: "
+    f"the {_CMS_D}x{_CMS_W} sketch is built from md5-salted bucket "
+    "hashing (portable bit-for-bit to any engine with md5), so the "
+    "sketch construction itself — not just its error bound — is "
+    "oracle-verified; estimates for the top-20 terms are "
+    "min-over-rows probes with the one-sided overcount reported "
+    "against exact truth (a pytest asserts estimate >= truth for "
+    "EVERY term — the CMS guarantee).  Scale: the build is one "
+    "explode x 4 salts + a hash aggregate whose OUTPUT is the fixed "
+    f"{_CMS_D * _CMS_W}-cell table (kilobytes at any corpus size) "
+    "and cells merge by addition — the per-batch persistable "
+    "frequency sketch beside the exact Misra-Gries two-pass; probes "
+    "broadcast the cell table.",
+)
+def countmin_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.functions.text import tokens
+    from dados_publicos_etl_spark.operators.sampling import hash_bucket
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tokens("text")).alias("term"))
+    truth = tok.groupBy("term").agg(
+        F.count(F.lit(1)).alias("true_freq")
+    )
+    salts = spark.range(_CMS_D).select(F.col("id").cast("int").alias("d"))
+
+    def bucket(dcol, termcol):
+        return hash_bucket(
+            F.concat(dcol.cast("string"), F.lit(":"), termcol), _CMS_W
+        )
+
+    cells = (
+        tok.crossJoin(F.broadcast(salts))
+        .groupBy(
+            "d", bucket(F.col("d"), F.col("term")).alias("bucket")
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    top_terms = truth.orderBy(
+        F.desc("true_freq"), F.asc("term")
+    ).limit(_CMS_TOPK)
+    probes = (
+        top_terms.crossJoin(F.broadcast(salts))
+        .withColumn("bucket", bucket(F.col("d"), F.col("term")))
+        .join(F.broadcast(cells), ["d", "bucket"])
+    )
+    return probes.groupBy("term", "true_freq").agg(
+        F.min("cnt").cast("long").alias("cms_estimate"),
+        (F.min("cnt") - F.col("true_freq"))
+        .cast("long")
+        .alias("overcount"),
+    )

@@ -1641,3 +1641,47 @@ def test_spectral_centroid_planted_sine(spark):
         )
     silent = out[out.doc_id == 3]
     assert (silent.centroid_hz == 0.0).all()
+
+
+def test_countmin_one_sided_guarantee_all_terms(spark, sf_dir):
+    """The CMS deterministic guarantee — estimate >= true count for
+    EVERY term, not just the reported top-k — checked by probing the
+    sketch for the full vocabulary; and total overcount per hash row
+    is bounded by the collision mass (sum of all other cells in the
+    row)."""
+    from dados_publicos_etl_spark.functions.text import tokens as tok_fn
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.operators.sampling import hash_bucket
+
+    W_, D_ = 16, 4
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(F.explode(tok_fn("text")).alias("term"))
+    truth = tok.groupBy("term").agg(F.count(F.lit(1)).alias("t"))
+    salts = spark.range(D_).select(F.col("id").cast("int").alias("d"))
+
+    def bucket(dcol, termcol):
+        return hash_bucket(
+            F.concat(dcol.cast("string"), F.lit(":"), termcol), W_
+        )
+
+    cells = (
+        tok.crossJoin(F.broadcast(salts))
+        .groupBy("d", bucket(F.col("d"), F.col("term")).alias("bucket"))
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    probes = (
+        truth.crossJoin(F.broadcast(salts))
+        .withColumn("bucket", bucket(F.col("d"), F.col("term")))
+        .join(cells, ["d", "bucket"])
+        .groupBy("term", "t")
+        .agg(F.min("cnt").alias("est"))
+        .collect()
+    )
+    assert probes
+    total = sum(r.t for r in probes)
+    for r in probes:
+        assert r.est >= r.t, (r.term, r.est, r.t)
+        # collision mass in one bucket can never exceed the stream
+        assert r.est - r.t < total
+    # with |vocab| >> w, collisions must exist somewhere
+    assert any(r.est > r.t for r in probes)
