@@ -457,3 +457,84 @@ def table_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     return one.select(
         F.explode(F.array(*rows)).alias("p")
     ).select("p.*")
+
+
+# ---------------------------------------------------------------------------
+# Join-relationship cardinality audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "join_cardinality_audit",
+    oracle="""
+    WITH l AS (
+      SELECT o_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM orders GROUP BY o_custkey
+    ), r AS (
+      SELECT c_custkey AS k, CAST(COUNT(*) AS BIGINT) AS n
+      FROM customer GROUP BY c_custkey
+    ), j AS (
+      SELECT COALESCE(l.k, r.k) AS k,
+             COALESCE(l.n, 0) AS ln, COALESCE(r.n, 0) AS rn
+      FROM l FULL OUTER JOIN r ON l.k = r.k
+    )
+    SELECT 'orders->customer' AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_keys,
+           CAST(SUM(CASE WHEN ln > 0 AND rn = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS orphan_keys,
+           CAST(SUM(CASE WHEN ln = 0 AND rn > 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS childless_keys,
+           CAST(MAX(ln) AS BIGINT) AS max_left_fanout,
+           CAST(MAX(rn) AS BIGINT) AS max_right_fanout,
+           (MAX(rn) <= 1) AS right_is_unique,
+           CASE WHEN MAX(ln) <= 1 AND MAX(rn) <= 1 THEN '1:1'
+                WHEN MAX(rn) <= 1 THEN 'N:1'
+                WHEN MAX(ln) <= 1 THEN '1:N'
+                ELSE 'M:N' END AS relationship
+    FROM j
+    """,
+    description="Join-relationship cardinality audit (the contract "
+    "check behind every star-schema join): per-key fanout profiles "
+    "of both sides (two key-only aggregates — the only data-wide "
+    "work), one full-outer join of the PROFILES (|keys| rows, never "
+    "the fact tables), then orphan/childless counts, max fanout per "
+    "side, and the inferred relationship class (1:1 / N:1 / 1:N / "
+    "M:N).  A fact-to-dim join that silently turns M:N (duplicate "
+    "dim keys) is the classic row-explosion incident; this audit is "
+    "the cheap pre-join guard that catches it at 100 TB for the "
+    "cost of two GROUP BYs.",
+)
+def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cust = read_table(spark, sf_dir, "customer")
+    l = orders.groupBy(F.col("o_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("ln")
+    )
+    r = cust.groupBy(F.col("c_custkey").alias("k")).agg(
+        F.count(F.lit(1)).alias("rn")
+    )
+    j = (
+        l.join(r, "k", "full_outer")
+        .select(
+            F.coalesce("ln", F.lit(0)).alias("ln"),
+            F.coalesce("rn", F.lit(0)).alias("rn"),
+        )
+    )
+    return j.agg(
+        F.lit("orders->customer").alias("relation"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.sum(F.when((F.col("ln") > 0) & (F.col("rn") == 0), 1).otherwise(0))
+        .cast("long")
+        .alias("orphan_keys"),
+        F.sum(F.when((F.col("ln") == 0) & (F.col("rn") > 0), 1).otherwise(0))
+        .cast("long")
+        .alias("childless_keys"),
+        F.max("ln").cast("long").alias("max_left_fanout"),
+        F.max("rn").cast("long").alias("max_right_fanout"),
+        (F.max("rn") <= 1).alias("right_is_unique"),
+        F.when((F.max("ln") <= 1) & (F.max("rn") <= 1), "1:1")
+        .when(F.max("rn") <= 1, "N:1")
+        .when(F.max("ln") <= 1, "1:N")
+        .otherwise("M:N")
+        .alias("relationship"),
+    )
