@@ -478,6 +478,7 @@ _BNLJ_OK = {
     "neyman_allocation_sample",  # 1-row sum_w total
     "decile_lift_table",  # 1-row base-rate total
     "acf_daily_revenue",  # 7-row lag dimension crossJoin
+    "countmin_sketch_estimate",  # d=4-row salt dimension crossJoin
 }
 
 

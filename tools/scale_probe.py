@@ -70,6 +70,12 @@ PROBE = [
     "fifo_lot_allocation",         # running-sum interval join
     "acf_daily_revenue",           # decimal-exact lag moments
     "erasure_propagation",         # FK-star cascade audit
+    "source_vocab_jaccard",        # distinct-pair vocab self-join
+    "survival_kaplan_meier",       # per-user collapse + step table
+    "merge_tristate",              # full-outer tri-state MERGE
+    "weighted_percentile_exact",   # cumulative-weight crossing
+    "countmin_sketch_estimate",    # fixed-cell sketch build
+    "incremental_join_view_merge", # delta-join maintenance
 ]
 
 
