@@ -636,3 +636,186 @@ def cheapest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             .localCheckpoint()
         )
     return dist.select("node", F.col("dist").alias("dist_cents"))
+
+
+_KC_K = 2        # core threshold: keep nodes with >= K surviving neighbors
+_KC_ROUNDS = 12  # fixed peel unroll; fixpoint asserted by pytest at test SFs
+_KC_MIN_ORDERS = 2  # co-purchase edge weight floor
+
+# sf_dir -> (tempdir handle, adjacency path): the co-purchase graph
+# (lineitem self-join) never changes per corpus; disk-backed like
+# _PR_GRAPH_CACHE so repeated catalog runs skip the pair build.
+_KC_GRAPH_CACHE: dict[str, tuple] = {}
+
+
+def _kcore_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected part co-purchase adjacency, built once per corpus.
+
+    Edge (u, v) iff parts u < v co-occur on >= _KC_MIN_ORDERS
+    lineitem pairs of the same order.  The self-join fans out only
+    within an order (TPC-H orders hold <= 7 lines, so <= 21 pairs per
+    order) — one shuffle on l_orderkey, bounded blow-up, safe at any
+    corpus size.
+    """
+    import tempfile
+
+    hit = _KC_GRAPH_CACHE.get(sf_dir)
+    if hit is not None:
+        return spark.read.parquet(hit[1])
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_partkey"
+    )
+    a, b = li.alias("a"), li.alias("b")
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(
+            F.col("a.l_partkey").alias("u"),
+            F.col("b.l_partkey").alias("v"),
+        )
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _KC_MIN_ORDERS)
+        .select("u", "v")
+    )
+    adj = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
+    tmp = tempfile.TemporaryDirectory(prefix="spark_kcore_adj_")
+    path = f"{tmp.name}/adj"
+    adj.write.mode("overwrite").parquet(path)
+    _KC_GRAPH_CACHE[sf_dir] = (tmp, path)
+    return spark.read.parquet(path)
+
+
+def _kcore_oracle() -> str:
+    """Fixed-round onion peel unrolled into a CTE chain (the
+    PageRank-oracle pattern: aggregation inside a recursive member is
+    not portable SQL, so each peel round is its own CTE pair).  Every
+    round CTE is MATERIALIZED: adj(r-1) is referenced three times per
+    round, and an inlining planner would otherwise expand the chain
+    3^R-fold."""
+    steps = []
+    for r in range(1, _KC_ROUNDS + 1):
+        steps.append(
+            f"""a{r} AS MATERIALIZED (
+      SELECT u AS node FROM adj{r - 1}
+      GROUP BY u HAVING COUNT(*) >= {_KC_K}
+    ), adj{r} AS MATERIALIZED (
+      SELECT p.u, p.v FROM adj{r - 1} p
+      JOIN a{r} s ON p.u = s.node
+      JOIN a{r} t ON p.v = t.node
+    ), r{r} AS MATERIALIZED (
+      SELECT node, {r} AS peel_round FROM a{r - 1}
+      EXCEPT
+      SELECT node, {r} AS peel_round FROM a{r}
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    layers = "\n      UNION ALL\n      ".join(
+        f"SELECT * FROM r{r}" for r in range(1, _KC_ROUNDS + 1)
+    )
+    return f"""
+    WITH pairs AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2 HAVING COUNT(*) >= {_KC_MIN_ORDERS}
+    ), adj0 AS MATERIALIZED (
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ), a0 AS MATERIALIZED (
+      SELECT DISTINCT u AS node FROM adj0
+    ),
+    {chain}
+    SELECT node AS l_partkey, CAST(peel_round AS INT) AS peel_round
+    FROM (
+      {layers}
+      UNION ALL
+      SELECT node, 0 AS peel_round FROM a{_KC_ROUNDS}
+    )
+    """
+
+
+@query(
+    "k_core_peel",
+    oracle=_kcore_oracle(),
+    description=f"Onion-layer {_KC_K}-core decomposition of the part "
+    "co-purchase graph (edges = part pairs sharing >= "
+    f"{_KC_MIN_ORDERS} same-order lineitem pairs): per node, the peel "
+    "round at which it was removed (0 = survives in the core).  One "
+    "degree-aggregate + two semi-joins per round, rolling adjacency "
+    "localCheckpointed; oracle = the same fixed-round recurrence "
+    "unrolled into CTEs.  Sixth differential-checked iterative "
+    "algorithm.",
+)
+def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative k-core peel (Batagelj-Zaversnik semantics, bounded
+    rounds).
+
+    Spark-first shape: the rolling state is the *filtered adjacency*
+    — each round computes degrees with one groupBy(u) shuffle, keeps
+    nodes with degree >= k, and semi-joins the adjacency down to the
+    survivor-induced subgraph.  The survivor set is |V| rows (tiny
+    next to |E|), so both semi-joins broadcast; the only per-round
+    exchange over edge-scale data is the degree aggregate, partial-
+    aggregated map-side.  ``localCheckpoint`` on the rolling state
+    each round keeps lineage flat and makes the 12-layer union a
+    linear plan, not an exponential recompute.  At billions of edges
+    the broadcast hint drops and adjacency/survivors co-partition on
+    the node key once — the recurrence is unchanged.
+
+    Removal round is well-defined (degree-0 isolates fall out via the
+    anti-join on the survivor set, same as the oracle's EXCEPT);
+    ``tests/test_extensions.py`` asserts the peel reaches fixpoint
+    before round _KC_ROUNDS, so the bounded unroll equals the true
+    2-core.  Reference scope: graph analytics extend SURVEY.md §2.B
+    (the reference ETL has no graph stage).
+    """
+    adj = _kcore_adjacency(spark, sf_dir)
+    active = adj.select(F.col("u").alias("node")).distinct()
+    layers = []
+    prev_n = None
+    for r in range(1, _KC_ROUNDS + 1):
+        # One checkpoint per round, on the survivor set (|V| rows):
+        # it feeds three consumers (the removed anti-join + both
+        # semi-joins) and anchors the next round's lineage, so the
+        # 12-layer union stays a linear plan.  The rolling adjacency
+        # is NOT checkpointed — it only ever chains semi-joins onto
+        # the parquet-backed base, a flat plan by construction.
+        survivors = (
+            adj.groupBy("u")
+            .agg(F.count(F.lit(1)).alias("deg"))
+            .filter(F.col("deg") >= _KC_K)
+            .select(F.col("u").alias("node"))
+            .localCheckpoint()
+        )
+        # Early exit at fixpoint: survivors ⊆ active every round, so
+        # an unchanged count means this round's removed layer — and
+        # every later one — is empty; the remaining unrolled rounds
+        # are identities on both engines.  The count is a driver-side
+        # O(1)-result action on the already-materialized checkpoint.
+        n = survivors.count()
+        if n == prev_n:
+            break
+        prev_n = n
+        removed = active.join(survivors, "node", "left_anti").select(
+            "node", F.lit(r).cast("int").alias("peel_round")
+        )
+        layers.append(removed)
+        # Lazy checkpoint (materializes with the next round's count
+        # action, no extra job): keeps every round's plan flat instead
+        # of re-optimizing a 2r-deep semi-join chain — the chain was
+        # pure replanning overhead, ~2x wall at sf0.1.
+        adj = (
+            adj.join(survivors, adj.u == survivors.node, "left_semi")
+            .join(survivors, adj.v == survivors.node, "left_semi")
+            .localCheckpoint(eager=False)
+        )
+        active = survivors
+    out = layers[0]
+    for extra in layers[1:]:
+        out = out.unionAll(extra)
+    out = out.unionAll(
+        active.select("node", F.lit(0).cast("int").alias("peel_round"))
+    )
+    return out.select(F.col("node").alias("l_partkey"), "peel_round")

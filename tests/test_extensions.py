@@ -1685,3 +1685,48 @@ def test_countmin_one_sided_guarantee_all_terms(spark, sf_dir):
         assert r.est - r.t < total
     # with |vocab| >> w, collisions must exist somewhere
     assert any(r.est > r.t for r in probes)
+
+
+def test_k_core_peel_fixpoint_and_core_property(spark, sf_dir):
+    """The bounded peel must (a) reach fixpoint before the unroll
+    limit — otherwise the fixed-round contract is not the true
+    2-core — and (b) leave a survivor set in which every node keeps
+    >= k neighbors; plus exact layers on a planted triangle+tail."""
+    import dados_publicos_etl_spark.operators.graph as G
+
+    rows = QUERIES["k_core_peel"].fn(spark, sf_dir).collect()
+    rounds = [r.peel_round for r in rows]
+    assert max(rounds) < G._KC_ROUNDS  # fixpoint reached within unroll
+    core = {r.l_partkey for r in rows if r.peel_round == 0}
+    adj = G._kcore_adjacency(spark, sf_dir).collect()
+    deg_in_core = {}
+    for e in adj:
+        if e.u in core and e.v in core:
+            deg_in_core[e.u] = deg_in_core.get(e.u, 0) + 1
+    assert core, "2-core empty at test scale"
+    assert all(deg_in_core.get(n, 0) >= G._KC_K for n in core)
+
+    # planted graph: triangle {1,2,3} + tail 3-4-5 (every edge
+    # realized as >= 2 co-orders); expected onion layers 5->1, 4->2,
+    # triangle survives.
+    li_rows = []
+    order = 0
+    for u, v in [(1, 2), (1, 3), (2, 3), (3, 4), (4, 5)]:
+        for _ in range(2):
+            order += 1
+            li_rows.append((order, u))
+            li_rows.append((order, v))
+    li = spark.createDataFrame(
+        pd.DataFrame(li_rows, columns=["l_orderkey", "l_partkey"])
+    )
+    orig = G.read_table
+    try:
+        G.read_table = lambda _s, _d, name: {"lineitem": li}[name]
+        planted = {
+            r.l_partkey: r.peel_round
+            for r in QUERIES["k_core_peel"].fn(spark, "planted_kcore").collect()
+        }
+    finally:
+        G.read_table = orig
+        G._KC_GRAPH_CACHE.pop("planted_kcore", None)
+    assert planted == {5: 1, 4: 2, 1: 0, 2: 0, 3: 0}
