@@ -437,3 +437,92 @@ def classifier_auc_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+_TE_PRIOR_M = 100  # pseudo-observations of the global rate
+
+
+@query(
+    "target_encode_loo",
+    oracle=f"""
+    WITH base AS (
+      SELECT o_orderkey, o_orderpriority,
+             CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS target
+      FROM orders
+    ), cat AS (
+      SELECT o_orderpriority,
+             COUNT(*) AS n,
+             SUM(target) AS s,
+             SUM(COUNT(*)) OVER () AS big_n,
+             SUM(SUM(target)) OVER () AS big_s
+      FROM base GROUP BY o_orderpriority
+    )
+    SELECT b.o_orderkey, b.o_orderpriority, b.target,
+           CAST(c.s - b.target AS BIGINT) AS loo_num,
+           CAST(c.n - 1 AS BIGINT) AS loo_den,
+           ROUND(CAST(c.s - b.target AS DOUBLE) / (c.n - 1), 9)
+             AS loo_rate,
+           ROUND(CAST((c.s - b.target) * c.big_n
+                      + {_TE_PRIOR_M} * c.big_s AS DOUBLE)
+                 / (c.big_n * (c.n - 1 + {_TE_PRIOR_M})), 9)
+             AS loo_smoothed
+    FROM base b JOIN cat c USING (o_orderpriority)
+    """,
+    description="Leave-one-out target encoding of o_orderpriority against "
+    "the fulfilled-status flag: per-category (n, sum) from ONE 7-row hash "
+    "aggregate (5 priorities), broadcast back onto every row; own-row exclusion and "
+    f"m={_TE_PRIOR_M} prior smoothing as exact integer cross-"
+    "multiplication until the final division.  The leakage-free "
+    "categorical feature of gradient-boosting pipelines.",
+)
+def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """LOO target encoding (Micci-Barreca 2001 semantics, exact).
+
+    Spark-first shape: encoding needs only per-category totals, so
+    the plan is one partial-aggregated groupBy bounded by
+    |categories| (5 priorities), a window total over that 5-row
+    table for the global prior (no 1-row crossJoin, so no BNLJ in
+    the audit), and a broadcast join stamping (n, s, N, S) onto
+    every fact row — the fact table never shuffles.  Own-row
+    exclusion (s - t)/(n - 1) happens row-local AFTER the join,
+    which is what makes the encoding leakage-free without per-row
+    state.  Integer cross-multiplication keeps both engines exact
+    until one final rounded division.
+    """
+    from pyspark.sql import Window
+
+    base = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("target"),
+    )
+    w = Window.partitionBy()
+    cat = (
+        base.groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("target").alias("s"),
+        )
+        .select(
+            "o_orderpriority",
+            "n",
+            "s",
+            F.sum("n").over(w).alias("big_n"),
+            F.sum("s").over(w).alias("big_s"),
+        )
+    )
+    m = F.lit(_TE_PRIOR_M)
+    num = F.col("s") - F.col("target")
+    return base.join(F.broadcast(cat), "o_orderpriority").select(
+        "o_orderkey",
+        "o_orderpriority",
+        "target",
+        num.cast("long").alias("loo_num"),
+        (F.col("n") - 1).cast("long").alias("loo_den"),
+        F.round(num.cast("double") / (F.col("n") - 1), 9).alias("loo_rate"),
+        F.round(
+            (num * F.col("big_n") + m * F.col("big_s")).cast("double")
+            / (F.col("big_n") * (F.col("n") - 1 + m)),
+            9,
+        ).alias("loo_smoothed"),
+    )

@@ -1423,3 +1423,191 @@ def countmin_sketch_estimate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("overcount"),
     )
+
+
+_BLOOM_WORDS = 256  # filter words
+_BLOOM_BPW = 63     # usable bits per 64-bit word: bit 63 stays clear so
+                    # the 1<<bit shift never overflows on an ANSI engine
+                    # (DuckDB raises where non-ANSI Spark would wrap)
+_BLOOM_M = _BLOOM_WORDS * _BLOOM_BPW
+_BLOOM_K = 3        # hash functions
+_BLOOM_SEG = "BUILDING"
+
+
+def _bloom_pos_sql(key: str, j: int) -> str:
+    """Portable md5-derived bit position j for key expression (SQL)."""
+    return (
+        f"(CAST(('0x' || substr(md5('b{j}:' || CAST({key} AS VARCHAR)), 1, 8))"
+        f" AS BIGINT) % {_BLOOM_M})"
+    )
+
+
+@query(
+    "bloom_filter_semijoin",
+    oracle=f"""
+    WITH dim AS (
+      SELECT c_custkey FROM customer WHERE c_mktsegment = '{_BLOOM_SEG}'
+    ), dim_bits AS (
+      SELECT j, {_bloom_pos_sql("c_custkey", 0)} AS p0,
+                {_bloom_pos_sql("c_custkey", 1)} AS p1,
+                {_bloom_pos_sql("c_custkey", 2)} AS p2
+      FROM dim CROSS JOIN (SELECT 0 AS j) s
+    ), positions AS (
+      SELECT p0 AS p FROM dim_bits UNION ALL
+      SELECT p1 FROM dim_bits UNION ALL
+      SELECT p2 FROM dim_bits
+    ), bloom AS (
+      SELECT p / {_BLOOM_BPW} AS word,
+             bit_or(1::BIGINT << CAST(p % {_BLOOM_BPW} AS INT)) AS bits
+      FROM positions GROUP BY 1
+    ), fact AS (
+      SELECT o_orderkey, o_custkey,
+             {_bloom_pos_sql("o_custkey", 0)} AS p0,
+             {_bloom_pos_sql("o_custkey", 1)} AS p1,
+             {_bloom_pos_sql("o_custkey", 2)} AS p2
+      FROM orders
+    ), probes AS (
+      SELECT o_orderkey, o_custkey, p FROM (
+        SELECT o_orderkey, o_custkey, p0 AS p FROM fact UNION ALL
+        SELECT o_orderkey, o_custkey, p1 FROM fact UNION ALL
+        SELECT o_orderkey, o_custkey, p2 FROM fact
+      )
+    ), checked AS (
+      SELECT pr.o_orderkey, pr.o_custkey,
+             CASE WHEN (b.bits & (1::BIGINT << CAST(pr.p % {_BLOOM_BPW} AS INT)))
+                       <> 0 THEN 1 ELSE 0 END AS hit
+      FROM probes pr LEFT JOIN bloom b ON pr.p / {_BLOOM_BPW} = b.word
+    ), verdict AS (
+      SELECT o_orderkey, o_custkey,
+             CASE WHEN SUM(hit) = {_BLOOM_K} THEN 1 ELSE 0 END AS pass
+      FROM checked GROUP BY 1, 2
+    ), flagged AS (
+      SELECT v.o_orderkey, v.pass,
+             CASE WHEN d.c_custkey IS NULL THEN 0 ELSE 1 END AS member
+      FROM verdict v LEFT JOIN dim d ON v.o_custkey = d.c_custkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM dim) AS BIGINT) AS n_dim_keys,
+           CAST((SELECT COALESCE(SUM(bit_count(bits)), 0) FROM bloom)
+                AS BIGINT) AS bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n_fact,
+           CAST(SUM(member) AS BIGINT) AS n_member,
+           CAST(SUM(pass) AS BIGINT) AS n_pass,
+           CAST(SUM(CASE WHEN pass = 1 AND member = 0 THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_false_pos,
+           CAST(SUM(1 - pass) AS BIGINT) AS n_filtered
+    FROM flagged
+    """,
+    description=f"Explicit Bloom-filter semi-join reduction: a "
+    f"{_BLOOM_M}-bit / k={_BLOOM_K} filter built from the "
+    f"'{_BLOOM_SEG}'-segment customer keys (md5-salted positions, "
+    "bit_or over 256 words), broadcast onto the orders fact scan; "
+    "per-order pass/filter verdicts cross-checked against exact "
+    "membership — zero false negatives by construction, measured "
+    "false-positive count in the output.  The runtime-filter "
+    "pattern (session.py enables Spark's own) made explicit, "
+    "differentially checkable, and engine-portable.",
+)
+def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Bloom-filter build + probe as relational algebra.
+
+    Scale shape: the filter is a fixed 2 KB table (256 longs) built
+    with one partial-aggregated groupBy over the dim keys, then
+    BROADCAST to every fact partition — the fact table never
+    shuffles, rows failing the filter die at the scan, and the only
+    wide exchange left is whatever downstream consumers still need.
+    This is exactly what `spark.sql.optimizer.runtime.bloomFilter`
+    injects implicitly (pinned in tests/test_plans.py); here the
+    filter is first-class data, so its bit layout, fill factor, and
+    false-positive behavior are themselves differentially verified
+    (bit 63 kept clear per word — ANSI engines raise on 1<<63 where
+    Spark wraps).  Zero false negatives is structural: every dim
+    key's bits are in the filter, so `n_pass >= n_member` and the
+    pytest asserts it.
+    """
+    m, bpw, k = _BLOOM_M, _BLOOM_BPW, _BLOOM_K
+
+    def pos(key: str, j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"b{j}:"), F.col(key).cast("string"))),
+                    1,
+                    8,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % m
+        )
+
+    dim = (
+        read_table(spark, sf_dir, "customer")
+        .filter(F.col("c_mktsegment") == _BLOOM_SEG)
+        .select("c_custkey")
+    )
+    positions = dim.select(
+        F.explode(F.array(*[pos("c_custkey", j) for j in range(k)])).alias("p")
+    )
+    bloom = positions.groupBy((F.col("p") / bpw).cast("long").alias("word")).agg(
+        F.bit_or(
+            F.expr(f"shiftleft(CAST(1 AS BIGINT), CAST(p % {bpw} AS INT))")
+        ).alias("bits")
+    )
+    fact = read_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    probes = fact.select(
+        "o_orderkey",
+        "o_custkey",
+        F.explode(F.array(*[pos("o_custkey", j) for j in range(k)])).alias("p"),
+    )
+    checked = probes.join(
+        F.broadcast(bloom),
+        (F.col("p") / bpw).cast("long") == F.col("word"),
+        "left",
+    ).select(
+        "o_orderkey",
+        "o_custkey",
+        F.when(
+            F.expr(
+                f"(bits & shiftleft(CAST(1 AS BIGINT), CAST(p % {bpw} AS INT)))"
+            )
+            != 0,
+            1,
+        )
+        .otherwise(0)
+        .alias("hit"),
+    )
+    verdict = checked.groupBy("o_orderkey", "o_custkey").agg(
+        F.when(F.sum("hit") == k, 1).otherwise(0).alias("pass")
+    )
+    flagged = verdict.join(
+        F.broadcast(dim), verdict.o_custkey == dim.c_custkey, "left"
+    ).select(
+        "pass",
+        F.when(F.col("c_custkey").isNull(), 0).otherwise(1).alias("member"),
+    )
+    stats = flagged.agg(
+        F.count(F.lit(1)).cast("long").alias("n_fact"),
+        F.sum("member").cast("long").alias("n_member"),
+        F.sum("pass").cast("long").alias("n_pass"),
+        F.sum(
+            F.when((F.col("pass") == 1) & (F.col("member") == 0), 1).otherwise(0)
+        )
+        .cast("long")
+        .alias("n_false_pos"),
+        F.sum(1 - F.col("pass")).cast("long").alias("n_filtered"),
+    )
+    dim_stats = (
+        bloom.agg(
+            F.sum(F.bit_count("bits")).cast("long").alias("bits_set")
+        )
+        .crossJoin(dim.agg(F.count(F.lit(1)).cast("long").alias("n_dim_keys")))
+    )
+    return dim_stats.crossJoin(stats).select(
+        "n_dim_keys",
+        "bits_set",
+        "n_fact",
+        "n_member",
+        "n_pass",
+        "n_false_pos",
+        "n_filtered",
+    )

@@ -1730,3 +1730,15 @@ def test_k_core_peel_fixpoint_and_core_property(spark, sf_dir):
         G.read_table = orig
         G._KC_GRAPH_CACHE.pop("planted_kcore", None)
     assert planted == {5: 1, 4: 2, 1: 0, 2: 0, 3: 0}
+
+
+def test_bloom_filter_zero_false_negatives(spark, sf_dir):
+    """Structural Bloom guarantees: no member is ever filtered
+    (pass - false_pos == member), verdicts partition the fact table,
+    and the fill never exceeds k x n keys or the filter size."""
+    from dados_publicos_etl_spark.plans import advanced as A
+
+    row = QUERIES["bloom_filter_semijoin"].fn(spark, sf_dir).collect()[0]
+    assert row.n_pass - row.n_false_pos == row.n_member
+    assert row.n_pass + row.n_filtered == row.n_fact
+    assert 0 < row.bits_set <= min(A._BLOOM_M, A._BLOOM_K * row.n_dim_keys)

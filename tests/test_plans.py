@@ -479,6 +479,7 @@ _BNLJ_OK = {
     "decile_lift_table",  # 1-row base-rate total
     "acf_daily_revenue",  # 7-row lag dimension crossJoin
     "countmin_sketch_estimate",  # d=4-row salt dimension crossJoin
+    "bloom_filter_semijoin",  # 1-row filter-stats x 1-row key-count sides
 }
 
 
