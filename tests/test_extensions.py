@@ -980,6 +980,7 @@ ARROW_UDF_QUERIES = [
     "heavy_hitters_exact",       # advanced: Misra-Gries mapInPandas
     "compression_ratio_quality", # text: zlib mapInPandas
     "audio_spectral_centroid",   # multimodal: rFFT mapInPandas
+    "holt_linear_smoothing",     # events: sequential-recurrence applyInPandas
 ]
 
 
