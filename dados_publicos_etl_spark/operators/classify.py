@@ -526,3 +526,115 @@ def target_encode_loo(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("loo_smoothed"),
     )
+
+
+@query(
+    "isotonic_calibration",
+    oracle="""
+    WITH bins AS MATERIALIZED (
+      SELECT CAST(ROUND(l_quantity, 0) AS INT) AS q,
+             COUNT(*) AS w,
+             SUM(CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END) AS s
+      FROM lineitem GROUP BY 1
+    ), cum AS MATERIALIZED (
+      SELECT q, w, s,
+             SUM(w) OVER (ORDER BY q) AS cw,
+             SUM(s) OVER (ORDER BY q) AS cs
+      FROM bins
+    ), pairs AS MATERIALIZED (
+      SELECT a.q AS i, b.q AS j,
+             CAST(b.cs - a.cs + a.s AS DOUBLE) / (b.cw - a.cw + a.w) AS av
+      FROM cum a JOIN cum b ON a.q <= b.q
+    ), m AS (
+      SELECT k.q AS k, p.i, MIN(p.av) AS mn
+      FROM pairs p JOIN bins k ON p.i <= k.q AND p.j >= k.q
+      GROUP BY 1, 2
+    ), fit AS (
+      SELECT k AS q, MAX(mn) AS iso FROM m GROUP BY k
+    )
+    SELECT b.q AS quantity, CAST(b.w AS BIGINT) AS n,
+           CAST(b.s AS BIGINT) AS s,
+           ROUND(CAST(b.s AS DOUBLE) / b.w, 9) AS rate_raw,
+           ROUND(f.iso, 9) AS rate_iso
+    FROM bins b JOIN fit f ON b.q = f.q
+    """,
+    description="Isotonic calibration (PAVA) of the return rate as a "
+    "nondecreasing function of order quantity: the fact table "
+    "collapses to 50 (quantity, n, s) bins in one aggregate; PAVA "
+    "pools violations with exact integer cross-multiplied "
+    "comparisons inside a single 50-row Arrow batch.  Oracle = the "
+    "minimax characterization fit(k) = max_{i<=k} min_{j>=k} "
+    "avg(i..j) — a THEOREM-level equivalence the differential check "
+    "proves numerically (equal rationals divide to bitwise-equal "
+    "doubles under IEEE correctly-rounded division).",
+)
+def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pool-adjacent-violators on pre-aggregated bins.
+
+    Scale shape: 100 TB of lineitem touches Python as exactly 50
+    rows — the groupBy(quantity) partial-aggregates map-side and the
+    sequential PAVA stack runs in one Arrow batch (the algorithm is
+    inherently left-to-right; 50 iterations of integer arithmetic).
+    Pool merging compares pooled rates by cross-multiplication
+    (s_prev * w_cur >= s_cur * w_prev), so the pooling DECISIONS are
+    exact integer math; only the final pooled s/w division produces
+    a double, and equal rationals produce equal doubles, which is
+    why the minimax oracle matches to the bit.
+    """
+    import pandas as pd
+
+    bins = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.round("l_quantity", 0).cast("int").alias("quantity"))
+        .agg(
+            F.count(F.lit(1)).alias("w"),
+            F.sum(
+                F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
+            ).alias("s"),
+        )
+    )
+
+    def pava(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("quantity").reset_index(drop=True)
+        pools = []  # [w, s, n_bins]
+        for w, s in zip(pdf["w"], pdf["s"]):
+            pools.append([int(w), int(s), 1])
+            # violation iff prev_rate >= cur_rate, compared exactly
+            while (
+                len(pools) > 1
+                and pools[-2][1] * pools[-1][0]
+                >= pools[-1][1] * pools[-2][0]
+            ):
+                w2, s2, b2 = pools.pop()
+                pools[-1][0] += w2
+                pools[-1][1] += s2
+                pools[-1][2] += b2
+        iso = []
+        for w, s, b in pools:
+            iso.extend([s / w] * b)
+        return pd.DataFrame(
+            {
+                "quantity": pdf["quantity"],
+                "n": pdf["w"].astype("int64"),
+                "s": pdf["s"].astype("int64"),
+                "rate_raw": pdf["s"] / pdf["w"],
+                "rate_iso": iso,
+            }
+        )
+
+    fitted = (
+        bins.withColumn("_g", F.lit(1))
+        .groupBy("_g")
+        .applyInPandas(
+            pava,
+            schema="quantity int, n long, s long, rate_raw double, "
+            "rate_iso double",
+        )
+    )
+    return fitted.select(
+        "quantity",
+        "n",
+        "s",
+        F.round("rate_raw", 9).alias("rate_raw"),
+        F.round("rate_iso", 9).alias("rate_iso"),
+    )

@@ -981,6 +981,7 @@ ARROW_UDF_QUERIES = [
     "compression_ratio_quality", # text: zlib mapInPandas
     "audio_spectral_centroid",   # multimodal: rFFT mapInPandas
     "holt_linear_smoothing",     # events: sequential-recurrence applyInPandas
+    "isotonic_calibration",      # classify: PAVA stack applyInPandas
 ]
 
 
@@ -1743,3 +1744,20 @@ def test_bloom_filter_zero_false_negatives(spark, sf_dir):
     assert row.n_pass - row.n_false_pos == row.n_member
     assert row.n_pass + row.n_filtered == row.n_fact
     assert 0 < row.bits_set <= min(A._BLOOM_M, A._BLOOM_K * row.n_dim_keys)
+
+
+def test_isotonic_fit_is_monotone_and_conserves_mass(spark, sf_dir):
+    """PAVA invariants the oracle equality does not state directly:
+    the fitted rates are nondecreasing in the score, and within each
+    pooled block the fit conserves total successes (so the global
+    weighted mean of rate_iso equals the raw positive rate)."""
+    rows = sorted(
+        QUERIES["isotonic_calibration"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.quantity,
+    )
+    rates = [r.rate_iso for r in rows]
+    assert all(a <= b for a, b in zip(rates, rates[1:]))
+    tot_n = sum(r.n for r in rows)
+    tot_s = sum(r.s for r in rows)
+    wmean = sum(r.rate_iso * r.n for r in rows) / tot_n
+    assert abs(wmean - tot_s / tot_n) < 1e-6
