@@ -648,14 +648,14 @@ _KC_MIN_ORDERS = 2  # co-purchase edge weight floor
 _KC_GRAPH_CACHE: dict[str, tuple] = {}
 
 
-def _kcore_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Undirected part co-purchase adjacency, built once per corpus.
-
-    Edge (u, v) iff parts u < v co-occur on >= _KC_MIN_ORDERS
-    lineitem pairs of the same order.  The self-join fans out only
+def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Weighted undirected part co-purchase edge list (u < v, w =
+    number of same-order lineitem pairs, w >= _KC_MIN_ORDERS), built
+    once per corpus and parquet-backed.  The self-join fans out only
     within an order (TPC-H orders hold <= 7 lines, so <= 21 pairs per
     order) — one shuffle on l_orderkey, bounded blow-up, safe at any
-    corpus size.
+    corpus size.  Shared by the k-core peel and the Boruvka spanning
+    forest.
     """
     import tempfile
 
@@ -678,14 +678,20 @@ def _kcore_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .agg(F.count(F.lit(1)).alias("w"))
         .filter(F.col("w") >= _KC_MIN_ORDERS)
-        .select("u", "v")
     )
-    adj = pairs.unionAll(pairs.select(F.col("v").alias("u"), F.col("u").alias("v")))
-    tmp = tempfile.TemporaryDirectory(prefix="spark_kcore_adj_")
-    path = f"{tmp.name}/adj"
-    adj.write.mode("overwrite").parquet(path)
+    tmp = tempfile.TemporaryDirectory(prefix="spark_copurchase_")
+    path = f"{tmp.name}/edges"
+    pairs.write.mode("overwrite").parquet(path)
     _KC_GRAPH_CACHE[sf_dir] = (tmp, path)
     return spark.read.parquet(path)
+
+
+def _kcore_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Symmetrized unweighted adjacency over _copurchase_edges."""
+    pairs = _copurchase_edges(spark, sf_dir).select("u", "v")
+    return pairs.unionAll(
+        pairs.select(F.col("v").alias("u"), F.col("u").alias("v"))
+    )
 
 
 def _kcore_oracle() -> str:
@@ -819,3 +825,194 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         active.select("node", F.lit(0).cast("int").alias("peel_round"))
     )
     return out.select(F.col("node").alias("l_partkey"), "peel_round")
+
+
+_MSF_MAX_ROUNDS = 12  # Boruvka halves the component count per round:
+                      # 2^12 components is far above any test graph
+_MSF_JUMPS = 8        # fixed pointer-jump depth: collapses nomination
+                      # chains up to 2^8 long with no per-step driver
+                      # actions; kept under ~10 because CHAINED
+                      # SELF-JOINS degrade super-linearly past ~19 links
+                      # regardless of checkpointing (measured: a
+                      # join-checkpoint chain of a 100-row table goes
+                      # 0.1s -> 60s/step by link 24; a datasource
+                      # round-trip fully resets it, a localCheckpoint or
+                      # reliable checkpoint does NOT) — see BENCH_NOTES
+                      # "self-join chain degradation"
+_MSF_TMP_KEEP: list = []  # tempdir handles for per-round mapping cuts
+
+
+@query(
+    "boruvka_msf",
+    oracle=None,  # running connectivity state is not expressible in
+    # portable SQL (Kruskal needs union-find); pinned instead by an
+    # independent python-Kruskal EXACT-equality pytest + spanning
+    # properties (tests/test_extensions.py)
+    description="Maximum spanning forest of the part co-purchase "
+    "graph by Boruvka rounds: every component nominates its "
+    "strongest incident edge (one min-struct aggregate), nominated "
+    "edges contract via fixed-depth pointer jumping on the "
+    "conjoined-tree parent relation (pure lazy self-joins, no "
+    "per-contraction convergence actions), O(log V) rounds total.  "
+    "Globally-unique edge costs (-w, u, v) make the forest UNIQUE, "
+    "so the pytest pins the exact edge set against an independent "
+    "Kruskal.  Seventh iterative algorithm; the product-affinity "
+    "backbone of recommendation pipelines.",
+)
+def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boruvka spanning forest (maximum-weight orientation).
+
+    Spark-first shape per round: two broadcast joins stamp component
+    labels onto the static edge list (the label table is |V| rows,
+    tiny next to |E|); one groupBy(component) min-struct aggregate
+    nominates each component's best outgoing edge (cost =
+    (-w, u, v), globally unique, so ties cannot exist and the forest
+    is deterministic).  Contraction uses the classic conjoined-tree
+    structure of the nomination graph: parent(c) = the partner
+    component of c's nominated edge; exactly one mutual pair exists
+    per merged group (both endpoints of the group's best edge
+    nominate it), broken toward the smaller id to make a root; then
+    _MSF_JUMPS lazy pointer-jump self-joins collapse every chain —
+    NO per-step driver actions, unlike a generic connected-
+    components call, which profiling showed dominates wall time
+    here (its per-iteration counts + checkpoints, not data volume).
+    Component count at least halves per round, so 100 TB needs the
+    same ~log V rounds as sf0.001; the whole round is ~3 driver
+    actions.  Early exit when no component nominates (graph fully
+    contracted).
+    """
+    edges = _copurchase_edges(spark, sf_dir)  # u, v, w
+    labels = (
+        edges.select(F.col("u").alias("node"))
+        .unionAll(edges.select(F.col("v").alias("node")))
+        .distinct()
+        .withColumn("label", F.col("node"))
+        .localCheckpoint()
+    )
+    forest = []
+    for rnd in range(1, _MSF_MAX_ROUNDS + 1):
+        lu = labels.select(
+            F.col("node").alias("lu_n"), F.col("label").alias("cu")
+        )
+        lv = labels.select(
+            F.col("node").alias("lv_n"), F.col("label").alias("cv")
+        )
+        cross = (
+            edges.join(F.broadcast(lu), edges.u == lu.lu_n)
+            .join(F.broadcast(lv), edges.v == lv.lv_n)
+            .filter(F.col("cu") != F.col("cv"))
+        )
+        nominated = (
+            cross.select(F.col("cu").alias("comp"), "cu", "cv", "u", "v", "w")
+            .unionAll(
+                cross.select(
+                    F.col("cv").alias("comp"), "cu", "cv", "u", "v", "w"
+                )
+            )
+            .groupBy("comp")
+            .agg(
+                F.min(
+                    F.struct(
+                        (-F.col("w")).alias("neg_w"),
+                        F.col("u").alias("eu"),
+                        F.col("v").alias("ev"),
+                        F.col("w").alias("ew"),
+                        F.col("cu").alias("ecu"),
+                        F.col("cv").alias("ecv"),
+                    )
+                ).alias("edge")
+            )
+            .localCheckpoint()
+        )
+        if nominated.limit(1).count() == 0:
+            break
+        forest.append(
+            nominated.select(
+                F.col("edge.eu").alias("u"),
+                F.col("edge.ev").alias("v"),
+                F.col("edge.ew").alias("w"),
+                F.lit(rnd).cast("int").alias("round_added"),
+            ).distinct()
+        )
+        # conjoined-tree contraction: parent = partner of my edge;
+        # break each group's single mutual pair toward the min id,
+        # then collapse chains with fixed lazy pointer jumps.
+        parent = nominated.select(
+            "comp",
+            F.when(F.col("comp") == F.col("edge.ecu"), F.col("edge.ecv"))
+            .otherwise(F.col("edge.ecu"))
+            .alias("parent"),
+        ).localCheckpoint(eager=False)
+        # every jump references `parent` twice; without a checkpoint
+        # the Catalyst plan TREE doubles per jump (2^J blow-up — the
+        # RDD DAG shares, expression trees do not).  Lazy checkpoints
+        # keep each jump's plan flat and cost zero extra jobs.
+        pp = parent.select(
+            F.col("comp").alias("q_c"), F.col("parent").alias("q_p")
+        )
+        parent = (
+            parent.join(
+                F.broadcast(pp), parent.parent == pp.q_c, "left"
+            )
+            .select(
+                "comp",
+                F.when(
+                    (F.col("q_p") == F.col("comp"))
+                    & (F.col("parent") > F.col("comp")),
+                    F.col("comp"),
+                )
+                .otherwise(F.col("parent"))
+                .alias("parent"),
+            )
+            .localCheckpoint(eager=False)
+        )
+        for _ in range(_MSF_JUMPS):
+            hop = parent.select(
+                F.col("comp").alias("h_c"), F.col("parent").alias("h_p")
+            )
+            parent = (
+                parent.join(
+                    F.broadcast(hop), parent.parent == hop.h_c, "left"
+                )
+                .select(
+                    "comp",
+                    F.coalesce("h_p", F.col("parent")).alias("parent"),
+                )
+                .localCheckpoint(eager=False)
+            )
+        # datasource round-trip: resets the self-join chain so the
+        # NEXT round's jumps start from a fresh relation (the
+        # localCheckpoint variants of this loop degraded exponentially
+        # past ~19 cumulative self-join links; parquet-backed reads
+        # are immune — same rationale as every disk-backed cache in
+        # this repo, measured in BENCH_NOTES).
+        import tempfile
+
+        tmp = tempfile.TemporaryDirectory(prefix="spark_msf_map_")
+        _MSF_TMP_KEEP.append(tmp)
+        mpath = f"{tmp.name}/mapping"
+        parent.select(
+            F.col("comp").alias("old_comp"), F.col("parent").alias("new_comp")
+        ).write.mode("overwrite").parquet(mpath)
+        mapping = spark.read.parquet(mpath)
+        labels = (
+            labels.join(
+                F.broadcast(mapping), labels.label == mapping.old_comp, "left"
+            )
+            .select(
+                "node",
+                F.coalesce("new_comp", F.col("label")).alias("label"),
+            )
+            .localCheckpoint()
+        )
+    if not forest:
+        return labels.limit(0).select(
+            F.col("node").alias("u"),
+            F.col("node").alias("v"),
+            F.col("node").alias("w"),
+            F.lit(0).alias("round_added"),
+        )
+    out = forest[0]
+    for extra in forest[1:]:
+        out = out.unionAll(extra)
+    return out

@@ -1761,3 +1761,37 @@ def test_isotonic_fit_is_monotone_and_conserves_mass(spark, sf_dir):
     tot_s = sum(r.s for r in rows)
     wmean = sum(r.rate_iso * r.n for r in rows) / tot_n
     assert abs(wmean - tot_s / tot_n) < 1e-6
+
+
+def test_boruvka_forest_equals_independent_kruskal(spark, sf_dir):
+    """The forest is UNIQUE (globally distinct edge costs), so an
+    independent Kruskal with union-find must produce the exact same
+    edge set — plus the structural forest bound |F| = |V| - |CCs|."""
+    import dados_publicos_etl_spark.operators.graph as G
+
+    got = {
+        (r.u, r.v, r.w)
+        for r in QUERIES["boruvka_msf"].fn(spark, sf_dir).collect()
+    }
+    edges = [
+        (r.u, r.v, r.w)
+        for r in G._copurchase_edges(spark, sf_dir).collect()
+    ]
+    parent = {}
+
+    def find(x):
+        while parent.setdefault(x, x) != x:
+            parent[x] = parent[parent[x]]
+            x = parent[x]
+        return x
+
+    kruskal = set()
+    for u, v, w in sorted(edges, key=lambda e: (-e[2], e[0], e[1])):
+        ru, rv = find(u), find(v)
+        if ru != rv:
+            parent[ru] = rv
+            kruskal.add((u, v, w))
+    assert got == kruskal
+    nodes = {u for u, _, _ in edges} | {v for _, v, _ in edges}
+    n_comps = len({find(n) for n in nodes})
+    assert len(got) == len(nodes) - n_comps
