@@ -41,6 +41,7 @@ from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
 
 _THRESH = 0.8
+_CC_TMP_KEEP: list = []  # tempdir handles for periodic self-join-chain cuts
 
 
 def connected_components(
@@ -103,7 +104,7 @@ def connected_components(
             )
         )
     labels = labels.localCheckpoint()
-    for _ in range(max_iter):
+    for _it in range(max_iter):
         # The label table is |V| rows over the DEDUP-PAIR graph —
         # orders of magnitude smaller than the corpus (only docs with
         # at least one near-dup edge appear), so broadcast it: the
@@ -150,6 +151,19 @@ def connected_components(
         labels = new_labels.drop("old_label")
         if n_changed == 0:
             break
+        # Periodic datasource cut: chained self-joins degrade
+        # super-linearly past ~19 links regardless of checkpointing
+        # (BENCH_NOTES "self-join chain degradation"); each CC round
+        # adds 2 links, so long-diameter graphs that need >6 rounds
+        # get the labels relation re-rooted on a parquet read.
+        if (_it + 1) % 6 == 0:
+            import tempfile
+
+            tmp = tempfile.TemporaryDirectory(prefix="spark_cc_cut_")
+            _CC_TMP_KEEP.append(tmp)
+            cpath = f"{tmp.name}/labels"
+            labels.write.mode("overwrite").parquet(cpath)
+            labels = labels.sparkSession.read.parquet(cpath)
     return labels
 
 
