@@ -831,6 +831,18 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
             .join(survivors, adj.v == survivors.node, "left_semi")
             .localCheckpoint(eager=False)
         )
+        # periodic datasource cut (BENCH_NOTES "self-join chain
+        # degradation"): survivors derive from adj, so each round adds
+        # ~3 self-join links; a full 12-round peel would cross the
+        # ~19-link wall checkpointing cannot reset.
+        if r % 4 == 0:
+            import tempfile
+
+            tmp = tempfile.TemporaryDirectory(prefix="spark_kc_cut_")
+            _CC_TMP_KEEP.append(tmp)
+            kpath = f"{tmp.name}/adj"
+            adj.write.mode("overwrite").parquet(kpath)
+            adj = spark.read.parquet(kpath)
         active = survivors
     out = layers[0]
     for extra in layers[1:]:
