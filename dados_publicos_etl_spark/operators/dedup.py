@@ -821,3 +821,141 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("jaccard"),
     )
+
+
+_WN_K = 4        # tokens per k-gram
+_WN_W = 4        # winnow window: guarantees any shared run of
+                 # >= K + W - 1 = 7 tokens yields a shared fingerprint
+_WN_M = 1_048_576   # hash buckets (2^20)
+_WN_B = 4_194_304   # position-packing base (2^22 > any doc's gram count)
+_WN_MIN_SHARED = 3  # pair-report threshold
+
+
+@query(
+    "winnowing_fingerprints",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(lower(text), '{WS}') AS toks
+      FROM documents
+    ), g AS MATERIALIZED (
+      SELECT doc_id,
+             CASE WHEN len(toks) >= {_WN_K} THEN
+               list_transform(generate_series(1, len(toks) - {_WN_K - 1}),
+                 i -> array_to_string(list_slice(toks, i, i + {_WN_K - 1}), ' '))
+             ELSE [array_to_string(toks, ' ')] END AS grams
+      FROM t
+    ), pos AS MATERIALIZED (
+      SELECT doc_id, i AS pos, len(grams) AS ng,
+             CAST(('0x' || substr(md5(grams[i]), 1, 8)) AS BIGINT) % {_WN_M}
+               AS h
+      FROM g, UNNEST(generate_series(1, len(grams))) AS s(i)
+    ), win AS (
+      SELECT doc_id, pos - off AS i,
+             MIN(h * {_WN_B} + ({_WN_B} - pos)) AS selkey
+      FROM pos, UNNEST(generate_series(0, {_WN_W - 1})) AS o(off)
+      WHERE pos - off >= 1
+        AND pos - off <= GREATEST(ng - {_WN_W} + 1, 1)
+      GROUP BY doc_id, pos - off
+    ), fp AS MATERIALIZED (
+      SELECT DISTINCT doc_id, selkey // {_WN_B} AS h
+      FROM win
+    )
+    SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+           CAST(COUNT(DISTINCT a.h) AS BIGINT) AS n_shared_fp
+    FROM fp a JOIN fp b ON a.h = b.h AND a.doc_id < b.doc_id
+    GROUP BY 1, 2
+    HAVING COUNT(DISTINCT a.h) >= {_WN_MIN_SHARED}
+    """,
+    description="Winnowing document fingerprints (Schleimer-Wilkerson-"
+    f"Aiken 2003): {_WN_K}-token k-gram hashes, per-window minimum "
+    f"over w={_WN_W} with the RIGHTMOST-tie rule (packed as one "
+    "integer min so the selection is a plain aggregate), shared-"
+    "fingerprint doc pairs via equi-join on the fingerprint hash — "
+    "the MOSS copy-detection pipeline.  Guarantee: any shared token "
+    f"run of >= {_WN_K + _WN_W - 1} tokens produces a shared "
+    "fingerprint; density ~2/(w+1) of all k-grams.",
+)
+def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Winnowing = content-defined fingerprint SAMPLING.
+
+    Spark-first shape: the per-window minimum is not a window
+    function over a global sort — each k-gram EXPLODES into the
+    <= w window slots it can win (offset explode, the same trick as
+    the sliding-distinct query), and one groupBy(doc, window) MIN
+    picks the winner.  (hash, rightmost-position) packs into a
+    single long (h * B + (B - pos)), so the argmin needs no struct
+    ordering.  Pair detection is an equi-join blocked ON the
+    fingerprint hash — candidate volume is bounded by fingerprint
+    frequency, never all-pairs (a hot boilerplate fingerprint would
+    surface in the bucket sizes exactly like the LSH hot-bucket
+    guard; same mitigation applies).  All hashing is the portable
+    md5 bucket, so engine and oracle agree bit-for-bit.
+    """
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id", tokens("text").alias("toks")
+    )
+
+    def gram_at(toks, i):
+        parts = []
+        for j in range(_WN_K):
+            if j:
+                parts.append(F.lit(" "))
+            parts.append(F.element_at(toks, i + j))
+        return F.concat(*parts)
+
+    grams = docs.select(
+        "doc_id",
+        F.when(
+            F.size("toks") >= _WN_K,
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - (_WN_K - 1)),
+                lambda i: gram_at(F.col("toks"), i),
+            ),
+        )
+        .otherwise(F.array(F.concat_ws(" ", "toks")))
+        .alias("grams"),
+    )
+    pos = grams.select(
+        "doc_id",
+        F.size("grams").alias("ng"),
+        F.posexplode("grams").alias("pos0", "gram"),
+    ).select(
+        "doc_id",
+        "ng",
+        (F.col("pos0") + 1).alias("pos"),
+        (
+            F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
+            % _WN_M
+        ).alias("h"),
+    )
+    win = (
+        pos.select(
+            "doc_id",
+            "ng",
+            "pos",
+            "h",
+            F.explode(F.sequence(F.lit(0), F.lit(_WN_W - 1))).alias("off"),
+        )
+        .withColumn("i", F.col("pos") - F.col("off"))
+        .filter(
+            (F.col("i") >= 1)
+            & (F.col("i") <= F.greatest(F.col("ng") - (_WN_W - 1), F.lit(1)))
+        )
+        .groupBy("doc_id", "i")
+        .agg(
+            F.min(
+                F.col("h") * _WN_B + (F.lit(_WN_B) - F.col("pos"))
+            ).alias("selkey")
+        )
+    )
+    fp = win.select(
+        "doc_id", F.expr(f"selkey div {_WN_B}").alias("h")
+    ).distinct()
+    a = fp.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
+    b = fp.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
+    return (
+        a.join(b, (F.col("ha") == F.col("hb")) & (F.col("doc_a") < F.col("doc_b")))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.count_distinct("ha").cast("long").alias("n_shared_fp"))
+        .filter(F.col("n_shared_fp") >= _WN_MIN_SHARED)
+    )

@@ -1795,3 +1795,39 @@ def test_boruvka_forest_equals_independent_kruskal(spark, sf_dir):
     nodes = {u for u, _, _ in edges} | {v for _, v, _ in edges}
     n_comps = len({find(n) for n in nodes})
     assert len(got) == len(nodes) - n_comps
+
+
+def test_winnowing_guarantee_on_planted_shared_run(spark):
+    """The winnowing guarantee: two documents sharing a token run of
+    >= K + W - 1 tokens MUST share a fingerprint (and thus appear as
+    a pair when the run is long enough to clear the report
+    threshold); disjoint-vocabulary docs must not pair."""
+    import dados_publicos_etl_spark.operators.dedup as D
+
+    shared = "alpha bravo charlie delta echo foxtrot golf hotel india " \
+        "juliet kilo lima mike november oscar papa"
+    docs = pd.DataFrame(
+        {
+            "doc_id": [1, 2, 3],
+            "text": [
+                "unrelated prefix words here " + shared + " one tail",
+                "different opening sequence " + shared + " other end",
+                "zulu yankee xray whiskey victor uniform tango sierra "
+                "romeo quebec "*3,
+            ],
+        }
+    )
+    sdf = spark.createDataFrame(docs)
+    orig = D.read_table
+    try:
+        D.read_table = lambda _s, _d, name: {"documents": sdf}[name]
+        pairs = {
+            (r.doc_a, r.doc_b): r.n_shared_fp
+            for r in QUERIES["winnowing_fingerprints"]
+            .fn(spark, "planted_wn")
+            .collect()
+        }
+    finally:
+        D.read_table = orig
+    assert (1, 2) in pairs and pairs[(1, 2)] >= D._WN_MIN_SHARED
+    assert (1, 3) not in pairs and (2, 3) not in pairs
