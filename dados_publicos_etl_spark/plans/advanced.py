@@ -1611,3 +1611,82 @@ def bloom_filter_semijoin(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_false_pos",
         "n_filtered",
     )
+
+
+_F2_D = 4    # independent md5-salted hash rows
+_F2_W = 256  # buckets per row
+
+
+@query(
+    "selfjoin_size_cms",
+    oracle=f"""
+    WITH truth AS (
+      SELECT CAST(SUM(c * c) AS BIGINT) AS true_f2
+      FROM (SELECT COUNT(*) AS c FROM lineitem GROUP BY l_partkey)
+    ), salted AS (
+      SELECT d, CAST(('0x' || substr(md5(d || ':' || l_partkey), 1, 8))
+                     AS BIGINT) % {_F2_W} AS bucket
+      FROM lineitem, UNNEST(generate_series(0, {_F2_D - 1})) AS s(d)
+    ), cells AS (
+      SELECT d, bucket, COUNT(*) AS cnt FROM salted GROUP BY 1, 2
+    ), est AS (
+      SELECT d, CAST(SUM(cnt * cnt) AS BIGINT) AS est_f2
+      FROM cells GROUP BY d
+    )
+    SELECT CAST(e.d AS INT) AS d, e.est_f2, t.true_f2,
+           CAST(e.est_f2 - t.true_f2 AS BIGINT) AS overcount
+    FROM est e CROSS JOIN truth t
+    """,
+    description="Self-join size (F2) estimation from a Count-Min row: "
+    f"est_d = sum of squared bucket counts over {_F2_W} md5-salted "
+    "buckets, one sketch pass + one 256-cell aggregate per hash row — "
+    "the optimizer's join-cardinality pre-check that never scans a "
+    "join.  Hash collisions only ADD cross terms, so every est_f2 >= "
+    "true_f2 (one-sided, pinned in pytest); take the MIN across the "
+    f"{_F2_D} rows for the working estimate.",
+)
+def selfjoin_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sketch-based join-size estimation (AMS F2 via CMS buckets).
+
+    Scale shape: |lineitem ⋈ lineitem ON l_partkey| computed exactly
+    needs the full key-frequency vector (a groupBy the size of the
+    key domain); the sketch needs ONE pass and d x w = 1024 cells of
+    state, mergeable across partitions/shards by addition — the
+    standard pre-flight check before committing a cluster to a
+    possibly-exploding join.  The truth term here is computed
+    alongside (it is the differential check), which at 100 TB you
+    would skip — that is the point of the estimate.
+    """
+    from dados_publicos_etl_spark.operators.sampling import hash_bucket
+
+    li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
+    truth = (
+        li.groupBy("l_partkey")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("true_f2"))
+    )
+    salts = spark.range(_F2_D).select(F.col("id").cast("int").alias("d"))
+    cells = (
+        li.crossJoin(F.broadcast(salts))
+        .groupBy(
+            "d",
+            hash_bucket(
+                F.concat(
+                    F.col("d").cast("string"),
+                    F.lit(":"),
+                    F.col("l_partkey").cast("string"),
+                ),
+                _F2_W,
+            ).alias("bucket"),
+        )
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    est = cells.groupBy("d").agg(
+        F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("est_f2")
+    )
+    return est.crossJoin(F.broadcast(truth)).select(
+        "d",
+        "est_f2",
+        "true_f2",
+        (F.col("est_f2") - F.col("true_f2")).cast("long").alias("overcount"),
+    )

@@ -1831,3 +1831,11 @@ def test_winnowing_guarantee_on_planted_shared_run(spark):
         D.read_table = orig
     assert (1, 2) in pairs and pairs[(1, 2)] >= D._WN_MIN_SHARED
     assert (1, 3) not in pairs and (2, 3) not in pairs
+
+
+def test_f2_estimate_is_one_sided(spark, sf_dir):
+    """Collisions only add positive cross terms: every hash row's
+    est_f2 must dominate the exact self-join size."""
+    rows = QUERIES["selfjoin_size_cms"].fn(spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert all(r.est_f2 >= r.true_f2 and r.overcount >= 0 for r in rows)

@@ -480,6 +480,7 @@ _BNLJ_OK = {
     "acf_daily_revenue",  # 7-row lag dimension crossJoin
     "countmin_sketch_estimate",  # d=4-row salt dimension crossJoin
     "bloom_filter_semijoin",  # 1-row filter-stats x 1-row key-count sides
+    "selfjoin_size_cms",  # 4-row salt dimension + 1-row truth crossJoins
 }
 
 
