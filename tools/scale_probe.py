@@ -76,6 +76,14 @@ PROBE = [
     "weighted_percentile_exact",   # cumulative-weight crossing
     "countmin_sketch_estimate",    # fixed-cell sketch build
     "incremental_join_view_merge", # delta-join maintenance
+    "k_core_peel",                 # iterative peel, early-exit
+    "boruvka_msf",                 # nomination + pointer-jump rounds
+    "winnowing_fingerprints",      # offset-explode window min
+    "holt_linear_smoothing",       # per-series Arrow recurrence
+    "isotonic_calibration",        # 50-bin PAVA
+    "bloom_filter_semijoin",       # 2KB broadcast filter probe
+    "target_encode_loo",           # 5-row agg broadcast stamp
+    "selfjoin_size_cms",           # salted F2 cells
 ]
 
 
