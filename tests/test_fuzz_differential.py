@@ -602,3 +602,76 @@ def test_random_case_when_aggregates_match_duckdb(
         "lineitem"
     )
     compare(spark.sql(body), body, SF_DIR)
+
+
+# dimension 12: integer arithmetic expression trees with per-engine
+# division rendering.  Spark's `div` truncates toward zero while
+# DuckDB's `//` FLOORS — they disagree on every negative quotient —
+# so the tree renders trunc-division per engine (Spark `a div b`,
+# DuckDB trunc over exact double); `%` is C-style remainder on both.
+# Leaves are small exact integers (quantity, cents of discount/tax,
+# constants), so products stay < ~5e3 and 60k-row sums < 2^31 — no
+# overflow on either engine (ANSI DuckDB raises where Spark wraps,
+# which is itself a divergence this dimension must stay clear of).
+_INT_LEAVES = [
+    "CAST(l_quantity AS BIGINT)",
+    "CAST(ROUND(l_discount * 100, 0) AS BIGINT)",
+    "CAST(ROUND(l_tax * 100, 0) AS BIGINT)",
+]
+
+
+@st.composite
+def int_arith_exprs(draw):
+    """(spark_sql, duck_sql) pair for one random arithmetic tree."""
+
+    def leaf():
+        if draw(st.booleans()):
+            s = draw(st.sampled_from(_INT_LEAVES))
+            return s, s
+        c = str(draw(st.integers(1, 9)))
+        return c, c
+
+    def node(depth):
+        if depth == 0 or draw(st.integers(0, 2)) == 0:
+            return leaf()
+        (ls, ld), (rs, rd) = node(depth - 1), node(depth - 1)
+        op = draw(st.sampled_from(["+", "-", "*", "DIV", "%"]))
+        if op in ("+", "-", "*"):
+            return f"({ls} {op} {rs})", f"({ld} {op} {rd})"
+        divisor = str(draw(st.integers(1, 97)))  # nonzero constant
+        if op == "%":
+            return f"({ls} % {divisor})", f"({ld} % {divisor})"
+        return (
+            f"({ls} div {divisor})",
+            f"CAST(trunc(CAST({ld} AS DOUBLE) / {divisor}) AS BIGINT)",
+        )
+
+    return node(2)
+
+
+@_FUZZ
+@given(
+    pred=predicates(),
+    expr=int_arith_exprs(),
+    agg=st.sampled_from(["SUM", "MIN", "MAX"]),
+    grp=st.sampled_from(_STR_COLS),
+)
+def test_random_integer_arithmetic_matches_duckdb(
+    spark, pred, expr, agg, grp
+):
+    """Random +,-,*,trunc-div,% trees over exact small integers:
+    negative-quotient truncation, remainder sign, and aggregate
+    widening must agree exactly once division renders per-engine."""
+    s_expr, d_expr = expr
+    s_body = (
+        f"SELECT {grp}, CAST({agg}({s_expr}) AS BIGINT) AS agg_val "
+        f"FROM lineitem WHERE {pred} GROUP BY {grp}"
+    )
+    d_body = (
+        f"SELECT {grp}, CAST({agg}({d_expr}) AS BIGINT) AS agg_val "
+        f"FROM lineitem WHERE {pred} GROUP BY {grp}"
+    )
+    read_table(spark, SF_DIR, "lineitem").createOrReplaceTempView(
+        "lineitem"
+    )
+    compare(spark.sql(s_body), d_body, SF_DIR)
