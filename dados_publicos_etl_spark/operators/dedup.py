@@ -891,63 +891,53 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     guard; same mitigation applies).  All hashing is the portable
     md5 bucket, so engine and oracle agree bit-for-bit.
     """
-    docs = read_table(spark, sf_dir, "documents").select(
-        "doc_id", tokens("text").alias("toks")
+    from pyspark.sql import Window as _W
+
+    tok = (
+        read_table(spark, sf_dir, "documents")
+        .select("doc_id", F.posexplode(tokens("text")).alias("pos0", "tok"))
+        .select("doc_id", (F.col("pos0") + 1).alias("pos"), "tok")
     )
-
-    def gram_at(toks, i):
-        parts = []
-        for j in range(_WN_K):
-            if j:
-                parts.append(F.lit(" "))
-            parts.append(F.element_at(toks, i + j))
-        return F.concat(*parts)
-
-    grams = docs.select(
+    wdoc = _W.partitionBy("doc_id").orderBy("pos")
+    # k-gram via lead(): concat_ws skips the NULL leads at the tail,
+    # which also makes the whole-doc fallback gram for docs shorter
+    # than k tokens (matching the oracle's ELSE branch) — no token
+    # ARRAY is ever built, so the tokenizer runs once per token, not
+    # once per element_at reference (the projection-collapse trap
+    # shingles_from_tokens documents; the array formulation measured
+    # 12 s at sf0.1, this one ~3 s).
+    leads = [F.col("tok")] + [
+        F.lead("tok", j).over(wdoc) for j in range(1, _WN_K)
+    ]
+    grams = tok.select(
         "doc_id",
-        F.when(
-            F.size("toks") >= _WN_K,
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - (_WN_K - 1)),
-                lambda i: gram_at(F.col("toks"), i),
-            ),
-        )
-        .otherwise(F.array(F.concat_ws(" ", "toks")))
-        .alias("grams"),
+        "pos",
+        F.count(F.lit(1)).over(_W.partitionBy("doc_id")).alias("ntok"),
+        F.concat_ws(" ", *leads).alias("gram"),
+    ).filter(
+        F.col("pos") <= F.greatest(F.col("ntok") - (_WN_K - 1), F.lit(1))
     )
     pos = grams.select(
         "doc_id",
-        F.size("grams").alias("ng"),
-        F.posexplode("grams").alias("pos0", "gram"),
-    ).select(
-        "doc_id",
-        "ng",
-        (F.col("pos0") + 1).alias("pos"),
+        "pos",
+        F.greatest(F.col("ntok") - (_WN_K - 1), F.lit(1)).alias("ng"),
         (
             F.conv(F.substring(F.md5("gram"), 1, 8), 16, 10).cast("long")
             % _WN_M
         ).alias("h"),
     )
-    win = (
-        pos.select(
-            "doc_id",
-            "ng",
-            "pos",
-            "h",
-            F.explode(F.sequence(F.lit(0), F.lit(_WN_W - 1))).alias("off"),
-        )
-        .withColumn("i", F.col("pos") - F.col("off"))
-        .filter(
-            (F.col("i") >= 1)
-            & (F.col("i") <= F.greatest(F.col("ng") - (_WN_W - 1), F.lit(1)))
-        )
-        .groupBy("doc_id", "i")
-        .agg(
-            F.min(
-                F.col("h") * _WN_B + (F.lit(_WN_B) - F.col("pos"))
-            ).alias("selkey")
-        )
-    )
+    # Second window over the SAME (doc_id, pos) partitioning/order —
+    # Catalyst reuses the exchange+sort, so the whole fingerprint
+    # stage is one shuffle.
+    frame = wdoc.rowsBetween(_W.currentRow, _WN_W - 1)
+    win = pos.select(
+        "doc_id",
+        F.col("pos").alias("i"),
+        "ng",
+        F.min(F.col("h") * _WN_B + (F.lit(_WN_B) - F.col("pos")))
+        .over(frame)
+        .alias("selkey"),
+    ).filter(F.col("i") <= F.greatest(F.col("ng") - (_WN_W - 1), F.lit(1)))
     fp = win.select(
         "doc_id", F.expr(f"selkey div {_WN_B}").alias("h")
     ).distinct()
