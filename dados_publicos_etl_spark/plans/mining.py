@@ -2491,3 +2491,128 @@ def weighted_percentile_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("p90_cents"),
     )
+
+
+def _det3(r1, r2, r3) -> str:
+    """3x3 determinant as a SQL string — the SAME text runs on Spark
+    (F.expr) and DuckDB, so float64 evaluation order is identical."""
+    (a, b, c), (d, e, f), (g, h, i) = r1, r2, r3
+    return (
+        f"({a} * ({e} * {i} - {f} * {h}) "
+        f"- {b} * ({d} * {i} - {f} * {g}) "
+        f"+ {c} * ({d} * {h} - {e} * {g}))"
+    )
+
+
+def _ols2_formulas() -> dict[str, str]:
+    """Closed-form two-regressor OLS (Cramer) over exact integer
+    moments.  m_* columns are BIGINT aggregates; every reference
+    casts to DOUBLE so both engines run the identical IEEE tree."""
+    n, sx, sz = "CAST(m_n AS DOUBLE)", "CAST(m_sx AS DOUBLE)", "CAST(m_sz AS DOUBLE)"
+    sy, sxx, sxz = "CAST(m_sy AS DOUBLE)", "CAST(m_sxx AS DOUBLE)", "CAST(m_sxz AS DOUBLE)"
+    szz, sxy, szy = "CAST(m_szz AS DOUBLE)", "CAST(m_sxy AS DOUBLE)", "CAST(m_szy AS DOUBLE)"
+    syy = "CAST(m_syy AS DOUBLE)"
+    m = [[n, sx, sz], [sx, sxx, sxz], [sz, sxz, szz]]
+    rhs = [sy, sxy, szy]
+    det = _det3(*m)
+    dets = []
+    for col in range(3):
+        mm = [list(row) for row in m]
+        for r in range(3):
+            mm[r][col] = rhs[r]
+        dets.append(_det3(*mm))
+    b0, b1, b2 = (f"({d} / {det})" for d in dets)
+    sse = f"({syy} - {b0} * {sy} - {b1} * {sxy} - {b2} * {szy})"
+    sst = f"({syy} - {sy} * {sy} / {n})"
+    return {
+        "intercept": f"ROUND({b0}, 9)",
+        "beta_quantity": f"ROUND({b1}, 9)",
+        "beta_discount": f"ROUND({b2}, 9)",
+        "r2": f"ROUND(1.0 - {sse} / {sst}, 9)",
+    }
+
+
+_OLS2_MOMENTS_SQL = """
+      SELECT l_returnflag,
+             COUNT(*) AS m_n,
+             SUM(x) AS m_sx, SUM(z) AS m_sz, SUM(y) AS m_sy,
+             SUM(x * x) AS m_sxx, SUM(x * z) AS m_sxz,
+             SUM(z * z) AS m_szz,
+             SUM(x * y) AS m_sxy, SUM(z * y) AS m_szy,
+             SUM(y * y) AS m_syy
+      FROM (
+        SELECT l_returnflag,
+               CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS z,
+               CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y
+        FROM lineitem
+      )
+      GROUP BY l_returnflag
+"""
+
+
+@query(
+    "multiple_regression_cramer",
+    oracle=f"""
+    WITH m AS ({_OLS2_MOMENTS_SQL})
+    SELECT l_returnflag, CAST(m_n AS BIGINT) AS n,
+           {_ols2_formulas()["intercept"]} AS intercept,
+           {_ols2_formulas()["beta_quantity"]} AS beta_quantity,
+           {_ols2_formulas()["beta_discount"]} AS beta_discount,
+           {_ols2_formulas()["r2"]} AS r2
+    FROM m
+    """,
+    description="Two-regressor OLS per return flag (price_dollars ~ "
+    "quantity + discount_cents), solved in closed form by Cramer's "
+    "rule over eleven EXACT int64 moments from one hash aggregate — "
+    "no gradient loop, no matrix library, no second pass (R^2 also "
+    "derives from the moments).  The determinant algebra is one SQL "
+    "string shared verbatim by engine and oracle, so float64 "
+    "evaluation is token-identical.",
+)
+def multiple_regression_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-feature linear regression as a moment aggregate.
+
+    Scale shape: the ONLY data-scale work is one partial-aggregated
+    groupBy producing 11 integer moments per group (|groups| = 3
+    rows); the 3x3 solve is row-local arithmetic on those moments.
+    This is the normal-equations identity that lets a 100 TB
+    regression run as a single map-side-combined aggregate — the
+    same design as stats_moments/regression_by_group, extended to a
+    genuine multi-feature solve (X'X inverse via Cramer).
+    Collinearity guard: quantity and discount are independent in the
+    synthetic data, so det(X'X) is far from 0; a production wrapper
+    would null the betas when |det| underflows.  Overflow bound: the
+    largest moment is SUM(y^2) <= n * 1e10 (y = integer dollars,
+    <= 1e5), inside int64 up to ~9e8 rows; past that the two squared
+    moments move to DECIMAL(38) sums (exact on both engines) — the
+    ANSI engine raises at the boundary where Spark would wrap, which
+    is why y is dollars here, not cents.
+    """
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_returnflag",
+        F.col("l_quantity").cast("long").alias("x"),
+        F.round(F.col("l_discount") * 100, 0).cast("long").alias("z"),
+        F.round(F.col("l_extendedprice"), 0).cast("long").alias("y"),
+    )
+    m = li.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("m_n"),
+        F.sum("x").alias("m_sx"),
+        F.sum("z").alias("m_sz"),
+        F.sum("y").alias("m_sy"),
+        F.sum(F.col("x") * F.col("x")).alias("m_sxx"),
+        F.sum(F.col("x") * F.col("z")).alias("m_sxz"),
+        F.sum(F.col("z") * F.col("z")).alias("m_szz"),
+        F.sum(F.col("x") * F.col("y")).alias("m_sxy"),
+        F.sum(F.col("z") * F.col("y")).alias("m_szy"),
+        F.sum(F.col("y") * F.col("y")).alias("m_syy"),
+    )
+    f = _ols2_formulas()
+    return m.select(
+        "l_returnflag",
+        F.col("m_n").cast("long").alias("n"),
+        F.expr(f["intercept"]).alias("intercept"),
+        F.expr(f["beta_quantity"]).alias("beta_quantity"),
+        F.expr(f["beta_discount"]).alias("beta_discount"),
+        F.expr(f["r2"]).alias("r2"),
+    )

@@ -1839,3 +1839,39 @@ def test_f2_estimate_is_one_sided(spark, sf_dir):
     rows = QUERIES["selfjoin_size_cms"].fn(spark, sf_dir).collect()
     assert len(rows) == 4
     assert all(r.est_f2 >= r.true_f2 and r.overcount >= 0 for r in rows)
+
+
+def test_multiple_regression_matches_numpy_lstsq(spark, sf_dir):
+    """The Cramer solve must agree with an independent numpy
+    least-squares fit (different algorithm, same normal equations)
+    to ~1e-6 relative, and R^2 must sit in [0, 1]."""
+    import numpy as np
+
+    rows = QUERIES["multiple_regression_cramer"].fn(spark, sf_dir).collect()
+    li = (
+        spark.read.parquet(sf_dir + "/lineitem.parquet")
+        .selectExpr(
+            "l_returnflag",
+            "CAST(l_quantity AS BIGINT) AS x",
+            "CAST(ROUND(l_discount * 100, 0) AS BIGINT) AS z",
+            "CAST(ROUND(l_extendedprice, 0) AS BIGINT) AS y",
+        )
+        .toPandas()
+    )
+    assert rows
+    for r in rows:
+        g = li[li.l_returnflag == r.l_returnflag]
+        X = np.column_stack(
+            [np.ones(len(g)), g.x.to_numpy(float), g.z.to_numpy(float)]
+        )
+        beta, *_ = np.linalg.lstsq(X, g.y.to_numpy(float), rcond=None)
+        for got, want in zip(
+            (r.intercept, r.beta_quantity, r.beta_discount), beta
+        ):
+            assert abs(got - want) <= 1e-6 * max(1.0, abs(want)), (
+                r.l_returnflag,
+                got,
+                want,
+            )
+        assert 0.0 <= r.r2 <= 1.0
+        assert r.n == len(g)
