@@ -1668,14 +1668,17 @@ def selfjoin_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dados_publicos_etl_spark.operators.sampling import hash_bucket
 
     li = read_table(spark, sf_dir, "lineitem").select("l_partkey")
-    truth = (
-        li.groupBy("l_partkey")
-        .agg(F.count(F.lit(1)).alias("c"))
-        .agg(F.sum(F.col("c") * F.col("c")).cast("long").alias("true_f2"))
+    # One token-stream pass: the per-key frequency table (|keys| rows)
+    # feeds BOTH the exact F2 and the sketch cells — the salt fan-out
+    # happens on |keys| rows, never on the fact stream (same
+    # frequency-table trick as the Count-Min build).
+    freq = li.groupBy("l_partkey").agg(F.count(F.lit(1)).alias("c"))
+    truth = freq.agg(
+        F.sum(F.col("c") * F.col("c")).cast("long").alias("true_f2")
     )
     salts = spark.range(_F2_D).select(F.col("id").cast("int").alias("d"))
     cells = (
-        li.crossJoin(F.broadcast(salts))
+        freq.crossJoin(F.broadcast(salts))
         .groupBy(
             "d",
             hash_bucket(
@@ -1687,7 +1690,7 @@ def selfjoin_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
                 _F2_W,
             ).alias("bucket"),
         )
-        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(F.sum("c").alias("cnt"))
     )
     est = cells.groupBy("d").agg(
         F.sum(F.col("cnt") * F.col("cnt")).cast("long").alias("est_f2")
