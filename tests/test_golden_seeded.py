@@ -49,6 +49,7 @@ SEEDED_QUERIES = [
     "contrastive_pair_mining",  # LSH-bucket positives/hard-negatives (round 4)
     "compression_ratio_quality",  # zlib level-6 ratios, deterministic (round 5)
     "audio_spectral_centroid",    # deterministic rFFT over synth PCM (round 5)
+    "boruvka_msf",  # unique forest (distinct edge costs); also Kruskal-pinned (round 5)
 ]
 
 
