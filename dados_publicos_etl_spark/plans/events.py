@@ -1519,3 +1519,103 @@ def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
         schema="nation_key long, idx long, week string, y_cents double, "
         "level double, trend double, forecast_next double",
     )
+
+
+@query(
+    "forecast_backtest_naive",
+    oracle="""
+    WITH series AS (
+      SELECT c_nationkey AS nk,
+             date_trunc('week', o_orderdate) AS wk,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS y
+      FROM orders JOIN customer ON o_custkey = c_custkey
+      GROUP BY 1, 2
+    ), lagged AS (
+      SELECT nk, y,
+             LAG(y, 1) OVER (PARTITION BY nk ORDER BY wk) AS f_naive,
+             LAG(y, 4) OVER (PARTITION BY nk ORDER BY wk) AS f_seasonal
+      FROM series
+    ), stacked AS (
+      SELECT nk, 'naive' AS method, y, f_naive AS f
+      FROM lagged WHERE f_naive IS NOT NULL
+      UNION ALL
+      SELECT nk, 'seasonal_naive' AS method, y, f_seasonal AS f
+      FROM lagged WHERE f_seasonal IS NOT NULL
+    )
+    SELECT CAST(nk AS BIGINT) AS nation_key, method,
+           CAST(COUNT(*) AS BIGINT) AS n_eval,
+           ROUND(CAST(SUM(ABS(f - y)) AS DOUBLE) / COUNT(*) / 100.0, 9)
+             AS mae_usd,
+           ROUND(AVG(2.0 * ABS(f - y) / (ABS(f) + ABS(y))), 9) AS smape
+    FROM stacked GROUP BY 1, 2
+    """,
+    description="Forecast backtest of the two standard baselines "
+    "(naive = last week, seasonal-naive = 4 weeks back) on weekly "
+    "revenue per nation: two LAG frames over ONE sorted window pass, "
+    "per-(nation, method) MAE from exact integer cents and sMAPE — "
+    "the evaluation harness any forecasting operator (Holt, EWMA) "
+    "must beat; no model state, one shuffle.",
+)
+def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Baseline-forecast evaluation as pure window algebra.
+
+    Scale shape: the fact table collapses to |nations| x |weeks|
+    rows in one partial-aggregated groupBy; both baselines come from
+    the same (nation-partitioned, week-ordered) window sort, so
+    Catalyst plans ONE exchange + sort for the two LAGs; errors
+    aggregate from exact integer cents (|f - y| stays int64), with
+    doubles only in the final normalized metrics — identical IEEE
+    order on both engines.
+    """
+    cust = read_table(spark, sf_dir, "customer").select(
+        "c_custkey", "c_nationkey"
+    )
+    series = (
+        read_table(spark, sf_dir, "orders")
+        .join(F.broadcast(cust), F.col("o_custkey") == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nk"),
+            F.date_trunc("week", F.col("o_orderdate")).alias("wk"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("y")
+        )
+    )
+    w = W.partitionBy("nk").orderBy("wk")
+    lagged = series.select(
+        "nk",
+        "y",
+        F.lag("y", 1).over(w).alias("f_naive"),
+        F.lag("y", 4).over(w).alias("f_seasonal"),
+    )
+    stacked = lagged.filter(F.col("f_naive").isNotNull()).select(
+        "nk", F.lit("naive").alias("method"), "y", F.col("f_naive").alias("f")
+    ).unionAll(
+        lagged.filter(F.col("f_seasonal").isNotNull()).select(
+            "nk",
+            F.lit("seasonal_naive").alias("method"),
+            "y",
+            F.col("f_seasonal").alias("f"),
+        )
+    )
+    return stacked.groupBy(
+        F.col("nk").cast("long").alias("nation_key"), "method"
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_eval"),
+        F.round(
+            F.sum(F.abs(F.col("f") - F.col("y"))).cast("double")
+            / F.count(F.lit(1))
+            / 100.0,
+            9,
+        ).alias("mae_usd"),
+        F.round(
+            F.avg(
+                2.0
+                * F.abs(F.col("f") - F.col("y"))
+                / (F.abs("f") + F.abs("y"))
+            ),
+            9,
+        ).alias("smape"),
+    )
