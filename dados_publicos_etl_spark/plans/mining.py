@@ -2616,3 +2616,80 @@ def multiple_regression_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f["beta_discount"]).alias("beta_discount"),
         F.expr(f["r2"]).alias("r2"),
     )
+
+
+@query(
+    "mutual_information_screen",
+    oracle="""
+    WITH joint AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             COUNT(*) AS nxy
+      FROM orders GROUP BY 1, 2
+    ), mx AS (
+      SELECT x, SUM(nxy) AS nx FROM joint GROUP BY x
+    ), my AS (
+      SELECT y, SUM(nxy) AS ny FROM joint GROUP BY y
+    ), tot AS (
+      SELECT SUM(nxy) AS n FROM joint
+    )
+    SELECT j.x AS priority, j.y AS status,
+           CAST(j.nxy AS BIGINT) AS n_joint,
+           CAST(m1.nx AS BIGINT) AS n_x,
+           CAST(m2.ny AS BIGINT) AS n_y,
+           ROUND((CAST(j.nxy AS DOUBLE) / t.n)
+                 * ln((CAST(j.nxy AS DOUBLE) * t.n)
+                      / (CAST(m1.nx AS DOUBLE) * m2.ny)), 9)
+             AS mi_term
+    FROM joint j
+    JOIN mx m1 ON j.x = m1.x
+    JOIN my m2 ON j.y = m2.y
+    CROSS JOIN tot t
+    """,
+    description="Mutual-information feature screen between order "
+    "priority and status: joint/marginal counts from one 15-row hash "
+    "aggregate (reaggregated for the margins — never a second fact "
+    "scan), per-cell MI contribution (p_xy * ln(p_xy/(p_x p_y))) "
+    "with exact integer counts until the final log — the "
+    "information-theoretic sibling of the chi-square screen; the "
+    "caller sums mi_term for MI(X;Y).",
+)
+def mutual_information_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MI as pure count algebra: one data-scale aggregate (|X||Y| =
+    15 cells), margins and the total derived from the CELL table,
+    broadcast back.  Keeps every probability as an exact integer
+    ratio inside the log argument, so both engines evaluate the
+    identical double expression."""
+    from pyspark.sql import Window
+
+    joint = (
+        read_table(spark, sf_dir, "orders")
+        .groupBy(
+            F.col("o_orderpriority").alias("x"),
+            F.col("o_orderstatus").alias("y"),
+        )
+        .agg(F.count(F.lit(1)).alias("nxy"))
+    )
+    w = Window.partitionBy()
+    cells = joint.select(
+        "x",
+        "y",
+        "nxy",
+        F.sum("nxy").over(Window.partitionBy("x")).alias("nx"),
+        F.sum("nxy").over(Window.partitionBy("y")).alias("ny"),
+        F.sum("nxy").over(w).alias("n"),
+    )
+    return cells.select(
+        F.col("x").alias("priority"),
+        F.col("y").alias("status"),
+        F.col("nxy").cast("long").alias("n_joint"),
+        F.col("nx").cast("long").alias("n_x"),
+        F.col("ny").cast("long").alias("n_y"),
+        F.round(
+            (F.col("nxy").cast("double") / F.col("n"))
+            * F.log(
+                (F.col("nxy").cast("double") * F.col("n"))
+                / (F.col("nx").cast("double") * F.col("ny"))
+            ),
+            9,
+        ).alias("mi_term"),
+    )
