@@ -1,0 +1,105 @@
+"""Range-partitioned global ranking — the ROW_NUMBER that scales.
+
+A global ``ROW_NUMBER() OVER (ORDER BY ...)`` (no PARTITION BY) plans
+as one ``Exchange SinglePartition`` + one task sorting the whole
+relation — the classic 100 TB killer: at cluster scale one executor
+sorts the corpus while the rest idle.  The scalable shape (used by
+the ``global_row_number`` catalog query, and reused here by
+``decile_lift_table`` and ``vocab_coverage``):
+
+1. ``repartitionByRange`` on the sort key — range partitions are
+   GLOBALLY ordered, so partition p's rows all rank before
+   partition p+1's;
+2. materialize that layout (two jobs must see the SAME sampled range
+   bounds);
+3. count rows per range partition — a P-row driver-side scalar;
+4. convert counts to cumulative offsets and add each partition's
+   offset to its LOCAL ``row_number`` — every partition ranks
+   independently; the only global step is the P-row offset scan.
+
+The reference has no distributed ranking operator (its pandas
+``rank()`` equivalents are single-node); this module exists for the
+§2.B analytics surface.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, Window
+from pyspark.sql import functions as F
+
+_DEFAULT_PARTS = 16
+
+
+def ranked_by_range(
+    df: DataFrame,
+    order: list[Column | str],
+    num_partitions: int = _DEFAULT_PARTS,
+    rn_col: str = "rn",
+) -> tuple[DataFrame, int]:
+    """Append a global 1-based ``rn_col`` to ``df`` under the total
+    order ``order``, with NO SinglePartition exchange.
+
+    Returns ``(ranked_df, total_row_count)`` — the count comes free
+    from the offset scan.  ``order`` must be a deterministic total
+    order (include a tie-break key), or ranks are not reproducible.
+
+    The ranged layout is localCheckpoint-materialized so the
+    offset-count job and the ranking job read the SAME physical
+    partitioning (``repartitionByRange`` samples range boundaries;
+    two independent executions could draw different bounds).  On a
+    real cluster, persist the ranged layout to storage instead —
+    identical two-job shape, and the layout is reusable by any
+    downstream rank consumer.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn("__rbr_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    counts = sorted(
+        ranged.groupBy("__rbr_pid").count().collect(),
+        key=lambda r: r["__rbr_pid"],
+    )
+    offsets: list[tuple[int, int]] = []
+    acc = 0
+    for r in counts:
+        offsets.append((r["__rbr_pid"], acc))
+        acc += r["count"]
+    off = df.sparkSession.createDataFrame(
+        offsets, "__rbr_pid int, __rbr_off long"
+    )
+    w = Window.partitionBy("__rbr_pid").orderBy(*order)
+    ranked = (
+        ranged.withColumn("__rbr_local", F.row_number().over(w))
+        .join(F.broadcast(off), "__rbr_pid")
+        .withColumn(
+            rn_col,
+            (F.col("__rbr_local") + F.col("__rbr_off")).cast("long"),
+        )
+        .drop("__rbr_pid", "__rbr_local", "__rbr_off")
+    )
+    return ranked, acc
+
+
+def ntile_expr(rn_col: str, n_rows: int, n_tiles: int) -> Column:
+    """Exact ``NTILE(n_tiles)`` as a pure expression over a global
+    rank — the piecewise formula both Spark and DuckDB implement:
+    the first ``n_rows % n_tiles`` tiles get ``n_rows // n_tiles + 1``
+    rows, the rest get ``n_rows // n_tiles``.
+
+    Lets NTILE ride the range-partitioned rank instead of a
+    SinglePartition window: tile membership is row-local arithmetic
+    once the rank exists.
+    """
+    q, r = divmod(int(n_rows), int(n_tiles))
+    cut = r * (q + 1)
+    if q == 0:
+        # fewer rows than tiles: every row is its own tile
+        return F.col(rn_col).cast("int")
+    return (
+        F.expr(
+            f"CASE WHEN {rn_col} <= {cut}"
+            f" THEN ({rn_col} - 1) div {q + 1} + 1"
+            f" ELSE {r} + ({rn_col} - {cut} - 1) div {q} + 1 END"
+        )
+    ).cast("int")

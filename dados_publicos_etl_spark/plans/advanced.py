@@ -1067,45 +1067,24 @@ _GRN_PARTS = 16
 def global_row_number(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Range-partitioned global row_number.
 
-    The layout is localCheckpoint-materialized so the offset-count
-    job and the ranking job read the SAME physical partitioning
-    (repartitionByRange samples range boundaries; two independent
-    executions could draw different bounds).  On a cluster, persist
-    the ranged layout to storage instead — same two-job shape.
+    Delegates to the shared ``operators/ranking.py`` helper (also
+    the ranking engine behind ``decile_lift_table`` and
+    ``vocab_coverage``): ranged layout materialized once, P-row
+    offset scan, per-partition local row_number + offset.
     """
-    from pyspark.sql import Window as W
+    from dados_publicos_etl_spark.operators.ranking import ranked_by_range
 
     orders = (
         read_table(spark, sf_dir, "orders")
         .filter(F.col("o_orderpriority") == "1-URGENT")
         .select("o_orderkey", "o_totalprice")
     )
-    ranged = (
-        orders.repartitionByRange(
-            _GRN_PARTS, F.desc("o_totalprice"), "o_orderkey"
-        )
-        .withColumn("pid", F.spark_partition_id())
-        .localCheckpoint()
+    ranked, _ = ranked_by_range(
+        orders,
+        [F.desc("o_totalprice"), "o_orderkey"],
+        num_partitions=_GRN_PARTS,
     )
-    counts = sorted(
-        ranged.groupBy("pid").count().collect(), key=lambda r: r.pid
-    )
-    offsets, acc = [], 0
-    for r in counts:
-        offsets.append((r.pid, acc))
-        acc += r["count"]
-    off = spark.createDataFrame(offsets, "pid int, off long")
-    w = W.partitionBy("pid").orderBy(
-        F.desc("o_totalprice"), "o_orderkey"
-    )
-    return (
-        ranged.withColumn("rn_local", F.row_number().over(w))
-        .join(F.broadcast(off), "pid")
-        .select(
-            "o_orderkey",
-            (F.col("rn_local") + F.col("off")).cast("long").alias("rn"),
-        )
-    )
+    return ranked.select("o_orderkey", "rn")
 
 
 # ---------------------------------------------------------------------------

@@ -351,14 +351,15 @@ _VOCAB_SIZES = (100, 300, 1000, 3000, 10000)
     "cover?': term frequencies (one explode + partial-aggregated "
     "count), a global frequency rank, and conditional sums emit the "
     "cumulative coverage at 5 vocab sizes as 5 rows from ONE pass — "
-    "no per-size scan, no BNLJ range join.  The global row_number "
-    "runs over the VOCABULARY (Heaps-law sublinear in corpus size), "
-    "not the corpus; at 100 TB replace it with the range-partitioned "
-    "rank of corpus_global_shuffle if the vocab outgrows one "
-    "partition.",
+    "no per-size scan, no BNLJ range join.  The frequency rank runs "
+    "over the VOCABULARY (Heaps-law sublinear in corpus size, but "
+    "still corpus-growing: near-unique terms at web scale), so it "
+    "uses the range-partitioned global rank (operators/ranking.py), "
+    "never a SinglePartition window.",
 )
 def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dados_publicos_etl_spark.functions.text import tokens
+    from dados_publicos_etl_spark.operators.ranking import ranked_by_range
 
     docs = read_table(spark, sf_dir, "documents")
     tf = (
@@ -366,12 +367,8 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("token")
         .agg(F.count(F.lit(1)).alias("cnt"))
     )
-    ranked = tf.select(
-        "cnt",
-        F.row_number()
-        .over(Window.orderBy(F.desc("cnt"), "token"))
-        .alias("rn"),
-    )
+    ranked, _ = ranked_by_range(tf, [F.desc("cnt"), "token"])
+    ranked = ranked.select("cnt", "rn")
     agg = ranked.agg(
         F.sum("cnt").alias("total"),
         *[
@@ -1782,11 +1779,19 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
     "NTILE tie-break), per-decile capture rate vs the base rate, "
     "plus cumulative lift down the ranking.  Exact integer counts "
     "throughout; the cumulative windows run over the 10-row decile "
-    "table, so cost is one ranking window + one aggregate at any "
-    "corpus size.  Pairs with woe_information_value as the "
-    "model-evaluation half of supervised feature screening.",
+    "table.  The fact-scale ranking is the range-partitioned "
+    "global row_number (operators/ranking.py) — NO SinglePartition "
+    "NTILE window; tile membership is row-local arithmetic on the "
+    "rank, reproducing NTILE's piecewise sizes exactly.  Pairs with "
+    "woe_information_value as the model-evaluation half of "
+    "supervised feature screening.",
 )
 def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.operators.ranking import (
+        ntile_expr,
+        ranked_by_range,
+    )
+
     li = read_table(spark, sf_dir, "lineitem")
     # (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
     # and tie groups can mix bad flags — append `bad` to the NTILE
@@ -1796,16 +1801,17 @@ def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     # lands inside a tie group.
     bad = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
     scored = li.select(
-        bad.alias("bad"),
-        F.ntile(10)
-        .over(
-            Window.orderBy(
-                F.desc("l_discount"), "l_orderkey", "l_linenumber", bad
-            )
-        )
-        .alias("decile"),
+        bad.alias("bad"), "l_discount", "l_orderkey", "l_linenumber"
     )
-    per_decile = scored.groupBy("decile").agg(
+    # Range-partitioned global rank instead of a SinglePartition
+    # NTILE window: every partition ranks independently, the only
+    # global step is the P-row offset scan (see operators/ranking.py).
+    ranked, n_rows = ranked_by_range(
+        scored,
+        [F.desc("l_discount"), "l_orderkey", "l_linenumber", "bad"],
+    )
+    tiled = ranked.select("bad", ntile_expr("rn", n_rows, 10).alias("decile"))
+    per_decile = tiled.groupBy("decile").agg(
         F.count(F.lit(1)).alias("n"), F.sum("bad").alias("n_bad")
     )
     tot = per_decile.agg(

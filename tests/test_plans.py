@@ -3,6 +3,7 @@ scale are checked, not assumed (SURVEY.md §4.2)."""
 
 from __future__ import annotations
 
+from pyspark.sql import Window
 from pyspark.sql import functions as F
 
 from dados_publicos_etl_spark.io import read_table
@@ -561,3 +562,62 @@ def test_global_row_number_avoids_single_partition_sort(spark, sf_dir):
     assert "SinglePartition" not in plan
     # the offset side is the broadcast
     assert "BroadcastHashJoin" in plan
+
+
+def test_decile_lift_avoids_global_ntile(spark, sf_dir):
+    """Round-6 re-shape: the fact-scale ranking must be the
+    range-partitioned row_number + arithmetic tile assignment —
+    never a SinglePartition NTILE window over the whole fact
+    table."""
+    plan = _plan(QUERIES["decile_lift_table"].fn(spark, sf_dir))
+    assert "ntile" not in plan.lower()
+    assert "row_number" in plan.lower()
+
+
+def test_vocab_coverage_rank_is_range_partitioned(spark, sf_dir):
+    """The vocabulary frequency rank grows with the corpus
+    (near-unique terms at web scale) — it must ride the
+    range-partitioned rank, not a global window sort."""
+    plan = _plan(QUERIES["vocab_coverage"].fn(spark, sf_dir))
+    assert "row_number" in plan.lower()
+    # the pid-partitioned window, broadcast offset join
+    assert "BroadcastHashJoin" in plan
+
+
+def test_ranked_by_range_no_single_partition(spark, sf_dir):
+    """The shared ranking helper itself: a fact-scale total order
+    with NO SinglePartition exchange anywhere in the plan, and the
+    returned total matches the relation's count."""
+    from dados_publicos_etl_spark.operators.ranking import ranked_by_range
+
+    li = read_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber", "l_discount"
+    )
+    ranked, total = ranked_by_range(
+        li, [F.desc("l_discount"), "l_orderkey", "l_linenumber"]
+    )
+    plan = _plan(ranked)
+    assert "SinglePartition" not in plan
+    assert ranked.count() == total
+    # ranks are a dense 1..N permutation
+    agg = ranked.agg(
+        F.min("rn").alias("lo"),
+        F.max("rn").alias("hi"),
+        F.count_distinct("rn").alias("nd"),
+    ).collect()[0]
+    assert (agg.lo, agg.hi, agg.nd) == (1, total, total)
+
+
+def test_ntile_expr_matches_ntile_semantics(spark, sf_dir):
+    """ntile_expr must reproduce NTILE's piecewise tile sizes
+    exactly for N not divisible by the tile count."""
+    from dados_publicos_etl_spark.operators.ranking import ntile_expr
+
+    for n_rows, k in [(23, 10), (7, 10), (100, 10), (10, 10), (1, 10)]:
+        rows = spark.range(1, n_rows + 1).select(
+            F.col("id").alias("rn"),
+            F.ntile(k).over(Window.orderBy("id")).alias("want"),
+        )
+        got = rows.select("rn", "want", ntile_expr("rn", n_rows, k).alias("got"))
+        bad = got.filter(F.col("want") != F.col("got")).count()
+        assert bad == 0, (n_rows, k)
