@@ -930,13 +930,23 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Catalyst reuses the exchange+sort, so the whole fingerprint
     # stage is one shuffle.
     frame = wdoc.rowsBetween(_W.currentRow, _WN_W - 1)
+    # The (hash, rightmost-position) packing h*B + (B - pos) is only
+    # an argmin key while pos < B; an oversize document would flip
+    # (B - pos) negative and silently corrupt the per-window min, so
+    # the packing expression itself fails loudly past the base (the
+    # guard is part of the computed column — column pruning cannot
+    # elide it).
+    packed = F.expr(
+        f"CASE WHEN pos < {_WN_B} THEN h * CAST({_WN_B} AS BIGINT)"
+        f" + (CAST({_WN_B} AS BIGINT) - pos)"
+        " ELSE CAST(raise_error(CONCAT('winnowing_fingerprints: document ',"
+        f" doc_id, ' has >= {_WN_B} k-grams — raise _WN_B')) AS BIGINT) END"
+    )
     win = pos.select(
         "doc_id",
         F.col("pos").alias("i"),
         "ng",
-        F.min(F.col("h") * _WN_B + (F.lit(_WN_B) - F.col("pos")))
-        .over(frame)
-        .alias("selkey"),
+        F.min(packed).over(frame).alias("selkey"),
     ).filter(F.col("i") <= F.greatest(F.col("ng") - (_WN_W - 1), F.lit(1)))
     fp = win.select(
         "doc_id", F.expr(f"selkey div {_WN_B}").alias("h")

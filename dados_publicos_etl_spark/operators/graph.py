@@ -28,6 +28,9 @@ proof (SURVEY.md §2.B notes Spark lacks a native one).
 
 from __future__ import annotations
 
+import atexit
+import tempfile
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
@@ -41,7 +44,50 @@ from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
 
 _THRESH = 0.8
-_CC_TMP_KEEP: list = []  # tempdir handles for periodic self-join-chain cuts
+
+
+class _CutStore:
+    """Bounded tempdir pool for datasource cuts.
+
+    A datasource cut writes an iteration's relation to parquet and
+    re-reads it so the NEXT round's plan roots at a scan (BENCH_NOTES
+    "self-join chain degradation").  Only recent cuts can still back a
+    live plan — every loop that cuts also materializes an EAGER
+    localCheckpoint of its consumer within a round or two — so the
+    store keeps a rolling window of the newest ``keep`` dirs per
+    purpose and deletes older ones, instead of accumulating one
+    tempdir per round for the process lifetime.  Whatever survives is
+    removed atexit.
+    """
+
+    def __init__(self, keep: int = 8) -> None:
+        self.keep = keep
+        self._dirs: dict[str, list] = {}
+        atexit.register(self.cleanup_all)
+
+    def new_dir(self, purpose: str, prefix: str) -> str:
+        tmp = tempfile.TemporaryDirectory(prefix=prefix)
+        pool = self._dirs.setdefault(purpose, [])
+        pool.append(tmp)
+        while len(pool) > self.keep:
+            old = pool.pop(0)
+            try:
+                old.cleanup()
+            except OSError:
+                pass
+        return tmp.name
+
+    def cleanup_all(self) -> None:
+        for pool in self._dirs.values():
+            for tmp in pool:
+                try:
+                    tmp.cleanup()
+                except OSError:
+                    pass
+        self._dirs.clear()
+
+
+_CUTS = _CutStore()
 
 
 def connected_components(
@@ -157,11 +203,7 @@ def connected_components(
         # adds 2 links, so long-diameter graphs that need >6 rounds
         # get the labels relation re-rooted on a parquet read.
         if (_it + 1) % 6 == 0:
-            import tempfile
-
-            tmp = tempfile.TemporaryDirectory(prefix="spark_cc_cut_")
-            _CC_TMP_KEEP.append(tmp)
-            cpath = f"{tmp.name}/labels"
+            cpath = f"{_CUTS.new_dir('cc_cut', 'spark_cc_cut_')}/labels"
             labels.write.mode("overwrite").parquet(cpath)
             labels = labels.sparkSession.read.parquet(cpath)
     return labels
@@ -836,11 +878,7 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # ~3 self-join links; a full 12-round peel would cross the
         # ~19-link wall checkpointing cannot reset.
         if r % 4 == 0:
-            import tempfile
-
-            tmp = tempfile.TemporaryDirectory(prefix="spark_kc_cut_")
-            _CC_TMP_KEEP.append(tmp)
-            kpath = f"{tmp.name}/adj"
+            kpath = f"{_CUTS.new_dir('kc_cut', 'spark_kc_cut_')}/adj"
             adj.write.mode("overwrite").parquet(kpath)
             adj = spark.read.parquet(kpath)
         active = survivors
@@ -865,7 +903,6 @@ _MSF_JUMPS = 8        # fixed pointer-jump depth: collapses nomination
                       # round-trip fully resets it, a localCheckpoint or
                       # reliable checkpoint does NOT) — see BENCH_NOTES
                       # "self-join chain degradation"
-_MSF_TMP_KEEP: list = []  # tempdir handles for per-round mapping cuts
 
 
 @query(
@@ -992,35 +1029,58 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-        for _ in range(_MSF_JUMPS):
-            hop = parent.select(
-                F.col("comp").alias("h_c"), F.col("parent").alias("h_p")
-            )
-            parent = (
-                parent.join(
-                    F.broadcast(hop), parent.parent == hop.h_c, "left"
-                )
-                .select(
-                    "comp",
-                    F.coalesce("h_p", F.col("parent")).alias("parent"),
-                )
-                .localCheckpoint(eager=False)
-            )
-        # datasource round-trip: resets the self-join chain so the
-        # NEXT round's jumps start from a fresh relation (the
+        # Jump batches run until the parent map is IDEMPOTENT — a
+        # fixed depth alone resolves chains up to 2^_MSF_JUMPS, and a
+        # longer nomination chain would leave non-canonical labels
+        # that let a later round nominate an intra-component edge
+        # (a cycle in the "forest").  Each batch ends in a datasource
+        # round-trip that resets the self-join chain (the
         # localCheckpoint variants of this loop degraded exponentially
         # past ~19 cumulative self-join links; parquet-backed reads
-        # are immune — same rationale as every disk-backed cache in
-        # this repo, measured in BENCH_NOTES).
-        import tempfile
-
-        tmp = tempfile.TemporaryDirectory(prefix="spark_msf_map_")
-        _MSF_TMP_KEEP.append(tmp)
-        mpath = f"{tmp.name}/mapping"
-        parent.select(
-            F.col("comp").alias("old_comp"), F.col("parent").alias("new_comp")
-        ).write.mode("overwrite").parquet(mpath)
-        mapping = spark.read.parquet(mpath)
+        # are immune — measured in BENCH_NOTES), so extra batches
+        # start from a fresh relation.  The convergence probe is one
+        # broadcast self-join on the component-scale map: converged
+        # means nobody's parent has a different grandparent.
+        while True:
+            for _ in range(_MSF_JUMPS):
+                hop = parent.select(
+                    F.col("comp").alias("h_c"), F.col("parent").alias("h_p")
+                )
+                parent = (
+                    parent.join(
+                        F.broadcast(hop), parent.parent == hop.h_c, "left"
+                    )
+                    .select(
+                        "comp",
+                        F.coalesce("h_p", F.col("parent")).alias("parent"),
+                    )
+                    .localCheckpoint(eager=False)
+                )
+            mpath = f"{_CUTS.new_dir('msf_map', 'spark_msf_map_')}/mapping"
+            parent.select(
+                F.col("comp").alias("old_comp"),
+                F.col("parent").alias("new_comp"),
+            ).write.mode("overwrite").parquet(mpath)
+            mapping = spark.read.parquet(mpath)
+            m2 = mapping.select(
+                F.col("old_comp").alias("m_c"), F.col("new_comp").alias("m_p")
+            )
+            pending = (
+                mapping.join(
+                    F.broadcast(m2), mapping.new_comp == m2.m_c, "left"
+                )
+                .filter(
+                    F.coalesce("m_p", F.col("new_comp")) != F.col("new_comp")
+                )
+                .limit(1)
+                .count()
+            )
+            if pending == 0:
+                break
+            parent = mapping.select(
+                F.col("old_comp").alias("comp"),
+                F.col("new_comp").alias("parent"),
+            )
         labels = (
             labels.join(
                 F.broadcast(mapping), labels.label == mapping.old_comp, "left"

@@ -1544,8 +1544,7 @@ def holt_linear_smoothing(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT CAST(nk AS BIGINT) AS nation_key, method,
            CAST(COUNT(*) AS BIGINT) AS n_eval,
-           ROUND(CAST(SUM(ABS(f - y)) AS DOUBLE) / COUNT(*) / 100.0, 9)
-             AS mae_usd,
+           CAST(SUM(ABS(f - y)) AS DOUBLE) / COUNT(*) / 100.0 AS mae_usd,
            ROUND(AVG(2.0 * ABS(f - y) / (ABS(f) + ABS(y))), 9) AS smape
     FROM stacked GROUP BY 1, 2
     """,
@@ -1604,11 +1603,17 @@ def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("nk").cast("long").alias("nation_key"), "method"
     ).agg(
         F.count(F.lit(1)).cast("long").alias("n_eval"),
-        F.round(
+        # NO round here: the numerator is an exact integer, so the
+        # two IEEE divisions are correctly-rounded with identical
+        # operands on both engines — bit-identical by construction.
+        # (ROUND(double, 9) is NOT: Spark rounds the exact binary
+        # expansion via BigDecimal, DuckDB multiplies by 1e9 first,
+        # and the two disagree by 1 ulp on real inputs — measured at
+        # sf0.01.)
+        (
             F.sum(F.abs(F.col("f") - F.col("y"))).cast("double")
             / F.count(F.lit(1))
-            / 100.0,
-            9,
+            / 100.0
         ).alias("mae_usd"),
         F.round(
             F.avg(

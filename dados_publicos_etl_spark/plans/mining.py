@@ -2510,6 +2510,13 @@ def _det3(r1, r2, r3) -> str:
     )
 
 
+def _dec18(c: str):
+    """Exact decimal operand for overflow-proof moment products:
+    DECIMAL(18,0) x DECIMAL(18,0) -> DECIMAL(37,0), summed as
+    DECIMAL(38,0) on Spark and DuckDB alike."""
+    return F.col(c).cast("decimal(18,0)")
+
+
 def _ols2_formulas() -> dict[str, str]:
     """Closed-form two-regressor OLS (Cramer) over exact integer
     moments.  m_* columns are BIGINT aggregates; every reference
@@ -2544,8 +2551,9 @@ _OLS2_MOMENTS_SQL = """
              SUM(x) AS m_sx, SUM(z) AS m_sz, SUM(y) AS m_sy,
              SUM(x * x) AS m_sxx, SUM(x * z) AS m_sxz,
              SUM(z * z) AS m_szz,
-             SUM(x * y) AS m_sxy, SUM(z * y) AS m_szy,
-             SUM(y * y) AS m_syy
+             SUM(CAST(x AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS m_sxy,
+             SUM(CAST(z AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS m_szy,
+             SUM(CAST(y AS DECIMAL(18,0)) * CAST(y AS DECIMAL(18,0))) AS m_syy
       FROM (
         SELECT l_returnflag,
                CAST(l_quantity AS BIGINT) AS x,
@@ -2588,12 +2596,11 @@ def multiple_regression_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
     genuine multi-feature solve (X'X inverse via Cramer).
     Collinearity guard: quantity and discount are independent in the
     synthetic data, so det(X'X) is far from 0; a production wrapper
-    would null the betas when |det| underflows.  Overflow bound: the
-    largest moment is SUM(y^2) <= n * 1e10 (y = integer dollars,
-    <= 1e5), inside int64 up to ~9e8 rows; past that the two squared
-    moments move to DECIMAL(38) sums (exact on both engines) — the
-    ANSI engine raises at the boundary where Spark would wrap, which
-    is why y is dollars here, not cents.
+    would null the betas when |det| underflows.  Overflow: the three
+    y-moments (the only ones that could cross int64 — SUM(y^2) hits
+    ~9.2e18 near 9e8 rows) sum as DECIMAL(38,0) on BOTH engines,
+    exact to 1e38 rows x 1e10 per-row products; the x/z moments are
+    bounded by 1e4 per row and stay int64-safe past 1e14 rows.
     """
     li = read_table(spark, sf_dir, "lineitem").select(
         "l_returnflag",
@@ -2609,9 +2616,14 @@ def multiple_regression_cramer(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.col("x") * F.col("x")).alias("m_sxx"),
         F.sum(F.col("x") * F.col("z")).alias("m_sxz"),
         F.sum(F.col("z") * F.col("z")).alias("m_szz"),
-        F.sum(F.col("x") * F.col("y")).alias("m_sxy"),
-        F.sum(F.col("z") * F.col("y")).alias("m_szy"),
-        F.sum(F.col("y") * F.col("y")).alias("m_syy"),
+        # y-moments sum as DECIMAL(38,0): int64 would silently wrap
+        # past ~9e8 rows (y^2 <= 1e10 each) while the DuckDB oracle
+        # promotes SUM(BIGINT) to HUGEINT — decimal sums are exact on
+        # BOTH engines to 1e38, and every formula reference casts to
+        # DOUBLE anyway, so the IEEE tree is unchanged.
+        F.sum(_dec18("x") * _dec18("y")).alias("m_sxy"),
+        F.sum(_dec18("z") * _dec18("y")).alias("m_szy"),
+        F.sum(_dec18("y") * _dec18("y")).alias("m_syy"),
     )
     f = _ols2_formulas()
     return m.select(
