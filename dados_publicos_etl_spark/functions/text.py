@@ -109,6 +109,32 @@ def hashed_shingles_from_tokens(tok_col_name: str) -> Column:
     )
 
 
+def md5_hashed_shingles(shingle_arr: Column, hexlen: int = 7) -> Column:
+    """Distinct PORTABLE shingle hashes: md5 of each shingle string,
+    first ``hexlen`` hex chars as a long — the cross-engine sibling
+    of ``hashed_shingles_from_tokens`` (xxhash64 exists only in
+    Spark; md5 is bit-identical on Spark and DuckDB).  The default
+    7 hex chars give a 28-bit universe, sized so the minhash
+    permutation family's ``a*h + b`` stays inside int64
+    (see operators/dedup.py).  Pass a MATERIALIZED shingle-array
+    column reference (same no-CSE warning as shingles_from_tokens).
+    """
+    return F.array_distinct(
+        F.transform(
+            shingle_arr,
+            lambda s: F.conv(F.substring(F.md5(s), 1, hexlen), 16, 10).cast(
+                "long"
+            ),
+        )
+    )
+
+
+def duck_md5_long_sql(expr: str, hexlen: int = 7) -> str:
+    """DuckDB fragment equivalent to the md5->long bucketing of
+    ``md5_hashed_shingles`` for a single string expression."""
+    return f"CAST(('0x' || substr(md5({expr}), 1, {hexlen})) AS BIGINT)"
+
+
 def duck_shingles_sql(text_expr: str, n: int = 3) -> str:
     """DuckDB SQL fragment equivalent to ``shingles(text_expr, n)``."""
     toks = f"string_split_regex(lower({text_expr}), '{WS}')"

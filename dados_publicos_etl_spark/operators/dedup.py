@@ -16,10 +16,14 @@ Five tiers, each with the 100 TB story explicit:
   block sizes stay tiny because shingles are near-unique).  This is
   the oracle-checkable exact tier: DuckDB reproduces the identical
   blocking, and the pair count stays ~linear at any scale.
-- **MinHash + LSH**: deterministic minhash signatures (xxhash64 with
-  per-permutation seeds, all JVM expressions) over shingles, banded
-  into buckets; candidate pairs only form inside a bucket (shuffle on
-  band buckets, never a cross join), then exact Jaccard re-ranks.
+- **MinHash + LSH**: deterministic minhash signatures over shingles,
+  banded into buckets; candidate pairs only form inside a bucket
+  (shuffle on band buckets, never a cross join), then exact Jaccard
+  re-ranks.  The catalog query uses PORTABLE hashing (md5 shingle
+  buckets + universal-hash permutations (a*h+b) mod p — identical
+  integer arithmetic on Spark and DuckDB), so the whole
+  sign-band-candidate-verify pipeline is oracle-checked; the
+  incremental index path keeps the cheaper xxhash64 form.
 - **SimHash**: 64-bit signature via sign-aggregated shingle hashes;
   near-dup candidates pair on any equal 16-bit chunk (pigeonhole
   covers Hamming<=3 exactly; we keep pairs up to Hamming 6).
@@ -29,23 +33,28 @@ Five tiers, each with the 100 TB story explicit:
   exact label blocks to the LSH/IVF candidate generators in
   operators/similarity.py, the survivorship rule is unchanged.
 
-MinHash/SimHash are Spark-hash-dependent -> rows-only driver check
-(no SQL oracle can reproduce xxhash64); pytest cross-checks LSH
-recall against the exact tier.
+The incremental MinHash index is xxhash64-based (cheaper, Spark-only
+hash) -> rows-only driver check, golden- and property-pinned; pytest
+additionally cross-checks LSH recall against the exact tier.
 """
 
 from __future__ import annotations
+
+import random
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dados_publicos_etl_spark.functions.text import (
     WS,
+    duck_md5_long_sql,
     duck_shingles_sql,
     fingerprint_md5,
     hashed_shingles_from_tokens,
     jaccard_tokens,
+    md5_hashed_shingles,
     shingles,
+    shingles_from_tokens,
     tokens,
 )
 from dados_publicos_etl_spark.io import read_table
@@ -235,29 +244,149 @@ def lsh_candidate_pairs(
     )
 
 
+# Portable minhash permutation family: pi_i(h) = (a_i*h + b_i) mod p
+# over the 28-bit md5 shingle universe.  p prime > universe makes the
+# family universal; a < p and h < 2^28 keep a*h < 2^59, safely inside
+# int64 on BOTH engines (DuckDB would raise on overflow, Spark would
+# silently wrap — neither can happen).  Constants are fixed literals
+# (seeded Mersenne Twister, stable across Python versions) shared
+# verbatim by the Spark expressions and the DuckDB oracle.
+_MH_PRIME = 2_147_483_647  # 2^31 - 1
+_MH_RNG = random.Random(20240814)
+_MH_AB = tuple(
+    (_MH_RNG.randrange(1, _MH_PRIME), _MH_RNG.randrange(_MH_PRIME))
+    for _ in range(32)
+)
+
+
+def _mh_band_hash_spark(sig: F.Column, bi: int, band_size: int) -> F.Column:
+    parts = [sig[bi * band_size + j] for j in range(band_size)]
+    return F.conv(
+        F.substring(F.md5(F.concat_ws("|", *parts)), 1, 15), 16, 10
+    ).cast("long")
+
+
+def _minhash_lsh_oracle() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {_MH_PRIME}))"
+        for a, b in _MH_AB
+    )
+    band_concat = (
+        "CAST(sig[band_idx*4+1] AS VARCHAR) || '|' || "
+        "CAST(sig[band_idx*4+2] AS VARCHAR) || '|' || "
+        "CAST(sig[band_idx*4+3] AS VARCHAR) || '|' || "
+        "CAST(sig[band_idx*4+4] AS VARCHAR)"
+    )
+    jac = (
+        "CAST(len(list_intersect(ha.sh, hb.sh)) AS DOUBLE)"
+        " / len(list_distinct(list_concat(ha.sh, hb.sh)))"
+    )
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {duck_shingles_sql('text')} AS shs FROM documents
+    ), hs AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(shs,
+               s -> {duck_md5_long_sql('s')})) AS sh
+      FROM t
+    ), sig AS MATERIALIZED (
+      SELECT doc_id, [{sig_items}] AS sig FROM hs
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, band_idx,
+             {duck_md5_long_sql(f'({band_concat})', 15)} AS band_hash
+      FROM sig, UNNEST(generate_series(0, 7)) AS u(band_idx)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+    )
+    SELECT id_a AS doc_id_a, id_b AS doc_id_b,
+           ROUND({jac}, 4) AS jaccard
+    FROM cand
+    JOIN hs ha ON cand.id_a = ha.doc_id
+    JOIN hs hb ON cand.id_b = hb.doc_id
+    WHERE {jac} >= 0.8
+    """
+
+
 @query(
     "dedup_minhash_lsh",
-    oracle=None,  # probabilistic candidates; recall checked in pytest
+    oracle=_minhash_lsh_oracle(),
     description="MinHash(32)+LSH(8 bands of 4) over 3-gram shingles; "
     "candidates verified with exact Jaccard >= 0.8 — the 100 TB "
-    "near-dup path (bucket shuffle instead of O(n^2) cross join).",
+    "near-dup path (bucket shuffle instead of O(n^2) cross join).  "
+    "Hashing is fully PORTABLE (md5 shingle buckets + universal "
+    "(a*h+b) mod p permutations), so the DuckDB oracle reproduces "
+    "signatures, bands, candidates, and the verified pair set "
+    "bit-for-bit — the banded-LSH construction itself is "
+    "differential-checked, not just recall-tested.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    # hashed shingles (array<long>, no string materialization),
-    # materialized once; reused by the band join and both verify sides
+    # portable md5-hashed shingles (array<long>), materialized once;
+    # reused by the signature stage and both Jaccard verify sides.
+    # Staged selects (tokens -> shingles -> hashes) keep each
+    # expensive tree single-evaluation (no CSE inside projections).
     t = (
         docs.select("doc_id", tokens("text").alias("_tk"))
-        .select("doc_id", hashed_shingles_from_tokens("_tk").alias("sh"))
+        .select("doc_id", shingles_from_tokens(F.col("_tk")).alias("_shs"))
+        .select("doc_id", md5_hashed_shingles(F.col("_shs")).alias("sh"))
         .localCheckpoint()
     )
-    cands = lsh_candidate_pairs(t)
-    a = t.alias("ta")
-    b = t.alias("tb")
+    # signature table materialized before banding (band hashes index
+    # into sig 4x8 times; inlining would re-evaluate the 32-min tree
+    # per reference)
+    def perm(a: int, b: int):
+        # closure factory: PySpark counts default-bound params as
+        # lambda arguments, so `lambda h, a=a: ...` would register as
+        # a 2-ary higher-order function
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
+
+    sig = t.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("sh"), perm(a, b)))
+                for a, b in _MH_AB
+            ]
+        ).alias("sig"),
+    ).localCheckpoint()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        _mh_band_hash_spark(F.col("sig"), bi, 4).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for bi in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a = bands.alias("a")
+    b = bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .distinct()
+    )
+    ta = t.alias("ta")
+    tb = t.alias("tb")
     jac = jaccard_tokens(F.col("ta.sh"), F.col("tb.sh"))
     return (
-        cands.join(a, cands.id_a == F.col("ta.doc_id"))
-        .join(b, cands.id_b == F.col("tb.doc_id"))
+        cands.join(ta, cands.id_a == F.col("ta.doc_id"))
+        .join(tb, cands.id_b == F.col("tb.doc_id"))
         .select(
             F.col("id_a").alias("doc_id_a"),
             F.col("id_b").alias("doc_id_b"),
@@ -514,17 +643,67 @@ def simhash64_batch(
     )
 
 
+# Portable SimHash: 60-bit md5 feature hashes (15 hex chars — the
+# widest md5 prefix that stays non-negative in int64 on both
+# engines), per-bit +-1 votes, bit set where the vote sum is
+# positive.  The Spark side runs the vectorized numpy kernel
+# (simhash64_batch — bits 60..63 of a 60-bit universe vote all-
+# negative and stay 0); the oracle reproduces the identical integer
+# votes with one list_sum lambda per bit.
+_SIMHASH_BITS = 60
+_SIMHASH_CHUNK = 15  # 4 chunks of 15 bits: pigeonhole covers Hamming<=3
+
+
+def _simhash_oracle() -> str:
+    bit_terms = " + ".join(
+        f"(CASE WHEN list_sum(list_transform(sh,"
+        f" h -> 2 * ((h >> {b}) & 1) - 1)) > 0"
+        f" THEN {1 << b} ELSE 0 END)"
+        for b in range(_SIMHASH_BITS)
+    )
+    chunk_rows = " UNION ALL ".join(
+        f"SELECT doc_id, sig, {i} AS chunk_idx,"
+        f" (sig >> {i * _SIMHASH_CHUNK}) & {(1 << _SIMHASH_CHUNK) - 1}"
+        f" AS chunk FROM sigs"
+        for i in range(4)
+    )
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {duck_shingles_sql('text')} AS shs FROM documents
+    ), hs AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(shs,
+               s -> {duck_md5_long_sql('s', 15)})) AS sh
+      FROM t
+    ), sigs AS MATERIALIZED (
+      SELECT doc_id, {bit_terms} AS sig FROM hs
+    ), chunks AS MATERIALIZED (
+      {chunk_rows}
+    )
+    SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+           CAST(bit_count(xor(a.sig, b.sig)) AS INT) AS hamming
+    FROM chunks a
+    JOIN chunks b ON a.chunk_idx = b.chunk_idx AND a.chunk = b.chunk
+                 AND a.doc_id < b.doc_id
+    WHERE bit_count(xor(a.sig, b.sig)) <= 6
+    """
+
+
 @query(
     "dedup_simhash",
-    oracle=None,  # Spark-hash-dependent; structural checks in pytest
-    description="SimHash(64) over 3-gram shingles: near-dup candidate "
-    "pairs sharing any 16-bit chunk (pigeonhole => covers Hamming "
-    "distance <= 3), ranked by exact Hamming distance (<= 6 kept).",
+    oracle=_simhash_oracle(),
+    description="SimHash(60) over 3-gram shingles: near-dup candidate "
+    "pairs sharing any 15-bit chunk (pigeonhole => covers Hamming "
+    "distance <= 3), ranked by exact Hamming distance (<= 6 kept).  "
+    "Feature hashes are PORTABLE md5 buckets, so the DuckDB oracle "
+    "reproduces the per-bit vote sums, signatures, chunk candidates "
+    "and Hamming ranks bit-for-bit; the Spark side keeps the "
+    "Arrow-vectorized numpy vote kernel.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    # TWO materialization points, both for the same reason (no CSE
-    # across inlined projections — see dedup_ngram_jaccard):
+    # THREE materialization points (no CSE across inlined
+    # projections — see dedup_ngram_jaccard):
     # 1. the shingle table before the simhash kernel, else the
     #    tokenize/shingle tree is re-evaluated per lambda reference
     #    inside the kernel (measured 2.5s -> 0.6s at sf0.1);
@@ -533,7 +712,11 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     #    sig table is 16 bytes/doc.
     shingled = (
         docs.select("doc_id", tokens("text").alias("_tk"))
-        .select("doc_id", hashed_shingles_from_tokens("_tk").alias("sh"))
+        .select("doc_id", shingles_from_tokens(F.col("_tk")).alias("_shs"))
+        .select(
+            "doc_id",
+            md5_hashed_shingles(F.col("_shs"), hexlen=15).alias("sh"),
+        )
         .localCheckpoint()
     )
     sigs = simhash64_batch(shingled).localCheckpoint()
@@ -545,8 +728,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
                 *[
                     F.struct(
                         F.lit(i).alias("chunk_idx"),
-                        F.shiftright("sig", i * 16)
-                        .bitwiseAND(0xFFFF)
+                        F.shiftright("sig", i * _SIMHASH_CHUNK)
+                        .bitwiseAND((1 << _SIMHASH_CHUNK) - 1)
                         .alias("chunk"),
                     )
                     for i in range(4)

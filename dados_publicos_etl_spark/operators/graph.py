@@ -28,7 +28,6 @@ proof (SURVEY.md §2.B notes Spark lacks a native one).
 
 from __future__ import annotations
 
-import atexit
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -42,52 +41,15 @@ from dados_publicos_etl_spark.functions.text import (
 )
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
+from dados_publicos_etl_spark.tmpstore import TempDirPool
 
 _THRESH = 0.8
 
-
-class _CutStore:
-    """Bounded tempdir pool for datasource cuts.
-
-    A datasource cut writes an iteration's relation to parquet and
-    re-reads it so the NEXT round's plan roots at a scan (BENCH_NOTES
-    "self-join chain degradation").  Only recent cuts can still back a
-    live plan — every loop that cuts also materializes an EAGER
-    localCheckpoint of its consumer within a round or two — so the
-    store keeps a rolling window of the newest ``keep`` dirs per
-    purpose and deletes older ones, instead of accumulating one
-    tempdir per round for the process lifetime.  Whatever survives is
-    removed atexit.
-    """
-
-    def __init__(self, keep: int = 8) -> None:
-        self.keep = keep
-        self._dirs: dict[str, list] = {}
-        atexit.register(self.cleanup_all)
-
-    def new_dir(self, purpose: str, prefix: str) -> str:
-        tmp = tempfile.TemporaryDirectory(prefix=prefix)
-        pool = self._dirs.setdefault(purpose, [])
-        pool.append(tmp)
-        while len(pool) > self.keep:
-            old = pool.pop(0)
-            try:
-                old.cleanup()
-            except OSError:
-                pass
-        return tmp.name
-
-    def cleanup_all(self) -> None:
-        for pool in self._dirs.values():
-            for tmp in pool:
-                try:
-                    tmp.cleanup()
-                except OSError:
-                    pass
-        self._dirs.clear()
-
-
-_CUTS = _CutStore()
+# Bounded pool for per-round datasource-cut dirs: a cut's files are
+# dead once its consumer eagerly materializes (every cutting loop
+# localCheckpoints within a round or two), so a rolling window of 8
+# per purpose is ample — see tmpstore.py.
+_CUTS = TempDirPool()
 
 
 def connected_components(

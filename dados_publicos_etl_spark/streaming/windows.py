@@ -646,13 +646,68 @@ def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 # sf_dir -> TemporaryDirectory of the time-split 2-file event feed;
 # cached so repeat invocations measure the stream, not the fixture
 _TOPK_FEED_DIRS: dict[str, object] = {}
-# state dirs of completed runs — kept so returned DataFrames stay
-# readable; removed by finalizers at interpreter exit
-_TOPK_STATE_DIRS: list = []
+# state dirs of completed runs — bounded rolling pool (the returned
+# DataFrame reads the final version lazily; by the time a dir rotates
+# out, that query's result has long been collected)
+_STATE_DIRS = TempDirPool()
 # run metadata of the most recent stream_topk_windows execution
 # (output mode, batch count, streaming progress) — pytest pins the
 # watermark-eviction claim against this
 _TOPK_LAST_RUN: dict = {}
+# query name -> run metadata for every update-upsert drive-to-
+# completion run (same shape as _TOPK_LAST_RUN)
+_STREAM_LAST_RUNS: dict[str, dict] = {}
+
+
+def _run_update_upsert(
+    spark: SparkSession,
+    agg: DataFrame,
+    keys: list[str],
+    purpose: str,
+) -> DataFrame:
+    """Drive an UPDATE-mode streaming aggregation to completion via a
+    ``foreachBatch`` keyed upsert into a versioned parquet state
+    table, and return the final state as a batch DataFrame.
+
+    This is the bounded-state sink shape every drive-to-completion
+    query in this package uses (see ``stream_cdc_upsert``): update
+    mode emits only the keys whose aggregate changed in the batch —
+    each carrying its CURRENT value, so the upsert is
+    delete-matching-keys + insert — and the watermark EVICTS closed
+    windows from the state store (complete mode would retain every
+    key forever and re-emit the whole result each trigger — the
+    unbounded anti-pattern).  Run metadata (mode, batch count,
+    streaming progress incl. ``numRowsRemoved``) lands in
+    ``_STREAM_LAST_RUNS[purpose]``.
+    """
+    state_dir = _STATE_DIRS.new_dir(purpose, f"spark_{purpose}_")
+    state: dict = {"path": None, "version": 0}
+
+    def upsert(bdf: DataFrame, _bid: int) -> None:
+        if state["path"] is not None:
+            s = spark.read.parquet(state["path"])
+            merged = s.join(bdf, keys, "left_anti").unionByName(bdf)
+        else:
+            merged = bdf
+        state["version"] += 1
+        new_path = f"{state_dir}/v{state['version']}"
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    with _streaming_shuffle(spark):
+        q = agg.writeStream.outputMode("update").foreachBatch(upsert).start()
+        try:
+            q.processAllAvailable()
+            _STREAM_LAST_RUNS[purpose] = {
+                "output_mode": "update",
+                "n_batches": state["version"],
+                "progress": list(q.recentProgress or []),
+            }
+        finally:
+            q.stop()
+    if state["path"] is None:
+        return spark.createDataFrame([], agg.schema)
+    return spark.read.parquet(state["path"]).select(*agg.columns)
 
 
 def _topk_feed_dir(spark: SparkSession, sf_dir: str) -> str:
