@@ -21,6 +21,7 @@ from pyspark.sql import functions as F
 from dados_publicos_etl_spark.functions.numeric import money_sum
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
+from dados_publicos_etl_spark.tmpstore import TempDirPool
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
 
@@ -270,14 +271,15 @@ def streaming_tumbling_counts(
 ) -> DataFrame:
     """True Structured Streaming variant of the tumbling window:
     readStream over the events parquet -> watermark -> window agg ->
-    memory sink; returns the completed result as a DataFrame.
+    UPDATE-mode keyed upsert sink (``_run_update_upsert``); returns
+    the completed state table as a DataFrame.
 
-    Uses ``availableNow`` semantics via processAllAvailable so a batch
-    of files drives the stream to completion synchronously (pytest /
-    driver safe).
+    Update mode + the 1-hour watermark keep streaming state bounded
+    (closed windows evict); complete mode — the previous shape —
+    would retain and re-emit every (window, event_type) pair on each
+    trigger.  processAllAvailable drives the file feed to completion
+    synchronously (pytest / driver safe).
     """
-    import uuid
-
     from dados_publicos_etl_spark.streaming.source import read_event_stream
 
     # the streaming file source requires a directory: stream the sf
@@ -299,19 +301,9 @@ def streaming_tumbling_counts(
             "n_events",
         )
     )
-    name = f"stream_out_{uuid.uuid4().hex[:8]}"
-    with _streaming_shuffle(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    return spark.table(name)
+    return _run_update_upsert(
+        spark, agg, ["window_start", "event_type"], "stream_true_streaming"
+    )
 
 
 @query(
@@ -455,10 +447,10 @@ def streaming_static_enrich(
     rows), which is THE pattern for enriching a 100 TB/day event
     stream with reference data: dimension churn is picked up at
     micro-batch granularity and the stream side never shuffles for
-    the join, only for the window aggregation.
+    the join, only for the window aggregation.  The sink is the
+    UPDATE-mode keyed upsert (bounded state, watermark-evicted),
+    not a complete-mode memory sink.
     """
-    import uuid
-
     from dados_publicos_etl_spark.functions.numeric import money_sum
     from dados_publicos_etl_spark.streaming.source import read_event_stream
 
@@ -484,19 +476,9 @@ def streaming_static_enrich(
             "sum_value",
         )
     )
-    name = f"stream_enrich_{uuid.uuid4().hex[:8]}"
-    with _streaming_shuffle(spark):
-        q = (
-            agg.writeStream.outputMode("complete")
-            .format("memory")
-            .queryName(name)
-            .start()
-        )
-        try:
-            q.processAllAvailable()
-        finally:
-            q.stop()
-    return spark.table(name)
+    return _run_update_upsert(
+        spark, agg, ["window_start", "c_mktsegment"], "stream_static_enrich"
+    )
 
 
 @query(
@@ -818,8 +800,6 @@ def stream_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
     the pytest pins via ``numRowsRemoved`` in the run's progress
     (captured in ``_TOPK_LAST_RUN``).
     """
-    import tempfile
-
     from pyspark.sql import Window as W
 
     tz = spark.conf.get("spark.sql.session.timeZone")
@@ -843,38 +823,11 @@ def stream_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_events",
         )
     )
-    state_tmp = tempfile.TemporaryDirectory(prefix="spark_topk_state_")
-    state = {"path": None, "version": 0}
-
-    def upsert(bdf: DataFrame, _bid: int) -> None:
-        # update-mode batches carry the CURRENT count for each
-        # changed key -> upsert is delete-matching-keys + insert
-        if state["path"] is not None:
-            s = spark.read.parquet(state["path"])
-            merged = s.join(
-                bdf, ["window_start", "user_id"], "left_anti"
-            ).unionByName(bdf)
-        else:
-            merged = bdf
-        state["version"] += 1
-        new_path = f"{state_tmp.name}/v{state['version']}"
-        merged.write.mode("overwrite").parquet(new_path)
-        state["path"] = new_path
-
-    with _streaming_shuffle(spark):
-        q = agg.writeStream.outputMode("update").foreachBatch(upsert).start()
-        try:
-            q.processAllAvailable()
-            _TOPK_LAST_RUN.clear()
-            _TOPK_LAST_RUN.update(
-                output_mode="update",
-                n_batches=state["version"],
-                progress=list(q.recentProgress or []),
-            )
-        finally:
-            q.stop()
-    _TOPK_STATE_DIRS.append(state_tmp)
-    sink = spark.read.parquet(state["path"])
+    sink = _run_update_upsert(
+        spark, agg, ["window_start", "user_id"], "stream_topk_windows"
+    )
+    _TOPK_LAST_RUN.clear()
+    _TOPK_LAST_RUN.update(_STREAM_LAST_RUNS["stream_topk_windows"])
     rk = F.row_number().over(
         W.partitionBy("window_start").orderBy(
             F.desc("n_events"), "user_id"
