@@ -54,7 +54,7 @@ def main() -> None:
     # machine-load spike can't inflate both samples of the same query
     # (back-to-back repeats share the spike).
     n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    timings: dict[str, float] = {}
+    samples: dict[str, list[float]] = {}
     for _ in range(n_runs):
         # Start each pass from a clean session: drop any cached plans
         # and force a JVM GC so the ContextCleaner reclaims broadcast
@@ -70,9 +70,7 @@ def main() -> None:
             t0 = time.perf_counter()
             df = spec.fn(spark, sf_dir)
             df.count()
-            dt = time.perf_counter() - t0
-            prev = timings.get(name)
-            timings[name] = round(dt if prev is None else min(prev, dt), 3)
+            samples.setdefault(name, []).append(time.perf_counter() - t0)
             # Release blocks pinned by localCheckpoint()-materializing
             # operators (dedup/similarity signature tables) so storage
             # memory from one query can't pressure the queries timed
@@ -80,7 +78,18 @@ def main() -> None:
             # timing.
             for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
                 rdd.unpersist()
-    timings = {name: timings[name] for name in sorted(timings)}
+    # 2 passes -> min (drops the one-off compile pass); 3+ passes ->
+    # MEDIAN, robust against both the cold first pass and a transient
+    # host-load spike inflating one sample (the r5 driver host showed
+    # 2-3x single-query swings that min-of-2 can't always shed).
+    import statistics
+
+    timings = {
+        name: round(
+            min(v) if len(v) < 3 else statistics.median(v), 3
+        )
+        for name, v in sorted(samples.items())
+    }
 
     total = round(sum(timings.values()), 4)
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]

@@ -10,6 +10,7 @@ scalability cliff and the first thing this engine fixes.
 
 from __future__ import annotations
 
+import abc
 import codecs
 import glob
 import os
@@ -430,17 +431,67 @@ def csv_to_parquet(
     return df
 
 
-def save_warehouse_table(
-    df: DataFrame, table: str, mode: str = "overwrite"
-) -> None:
-    """Warehouse bulk load (reference K6).
+class WarehouseSink(abc.ABC):
+    """Seam for warehouse bulk loads (reference K6): everything above
+    this call plans and executes identically regardless of the
+    warehouse; only the final write routes through the sink.
 
-    Parity: /root/reference/src/utils/load_bq.py:13-64 (WRITE_TRUNCATE
-    + blocking result + row-count verify).  Locally this is
-    ``saveAsTable``; on a cluster swap in the spark-bigquery connector
-    behind the same call — the engine API does not change.
+    Parity: /root/reference/src/utils/load_bq.py:13-64 couples the
+    load to one cloud warehouse client (WRITE_TRUNCATE + blocking
+    result + row-count verify); the seam keeps that a deployment
+    choice instead of an engine property.
     """
-    df.write.mode(mode).saveAsTable(table)
+
+    @abc.abstractmethod
+    def save(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        """Write ``df`` as ``table``; ``overwrite`` == WRITE_TRUNCATE."""
+
+
+class CatalogWarehouseSink(WarehouseSink):
+    """Default sink: a Spark-catalog managed table (``saveAsTable``)
+    — local warehouse dir in this sandbox, Hive metastore / Unity /
+    Glue on a real deployment.  ``overwrite`` is the WRITE_TRUNCATE
+    equivalent; the write blocks until committed, matching the
+    reference's blocking ``result()``."""
+
+    def save(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        df.write.mode(mode).saveAsTable(table)
+
+
+class BigQueryWarehouseSink(WarehouseSink):
+    """Connector-backed BigQuery sink SHAPE (reference
+    load_bq.py:43-56).  Requires the public ``spark-bigquery``
+    connector jar on the cluster classpath — intentionally NOT a
+    dependency of this repo; constructing the sink is free, saving
+    without the connector fails with Spark's own
+    DATA_SOURCE_NOT_FOUND error.  ``mode='overwrite'`` maps to the
+    reference's WRITE_TRUNCATE."""
+
+    def __init__(self, dataset: str, temp_bucket: str | None = None) -> None:
+        self.dataset = dataset
+        self.temp_bucket = temp_bucket
+
+    def save(self, df: DataFrame, table: str, mode: str = "overwrite") -> None:
+        w = df.write.format("bigquery").mode(mode).option(
+            "table", f"{self.dataset}.{table}"
+        )
+        if self.temp_bucket:
+            w = w.option("temporaryGcsBucket", self.temp_bucket)
+        w.save()
+
+
+_DEFAULT_WAREHOUSE_SINK: WarehouseSink = CatalogWarehouseSink()
+
+
+def save_warehouse_table(
+    df: DataFrame,
+    table: str,
+    mode: str = "overwrite",
+    sink: WarehouseSink | None = None,
+) -> None:
+    """Warehouse bulk load (reference K6) through the sink seam;
+    defaults to the Spark catalog."""
+    (sink or _DEFAULT_WAREHOUSE_SINK).save(df, table, mode)
 
 
 def analyze_table(

@@ -75,6 +75,24 @@ def test_save_warehouse_table(spark, sf_dir):
     assert spark.table("wh_region").count() == region.count()
 
 
+def test_warehouse_sink_seam_routes(spark, sf_dir):
+    """save_warehouse_table routes through the WarehouseSink seam:
+    a custom sink observes the exact (table, mode) call and the
+    DataFrame identity; the BigQuery sink shape builds without any
+    GCP dependency (saving needs the connector jar, by design)."""
+    region = eio.read_table(spark, sf_dir, "region")
+    calls = []
+
+    class Recorder(eio.WarehouseSink):
+        def save(self, df, table, mode="overwrite"):
+            calls.append((df is region, table, mode))
+
+    eio.save_warehouse_table(region, "wh_x", mode="append", sink=Recorder())
+    assert calls == [(True, "wh_x", "append")]
+    bq = eio.BigQueryWarehouseSink("dataset_a", temp_bucket="bkt")
+    assert (bq.dataset, bq.temp_bucket) == ("dataset_a", "bkt")
+
+
 def test_bucketed_join_has_no_shuffle(spark, sf_dir):
     """bucketBy(8, key) on both sides -> SortMergeJoin without
     Exchange: the co-location contract that kills the join shuffle at

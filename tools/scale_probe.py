@@ -84,6 +84,15 @@ PROBE = [
     "bloom_filter_semijoin",       # 2KB broadcast filter probe
     "target_encode_loo",           # 5-row agg broadcast stamp
     "selfjoin_size_cms",           # salted F2 cells
+    # round-6 additions: the two reshaped global-rank queries (the
+    # r5 verdict flagged their former SinglePartition windows) and
+    # the rest of the multimodal decode family
+    "decile_lift_table",           # range-partitioned rank + tiles
+    "vocab_coverage",              # range-partitioned vocab rank
+    "multimodal_frame_sample",     # video frame sampling (Arrow)
+    "multimodal_audio_segments",   # int16-PCM segmentation
+    "multimodal_wav_roundtrip",    # WAV/RIFF build+parse
+    "image_neardup_dhash",         # dHash + hamming LSH
 ]
 
 
