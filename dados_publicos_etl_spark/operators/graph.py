@@ -1064,3 +1064,196 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for extra in forest[1:]:
         out = out.unionAll(extra)
     return out
+
+
+# ---------------------------------------------------------------------------
+# HITS hubs & authorities (eighth differential-checked iterative algorithm)
+# ---------------------------------------------------------------------------
+
+_HITS_ROUNDS = 3
+_HITS_TOPK = 20
+
+
+def _hits_oracle() -> str:
+    """Unrolled HITS power iterations as a CTE chain (the PageRank
+    oracle precedent).  Scores stay UNNORMALIZED integers inside the
+    loop — without per-round normalization, hub_k / auth_k are exact
+    path counts, summed as DECIMAL(38,0) on both engines (no float
+    summation-order drift, no int64 wrap) — and only the final
+    output divides by the max, a ratio of exact integers that lands
+    on the identical double everywhere."""
+    steps = [
+        """a1 AS (
+      SELECT dst AS s, CAST(COUNT(*) AS DECIMAL(38,0)) AS auth
+      FROM edges GROUP BY dst
+    )"""
+    ]
+    for k in range(1, _HITS_ROUNDS):
+        steps.append(
+            f"""h{k} AS (
+      SELECT e.src AS c, SUM(a.auth) AS hub
+      FROM edges e JOIN a{k} a ON e.dst = a.s
+      GROUP BY e.src
+    ),
+    a{k + 1} AS (
+      SELECT e.dst AS s, SUM(h.hub) AS auth
+      FROM edges e JOIN h{k} h ON e.src = h.c
+      GROUP BY e.dst
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ),
+    {chain}
+    SELECT 's' || s AS supplier,
+           ROUND(CAST(auth AS DOUBLE)
+                 / CAST((SELECT MAX(auth) FROM a{_HITS_ROUNDS}) AS DOUBLE),
+                 6) AS auth_norm
+    FROM a{_HITS_ROUNDS}
+    ORDER BY auth_norm DESC, supplier
+    LIMIT {_HITS_TOPK}
+    """
+
+
+@query(
+    "hits_authorities",
+    oracle=_hits_oracle(),
+    description=f"HITS hubs-and-authorities ({_HITS_ROUNDS} power "
+    "iterations) over the customer->supplier purchase graph; top "
+    f"{_HITS_TOPK} authority suppliers, max-normalized.  Scores stay "
+    "UNNORMALIZED inside the loop (exact DECIMAL(38,0) path counts — "
+    "per-round sqrt normalization would make every iteration "
+    "float-summation-order-sensitive and oracle-unverifiable); only "
+    "the output divides by the max authority, an exact-integer ratio "
+    "identical on both engines.  One broadcast join + one "
+    "partial-aggregated sum per half-iteration, over the SAME "
+    "disk-cached edge table PageRank uses — the eighth "
+    "differential-checked iterative algorithm.",
+)
+def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Spark loop at Pregel granularity, mirroring pagerank_suppliers:
+    the rank vector (|V| rows, tiny next to |E|) broadcasts each
+    half-round so the edge table never shuffles; the only exchange is
+    the partial-aggregated score sum.  Reuses the pagerank graph
+    cache (node encoding c->2c, s->2s+1; weights ignored)."""
+    wedges, _nodes, _n = _pagerank_graph(spark, sf_dir)
+    edges = wedges.select("src", "dst")
+    auth = edges.groupBy("dst").agg(
+        F.count(F.lit(1)).cast("decimal(38,0)").alias("auth")
+    )
+    for _k in range(1, _HITS_ROUNDS):
+        hub = (
+            edges.join(F.broadcast(auth), edges.dst == auth.dst)
+            .groupBy("src")
+            .agg(F.sum("auth").alias("hub"))
+        )
+        auth = (
+            edges.join(F.broadcast(hub), edges.src == hub.src)
+            .groupBy("dst")
+            .agg(F.sum("hub").alias("auth"))
+        )
+    mx = auth.agg(F.max("auth").alias("mx"))
+    return (
+        auth.crossJoin(F.broadcast(mx))
+        .select(
+            F.concat(
+                F.lit("s"),
+                ((F.col("dst") - 1) / 2).cast("long").cast("string"),
+            ).alias("supplier"),
+            F.round(
+                F.col("auth").cast("double") / F.col("mx").cast("double"), 6
+            ).alias("auth_norm"),
+        )
+        .orderBy(F.desc("auth_norm"), "supplier")
+        .limit(_HITS_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Degree assortativity of the purchase graph
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "degree_assortativity",
+    oracle="""
+    WITH edges AS (
+      SELECT DISTINCT o_custkey AS src, l_suppkey AS dst
+      FROM orders JOIN lineitem ON o_orderkey = l_orderkey
+    ), od AS (
+      SELECT src, CAST(COUNT(*) AS BIGINT) AS du FROM edges GROUP BY 1
+    ), idg AS (
+      SELECT dst, CAST(COUNT(*) AS BIGINT) AS dv FROM edges GROUP BY 1
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(du) AS BIGINT) AS sx,
+             CAST(SUM(dv) AS BIGINT) AS sy,
+             SUM(CAST(du AS DECIMAL(18,0)) * CAST(du AS DECIMAL(18,0)))
+               AS sxx,
+             SUM(CAST(dv AS DECIMAL(18,0)) * CAST(dv AS DECIMAL(18,0)))
+               AS syy,
+             SUM(CAST(du AS DECIMAL(18,0)) * CAST(dv AS DECIMAL(18,0)))
+               AS sxy
+      FROM edges JOIN od USING (src) JOIN idg USING (dst)
+    )
+    SELECT n AS n_edges,
+           ROUND(CAST(sx AS DOUBLE) / n, 6) AS mean_src_degree,
+           ROUND(CAST(sy AS DOUBLE) / n, 6) AS mean_dst_degree,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS assortativity
+    FROM m
+    """,
+    description="Degree assortativity of the customer->supplier "
+    "purchase graph: the Pearson correlation between source "
+    "out-degree and destination in-degree across edges — positive "
+    "means high-degree customers favor popular suppliers "
+    "(hub-to-hub concentration), the structural number that predicts "
+    "whether the dedup/recommendation graph families will see skewed "
+    "buckets.  Spark-first: degree tables are |V|-row aggregates "
+    "broadcast onto the edge list (the edge table never shuffles); "
+    "the correlation reduces to ONE partial-aggregated pass of exact "
+    "integer/DECIMAL(38,0) moments (Cramer-style overflow "
+    "discipline), and only the final 1-row Pearson formula touches "
+    "doubles — identical IEEE tree on both engines.  Reuses the "
+    "disk-cached PageRank edge table.",
+)
+def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    wedges, _nodes, _n = _pagerank_graph(spark, sf_dir)
+    edges = wedges.select("src", "dst")
+    od = edges.groupBy("src").agg(F.count(F.lit(1)).alias("du"))
+    idg = edges.groupBy("dst").agg(F.count(F.lit(1)).alias("dv"))
+    dec = lambda c: F.col(c).cast("decimal(18,0)")
+    m = (
+        edges.join(F.broadcast(od), "src")
+        .join(F.broadcast(idg), "dst")
+        .agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("du").alias("sx"),
+            F.sum("dv").alias("sy"),
+            F.sum(dec("du") * dec("du")).alias("sxx"),
+            F.sum(dec("dv") * dec("dv")).alias("syy"),
+            F.sum(dec("du") * dec("dv")).alias("sxy"),
+        )
+    )
+    nd = F.col("n").cast("double")
+    sx, sy = F.col("sx").cast("double"), F.col("sy").cast("double")
+    sxx, syy = F.col("sxx").cast("double"), F.col("syy").cast("double")
+    sxy = F.col("sxy").cast("double")
+    return m.select(
+        F.col("n").alias("n_edges"),
+        F.round(sx / F.col("n"), 6).alias("mean_src_degree"),
+        F.round(sy / F.col("n"), 6).alias("mean_dst_degree"),
+        F.round(
+            (nd * sxy - sx * sy)
+            / (F.sqrt(nd * sxx - sx * sx) * F.sqrt(nd * syy - sy * sy)),
+            6,
+        ).alias("assortativity"),
+    )

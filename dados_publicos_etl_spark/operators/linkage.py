@@ -139,3 +139,156 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter(F.col("lev_dist") <= _LEV_MAX)
     )
+
+
+# ---------------------------------------------------------------------------
+# Fellegi-Sunter probabilistic match weights
+# ---------------------------------------------------------------------------
+
+_FS_FIELDS = [
+    ("nation", "c_nationkey"),
+    ("segment", "c_mktsegment"),
+    ("bal_band", "CAST(floor(c_acctbal / 1000) AS BIGINT)"),
+]
+
+
+def _fs_oracle() -> str:
+    leads = ",\n             ".join(
+        f"LEAD(c_custkey, {j}) OVER w AS ck{j}, "
+        f"LEAD(c_name, {j}) OVER w AS nm{j}, "
+        + ", ".join(
+            f"LEAD({expr}, {j}) OVER w AS {fld}{j}"
+            for fld, expr in _FS_FIELDS
+        )
+        for j in range(1, _SNM_WINDOW + 1)
+    )
+    base_cols = ", ".join(f"{expr} AS {fld}0" for fld, expr in _FS_FIELDS)
+    arms = "\n      UNION ALL ".join(
+        "SELECT "
+        f"CAST(levenshtein(c_name, nm{j}) <= {_LEV_MAX} AS INT) AS is_match, "
+        + ", ".join(
+            f"CAST({fld}0 = {fld}{j} AS INT) AS ag_{fld}"
+            for fld, _ in _FS_FIELDS
+        )
+        + f" FROM base WHERE ck{j} IS NOT NULL"
+        for j in range(1, _SNM_WINDOW + 1)
+    )
+    field_rows = "\n      UNION ALL ".join(
+        f"SELECT '{fld}' AS field, is_match, ag_{fld} AS agree FROM pairs"
+        for fld, _ in _FS_FIELDS
+    )
+    return f"""
+    WITH base AS (
+      SELECT c_custkey, c_name, {base_cols},
+             {leads}
+      FROM customer
+      WINDOW w AS (PARTITION BY substring(c_name, 1, {_BLOCK_LEN})
+                   ORDER BY c_name, c_custkey)
+    ), pairs AS (
+      {arms}
+    ), long AS (
+      {field_rows}
+    ), stats AS (
+      SELECT field,
+             CAST(SUM(is_match) AS BIGINT) AS n_match,
+             CAST(SUM(1 - is_match) AS BIGINT) AS n_nonmatch,
+             CAST(SUM(is_match * agree) AS BIGINT) AS a_match,
+             CAST(SUM((1 - is_match) * agree) AS BIGINT) AS a_nonmatch
+      FROM long GROUP BY field
+    )
+    SELECT field, n_match, n_nonmatch,
+           ROUND((a_match + 0.5) / (n_match + 1.0), 6) AS m_prob,
+           ROUND((a_nonmatch + 0.5) / (n_nonmatch + 1.0), 6) AS u_prob,
+           ROUND(ln(((a_match + 0.5) / (n_match + 1.0))
+                    / ((a_nonmatch + 0.5) / (n_nonmatch + 1.0))), 6)
+             AS w_agree,
+           ROUND(ln((1.0 - (a_match + 0.5) / (n_match + 1.0))
+                    / (1.0 - (a_nonmatch + 0.5) / (n_nonmatch + 1.0))), 6)
+             AS w_disagree
+    FROM stats
+    """
+
+
+@query(
+    "linkage_fellegi_sunter",
+    oracle=_fs_oracle(),
+    description="Fellegi-Sunter probabilistic linkage weights: over "
+    "the blocked sorted-neighborhood candidate pairs, per-field "
+    "m-probabilities (P(agree | match), match proxied by the "
+    "edit-distance rule the fuzzy matcher uses) and u-probabilities "
+    "(P(agree | non-match)), Laplace-smoothed, with the standard "
+    "ln(m/u) agreement and ln((1-m)/(1-u)) disagreement weights — "
+    "the calibration table that turns ad-hoc fuzzy matching into "
+    "scored probabilistic linkage.  Spark-first: candidate pairs "
+    "come from ONE window pass (the SNM lead unroll — no cross "
+    "join); agreements unpivot via stack(); everything downstream is "
+    "a 3-row exact-count aggregate, so the 100 TB cost is the one "
+    "block-key shuffle the fuzzy matcher already pays.",
+)
+def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    w = W.partitionBy(
+        F.substring("c_name", 1, _BLOCK_LEN)
+    ).orderBy("c_name", "c_custkey")
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        *[F.expr(expr).alias(f"{fld}0") for fld, expr in _FS_FIELDS],
+        *[
+            c
+            for j in range(1, _SNM_WINDOW + 1)
+            for c in (
+                [
+                    F.lead("c_custkey", j).over(w).alias(f"ck{j}"),
+                    F.lead("c_name", j).over(w).alias(f"nm{j}"),
+                ]
+                + [
+                    F.lead(F.expr(expr), j).over(w).alias(f"{fld}{j}")
+                    for fld, expr in _FS_FIELDS
+                ]
+            )
+        ],
+    )
+    arms = [
+        base.filter(F.col(f"ck{j}").isNotNull()).select(
+            (F.levenshtein("c_name", f"nm{j}") <= _LEV_MAX)
+            .cast("int")
+            .alias("is_match"),
+            *[
+                (F.col(f"{fld}0") == F.col(f"{fld}{j}"))
+                .cast("int")
+                .alias(f"ag_{fld}")
+                for fld, _ in _FS_FIELDS
+            ],
+        )
+        for j in range(1, _SNM_WINDOW + 1)
+    ]
+    pairs = arms[0]
+    for extra in arms[1:]:
+        pairs = pairs.unionByName(extra)
+    stack_args = ", ".join(f"'{fld}', ag_{fld}" for fld, _ in _FS_FIELDS)
+    long = pairs.select(
+        "is_match",
+        F.expr(
+            f"stack({len(_FS_FIELDS)}, {stack_args}) as (field, agree)"
+        ),
+    )
+    stats = long.groupBy("field").agg(
+        F.sum("is_match").cast("long").alias("n_match"),
+        F.sum(1 - F.col("is_match")).cast("long").alias("n_nonmatch"),
+        F.sum(F.col("is_match") * F.col("agree")).cast("long").alias("a_match"),
+        F.sum((1 - F.col("is_match")) * F.col("agree"))
+        .cast("long")
+        .alias("a_nonmatch"),
+    )
+    m = (F.col("a_match") + 0.5) / (F.col("n_match") + 1.0)
+    u = (F.col("a_nonmatch") + 0.5) / (F.col("n_nonmatch") + 1.0)
+    return stats.select(
+        "field",
+        "n_match",
+        "n_nonmatch",
+        F.round(m, 6).alias("m_prob"),
+        F.round(u, 6).alias("u_prob"),
+        F.round(F.log(m / u), 6).alias("w_agree"),
+        F.round(F.log((1.0 - m) / (1.0 - u)), 6).alias("w_disagree"),
+    )

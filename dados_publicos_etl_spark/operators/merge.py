@@ -215,3 +215,93 @@ def merge_tristate(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bal_cents"),
         (~in_s).alias("removed"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Point-in-time (PIT) join against the SCD2 history
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "scd2_pit_join",
+    oracle="""
+    WITH changes AS (
+      SELECT user_id, ts, event_id, event_type AS status,
+             LAG(event_type) OVER (PARTITION BY user_id
+                                   ORDER BY ts, event_id) AS prev_status
+      FROM events
+    ), versions AS (
+      SELECT user_id, status, ts AS vf,
+             LEAD(ts) OVER (PARTITION BY user_id
+                            ORDER BY ts, event_id) AS vt
+      FROM changes
+      WHERE prev_status IS NULL OR status <> prev_status
+    ), facts AS (
+      SELECT user_id, ts, value FROM events WHERE event_type = 'purchase'
+    )
+    SELECT v.status,
+           CAST(COUNT(*) AS BIGINT) AS n_purchases,
+           (CAST(SUM(CAST(ROUND((f.value) * 100, 0) AS BIGINT)) AS DOUBLE)
+            / 100.0) AS sum_value
+    FROM facts f
+    JOIN versions v
+      ON f.user_id = v.user_id
+     AND f.ts >= v.vf AND (v.vt IS NULL OR f.ts < v.vt)
+    GROUP BY 1
+    """,
+    description="Point-in-time correct dimension join: purchase facts "
+    "joined to the SCD2 status interval that was valid AT THE FACT'S "
+    "OWN EVENT TIME (f.ts in [valid_from, valid_to)) — the lookup "
+    "every leakage-safe feature pipeline needs (training features "
+    "must reflect the dimension AS OF the label's time, never the "
+    "current row).  Spark-first shape: the interval table derives "
+    "from the same two-window SCD2 build as scd2_history, the join "
+    "is an EQUI-join on the business key with the containment "
+    "predicate as a join filter — per-user interval counts are "
+    "small, so no BNLJ forms and the shuffle is keyed on user_id "
+    "(at a billion users it is the same hash shuffle, just wider); "
+    "if per-key interval counts ever explode, the bucketed interval "
+    "machinery of interval_bucket_join (plans/events.py) drops in "
+    "unchanged.",
+)
+def scd2_pit_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    from dados_publicos_etl_spark.functions.numeric import money_sum
+
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    versions = (
+        ev.select(
+            "user_id",
+            "ts",
+            "event_id",
+            F.col("event_type").alias("status"),
+            F.lag("event_type").over(w).alias("prev_status"),
+        )
+        .filter(
+            F.col("prev_status").isNull()
+            | (F.col("status") != F.col("prev_status"))
+        )
+        .select(
+            F.col("user_id").alias("v_user"),
+            "status",
+            F.col("ts").alias("vf"),
+            F.lead("ts").over(
+                W.partitionBy("user_id").orderBy("ts", "event_id")
+            ).alias("vt"),
+        )
+    )
+    facts = ev.filter(F.col("event_type") == "purchase").select(
+        "user_id", "ts", "value"
+    )
+    joined = facts.join(
+        versions,
+        (F.col("user_id") == F.col("v_user"))
+        & (F.col("ts") >= F.col("vf"))
+        & (F.col("vt").isNull() | (F.col("ts") < F.col("vt"))),
+    )
+    return joined.groupBy("status").agg(
+        F.count(F.lit(1)).cast("long").alias("n_purchases"),
+        money_sum("value").alias("sum_value"),
+    )

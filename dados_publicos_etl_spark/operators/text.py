@@ -1176,3 +1176,124 @@ def zipf_slope_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("r2"),
     )
+
+
+# ---------------------------------------------------------------------------
+# BM25 ranked retrieval
+# ---------------------------------------------------------------------------
+
+_BM25_K1 = 1.2
+_BM25_B = 0.75
+_BM25_NQ = 3    # query = the 3 highest-df terms (deterministic)
+_BM25_TOPK = 20
+
+
+@query(
+    "bm25_topk",
+    oracle=f"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id,
+             unnest(string_split_regex(lower(text), '{WS}')) AS term
+      FROM documents
+    ), dl AS MATERIALIZED (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS len
+      FROM toks GROUP BY 1
+    ), corp AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(len) AS DOUBLE) / COUNT(*) AS avgdl
+      FROM dl
+    ), tf AS MATERIALIZED (
+      SELECT doc_id, term, CAST(COUNT(*) AS BIGINT) AS tf
+      FROM toks GROUP BY 1, 2
+    ), df AS (
+      SELECT term, CAST(COUNT(*) AS BIGINT) AS df FROM tf GROUP BY 1
+    ), q AS (
+      SELECT term, df FROM df ORDER BY df DESC, term LIMIT {_BM25_NQ}
+    ), contrib AS (
+      SELECT tf.doc_id, tf.term,
+             ln(((SELECT n FROM corp) - q.df + 0.5) / (q.df + 0.5) + 1.0)
+             * tf.tf * ({_BM25_K1} + 1.0)
+             / (tf.tf + {_BM25_K1} * (1.0 - {_BM25_B}
+                + {_BM25_B} * dl.len / (SELECT avgdl FROM corp))) AS c
+      FROM tf
+      JOIN q ON tf.term = q.term
+      JOIN dl ON tf.doc_id = dl.doc_id
+    ), scored AS (
+      SELECT doc_id,
+             list_sum(list(c ORDER BY term)) AS score
+      FROM contrib GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(score, 6) AS bm25
+    FROM scored ORDER BY bm25 DESC, doc_id LIMIT {_BM25_TOPK}
+    """,
+    description=f"BM25 ranked retrieval (k1={_BM25_K1}, b={_BM25_B}): "
+    f"top-{_BM25_TOPK} documents for the deterministic "
+    f"{_BM25_NQ}-term query (the corpus's highest-df terms), with "
+    "the Robertson idf (+1 smoothing, always positive) and document-"
+    "length normalization — the retrieval scorer behind search-based "
+    "dedup and contamination checks.  Spark-first: tf and df are the "
+    "same partial-aggregated term tables the TF-IDF and inverted-"
+    "index operators build; the query terms come from a TakeOrdered "
+    "top-3 over the vocabulary (never a global sort); per-doc scores "
+    "fold the <= 3 contributions in SORTED TERM ORDER on both "
+    "engines, so the float sum has one IEEE evaluation order and "
+    "the differential check is exact.  Corpus stats (N, avgdl) are "
+    "one scalar broadcast.",
+)
+def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    toks = docs.select(
+        "doc_id", F.explode(tokens("text")).alias("term")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("len"))
+    corp = dl.agg(
+        F.count(F.lit(1)).alias("n"),
+        (F.sum("len").cast("double") / F.count(F.lit(1))).alias("avgdl"),
+    )
+    tf = toks.groupBy("doc_id", "term").agg(
+        F.count(F.lit(1)).alias("tf")
+    )
+    df = tf.groupBy("term").agg(F.count(F.lit(1)).alias("df"))
+    q = (
+        df.orderBy(F.desc("df"), "term")
+        .limit(_BM25_NQ)
+        .select(F.col("term").alias("q_term"), F.col("df").alias("q_df"))
+    )
+    contrib = (
+        tf.join(F.broadcast(q), tf.term == F.col("q_term"))
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(corp))
+        .select(
+            "doc_id",
+            "term",
+            (
+                F.log(
+                    ((F.col("n") - F.col("q_df") + 0.5) / (F.col("q_df") + 0.5))
+                    + 1.0
+                )
+                * F.col("tf")
+                * (_BM25_K1 + 1.0)
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (
+                        1.0
+                        - _BM25_B
+                        + _BM25_B * F.col("len") / F.col("avgdl")
+                    )
+                )
+            ).alias("c"),
+        )
+    )
+    scored = contrib.groupBy("doc_id").agg(
+        F.aggregate(
+            F.sort_array(F.collect_list(F.struct("term", "c"))),
+            F.lit(0.0),
+            lambda acc, x: acc + x["c"],
+        ).alias("score")
+    )
+    return (
+        scored.select("doc_id", F.round("score", 6).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(_BM25_TOPK)
+    )

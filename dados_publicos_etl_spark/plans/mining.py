@@ -2711,3 +2711,178 @@ def mutual_information_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("mi_term"),
     )
+
+
+# ---------------------------------------------------------------------------
+# RFM quintile segmentation (customer-base marketing analytics)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "rfm_segmentation",
+    oracle="""
+    WITH base AS (
+      SELECT o_custkey AS custkey,
+             MAX(o_orderdate) AS last_order,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS monetary_c
+      FROM orders GROUP BY 1
+    ), q AS (
+      SELECT custkey, monetary_c,
+             NTILE(5) OVER (ORDER BY last_order DESC, custkey) AS r_q,
+             NTILE(5) OVER (ORDER BY freq DESC, custkey) AS f_q,
+             NTILE(5) OVER (ORDER BY monetary_c DESC, custkey) AS m_q
+      FROM base
+    )
+    SELECT r_q AS r_quintile, f_q AS f_quintile, m_q AS m_quintile,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           (CAST(SUM(monetary_c) AS DOUBLE) / 100.0) AS sum_monetary
+    FROM q GROUP BY 1, 2, 3
+    """,
+    description="RFM quintile segmentation — the classic customer-"
+    "value grid: per-customer recency / frequency / monetary "
+    "aggregates (one partial-aggregated groupBy over the fact "
+    "table), each dimension ranked into quintiles, then the "
+    "125-cell (R,F,M) segment table with counts and revenue.  All "
+    "three quintile assignments ride the range-partitioned global "
+    "rank + exact NTILE arithmetic (operators/ranking.py) — the "
+    "customer base grows with the business, so no SinglePartition "
+    "NTILE window anywhere, same discipline as decile_lift_table.  "
+    "Deterministic tie-breaks on custkey make the ranking engine-"
+    "permutation-proof.",
+)
+def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.operators.ranking import (
+        ntile_expr,
+        ranked_by_range,
+    )
+
+    orders = read_table(spark, sf_dir, "orders")
+    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
+        F.max("o_orderdate").alias("last_order"),
+        F.count(F.lit(1)).alias("freq"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "monetary_c"
+        ),
+    )
+    ranked, n = ranked_by_range(
+        base, [F.desc("last_order"), "custkey"], rn_col="rn_r"
+    )
+    ranked, _ = ranked_by_range(
+        ranked, [F.desc("freq"), "custkey"], rn_col="rn_f"
+    )
+    ranked, _ = ranked_by_range(
+        ranked, [F.desc("monetary_c"), "custkey"], rn_col="rn_m"
+    )
+    q = ranked.select(
+        "monetary_c",
+        ntile_expr("rn_r", n, 5).alias("r_quintile"),
+        ntile_expr("rn_f", n, 5).alias("f_quintile"),
+        ntile_expr("rn_m", n, 5).alias("m_quintile"),
+    )
+    return q.groupBy("r_quintile", "f_quintile", "m_quintile").agg(
+        F.count(F.lit(1)).cast("long").alias("n_customers"),
+        (F.sum("monetary_c").cast("double") / 100.0).alias("sum_monetary"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Rolling-MAD robust anomaly detection
+# ---------------------------------------------------------------------------
+
+_MAD_HALF = 7   # centered 15-day window
+_MAD_K = 3.0    # flag |x - med| > K * MAD
+
+
+@query(
+    "rolling_mad_anomaly",
+    oracle=f"""
+    WITH daily AS (
+      SELECT o_orderdate AS day,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    ), contrib AS (
+      SELECT day + o * INTERVAL 1 DAY AS center, rev_c
+      FROM daily, UNNEST(generate_series(-{_MAD_HALF}, {_MAD_HALF})) AS u(o)
+    ), win AS (
+      SELECT center, list_sort(list(rev_c)) AS vs
+      FROM contrib GROUP BY center
+    ), med AS (
+      SELECT center, vs, len(vs) AS n,
+             (vs[(len(vs) + 1) // 2] + vs[len(vs) // 2 + 1]) / 2.0 AS med
+      FROM win
+    ), stats AS (
+      SELECT center, med, n,
+             (SELECT (ds[(n + 1) // 2] + ds[n // 2 + 1]) / 2.0
+              FROM (SELECT list_sort(list_transform(vs,
+                      v -> abs(v - med))) AS ds)) AS mad
+      FROM med
+    )
+    SELECT d.day, (CAST(d.rev_c AS DOUBLE) / 100.0) AS revenue,
+           s.med / 100.0 AS med_revenue,
+           s.mad / 100.0 AS mad_revenue,
+           CAST(s.n AS INT) AS n_window,
+           abs(d.rev_c - s.med) > {_MAD_K} * s.mad AS is_anomaly
+    FROM daily d JOIN stats s ON d.day = s.center
+    """,
+    description="Rolling-MAD anomaly detection on daily revenue — "
+    "the robust monitoring detector (median/MAD shrug off the very "
+    "outliers a mean/sigma z-score chases): each day's revenue is "
+    "compared against the exact median and median-absolute-deviation "
+    f"of its centered {2 * _MAD_HALF + 1}-day window, flagged past "
+    f"{_MAD_K}x MAD.  Spark-first shape: the fact table collapses to "
+    "the day series in one partial-aggregated groupBy; the window is "
+    "an OFFSET EXPLODE on that tiny series (the sliding-distinct "
+    "trick — never a per-row subquery), one groupBy(center) builds "
+    "the sorted window array, and median/MAD are exact element "
+    "arithmetic on integer cents (interpolated medians land on .5 "
+    "halves, exactly representable — bit-identical cross-engine, no "
+    "float summation anywhere).",
+)
+def rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    offs = F.sequence(F.lit(-_MAD_HALF), F.lit(_MAD_HALF))
+    contrib = daily.select(
+        F.explode(offs).alias("o"), "day", "rev_c"
+    ).select(
+        F.expr("timestampadd(DAY, o, day)").alias("center"), "rev_c"
+    )
+    win = contrib.groupBy("center").agg(
+        F.sort_array(F.collect_list("rev_c")).alias("vs")
+    )
+    n = F.size("vs")
+    med = (
+        F.element_at("vs", ((n + 1) / 2).cast("int"))
+        + F.element_at("vs", (n / 2).cast("int") + 1)
+    ) / 2.0
+    stats = win.select("center", n.alias("n"), med.alias("med"), "vs")
+    ds = F.sort_array(
+        F.transform(F.col("vs"), lambda v: F.abs(v - F.col("med")))
+    )
+    stats = stats.select(
+        "center",
+        "n",
+        "med",
+        (
+            (
+                F.element_at(ds, ((F.col("n") + 1) / 2).cast("int"))
+                + F.element_at(ds, (F.col("n") / 2).cast("int") + 1)
+            )
+            / 2.0
+        ).alias("mad"),
+    )
+    return daily.join(stats, daily.day == stats.center).select(
+        "day",
+        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
+        (F.col("med") / 100.0).alias("med_revenue"),
+        (F.col("mad") / 100.0).alias("mad_revenue"),
+        F.col("n").cast("int").alias("n_window"),
+        (F.abs(F.col("rev_c") - F.col("med")) > _MAD_K * F.col("mad")).alias(
+            "is_anomaly"
+        ),
+    )
