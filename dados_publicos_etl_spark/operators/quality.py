@@ -538,3 +538,214 @@ def join_cardinality_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("M:N")
         .alias("relationship"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Functional-dependency discovery audit
+# ---------------------------------------------------------------------------
+
+# Candidate FDs to profile: two that genuinely hold through the FK
+# star (schema-implied) and two that do not (attribute coincidences),
+# so both verdicts are exercised on real data.
+_FD_CANDIDATES = [
+    ("o_orderkey -> o_custkey", "orders", "o_orderkey", "o_custkey"),
+    ("l_orderkey -> l_linestatus", "lineitem", "l_orderkey", "l_linestatus"),
+    ("o_custkey -> o_orderpriority", "orders", "o_custkey", "o_orderpriority"),
+    ("l_partkey -> l_suppkey", "lineitem", "l_partkey", "l_suppkey"),
+]
+
+
+def _fd_oracle() -> str:
+    arms = "\n    UNION ALL ".join(
+        f"""SELECT '{name}' AS fd, CAST(COUNT(*) AS BIGINT) AS n_lhs_groups,
+           CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_violating,
+           CAST(MAX(nd) AS BIGINT) AS max_rhs_distinct
+    FROM (SELECT {lhs}, COUNT(DISTINCT {rhs}) AS nd
+          FROM {tbl} GROUP BY {lhs})"""
+        for name, tbl, lhs, rhs in _FD_CANDIDATES
+    )
+    return arms
+
+
+@query(
+    "fd_violation_audit",
+    oracle=_fd_oracle(),
+    description="Functional-dependency profiling — the schema-"
+    "discovery audit every warehouse onboarding runs: for each "
+    "candidate FD X -> Y, the number of X groups, how many carry "
+    "more than one distinct Y (violations), and the worst group's "
+    "distinct-Y count; candidates cover both schema-implied FDs "
+    "(order -> customer) and ones the data refutes.  Spark-first: "
+    "each candidate is ONE partial-aggregated groupBy(X) "
+    "count-distinct(Y) followed by a 1-row rollup — the per-FD cost "
+    "is a single keyed shuffle, and independent candidates union so "
+    "AQE schedules them as parallel stages; no row-pair explosion "
+    "ever forms (the naive violation self-join is quadratic per "
+    "group).",
+)
+def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    arms = []
+    for name, tbl, lhs, rhs in _FD_CANDIDATES:
+        t = read_table(spark, sf_dir, tbl)
+        per = t.groupBy(lhs).agg(F.count_distinct(F.col(rhs)).alias("nd"))
+        arms.append(
+            per.agg(
+                F.lit(name).alias("fd"),
+                F.count(F.lit(1)).cast("long").alias("n_lhs_groups"),
+                F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+                .cast("long")
+                .alias("n_violating"),
+                F.max("nd").cast("long").alias("max_rhs_distinct"),
+            )
+        )
+    out = arms[0]
+    for extra in arms[1:]:
+        out = out.unionByName(extra)
+    return out
+
+
+# ---------------------------------------------------------------------------
+# Benford first-digit audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "benford_first_digit",
+    oracle="""
+    WITH d AS (
+      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                         AS VARCHAR), 1, 1) AS INT) AS digit
+      FROM orders WHERE o_totalprice > 0
+    ), agg AS (
+      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
+      FROM d GROUP BY digit
+    )
+    SELECT digit, n,
+           ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_freq,
+           ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
+           ROUND(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit), 6)
+             AS deviation
+    FROM agg
+    """,
+    description="Benford first-significant-digit audit on order "
+    "totals — the forensic data-quality screen (fabricated or "
+    "unit-mangled monetary data drifts from the log10(1+1/d) law): "
+    "first digit extracted from the exact integer-cents rendering "
+    "(no float log10 near power-of-ten boundaries), one 9-group "
+    "partial-aggregated count, observed vs Benford frequency and "
+    "signed deviation.  One shuffle of 9 partial rows regardless of "
+    "fact-table size.",
+)
+def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    d = orders.filter(F.col("o_totalprice") > 0).select(
+        F.substring(
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .cast("string"),
+            1,
+            1,
+        )
+        .cast("int")
+        .alias("digit")
+    )
+    agg = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    agg = agg.withColumn(
+        "total", F.sum("n").over(W.partitionBy())
+    )
+    bf = F.log10(1.0 + 1.0 / F.col("digit"))
+    return agg.select(
+        "digit",
+        F.col("n").cast("long").alias("n"),
+        F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
+            "obs_freq"
+        ),
+        F.round(bf, 6).alias("benford_freq"),
+        F.round(
+            F.col("n").cast("double") / F.col("total") - bf, 6
+        ).alias("deviation"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Chi-square independence test
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "chi_square_independence",
+    oracle="""
+    WITH joint AS (
+      SELECT o_orderpriority AS x, o_orderstatus AS y,
+             CAST(COUNT(*) AS BIGINT) AS obs
+      FROM orders GROUP BY 1, 2
+    ), m AS (
+      SELECT x, y, obs,
+             CAST(SUM(obs) OVER (PARTITION BY x) AS BIGINT) AS nx,
+             CAST(SUM(obs) OVER (PARTITION BY y) AS BIGINT) AS ny,
+             CAST(SUM(obs) OVER () AS BIGINT) AS n
+      FROM joint
+    )
+    SELECT x AS priority, y AS status, obs,
+           ROUND(CAST(nx AS DOUBLE) * ny / n, 6) AS expected,
+           ROUND(CAST(CAST(obs AS DECIMAL(18,0)) * n
+                      - CAST(nx AS DECIMAL(18,0)) * ny AS DOUBLE)
+                 * CAST(CAST(obs AS DECIMAL(18,0)) * n
+                        - CAST(nx AS DECIMAL(18,0)) * ny AS DOUBLE)
+                 / (CAST(n AS DOUBLE) * n * (CAST(nx AS DOUBLE) * ny)),
+                 9) AS chi2_term
+    FROM m
+    """,
+    description="Chi-square independence diagnostics for the "
+    "priority x status contingency table: per-cell observed vs "
+    "expected counts and the chi-square contribution, computed from "
+    "the integer-exact identity (obs*n - nx*ny)^2 / (n^2 * nx * ny) "
+    "— the numerator stays an exact DECIMAL product (no obs-minus-"
+    "expected float subtraction, whose cancellation is what makes "
+    "naive chi-square implementations drift), so both engines "
+    "evaluate the identical IEEE division.  Scale shape: the fact "
+    "table collapses to the |X|x|Y| cell table in one partial-"
+    "aggregated pass; the three margin windows run over those few "
+    "cells.  Complements mutual_information_screen (same table, "
+    "frequentist statistic).",
+)
+def chi_square_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    orders = read_table(spark, sf_dir, "orders")
+    joint = orders.groupBy(
+        F.col("o_orderpriority").alias("x"),
+        F.col("o_orderstatus").alias("y"),
+    ).agg(F.count(F.lit(1)).alias("obs"))
+    m = joint.select(
+        "x",
+        "y",
+        "obs",
+        F.sum("obs").over(W.partitionBy("x")).alias("nx"),
+        F.sum("obs").over(W.partitionBy("y")).alias("ny"),
+        F.sum("obs").over(W.partitionBy()).alias("n"),
+    )
+    dec = lambda c: F.col(c).cast("decimal(18,0)")
+    num = dec("obs") * F.col("n") - dec("nx") * F.col("ny")
+    return m.select(
+        F.col("x").alias("priority"),
+        F.col("y").alias("status"),
+        F.col("obs").cast("long").alias("obs"),
+        F.round(
+            F.col("nx").cast("double") * F.col("ny") / F.col("n"), 6
+        ).alias("expected"),
+        F.round(
+            num.cast("double")
+            * num.cast("double")
+            / (
+                F.col("n").cast("double")
+                * F.col("n")
+                * (F.col("nx").cast("double") * F.col("ny"))
+            ),
+            9,
+        ).alias("chi2_term"),
+    )

@@ -1297,3 +1297,70 @@ def bm25_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(_BM25_TOPK)
     )
+
+
+# ---------------------------------------------------------------------------
+# Flesch readability scoring
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "readability_flesch",
+    oracle="""
+    WITH counts AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), '[a-z0-9]+'))
+                  AS BIGINT) AS n_words,
+             CAST(GREATEST(len(regexp_extract_all(text, '[.!?]+')), 1)
+                  AS BIGINT) AS n_sentences,
+             CAST(GREATEST(len(regexp_extract_all(lower(text),
+                  '[aeiouy]+')), 1) AS BIGINT) AS n_syllables
+      FROM documents
+    )
+    SELECT doc_id, n_words, n_sentences, n_syllables,
+           ROUND(206.835
+                 - 1.015 * (CAST(n_words AS DOUBLE) / n_sentences)
+                 - 84.6 * (CAST(n_syllables AS DOUBLE) / n_words),
+                 4) AS flesch
+    FROM counts
+    WHERE n_words > 0
+    """,
+    description="Flesch reading-ease scoring per document — the "
+    "classic text-quality heuristic (its grade-level siblings gate "
+    "web corpora for training mixes): word count, sentence count "
+    "([.!?]+ runs), and the standard vowel-group syllable "
+    "approximation, all exact regexp counts identical on both "
+    "engines, combined by the published formula.  Narrow map over "
+    "the scan — no shuffle at all; the whole operator whole-stage-"
+    "codegens into the parquet read.",
+)
+def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit("[a-z0-9]+"))
+        .cast("long")
+        .alias("n_words"),
+        F.greatest(
+            F.regexp_count(F.col("text"), F.lit("[.!?]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_sentences"),
+        F.greatest(
+            F.regexp_count(F.lower("text"), F.lit("[aeiouy]+")), F.lit(1)
+        )
+        .cast("long")
+        .alias("n_syllables"),
+    )
+    return counts.filter(F.col("n_words") > 0).select(
+        "doc_id",
+        "n_words",
+        "n_sentences",
+        "n_syllables",
+        F.round(
+            F.lit(206.835)
+            - 1.015 * (F.col("n_words").cast("double") / F.col("n_sentences"))
+            - 84.6 * (F.col("n_syllables").cast("double") / F.col("n_words")),
+            4,
+        ).alias("flesch"),
+    )

@@ -1680,3 +1680,59 @@ def selfjoin_size_cms(spark: SparkSession, sf_dir: str) -> DataFrame:
         "true_f2",
         (F.col("est_f2") - F.col("true_f2")).cast("long").alias("overcount"),
     )
+
+
+# ---------------------------------------------------------------------------
+# VARIANT semi-structured round-trip (Spark 4 open variant type)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "variant_json_shred",
+    oracle="""
+    WITH j AS (
+      SELECT to_json(struct_pack(event_id := event_id,
+                                 event_type := event_type,
+                                 user_id := user_id)) AS doc
+      FROM events
+    )
+    SELECT json_extract_string(doc, '$.event_type') AS event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(CAST(json_extract(doc, '$.event_id') AS BIGINT))
+                AS BIGINT) AS max_event_id,
+           CAST(COUNT(DISTINCT CAST(json_extract(doc, '$.user_id')
+                                    AS BIGINT)) AS BIGINT) AS n_users
+    FROM j GROUP BY 1
+    """,
+    description="Semi-structured ingestion through Spark 4's open "
+    "VARIANT type: events serialized to JSON documents, parsed with "
+    "parse_json into VARIANT (binary-encoded, schema-on-read), "
+    "fields shredded back out with typed variant_get, then grouped — "
+    "the modern lakehouse path for heterogeneous event payloads "
+    "(VARIANT decode is ~8x faster than string JSON re-parsing per "
+    "access because paths navigate the binary encoding).  The oracle "
+    "runs the identical shape through DuckDB's JSON functions, "
+    "pinning extraction semantics; typed long/string extraction "
+    "keeps floats out entirely.  Narrow map + one partial-aggregated "
+    "groupBy — no extra shuffle versus the typed-column query.",
+)
+def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    v = ev.select(
+        F.parse_json(
+            F.to_json(F.struct("event_id", "event_type", "user_id"))
+        ).alias("v")
+    )
+    return (
+        v.select(
+            F.variant_get("v", "$.event_type", "string").alias("event_type"),
+            F.variant_get("v", "$.event_id", "long").alias("event_id"),
+            F.variant_get("v", "$.user_id", "long").alias("user_id"),
+        )
+        .groupBy("event_type")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_events"),
+            F.max("event_id").cast("long").alias("max_event_id"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+    )
