@@ -844,3 +844,77 @@ def source_quality_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("drop:short")
         .alias("reason"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cross-source duplicate overlap matrix
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "source_dup_overlap",
+    oracle=f"""
+    WITH fp AS (
+      SELECT DISTINCT source,
+             md5(trim(regexp_replace(lower(text), '{WS}', ' ', 'g'))) AS fp
+      FROM documents
+    ), per AS (
+      SELECT source, CAST(COUNT(*) AS BIGINT) AS n_fp FROM fp GROUP BY 1
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared,
+           pa.n_fp AS n_fp_a, pb.n_fp AS n_fp_b,
+           ROUND(CAST(COUNT(*) AS DOUBLE)
+                 / LEAST(pa.n_fp, pb.n_fp), 6) AS containment
+    FROM fp a
+    JOIN fp b ON a.fp = b.fp AND a.source < b.source
+    JOIN per pa ON pa.source = a.source
+    JOIN per pb ON pb.source = b.source
+    GROUP BY a.source, b.source, pa.n_fp, pb.n_fp
+    """,
+    description="Cross-source exact-duplicate overlap matrix: for "
+    "every source pair, how many distinct content fingerprints both "
+    "carry, plus per-source fingerprint counts and the containment "
+    "ratio (shared / smaller side) — the curation report that "
+    "decides which overlapping crawls to drop before near-dup "
+    "passes run.  Spark-first: one distinct on (source, fp) — the "
+    "same fingerprint hash dedup_exact shuffles on — then an "
+    "equi-join BLOCKED ON the fingerprint (candidate volume bounded "
+    "by per-fingerprint source counts, never |sources|^2 x |docs|), "
+    "partial-aggregated pair counts, broadcast per-source totals.",
+)
+def source_dup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.functions.text import fingerprint_md5
+
+    docs = read_table(spark, sf_dir, "documents")
+    fp = docs.select(
+        "source", fingerprint_md5("text").alias("fp")
+    ).distinct()
+    per = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
+    a = fp.select(F.col("source").alias("source_a"), "fp")
+    b = fp.select(F.col("source").alias("source_b"), F.col("fp").alias("fpb"))
+    pa = per.select(
+        F.col("source").alias("pa_s"), F.col("n_fp").alias("n_fp_a")
+    )
+    pb = per.select(
+        F.col("source").alias("pb_s"), F.col("n_fp").alias("n_fp_b")
+    )
+    return (
+        a.join(b, (F.col("fp") == F.col("fpb")) & (F.col("source_a") < F.col("source_b")))
+        .groupBy("source_a", "source_b")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_shared"))
+        .join(F.broadcast(pa), F.col("source_a") == F.col("pa_s"))
+        .join(F.broadcast(pb), F.col("source_b") == F.col("pb_s"))
+        .select(
+            "source_a",
+            "source_b",
+            "n_shared",
+            "n_fp_a",
+            "n_fp_b",
+            F.round(
+                F.col("n_shared").cast("double")
+                / F.least("n_fp_a", "n_fp_b"),
+                6,
+            ).alias("containment"),
+        )
+    )

@@ -1257,3 +1257,44 @@ def degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("assortativity"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Co-purchase projection top pairs (differential pin for the shared
+# graph-family edge builder)
+# ---------------------------------------------------------------------------
+
+_CP_TOPK = 25
+
+
+@query(
+    "copurchase_top_pairs",
+    oracle=f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+    )
+    SELECT u, v, w FROM pairs
+    WHERE w >= {_KC_MIN_ORDERS}
+    ORDER BY w DESC, u, v
+    LIMIT {_CP_TOPK}
+    """,
+    description="Bipartite projection of the order-part graph onto "
+    f"parts: top-{_CP_TOPK} co-purchased part pairs by same-order "
+    "pair count — the 'customers also bought' edge list, and the "
+    "EXACT relation the k-core and Boruvka queries consume "
+    "(_copurchase_edges), so this query differential-pins the whole "
+    "graph family's shared input against DuckDB.  Scale shape: the "
+    "self-join fans out only WITHIN an order (<= 7 lines -> <= 21 "
+    "pairs), one shuffle on the order key, partial-aggregated pair "
+    "counts, TakeOrdered top-k — never a global sort.",
+)
+def copurchase_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _copurchase_edges(spark, sf_dir)
+    return edges.select(
+        "u", "v", F.col("w").cast("long").alias("w")
+    ).orderBy(F.desc("w"), "u", "v").limit(_CP_TOPK)

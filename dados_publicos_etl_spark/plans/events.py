@@ -1624,3 +1624,93 @@ def forecast_backtest_naive(spark: SparkSession, sf_dir: str) -> DataFrame:
             9,
         ).alias("smape"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Cohort lifetime-value curve
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohort_ltv",
+    oracle="""
+    WITH first AS (
+      SELECT o_custkey, MIN(date_trunc('month', o_orderdate)) AS cohort
+      FROM orders GROUP BY 1
+    ), sized AS (
+      SELECT cohort, CAST(COUNT(*) AS BIGINT) AS cohort_users
+      FROM first GROUP BY 1
+    ), rev AS (
+      SELECT f.cohort,
+             (year(o.o_orderdate) - year(f.cohort)) * 12
+             + (month(o.o_orderdate) - month(f.cohort)) AS age_months,
+             SUM(CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+      FROM orders o JOIN first f ON o.o_custkey = f.o_custkey
+      GROUP BY 1, 2
+    )
+    SELECT strftime(r.cohort, '%Y-%m') AS cohort_month,
+           CAST(r.age_months AS INT) AS age_months,
+           s.cohort_users,
+           CAST(SUM(r.rev_c) OVER (PARTITION BY r.cohort
+                    ORDER BY r.age_months) AS DOUBLE)
+             / 100.0 / s.cohort_users AS cum_ltv_per_user
+    FROM rev r JOIN sized s ON r.cohort = s.cohort
+    """,
+    description="Cohort lifetime-value curve: customers cohorted by "
+    "first-order month, revenue bucketed by integer cohort age "
+    "(exact year*12+month arithmetic — no fractional months_between "
+    "drift), cumulative cents per cohort divided by cohort size — "
+    "the LTV payback table that prices acquisition.  Scale shape: "
+    "the fact table collapses to |cohorts| x |ages| rows in one "
+    "partial-aggregated pass after a broadcast of the per-customer "
+    "first-order table keyed on the customer (the one genuine "
+    "shuffle); the cumulative window runs over the tiny cohort-age "
+    "grid.  Completes the retention family (retention_cohorts "
+    "counts WHO returns; this prices WHAT they spend).",
+)
+def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    first = orders.groupBy("o_custkey").agg(
+        F.date_trunc("month", F.min("o_orderdate")).alias("cohort")
+    )
+    # NOTE min-then-trunc == trunc-then-min (trunc is monotone), but
+    # the oracle writes MIN(trunc(...)); mirror semantics are equal.
+    sized = first.groupBy("cohort").agg(
+        F.count(F.lit(1)).alias("cohort_users")
+    )
+    f = first.select(
+        F.col("o_custkey").alias("f_cust"), F.col("cohort")
+    )
+    rev = (
+        orders.join(f, orders.o_custkey == f.f_cust)
+        .groupBy(
+            "cohort",
+            (
+                (F.year("o_orderdate") - F.year("cohort")) * 12
+                + (F.month("o_orderdate") - F.month("cohort"))
+            ).alias("age_months"),
+        )
+        .agg(
+            F.sum(
+                F.round(F.col("o_totalprice") * 100, 0).cast("long")
+            ).alias("rev_c")
+        )
+    )
+    wcum = W.partitionBy("cohort").orderBy("age_months")
+    return (
+        rev.join(sized, "cohort")
+        .select(
+            F.date_format("cohort", "yyyy-MM").alias("cohort_month"),
+            F.col("age_months").cast("int").alias("age_months"),
+            F.col("cohort_users").cast("long").alias("cohort_users"),
+            # no ROUND: exact-cents numerator -> the bare IEEE
+            # division chain is bit-identical cross-engine, while
+            # ROUND(double, k) differs by 1 ulp between engines
+            # (same fix as forecast_backtest_naive)
+            (
+                F.sum("rev_c").over(wcum).cast("double")
+                / 100.0
+                / F.col("cohort_users")
+            ).alias("cum_ltv_per_user"),
+        )
+    )
