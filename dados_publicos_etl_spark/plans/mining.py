@@ -2886,3 +2886,119 @@ def rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
             "is_anomaly"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding centroid drift between label groups
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_centroid_drift",
+    oracle="""
+    WITH d AS (
+      SELECT vec_id, label,
+             list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
+      FROM embeddings
+    ), q AS (
+      SELECT vec_id, label,
+             list_transform(v, x -> CAST(GREATEST(LEAST(
+               floor(x * (127.0 / list_max(list_transform(v,
+                 y -> abs(y))))), 127.0), -127.0) AS INT)) AS qv
+      FROM d
+    ), ex AS (
+      SELECT label, g.i AS i, CAST(qv[g.i] AS BIGINT) AS q
+      FROM q, (SELECT unnest(range(1, 65)) AS i) g
+    ), sums AS (
+      SELECT label, i, CAST(SUM(q) AS BIGINT) AS s
+      FROM ex GROUP BY 1, 2
+    ), counts AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n FROM q GROUP BY 1
+    ), dots AS (
+      SELECT a.label AS label_a, b.label AS label_b,
+             SUM(CAST(a.s AS DECIMAL(18,0)) * CAST(b.s AS DECIMAL(18,0)))
+               AS dot
+      FROM sums a JOIN sums b ON a.i = b.i AND a.label < b.label
+      GROUP BY 1, 2
+    ), norms AS (
+      SELECT label,
+             SUM(CAST(s AS DECIMAL(18,0)) * CAST(s AS DECIMAL(18,0))) AS nn
+      FROM sums GROUP BY 1
+    )
+    SELECT d.label_a, d.label_b, ca.n AS n_a, cb.n AS n_b,
+           ROUND(CAST(d.dot AS DOUBLE)
+                 / (sqrt(CAST(na.nn AS DOUBLE))
+                    * sqrt(CAST(nb.nn AS DOUBLE))), 6) AS centroid_cosine
+    FROM dots d
+    JOIN norms na ON na.label = d.label_a
+    JOIN norms nb ON nb.label = d.label_b
+    JOIN counts ca ON ca.label = d.label_a
+    JOIN counts cb ON cb.label = d.label_b
+    """,
+    description="Embedding centroid drift between label groups: "
+    "pairwise cosine between per-label mean vectors — the embedding-"
+    "space health check (two classes whose centroids converge are "
+    "collapsing; a new snapshot whose centroid drifts from the old "
+    "one signals distribution shift).  Integer-exact by "
+    "construction: vectors int8-quantize (embedding_quantize's floor "
+    "rule), per-label SUM vectors accumulate as exact integers "
+    "(order-independent — float centroids would be summation-order-"
+    "unverifiable), and the 1/n scaling CANCELS in cosine, so "
+    "centroid cosine == sum-vector cosine with no division until "
+    "the final 1-row-per-pair formula.  Scale shape: one explode + "
+    "partial-aggregated (label, dim) sum — |labels| x d rows of "
+    "state total; the pairwise stage runs over that tiny table.",
+)
+def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select("label", F.expr(_Q_EXPR_SPARK).alias("qv"))
+    ex = q.select(
+        "label", F.posexplode("qv").alias("i0", "qi")
+    ).select("label", (F.col("i0") + 1).alias("i"), F.col("qi").cast("long").alias("q"))
+    sums = ex.groupBy("label", "i").agg(F.sum("q").alias("s"))
+    counts = q.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    dec = lambda c: F.col(c).cast("decimal(18,0)")
+    a = sums.select(
+        F.col("label").alias("label_a"), "i", F.col("s").alias("sa")
+    )
+    b = sums.select(
+        F.col("label").alias("label_b"),
+        F.col("i").alias("ib"),
+        F.col("s").alias("sb"),
+    )
+    dots = (
+        a.join(
+            b,
+            (F.col("i") == F.col("ib"))
+            & (F.col("label_a") < F.col("label_b")),
+        )
+        .groupBy("label_a", "label_b")
+        .agg(F.sum(dec("sa") * dec("sb")).alias("dot"))
+    )
+    norms = sums.groupBy("label").agg(
+        F.sum(dec("s") * dec("s")).alias("nn")
+    )
+    na = norms.select(F.col("label").alias("na_l"), F.col("nn").alias("nn_a"))
+    nb = norms.select(F.col("label").alias("nb_l"), F.col("nn").alias("nn_b"))
+    ca = counts.select(F.col("label").alias("ca_l"), F.col("n").alias("n_a"))
+    cb = counts.select(F.col("label").alias("cb_l"), F.col("n").alias("n_b"))
+    return (
+        dots.join(F.broadcast(na), F.col("label_a") == F.col("na_l"))
+        .join(F.broadcast(nb), F.col("label_b") == F.col("nb_l"))
+        .join(F.broadcast(ca), F.col("label_a") == F.col("ca_l"))
+        .join(F.broadcast(cb), F.col("label_b") == F.col("cb_l"))
+        .select(
+            "label_a",
+            "label_b",
+            F.col("n_a").cast("long").alias("n_a"),
+            F.col("n_b").cast("long").alias("n_b"),
+            F.round(
+                F.col("dot").cast("double")
+                / (
+                    F.sqrt(F.col("nn_a").cast("double"))
+                    * F.sqrt(F.col("nn_b").cast("double"))
+                ),
+                6,
+            ).alias("centroid_cosine"),
+        )
+    )

@@ -843,3 +843,125 @@ def stream_topk_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("rank_in_window").cast("int").alias("rank_in_window"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Late-data drop semantics, oracle-checked
+# ---------------------------------------------------------------------------
+
+# sf_dir -> TemporaryDirectory of the REVERSE-time 2-file feed
+_LATE_FEED_DIRS: dict[str, object] = {}
+
+
+def _late_feed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Events split at the epoch-micros midpoint like the topk feed,
+    but with the LATER half's file mtime pinned OLDER — the file
+    source therefore processes the later half first, so every
+    earlier-half event arrives hours LATE relative to the advanced
+    watermark.  This is the deterministic late-data fixture: which
+    rows are late is a pure function of the data."""
+    import os as _os
+    import tempfile
+
+    hit = _LATE_FEED_DIRS.get(sf_dir)
+    if hit is not None:
+        return hit.name
+    tmp = tempfile.TemporaryDirectory(prefix="spark_late_feed_")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "event_type",
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    mid = (lo + hi) // 2
+    mid3 = (mid + hi) // 2
+    # THREE files: the later half split in two — batch 0 = its older
+    # part (mid, mid3], batch 1 = its newest part (mid3, hi] — then
+    # the earlier half last.  Two properties make this race-free:
+    # (a) batch 1's events are NEWER than any watermark batch 0 can
+    # set (max(batch0) - delay = mid3 - 1h), so whether the engine
+    # pipelines batch construction past the watermark commit or not,
+    # no KEPT row is ever late; (b) by the time batch 2 runs, at
+    # least batch 0's commit has advanced the watermark to
+    # mid3 - 1h, which is hours past every earlier-half window
+    # (the half-gap is a quarter of the corpus time span), so ALL
+    # of batch 2 drops deterministically.
+    (
+        ev.withColumn(
+            "batch",
+            F.when(F.col("ts_us") > mid3, 1)
+            .when(F.col("ts_us") > mid, 0)
+            .otherwise(2),
+        )
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(tmp.name)
+    )
+    for b in (0, 1, 2):
+        d = _os.path.join(tmp.name, f"batch={b}")
+        for f in _os.listdir(d):
+            if f.endswith(".parquet"):
+                p = _os.path.join(d, f)
+                st = _os.stat(p)
+                _os.utime(p, (st.st_atime, st.st_mtime + b * 600))
+    _LATE_FEED_DIRS[sf_dir] = tmp
+    return tmp.name
+
+
+@query(
+    "stream_late_drop",
+    oracle=f"""
+    WITH b AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+      FROM events
+    )
+    SELECT {_DUCK_BUCKET.format(w=600)} AS window_start,
+           event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events
+    FROM events, b
+    WHERE epoch_us(ts) > b.mid
+    GROUP BY window_start, event_type
+    """,
+    description="Watermark late-data DROP semantics, oracle-checked: "
+    "the event feed replays its later half first, so when the "
+    "earlier half arrives the watermark (max event time - 1 hour) "
+    "has advanced far past every one of its windows and Structured "
+    "Streaming drops ALL of them — the final state equals the batch "
+    "aggregate over ONLY the later half, which is exactly what the "
+    "DuckDB oracle computes (the time gap between halves dwarfs the "
+    "watermark delay, so no boundary case is in play).  The dropped-"
+    "row count is captured from numRowsDroppedByWatermark in the "
+    "run's progress (pytest pins it equal to the earlier half's row "
+    "count).  Completes the streaming-semantics set: eviction "
+    "(stream_topk_windows), mergeable update state (CDC/KL), and "
+    "now late-drop, each MEASURED rather than asserted.",
+)
+def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    tz = spark.conf.get("spark.sql.session.timeZone")
+    feed = _late_feed_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema("event_id long, ts_us long, event_type string")
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+    agg = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.window("ts", "10 minutes"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            F.date_format(
+                F.to_utc_timestamp(F.col("window.start"), tz), _TS_FMT
+            ).alias("window_start"),
+            "event_type",
+            "n_events",
+        )
+    )
+    return _run_update_upsert(
+        spark, agg, ["window_start", "event_type"], "stream_late_drop"
+    )

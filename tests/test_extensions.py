@@ -1875,3 +1875,57 @@ def test_multiple_regression_matches_numpy_lstsq(spark, sf_dir):
             )
         assert 0.0 <= r.r2 <= 1.0
         assert r.n == len(g)
+
+
+def test_stream_late_drop_measures_watermark_drops(spark, sf_dir):
+    """The late-drop claim must be MEASURED: every earlier-half row
+    arrives behind the watermark and numRowsDroppedByWatermark in the
+    run's progress equals that half's row count exactly."""
+    import dados_publicos_etl_spark.streaming.windows as SW
+    from dados_publicos_etl_spark.io import read_table
+
+    out = QUERIES["stream_late_drop"].fn(spark, sf_dir)
+    n_kept = out.count()
+    run = SW._STREAM_LAST_RUNS["stream_late_drop"]
+    dropped = sum(
+        s.get("numRowsDroppedByWatermark", 0)
+        for p in run["progress"]
+        for s in (p.get("stateOperators") or [])
+    )
+    ev = read_table(spark, sf_dir, "events").select(
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us")
+    )
+    lo, hi, total = ev.agg(
+        F.min("ts_us"), F.max("ts_us"), F.count(F.lit(1))
+    ).first()
+    mid = (lo + hi) // 2
+    early = ev.filter(F.col("ts_us") <= mid)
+    n_early = early.count()
+    # the metric counts the late PARTIAL GROUPS — one (window, type)
+    # row per group out of the map-side combine — once at each of
+    # the two state-store exec nodes of the update-mode aggregation,
+    # so the measured total is exactly 2x the early half's distinct
+    # (window, event_type) count
+    ev2 = read_table(spark, sf_dir, "events").select(
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "event_type",
+    )
+    n_early_groups = (
+        ev2.filter(F.col("ts_us") <= mid)
+        .select(
+            (F.col("ts_us") - F.col("ts_us") % 600_000_000).alias("w"),
+            "event_type",
+        )
+        .distinct()
+        .count()
+    )
+    assert n_early > 0
+    assert dropped == 2 * n_early_groups
+    assert run["output_mode"] == "update"
+    assert n_kept > 0
