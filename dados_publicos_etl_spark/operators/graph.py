@@ -949,7 +949,8 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint()
         )
-        if nominated.limit(1).count() == 0:
+        n_nom = nominated.count()  # checkpointed — no recompute
+        if n_nom == 0:
             break
         forest.append(
             nominated.select(
@@ -1001,8 +1002,14 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         # past ~19 cumulative self-join links; parquet-backed reads
         # are immune — measured in BENCH_NOTES), so extra batches
         # start from a fresh relation.  The convergence probe is one
-        # broadcast self-join on the component-scale map: converged
-        # means nobody's parent has a different grandparent.
+        # broadcast self-join on the component-scale map (converged =
+        # nobody's parent has a different grandparent) — but a chain
+        # cannot be longer than the number of components nominated
+        # this round, so when n_nom <= 2^_MSF_JUMPS convergence is
+        # GUARANTEED and the probe job is skipped outright (the
+        # common case at every tested scale; the guard engages only
+        # on pathological merge groups).
+        probe_needed = n_nom > (1 << _MSF_JUMPS)
         while True:
             for _ in range(_MSF_JUMPS):
                 hop = parent.select(
@@ -1024,6 +1031,8 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("parent").alias("new_comp"),
             ).write.mode("overwrite").parquet(mpath)
             mapping = spark.read.parquet(mpath)
+            if not probe_needed:
+                break
             m2 = mapping.select(
                 F.col("old_comp").alias("m_c"), F.col("new_comp").alias("m_p")
             )

@@ -606,72 +606,6 @@ def fd_violation_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Benford first-digit audit
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "benford_first_digit",
-    oracle="""
-    WITH d AS (
-      SELECT CAST(substr(CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                         AS VARCHAR), 1, 1) AS INT) AS digit
-      FROM orders WHERE o_totalprice > 0
-    ), agg AS (
-      SELECT digit, CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(COUNT(*)) OVER () AS BIGINT) AS total
-      FROM d GROUP BY digit
-    )
-    SELECT digit, n,
-           ROUND(CAST(n AS DOUBLE) / total, 6) AS obs_freq,
-           ROUND(log10(1.0 + 1.0 / digit), 6) AS benford_freq,
-           ROUND(CAST(n AS DOUBLE) / total - log10(1.0 + 1.0 / digit), 6)
-             AS deviation
-    FROM agg
-    """,
-    description="Benford first-significant-digit audit on order "
-    "totals — the forensic data-quality screen (fabricated or "
-    "unit-mangled monetary data drifts from the log10(1+1/d) law): "
-    "first digit extracted from the exact integer-cents rendering "
-    "(no float log10 near power-of-ten boundaries), one 9-group "
-    "partial-aggregated count, observed vs Benford frequency and "
-    "signed deviation.  One shuffle of 9 partial rows regardless of "
-    "fact-table size.",
-)
-def benford_first_digit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    orders = read_table(spark, sf_dir, "orders")
-    d = orders.filter(F.col("o_totalprice") > 0).select(
-        F.substring(
-            F.round(F.col("o_totalprice") * 100, 0)
-            .cast("long")
-            .cast("string"),
-            1,
-            1,
-        )
-        .cast("int")
-        .alias("digit")
-    )
-    agg = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    agg = agg.withColumn(
-        "total", F.sum("n").over(W.partitionBy())
-    )
-    bf = F.log10(1.0 + 1.0 / F.col("digit"))
-    return agg.select(
-        "digit",
-        F.col("n").cast("long").alias("n"),
-        F.round(F.col("n").cast("double") / F.col("total"), 6).alias(
-            "obs_freq"
-        ),
-        F.round(bf, 6).alias("benford_freq"),
-        F.round(
-            F.col("n").cast("double") / F.col("total") - bf, 6
-        ).alias("deviation"),
-    )
-
-
-# ---------------------------------------------------------------------------
 # Chi-square independence test
 # ---------------------------------------------------------------------------
 

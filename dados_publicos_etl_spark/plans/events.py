@@ -1714,3 +1714,138 @@ def cohort_ltv(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("cum_ltv_per_user"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Date-spine densification (zero-fill)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "date_spine_zero_fill",
+    oracle="""
+    WITH bounds AS (
+      SELECT date_trunc('day', MIN(o_orderdate)) AS lo,
+             date_trunc('day', MAX(o_orderdate)) AS hi
+      FROM orders
+    ), spine AS (
+      SELECT unnest(generate_series(lo, hi, INTERVAL 1 DAY)) AS day
+      FROM bounds
+    ), daily AS (
+      SELECT date_trunc('day', o_orderdate) AS day,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
+      FROM orders GROUP BY 1
+    )
+    SELECT strftime(date_trunc('week', s.day), '%Y-%m-%d') AS week_start,
+           CAST(COUNT(*) AS BIGINT) AS n_days,
+           CAST(SUM(CASE WHEN d.rev_c IS NOT NULL THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_active_days,
+           (CAST(SUM(COALESCE(d.rev_c, 0)) AS DOUBLE) / 100.0) AS revenue
+    FROM spine s LEFT JOIN daily d ON s.day = d.day
+    GROUP BY 1
+    """,
+    description="Date-spine densification (zero-fill): a generated "
+    "day spine from the corpus's min to max date LEFT-joins the "
+    "daily revenue so silent days EXIST as zero rows, then rolls up "
+    "per Monday-start week with day/active-day counts — the "
+    "densification step every calendar report and every time-series "
+    "model input needs (a groupBy alone silently skips empty "
+    "periods, which breaks lag/window features downstream).  "
+    "Spark-first: the spine is sequence() + explode off a 1-row "
+    "bounds aggregate (no driver loop, no recursive CTE), the join "
+    "broadcasts the fact-side DAILY aggregate (|days| rows), and "
+    "the fact table itself is touched exactly once.  Calendar-grain "
+    "sibling of time_spine_zero_fill (10-minute event buckets): this "
+    "one densifies the DAY grain and rolls up to weeks with "
+    "active-day counts.",
+)
+def date_spine_zero_fill(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    bounds = orders.agg(
+        F.date_trunc("day", F.min("o_orderdate")).alias("lo"),
+        F.date_trunc("day", F.max("o_orderdate")).alias("hi"),
+    )
+    spine = bounds.select(
+        F.explode(
+            F.sequence("lo", "hi", F.expr("INTERVAL 1 DAY"))
+        ).alias("day")
+    )
+    daily = orders.groupBy(
+        F.date_trunc("day", F.col("o_orderdate")).alias("d_day")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "rev_c"
+        )
+    )
+    return (
+        spine.join(F.broadcast(daily), spine.day == daily.d_day, "left")
+        .groupBy(
+            F.date_format(F.date_trunc("week", F.col("day")), "yyyy-MM-dd")
+            .alias("week_start")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_days"),
+            F.sum(
+                F.when(F.col("rev_c").isNotNull(), 1).otherwise(0)
+            )
+            .cast("long")
+            .alias("n_active_days"),
+            (F.sum(F.coalesce("rev_c", F.lit(0))).cast("double") / 100.0).alias(
+                "revenue"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Top journey paths (3-step sequence mining)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "top_paths_3step",
+    oracle="""
+    WITH seq AS (
+      SELECT user_id, event_type,
+             LEAD(event_type, 1) OVER w AS e2,
+             LEAD(event_type, 2) OVER w AS e3
+      FROM events
+      WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    )
+    SELECT event_type || '>' || e2 || '>' || e3 AS path,
+           CAST(COUNT(*) AS BIGINT) AS n_paths,
+           CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+    FROM seq
+    WHERE e3 IS NOT NULL
+    GROUP BY 1
+    ORDER BY n_paths DESC, path
+    LIMIT 20
+    """,
+    description="Top user-journey paths: sliding 3-step event-type "
+    "sequences per user (two LEADs over ONE user-ordered window "
+    "pass — Catalyst plans a single exchange+sort for both), counted "
+    "globally with distinct-user support, TakeOrdered top-20 — the "
+    "path-mining report behind funnel design, generalizing the "
+    "Markov transition matrix from pairs to trigram journeys.  "
+    "State is |event_types|^3 at most, constant in corpus size.",
+)
+def top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    w = W.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        "event_type",
+        F.lead("event_type", 1).over(w).alias("e2"),
+        F.lead("event_type", 2).over(w).alias("e3"),
+    ).filter(F.col("e3").isNotNull())
+    return (
+        seq.groupBy(
+            F.concat_ws(">", "event_type", "e2", "e3").alias("path")
+        )
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_paths"),
+            F.count_distinct("user_id").cast("long").alias("n_users"),
+        )
+        .orderBy(F.desc("n_paths"), "path")
+        .limit(20)
+    )

