@@ -1307,3 +1307,103 @@ def copurchase_top_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     return edges.select(
         "u", "v", F.col("w").cast("long").alias("w")
     ).orderBy(F.desc("w"), "u", "v").limit(_CP_TOPK)
+
+
+# ---------------------------------------------------------------------------
+# Label-propagation communities (ninth differential-checked iterative)
+# ---------------------------------------------------------------------------
+
+_LPA_ROUNDS = 2
+
+
+def _lpa_oracle() -> str:
+    steps = []
+    for k in range(1, _LPA_ROUNDS + 1):
+        steps.append(
+            f"""cnt{k} AS (
+      SELECT a.u AS node, l.label AS lbl, CAST(COUNT(*) AS BIGINT) AS c
+      FROM adj a JOIN lp{k - 1} l ON a.v = l.node
+      GROUP BY 1, 2
+    ),
+    lp{k} AS (
+      SELECT node, lbl AS label FROM (
+        SELECT node, lbl,
+               ROW_NUMBER() OVER (PARTITION BY node
+                                  ORDER BY c DESC, lbl) AS rk
+        FROM cnt{k}
+      ) WHERE rk = 1
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH pairs AS (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem a
+      JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_KC_MIN_ORDERS}
+    ), adj AS (
+      SELECT u, v FROM pairs UNION ALL SELECT v, u FROM pairs
+    ), lp0 AS (
+      SELECT DISTINCT u AS node, u AS label FROM adj
+    ),
+    {chain}
+    SELECT label AS community,
+           CAST(COUNT(*) AS BIGINT) AS n_members
+    FROM lp{_LPA_ROUNDS}
+    GROUP BY 1
+    ORDER BY n_members DESC, community
+    LIMIT 20
+    """
+
+
+@query(
+    "label_propagation_communities",
+    oracle=_lpa_oracle(),
+    description=f"Label-propagation community detection "
+    f"({_LPA_ROUNDS} semi-synchronous rounds) over the part "
+    "co-purchase graph: every node adopts its neighbors' most "
+    "frequent label with the deterministic (count DESC, label ASC) "
+    "tie-break, making the classically order-sensitive LPA fully "
+    "reproducible and oracle-checkable (unrolled CTEs, the "
+    "PageRank/HITS precedent) — the ninth differential-checked "
+    "iterative algorithm.  Spark shape per round: one broadcast of "
+    "the |V|-row label table onto the edge list, one partial-"
+    "aggregated (node, label) count, one node-keyed argmax window — "
+    "the edge table never shuffles.  Output: top community sizes.",
+)
+def label_propagation_communities(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    adj = _kcore_adjacency(spark, sf_dir).localCheckpoint()
+    labels = (
+        adj.select(F.col("u").alias("node"))
+        .distinct()
+        .withColumn("label", F.col("node"))
+    )
+    for _k in range(_LPA_ROUNDS):
+        l2 = labels.select(
+            F.col("node").alias("l_n"), F.col("label").alias("lbl")
+        )
+        cnt = (
+            adj.join(F.broadcast(l2), adj.v == F.col("l_n"))
+            .groupBy(F.col("u").alias("node"), "lbl")
+            .agg(F.count(F.lit(1)).alias("c"))
+        )
+        w = W.partitionBy("node").orderBy(F.desc("c"), "lbl")
+        labels = (
+            cnt.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") == 1)
+            .select("node", F.col("lbl").alias("label"))
+            .localCheckpoint()
+        )
+    return (
+        labels.groupBy(F.col("label").alias("community"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_members"))
+        .orderBy(F.desc("n_members"), "community")
+        .limit(20)
+    )

@@ -1736,3 +1736,87 @@ def variant_json_shred(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count_distinct("user_id").cast("long").alias("n_users"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Retractable aggregate maintenance (incremental view with DELETEs)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "retractable_agg_maintenance",
+    oracle="""
+    WITH remaining AS (
+      SELECT o_orderpriority,
+             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents
+      FROM orders WHERE o_orderkey % 17 <> 3
+    )
+    SELECT o_orderpriority AS priority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           (CAST(SUM(cents) AS DOUBLE) / 100.0) AS total_value,
+           (CAST(MIN(cents) AS DOUBLE) / 100.0) AS min_value
+    FROM remaining GROUP BY 1
+    """,
+    description="Retractable incremental aggregate: a maintained "
+    "per-priority (count, sum, min) view absorbs a DELETE batch "
+    "(every 17th order) WITHOUT recomputing from scratch — counts "
+    "and sums subtract the delta's partials (additive retraction), "
+    "while MIN, which cannot retract, is recomputed ONLY for the "
+    "groups whose current minimum was actually deleted (a targeted "
+    "per-affected-group pass, O(affected groups' rows), found by "
+    "comparing the delta's per-group min against the base view).  "
+    "This is the asymmetric-merge discipline of every materialized-"
+    "view engine (Calcite/Materialize): additive aggregates retract, "
+    "extreme aggregates re-derive narrowly.  The oracle recomputes "
+    "the post-delete state directly, pinning that maintenance == "
+    "recompute.",
+)
+def retractable_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    deleted = orders.filter(F.col("o_orderkey") % 17 == 3)
+    # the maintained BASE view (as a real pipeline would hold it)
+    base = orders.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("cents").alias("s"),
+        F.min("cents").alias("mn"),
+    )
+    dagg = deleted.groupBy("o_orderpriority").agg(
+        F.count(F.lit(1)).alias("d_n"),
+        F.sum("cents").alias("d_s"),
+        F.min("cents").alias("d_mn"),
+    )
+    merged = base.join(F.broadcast(dagg), "o_orderpriority", "left").select(
+        "o_orderpriority",
+        (F.col("n") - F.coalesce("d_n", F.lit(0))).alias("n"),
+        (F.col("s") - F.coalesce("d_s", F.lit(0))).alias("s"),
+        "mn",
+        # min is retract-UNSAFE exactly when the deleted batch
+        # touched the current minimum
+        (F.coalesce("d_mn", F.lit(None)) == F.col("mn")).alias("min_hit"),
+    )
+    # targeted re-derive: only groups whose min was deleted rescan,
+    # and only over their own remaining rows (broadcast semi filter)
+    hit_groups = merged.filter(F.col("min_hit")).select("o_orderpriority")
+    remaining = orders.join(
+        F.broadcast(deleted.select("o_orderkey")), "o_orderkey", "left_anti"
+    )
+    remin = (
+        remaining.join(F.broadcast(hit_groups), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(F.min("cents").alias("re_mn"))
+    )
+    return (
+        merged.join(F.broadcast(remin), "o_orderpriority", "left")
+        .select(
+            F.col("o_orderpriority").alias("priority"),
+            F.col("n").cast("long").alias("n"),
+            (F.col("s").cast("double") / 100.0).alias("total_value"),
+            (
+                F.coalesce("re_mn", F.col("mn")).cast("double") / 100.0
+            ).alias("min_value"),
+        )
+    )

@@ -675,3 +675,58 @@ def test_random_integer_arithmetic_matches_duckdb(
         "lineitem"
     )
     compare(spark.sql(s_body), d_body, SF_DIR)
+
+
+# dimension 13: the range-partitioned global rank + exact-NTILE
+# arithmetic (operators/ranking.py) vs the engines' native
+# ROW_NUMBER/NTILE — the round-6 shared ranking helper now backs
+# decile_lift_table / vocab_coverage / rfm_segmentation, so its
+# rank-permutation behavior under random predicates, tile counts,
+# partition counts, and sort directions gets swept here.
+@_FUZZ
+@given(
+    pred=predicates(),
+    tiles=st.integers(2, 13),
+    parts=st.integers(2, 24),
+    direction=st.sampled_from(["ASC", "DESC"]),
+)
+def test_random_ranked_by_range_matches_native_ntile(
+    spark, pred, tiles, parts, direction
+):
+    """ranked_by_range + ntile_expr must equal the native global
+    NTILE/ROW_NUMBER for any filter, tile count, partition count and
+    direction (total order fixed by the unique-ish key triple)."""
+    from dados_publicos_etl_spark.operators.ranking import (
+        ntile_expr,
+        ranked_by_range,
+    )
+
+    li = (
+        read_table(spark, SF_DIR, "lineitem")
+        .filter(F.expr(pred))
+        .select("l_orderkey", "l_linenumber", "l_quantity", "l_discount")
+    )
+    order = [
+        F.col("l_quantity").desc() if direction == "DESC" else F.col("l_quantity"),
+        "l_discount",
+        "l_orderkey",
+        "l_linenumber",
+    ]
+    ranked, total = ranked_by_range(li, order, num_partitions=parts)
+    if total == 0:
+        return
+    got = ranked.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.col("rn"),
+        ntile_expr("rn", total, tiles).alias("tile"),
+    )
+    oracle = f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(NTILE({tiles}) OVER w AS INT) AS tile
+    FROM lineitem WHERE {pred}
+    WINDOW w AS (ORDER BY l_quantity {direction}, l_discount,
+                 l_orderkey, l_linenumber)
+    """
+    compare(got, oracle, SF_DIR)
