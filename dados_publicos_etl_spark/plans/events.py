@@ -1849,3 +1849,162 @@ def top_paths_3step(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_paths"), "path")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Week-over-week active-user overlap
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "weekly_active_overlap",
+    oracle="""
+    WITH active AS (
+      SELECT DISTINCT date_trunc('week', ts) AS wk, user_id FROM events
+    ), sizes AS (
+      SELECT wk, CAST(COUNT(*) AS BIGINT) AS n_active FROM active GROUP BY 1
+    ), shared AS (
+      SELECT a.wk AS wk, CAST(COUNT(*) AS BIGINT) AS n_retained
+      FROM active a
+      JOIN active b ON b.user_id = a.user_id
+                   AND b.wk = a.wk - INTERVAL 7 DAY
+      GROUP BY 1
+    )
+    SELECT strftime(s.wk, '%Y-%m-%d') AS week_start,
+           s.n_active,
+           COALESCE(sh.n_retained, 0) AS n_retained_from_prev,
+           CAST(COALESCE(sh.n_retained, 0) AS DOUBLE) / s.n_active
+             AS retained_share
+    FROM sizes s LEFT JOIN shared sh ON s.wk = sh.wk
+    """,
+    description="Week-over-week active-user overlap: per week, how "
+    "many active users were ALSO active the previous week and the "
+    "retained share — the rolling-retention pulse metric "
+    "(retention_cohorts tracks cohorts forever; this tracks adjacent-"
+    "week stickiness).  Spark-first: one distinct over (week, user) "
+    "— the only data-wide shuffle — then a self-equi-join on "
+    "(user, week-7d) whose fan-out is bounded by 1 row per user-week "
+    "pair; counts partial-aggregate.  The retained share keeps the "
+    "bare IEEE division from exact counts (no cross-engine ROUND).",
+)
+def weekly_active_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    active = ev.select(
+        F.date_trunc("week", F.col("ts")).alias("wk"), "user_id"
+    ).distinct()
+    sizes = active.groupBy("wk").agg(F.count(F.lit(1)).alias("n_active"))
+    b = active.select(
+        F.col("user_id").alias("b_user"), F.col("wk").alias("b_wk")
+    )
+    shared = (
+        active.join(
+            b,
+            (F.col("b_user") == F.col("user_id"))
+            & (F.col("b_wk") == F.expr("wk - INTERVAL 7 DAY")),
+        )
+        .groupBy("wk")
+        .agg(F.count(F.lit(1)).alias("n_retained"))
+    )
+    return (
+        sizes.join(shared, "wk", "left")
+        .select(
+            F.date_format("wk", "yyyy-MM-dd").alias("week_start"),
+            F.col("n_active").cast("long").alias("n_active"),
+            F.coalesce("n_retained", F.lit(0))
+            .cast("long")
+            .alias("n_retained_from_prev"),
+            (
+                F.coalesce("n_retained", F.lit(0)).cast("double")
+                / F.col("n_active")
+            ).alias("retained_share"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Interval-union coverage (sweep-line covered time)
+# ---------------------------------------------------------------------------
+
+_IUC_WIN_US = 600_000_000  # each event opens a 10-minute activity interval
+
+
+@query(
+    "interval_union_coverage",
+    oracle=f"""
+    WITH iv AS (
+      SELECT user_id, epoch_us(ts) AS s, epoch_us(ts) + {_IUC_WIN_US} AS e
+      FROM events
+    ), b AS (
+      SELECT user_id, s AS t, 1 AS d FROM iv
+      UNION ALL
+      SELECT user_id, e AS t, -1 AS d FROM iv
+    ), sweep AS (
+      SELECT user_id, t,
+             SUM(d) OVER (PARTITION BY user_id ORDER BY t, d DESC
+                          ROWS UNBOUNDED PRECEDING) AS running,
+             LEAD(t) OVER (PARTITION BY user_id ORDER BY t, d DESC)
+               AS nxt
+      FROM b
+    )
+    SELECT user_id,
+           CAST(SUM(CASE WHEN running > 0 THEN nxt - t ELSE 0 END)
+                AS BIGINT) AS covered_us,
+           CAST((SELECT COUNT(*) FROM iv i WHERE i.user_id = sweep.user_id)
+                AS BIGINT) AS n_intervals
+    FROM sweep
+    WHERE nxt IS NOT NULL
+    GROUP BY user_id
+    ORDER BY covered_us DESC, user_id
+    LIMIT 20
+    """,
+    description="Interval-union coverage by sweep-line: each event "
+    "opens a 10-minute activity interval; per user, the UNION length "
+    "of those overlapping intervals (total genuinely-active time, "
+    "the engagement denominator double-counting naive sums inflate). "
+    " The classic +1/-1 boundary sweep — one user-keyed window sort "
+    "gives the running open-interval count and each boundary's gap "
+    "to the next; covered time = sum of gaps where the count is "
+    "positive.  +1 boundaries sort before -1 at equal timestamps, "
+    "so half-open [s, e) intervals that touch merge seamlessly.  "
+    "All integer microseconds; one shuffle on user_id; sibling of "
+    "concurrent_events_peak (same sweep, peak vs measure).",
+)
+def interval_union_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    ev = read_table(spark, sf_dir, "events")
+    us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    iv = ev.select("user_id", us.alias("s"), (us + _IUC_WIN_US).alias("e"))
+    b = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d")
+    ).unionAll(
+        iv.select("user_id", F.col("e").alias("t"), F.lit(-1).alias("d"))
+    )
+    w = W.partitionBy("user_id").orderBy("t", F.desc("d"))
+    sweep = b.select(
+        "user_id",
+        "t",
+        F.sum("d").over(w.rowsBetween(W.unboundedPreceding, 0)).alias(
+            "running"
+        ),
+        F.lead("t").over(w).alias("nxt"),
+    ).filter(F.col("nxt").isNotNull())
+    cov = sweep.groupBy("user_id").agg(
+        F.sum(
+            F.when(F.col("running") > 0, F.col("nxt") - F.col("t")).otherwise(
+                0
+            )
+        )
+        .cast("long")
+        .alias("covered_us")
+    )
+    niv = iv.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_intervals")
+    )
+    return (
+        cov.join(niv, "user_id")
+        .orderBy(F.desc("covered_us"), "user_id")
+        .limit(20)
+    )
