@@ -638,3 +638,80 @@ def isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("rate_raw", 9).alias("rate_raw"),
         F.round("rate_iso", 9).alias("rate_iso"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Inter-rater agreement (Cohen's kappa)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "cohens_kappa_raters",
+    oracle="""
+    WITH rated AS (
+      SELECT CASE WHEN value > 50.0 THEN 1 ELSE 0 END AS r1,
+             CASE WHEN event_type IN ('purchase', 'click') THEN 1 ELSE 0 END
+               AS r2
+      FROM events
+    ), m AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(r1 * r2) AS BIGINT) AS a,
+             CAST(SUM(r1 * (1 - r2)) AS BIGINT) AS b,
+             CAST(SUM((1 - r1) * r2) AS BIGINT) AS c,
+             CAST(SUM((1 - r1) * (1 - r2)) AS BIGINT) AS d
+      FROM rated
+    )
+    SELECT n, a AS both_pos, b AS only_r1, c AS only_r2, d AS both_neg,
+           CAST(a + d AS DOUBLE) / n AS p_observed,
+           (CAST(a + b AS DOUBLE) / n) * (CAST(a + c AS DOUBLE) / n)
+           + (CAST(c + d AS DOUBLE) / n) * (CAST(b + d AS DOUBLE) / n)
+             AS p_expected,
+           ROUND((CAST(a + d AS DOUBLE) / n
+                  - ((CAST(a + b AS DOUBLE) / n) * (CAST(a + c AS DOUBLE) / n)
+                     + (CAST(c + d AS DOUBLE) / n)
+                       * (CAST(b + d AS DOUBLE) / n)))
+                 / (1.0
+                    - ((CAST(a + b AS DOUBLE) / n)
+                       * (CAST(a + c AS DOUBLE) / n)
+                       + (CAST(c + d AS DOUBLE) / n)
+                         * (CAST(b + d AS DOUBLE) / n))), 9) AS kappa
+    FROM m
+    """,
+    description="Cohen's kappa between two deterministic labelers "
+    "(a value rule and an event-type rule): chance-corrected "
+    "agreement from the exact 2x2 confusion counts — the metric that "
+    "qualifies auto-labelers and LLM judges before their labels "
+    "train anything (raw accuracy overstates agreement under class "
+    "imbalance).  ONE partial-aggregated pass produces n/a/b/c/d; "
+    "kappa is row-local double arithmetic on those exact integers, "
+    "identical IEEE tree on both engines.  Completes the agreement/"
+    "evaluation family beside classifier_auc_exact and "
+    "isotonic_calibration.",
+)
+def cohens_kappa_raters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    ev = read_table(spark, sf_dir, "events")
+    r1 = F.when(F.col("value") > 50.0, 1).otherwise(0)
+    r2 = F.when(
+        F.col("event_type").isin("purchase", "click"), 1
+    ).otherwise(0)
+    m = ev.select(r1.alias("r1"), r2.alias("r2")).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.col("r1") * F.col("r2")).alias("a"),
+        F.sum(F.col("r1") * (1 - F.col("r2"))).alias("b"),
+        F.sum((1 - F.col("r1")) * F.col("r2")).alias("c"),
+        F.sum((1 - F.col("r1")) * (1 - F.col("r2"))).alias("d"),
+    )
+    n = F.col("n").cast("double")
+    a, b, c, d = (F.col(x).cast("double") for x in "abcd")
+    po = (a + d) / n
+    pe = ((a + b) / n) * ((a + c) / n) + ((c + d) / n) * ((b + d) / n)
+    return m.select(
+        F.col("n").cast("long").alias("n"),
+        F.col("a").cast("long").alias("both_pos"),
+        F.col("b").cast("long").alias("only_r1"),
+        F.col("c").cast("long").alias("only_r2"),
+        F.col("d").cast("long").alias("both_neg"),
+        po.alias("p_observed"),
+        pe.alias("p_expected"),
+        F.round((po - pe) / (1.0 - pe), 9).alias("kappa"),
+    )

@@ -625,3 +625,62 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("split"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Class-balanced downsampling
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "class_balance_downsample",
+    oracle="""
+    WITH sized AS (
+      SELECT label, CAST(COUNT(*) AS BIGINT) AS n
+      FROM embeddings GROUP BY 1
+    ), floor_n AS (
+      SELECT MIN(n) AS k FROM sized
+    ), ranked AS (
+      SELECT label, vec_id,
+             ROW_NUMBER() OVER (PARTITION BY label
+                                ORDER BY md5(CAST(vec_id AS VARCHAR)),
+                                         vec_id) AS rk
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_kept,
+           CAST(MIN(vec_id) AS BIGINT) AS min_kept_id,
+           CAST(MAX(vec_id) AS BIGINT) AS max_kept_id
+    FROM ranked, floor_n
+    WHERE rk <= k
+    GROUP BY label
+    """,
+    description="Class-balanced downsampling: every label keeps "
+    "exactly min-class-size rows, chosen by the md5 hash order of "
+    "the row id — the standard training-set rebalance, deterministic "
+    "and engine-reproducible (no rand()), so reruns and backfills "
+    "select the SAME rows.  One per-label window rank (bounded by "
+    "class size) + a 1-row scalar floor broadcast; complements "
+    "corpus_mix_rebalance (share targets) with the hard equal-count "
+    "variant.",
+)
+def class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    sized = emb.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    floor_n = sized.agg(F.min("n").alias("k"))
+    w = W.partitionBy("label").orderBy(
+        F.md5(F.col("vec_id").cast("string")), "vec_id"
+    )
+    ranked = emb.select(
+        "label", "vec_id", F.row_number().over(w).alias("rk")
+    )
+    return (
+        ranked.crossJoin(F.broadcast(floor_n))
+        .filter(F.col("rk") <= F.col("k"))
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_kept"),
+            F.min("vec_id").cast("long").alias("min_kept_id"),
+            F.max("vec_id").cast("long").alias("max_kept_id"),
+        )
+    )

@@ -93,6 +93,17 @@ PROBE = [
     "multimodal_audio_segments",   # int16-PCM segmentation
     "multimodal_wav_roundtrip",    # WAV/RIFF build+parse
     "image_neardup_dhash",         # dHash + hamming LSH
+    # round-6 new-operator coverage
+    "rfm_segmentation",            # 3x range-partitioned quintiles
+    "hits_authorities",            # 8th iterative (decimal counts)
+    "label_propagation_communities",  # 9th iterative (argmax rounds)
+    "retractable_agg_maintenance", # delete-aware view maintenance
+    "entity_resolution_e2e",       # SNM pairs -> CC -> canonical
+    "interval_union_coverage",     # +1/-1 boundary sweep
+    "bm25_topk",                   # tf/df tables + scalar stats
+    "scd2_pit_join",               # keyed containment join
+    "rolling_mad_anomaly",         # offset-explode day windows
+    "weekly_active_overlap",       # distinct + bounded self-join
 ]
 
 
