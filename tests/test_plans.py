@@ -463,6 +463,7 @@ def test_geo_proximity_join_is_equi_join(spark, sf_dir):
 _BNLJ_OK = {
     "benford_audit",       # 1-row digit-total crossJoin
     "bm25_topk",           # 1-row corpus stats (N, avgdl) crossJoin
+    "class_balance_downsample",  # 1-row min-class-size floor crossJoin
     "hits_authorities",    # 1-row max-authority normalizer crossJoin
     "dq_report",           # scalar stats row
     "heavy_hitters_exact",  # 1-row N-total crossJoin onto candidates
