@@ -103,3 +103,61 @@ def ntile_expr(rn_col: str, n_rows: int, n_tiles: int) -> Column:
             f" ELSE {r} + ({rn_col} - {cut} - 1) div {q} + 1 END"
         )
     ).cast("int")
+
+
+def prefix_sums_by_range(
+    df: DataFrame,
+    order: list[Column | str],
+    value_col: str,
+    num_partitions: int = _DEFAULT_PARTS,
+) -> tuple[DataFrame, int, int]:
+    """Global rank AND global running sum of ``value_col`` under the
+    total order ``order`` — with NO SinglePartition exchange.
+
+    The same two-job shape as :func:`ranked_by_range`, carrying one
+    more per-partition statistic: each range partition's value sum
+    becomes a cumulative offset added to the partition-local running
+    sum, exactly as row counts become rank offsets.  This is the
+    scalable form of ``SUM(x) OVER (ORDER BY ...)`` — the naive plan
+    sorts the whole relation in one task.  ``value_col`` must be
+    integral (exact merge; float offsets would reorder additions).
+
+    Returns ``(df + rn + cum, total_rows, total_value)``.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn("__rbr_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    stats = sorted(
+        ranged.groupBy("__rbr_pid")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(value_col).alias("s"))
+        .collect(),
+        key=lambda r: r["__rbr_pid"],
+    )
+    offsets: list[tuple[int, int, int]] = []
+    acc_n, acc_s = 0, 0
+    for r in stats:
+        offsets.append((r["__rbr_pid"], acc_n, acc_s))
+        acc_n += r["n"]
+        acc_s += r["s"] or 0
+    off = df.sparkSession.createDataFrame(
+        offsets, "__rbr_pid int, __rbr_off long, __rbr_voff long"
+    )
+    w = Window.partitionBy("__rbr_pid").orderBy(*order)
+    out = (
+        ranged.withColumn("__rbr_local", F.row_number().over(w))
+        .withColumn(
+            "__rbr_vlocal",
+            F.sum(value_col).over(w.rowsBetween(Window.unboundedPreceding, 0)),
+        )
+        .join(F.broadcast(off), "__rbr_pid")
+        .withColumn(
+            "rn", (F.col("__rbr_local") + F.col("__rbr_off")).cast("long")
+        )
+        .withColumn(
+            "cum", (F.col("__rbr_vlocal") + F.col("__rbr_voff")).cast("long")
+        )
+        .drop("__rbr_pid", "__rbr_local", "__rbr_vlocal", "__rbr_off", "__rbr_voff")
+    )
+    return out, acc_n, acc_s

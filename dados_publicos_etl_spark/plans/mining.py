@@ -3004,3 +3004,73 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("centroid_cosine"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Pareto revenue concentration curve (global prefix sum, no global window)
+# ---------------------------------------------------------------------------
+
+_PARETO_PCTS = (1, 5, 10, 25, 50)
+
+
+@query(
+    "pareto_revenue_curve",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
+             ROW_NUMBER() OVER w AS rn,
+             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
+               ORDER BY o_totalprice DESC, o_orderkey
+               ROWS UNBOUNDED PRECEDING) AS cum
+      FROM orders
+      WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
+    ), tot AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(cents) AS BIGINT) AS s
+      FROM ranked
+    )
+    SELECT pct,
+           CAST(r.rn AS BIGINT) AS n_orders,
+           CAST(r.cum AS DOUBLE) / t.s AS revenue_share
+    FROM tot t,
+         UNNEST([{', '.join(str(p) for p in _PARETO_PCTS)}]) AS u(pct)
+    JOIN ranked r ON r.rn = (t.n * pct + 99) // 100
+    ORDER BY pct
+    """,
+    description="Pareto revenue-concentration curve: the share of "
+    "total revenue carried by the top 1/5/10/25/50% of orders — the "
+    "'do 20% of orders make 80% of revenue?' readout.  The global "
+    "rank AND the global running revenue both come from "
+    "prefix_sums_by_range (operators/ranking.py): per-range-"
+    "partition local cumsum + broadcast per-partition value offsets "
+    "— the scalable form of SUM() OVER (ORDER BY ...), whose naive "
+    "plan funnels the whole fact table through one task.  Exact "
+    "integer cents throughout; the share is a bare IEEE division of "
+    "exact totals.  Plan-pinned SinglePartition-free.",
+)
+def pareto_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.operators.ranking import (
+        prefix_sums_by_range,
+    )
+
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_totalprice",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    ranked, n, s = prefix_sums_by_range(
+        orders, [F.desc("o_totalprice"), "o_orderkey"], "cents"
+    )
+    targets = {(n * p + 99) // 100: p for p in _PARETO_PCTS}
+    pct_expr = F.lit(None).cast("int")
+    for rn_t, p in targets.items():
+        pct_expr = F.when(F.col("rn") == rn_t, p).otherwise(pct_expr)
+    return (
+        ranked.filter(F.col("rn").isin(list(targets)))
+        .select(
+            pct_expr.alias("pct"),
+            F.col("rn").cast("long").alias("n_orders"),
+            (F.col("cum").cast("double") / float(s)).alias("revenue_share"),
+        )
+        .orderBy("pct")
+    )

@@ -624,3 +624,13 @@ def test_ntile_expr_matches_ntile_semantics(spark, sf_dir):
         got = rows.select("rn", "want", ntile_expr("rn", n_rows, k).alias("got"))
         bad = got.filter(F.col("want") != F.col("got")).count()
         assert bad == 0, (n_rows, k)
+
+
+def test_pareto_curve_has_no_single_partition(spark, sf_dir):
+    """Global rank + global running sum both ride the range-
+    partitioned prefix-sum helper: the WHOLE plan must be free of
+    SinglePartition exchanges (the naive SUM() OVER (ORDER BY) plan
+    is one task sorting the fact table)."""
+    plan = _plan(QUERIES["pareto_revenue_curve"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    assert "row_number" in plan.lower()
