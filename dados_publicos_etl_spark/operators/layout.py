@@ -94,3 +94,54 @@ def write_zordered(
         .write.mode("overwrite")
         .parquet(path)
     )
+
+
+# ---------------------------------------------------------------------------
+# Globally-sorted export with an order-proving manifest
+# ---------------------------------------------------------------------------
+
+
+def write_globally_sorted(
+    df,
+    path: str,
+    order_cols: list[str],
+    num_files: int = 8,
+):
+    """Write ``df`` as a GLOBALLY sorted parquet layout: range
+    partitions are globally ordered, rows sort within each file, so
+    file k's max key <= file k+1's min key — a total order across the
+    dataset with NO single-task sort (repartitionByRange + local
+    sortWithinPartitions, the write-side sibling of
+    ranking.ranked_by_range).
+
+    This is the layout downstream binary-searchable consumers want
+    (merge readers, sorted-export interchange, sequential samplers):
+    any range predicate on the leading key prunes to the files whose
+    [min, max] overlap, and k-way-merge reads need no re-sort.
+
+    Returns the manifest: one row per file with (file, n_rows,
+    min_key, max_key) on the leading order column, computed in ONE
+    job over input_file_name() — the caller can persist it beside
+    the data as the pruning index.
+    """
+    from pyspark.sql import functions as F
+
+    (
+        df.repartitionByRange(num_files, *order_cols)
+        .sortWithinPartitions(*order_cols)
+        .write.mode("overwrite")
+        .parquet(path)
+    )
+    spark = df.sparkSession
+    lead = order_cols[0]
+    manifest = (
+        spark.read.parquet(path)
+        .groupBy(F.input_file_name().alias("file"))
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min(lead).alias("min_key"),
+            F.max(lead).alias("max_key"),
+        )
+        .orderBy("min_key")
+    )
+    return manifest

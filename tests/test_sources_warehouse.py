@@ -730,3 +730,31 @@ def test_publish_version_atomic_pointer_and_gc(spark, tmp_path, sf_dir):
     assert read_current_version(spark, root).count() == 40
     dirs = {d for d in os.listdir(root) if d.startswith("v")}
     assert dirs == {"v2", "v3"}, dirs  # v1 GC'd, window of 2 kept
+
+
+def test_globally_sorted_export_files_are_totally_ordered(
+    spark, sf_dir, tmp_path
+):
+    """write_globally_sorted must produce a cross-file total order:
+    file k's max key <= file k+1's min key, rows preserved, and the
+    manifest's per-file ranges must not overlap."""
+    from dados_publicos_etl_spark.operators.layout import (
+        write_globally_sorted,
+    )
+
+    li = eio.read_table(spark, sf_dir, "lineitem").select(
+        "l_extendedprice", "l_orderkey", "l_linenumber"
+    )
+    path = str(tmp_path / "sorted_li")
+    manifest = write_globally_sorted(
+        li, path, ["l_extendedprice", "l_orderkey", "l_linenumber"]
+    ).collect()
+    assert sum(r.n_rows for r in manifest) == li.count()
+    assert len(manifest) > 1
+    for prev, nxt in zip(manifest, manifest[1:]):
+        assert prev.max_key <= nxt.min_key
+    # within-file order spot check on the first file
+    import pandas as pd
+
+    f0 = pd.read_parquet(manifest[0].file.replace("file://", ""))
+    assert f0["l_extendedprice"].is_monotonic_increasing
