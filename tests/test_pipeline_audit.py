@@ -89,3 +89,23 @@ def test_catalog_md_matches_registry():
     )
     m = re.search(r"\*\*(\d+) queries\*\*", text)
     assert int(m.group(1)) == len(QUERIES)
+
+
+def test_tempdir_pool_rolls_and_cleans():
+    """TempDirPool keeps only the newest `keep` dirs per purpose
+    (older ones deleted as new ones arrive) and cleanup_all removes
+    everything — the bounded replacement for the per-round tempdir
+    keep-lists the r5 ADVICE flagged."""
+    import os
+
+    from dados_publicos_etl_spark.tmpstore import TempDirPool
+
+    pool = TempDirPool(keep=2)
+    dirs = [pool.new_dir("test", "tp_test_") for _ in range(5)]
+    assert not os.path.exists(dirs[0]) and not os.path.exists(dirs[2])
+    assert os.path.exists(dirs[3]) and os.path.exists(dirs[4])
+    # independent purposes roll independently
+    other = pool.new_dir("other", "tp_other_")
+    assert os.path.exists(dirs[4]) and os.path.exists(other)
+    pool.cleanup_all()
+    assert not os.path.exists(dirs[4]) and not os.path.exists(other)
