@@ -1610,10 +1610,11 @@ _Q_EXPR_SPARK = (
 )
 
 
-@query(
-    "embedding_gram_matrix",
-    oracle="""
-    WITH d AS (
+# Quantize + explode + upper-triangle Gram as a reusable oracle CTE
+# (embedding_gram_matrix consumes it directly; pca_power_iteration in
+# plans/stats2.py builds power-iteration rounds on top of it)
+_GRAM_SQL = """
+    d AS (
       SELECT vec_id,
              list_transform(embedding, x -> CAST(x AS DOUBLE)) AS v
       FROM embeddings
@@ -1626,11 +1627,20 @@ _Q_EXPR_SPARK = (
     ), ex AS (
       SELECT vec_id, g.i AS i, qv[g.i] AS q
       FROM q, (SELECT unnest(range(1, 65)) AS i) g
+    ), gram AS (
+      SELECT a.i AS dim_i, b.i AS dim_j,
+             CAST(SUM(CAST(a.q AS BIGINT) * b.q) AS BIGINT) AS g
+      FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
+      GROUP BY a.i, b.i
     )
-    SELECT a.i AS dim_i, b.i AS dim_j,
-           CAST(SUM(CAST(a.q AS BIGINT) * b.q) AS BIGINT) AS g
-    FROM ex a JOIN ex b ON a.vec_id = b.vec_id AND a.i <= b.i
-    GROUP BY a.i, b.i
+"""
+
+
+@query(
+    "embedding_gram_matrix",
+    oracle=f"""
+    WITH {_GRAM_SQL}
+    SELECT dim_i, dim_j, g FROM gram
     """,
     description="Exact integer Gram matrix (X'X upper triangle, "
     "d(d+1)/2 = 2080 cells) over int8-quantized embeddings — the "

@@ -1,0 +1,998 @@
+"""Second statistics/mining wave: rank statistics (Spearman,
+Kolmogorov-Smirnov), link prediction over the co-purchase graph,
+grid-blocked density clustering (DBSCAN core/border/noise), and a
+fully PORTABLE HyperLogLog whose register construction — not just its
+error bound — is differentially checked against DuckDB.
+
+North-star §2.B widening (the reference at /root/reference stops at
+CSV->parquet cleaning; these are the analytics/curation primitives a
+training-data warehouse layers on top).  Every query here is
+oracle-checked; the discipline is the same as plans/mining.py:
+
+- rank statistics collapse the fact table to a BOUNDED intermediate
+  (calendar days, value tie-groups) before any window runs;
+- the one genuinely data-scale running sum (the KS ECDF) rides the
+  range-partitioned prefix-sum machinery (operators/ranking.py) —
+  never a SinglePartition window;
+- every float is a single division of exact integers, rounded
+  identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark.io import read_table
+from dados_publicos_etl_spark.operators.ranking import prefix_sums_by_range
+from dados_publicos_etl_spark.plans.mining import _EDGES_SQL, _co_edges
+from dados_publicos_etl_spark.plans.registry import query
+
+# ---------------------------------------------------------------------------
+# Spearman rank correlation (daily volume vs daily revenue, per class)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "spearman_daily_rank_corr",
+    oracle="""
+    WITH daily AS (
+      SELECT o_orderpriority AS cls, CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY cls, day
+    ), rx AS (
+      SELECT cls, x,
+             2 * (SUM(CAST(COUNT(*) AS BIGINT)) OVER
+                    (PARTITION BY cls ORDER BY x) - COUNT(*))
+               + COUNT(*) + 1 AS r2x
+      FROM daily GROUP BY cls, x
+    ), ry AS (
+      SELECT cls, y,
+             2 * (SUM(CAST(COUNT(*) AS BIGINT)) OVER
+                    (PARTITION BY cls ORDER BY y) - COUNT(*))
+               + COUNT(*) + 1 AS r2y
+      FROM daily GROUP BY cls, y
+    ), ranked AS (
+      SELECT d.cls, rx.r2x, ry.r2y
+      FROM daily d
+      JOIN rx ON rx.cls = d.cls AND rx.x = d.x
+      JOIN ry ON ry.cls = d.cls AND ry.y = d.y
+    ), m AS (
+      SELECT cls, CAST(COUNT(*) AS BIGINT) AS n_days,
+             CAST(SUM(r2x) AS BIGINT) AS sx,
+             CAST(SUM(r2y) AS BIGINT) AS sy,
+             CAST(SUM(r2x * r2x) AS BIGINT) AS sxx,
+             CAST(SUM(r2y * r2y) AS BIGINT) AS syy,
+             CAST(SUM(r2x * r2y) AS BIGINT) AS sxy
+      FROM ranked GROUP BY cls
+    )
+    SELECT cls, n_days,
+           ROUND((n_days * sxy - sx * sy)
+                 / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
+                    * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6)
+             AS spearman_rho
+    FROM m
+    """,
+    description="Spearman rank correlation between daily order count "
+    "and daily revenue per priority class — the monotone-association "
+    "screen that survives outliers and nonlinearity where Pearson "
+    "does not.  Rank statistics are usually scale hostile (a global "
+    "sort per group); here the fact table first collapses to the "
+    "DAILY aggregate (calendar-bounded: ~2.5k rows per class at ANY "
+    "corpus size), midranks come from tie-group cumulative counts "
+    "(doubled to stay integer — r2 = 2*rank_before + ties + 1, exact "
+    "on both engines), and rho is the Pearson formula over exact "
+    "integer rank moments divided ONCE.  All windows run over the "
+    "bounded daily/tie tables, never the facts; one fact-scale "
+    "shuffle total (the daily GROUP BY).",
+)
+def spearman_daily_rank_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderpriority").alias("cls"),
+        F.col("o_orderdate").cast("date").alias("day"),
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "y"
+        ),
+    )
+
+    def midranks2(col: str, out: str) -> DataFrame:
+        # doubled midrank per tie group: 2*(#rows strictly below) +
+        # ties + 1 — integer-exact, engine-portable
+        w = (
+            Window.partitionBy("cls")
+            .orderBy(col)
+            .rowsBetween(Window.unboundedPreceding, 0)
+        )
+        return (
+            daily.groupBy("cls", col)
+            .agg(F.count(F.lit(1)).alias("ties"))
+            .withColumn(
+                out,
+                2 * (F.sum("ties").over(w) - F.col("ties"))
+                + F.col("ties")
+                + 1,
+            )
+            .drop("ties")
+        )
+
+    ranked = daily.join(midranks2("x", "r2x"), ["cls", "x"]).join(
+        midranks2("y", "r2y"), ["cls", "y"]
+    )
+    m = ranked.groupBy("cls").agg(
+        F.count(F.lit(1)).alias("n_days"),
+        F.sum("r2x").alias("sx"),
+        F.sum("r2y").alias("sy"),
+        F.sum(F.col("r2x") * F.col("r2x")).alias("sxx"),
+        F.sum(F.col("r2y") * F.col("r2y")).alias("syy"),
+        F.sum(F.col("r2x") * F.col("r2y")).alias("sxy"),
+    )
+    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
+    den = F.sqrt(
+        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
+            "double"
+        )
+    ) * F.sqrt(
+        (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
+            "double"
+        )
+    )
+    return m.select(
+        "cls", "n_days", F.round(num / den, 6).alias("spearman_rho")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Two-sample Kolmogorov-Smirnov test (exact D, no global window)
+# ---------------------------------------------------------------------------
+
+_KS_A = "1-URGENT"
+_KS_B = "5-LOW"
+
+
+@query(
+    "ks_test_twosample",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS val,
+             o_orderpriority AS pr
+      FROM orders WHERE o_orderpriority IN ('{_KS_A}', '{_KS_B}')
+    ), sizes AS (
+      SELECT CAST(SUM(CASE WHEN pr = '{_KS_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n1,
+             CAST(SUM(CASE WHEN pr = '{_KS_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS n2
+      FROM cents
+    ), ties AS (
+      SELECT val,
+             CAST(SUM(CASE WHEN pr = '{_KS_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN pr = '{_KS_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM cents GROUP BY val
+    ), ecdf AS (
+      SELECT SUM(s.n2 * t.c1 - s.n1 * t.c2)
+               OVER (ORDER BY t.val) AS gap
+      FROM ties t CROSS JOIN sizes s
+    )
+    SELECT s.n1, s.n2,
+           CAST(MAX(ABS(e.gap)) AS BIGINT) AS d_num,
+           ROUND(CAST(MAX(ABS(e.gap)) AS DOUBLE) / (s.n1 * s.n2), 6)
+             AS d_stat,
+           ROUND(CAST(MAX(ABS(e.gap)) AS DOUBLE) / (s.n1 * s.n2)
+                 * sqrt(CAST(s.n1 AS DOUBLE) * s.n2 / (s.n1 + s.n2)), 6)
+             AS ks_lambda
+    FROM ecdf e CROSS JOIN sizes s
+    GROUP BY s.n1, s.n2
+    """,
+    description="Exact two-sample Kolmogorov-Smirnov statistic between "
+    f"the order-value distributions of '{_KS_A}' and '{_KS_B}' orders "
+    "— the distribution-drift test that needs the WHOLE ECDF, not "
+    "moments.  D = max|F1-F2| is computed cross-multiplied in exact "
+    "integers (gap = n2*cum1 - n1*cum2 — no per-row division, no "
+    "float ECDF), over the value TIE-GROUP table (one hash aggregate "
+    "collapses the facts to distinct cent values).  The one "
+    "data-scale ordered scan — the running gap over values — rides "
+    "the range-partitioned prefix-sum machinery "
+    "(operators/ranking.py): per-partition running sums plus a P-row "
+    "offset table, NO SinglePartition window anywhere in the plan.  "
+    "Sample sizes are a 1-row scalar aggregate (the PageRank n-count "
+    "pattern).  Output: exact integer D numerator, D, and the "
+    "sqrt(n1*n2/(n1+n2))-scaled KS lambda.",
+)
+def ks_test_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cents = orders.filter(
+        F.col("o_orderpriority").isin(_KS_A, _KS_B)
+    ).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("val"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    ties = cents.groupBy("val").agg(
+        F.sum(F.when(F.col("pr") == _KS_A, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("pr") == _KS_B, 1).otherwise(0)).alias("c2"),
+    )
+    # sample sizes: 1-row scalar (request-scale collect)
+    n1, n2 = ties.agg(F.sum("c1"), F.sum("c2")).first()
+    gaps = ties.withColumn(
+        "v", F.lit(int(n2)) * F.col("c1") - F.lit(int(n1)) * F.col("c2")
+    )
+    cum, _, _ = prefix_sums_by_range(gaps, [F.col("val")], "v")
+    return cum.agg(
+        F.lit(int(n1)).alias("n1"),
+        F.lit(int(n2)).alias("n2"),
+        F.max(F.abs(F.col("cum"))).cast("long").alias("d_num"),
+        F.round(
+            F.max(F.abs(F.col("cum"))).cast("double")
+            / (float(n1) * float(n2)),
+            6,
+        ).alias("d_stat"),
+        F.round(
+            F.max(F.abs(F.col("cum"))).cast("double")
+            / (float(n1) * float(n2))
+            * F.sqrt(F.lit(float(n1) * float(n2) / (float(n1) + float(n2)))),
+            6,
+        ).alias("ks_lambda"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Link prediction: resource-allocation index over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_RA_SCALE = 1_000_000_000
+_RA_TOPK = 25
+
+
+@query(
+    "link_prediction_ra",
+    oracle=f"""
+    WITH {_EDGES_SQL},
+    und AS (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL
+      SELECT b AS u, a AS v FROM edges
+    ), deg AS (
+      SELECT u AS node, CAST(COUNT(*) AS BIGINT) AS d FROM und GROUP BY u
+    ), cand AS (
+      SELECT x.u AS a, y.u AS b,
+             CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+             CAST(SUM({_RA_SCALE} // dz.d) AS BIGINT) AS ra_scaled
+      FROM und x
+      JOIN und y ON y.v = x.v AND x.u < y.u
+      JOIN deg dz ON dz.node = x.v
+      GROUP BY x.u, y.u
+    ), non_edges AS (
+      SELECT c.* FROM cand c
+      WHERE NOT EXISTS (
+        SELECT 1 FROM edges e WHERE e.a = c.a AND e.b = c.b
+      )
+    )
+    SELECT a, b, common_neighbors, ra_scaled,
+           ROUND(CAST(ra_scaled AS DOUBLE) / {_RA_SCALE}, 6) AS ra_score
+    FROM non_edges
+    ORDER BY ra_scaled DESC, a, b
+    LIMIT {_RA_TOPK}
+    """,
+    description="Link prediction over the part co-purchase graph via "
+    "the resource-allocation index (Zhou et al. 2009 — empirically "
+    "the strongest of the classic local indices): for every "
+    "NON-edge pair, RA = sum over common neighbors z of 1/deg(z), "
+    "kept exact as sum(floor(1e9/deg(z))) — integer floor division "
+    "on both engines, so the score sum is order-independent and "
+    "oracle-checkable where a float 1/deg sum would not be.  The "
+    "'customers who bought X also bought Y' candidate generator: "
+    "common neighbors come from ONE equi-join of the undirected "
+    "adjacency with itself on the shared endpoint (wedge "
+    "enumeration — volume is sum of deg^2, never |V|^2), existing "
+    "edges anti-join away, top-25 by score with deterministic "
+    "tie-break.  Degrees broadcast onto the wedge join; reuses the "
+    "session-cached co-purchase edge list the whole graph family "
+    "shares.",
+)
+def link_prediction_ra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _co_edges(spark, sf_dir)
+    und = edges.select(
+        F.col("a").alias("u"), F.col("b").alias("v")
+    ).unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+    deg = und.groupBy(F.col("u").alias("node")).agg(
+        F.count(F.lit(1)).alias("d")
+    )
+    x, y = und.alias("x"), und.alias("y")
+    cand = (
+        x.join(
+            y,
+            (F.col("y.v") == F.col("x.v")) & (F.col("x.u") < F.col("y.u")),
+        )
+        .join(
+            F.broadcast(deg), F.col("node") == F.col("x.v")
+        )
+        .groupBy(F.col("x.u").alias("a"), F.col("y.u").alias("b"))
+        .agg(
+            F.count(F.lit(1)).alias("common_neighbors"),
+            F.sum(F.expr(f"{_RA_SCALE} div d")).alias("ra_scaled"),
+        )
+    )
+    non_edges = cand.join(edges, ["a", "b"], "left_anti")
+    return (
+        non_edges.withColumn(
+            "ra_score",
+            F.round(F.col("ra_scaled").cast("double") / _RA_SCALE, 6),
+        )
+        .orderBy(F.desc("ra_scaled"), "a", "b")
+        .limit(_RA_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# DBSCAN core/border/noise classification via grid blocking
+# ---------------------------------------------------------------------------
+
+_DB_EPS = 0.02
+_DB_MINPTS = 4  # neighbors within eps, EXCLUDING the point itself
+
+_DB_PTS_SQL = f"""
+    pts AS (
+      SELECT c_custkey AS id,
+             CAST(CAST('0x' || substr(md5(CAST(c_custkey AS STRING)
+                    || ':lat'), 1, 6) AS BIGINT) % 1000 AS DOUBLE)
+               / 1000.0 AS x,
+             CAST(CAST('0x' || substr(md5(CAST(c_custkey AS STRING)
+                    || ':lon'), 1, 6) AS BIGINT) % 1000 AS DOUBLE)
+               / 1000.0 AS y
+      FROM customer
+    ), cells AS (
+      SELECT id, x, y,
+             CAST(floor(x / {_DB_EPS}) AS INT) AS cx,
+             CAST(floor(y / {_DB_EPS}) AS INT) AS cy
+      FROM pts
+    ), nbr AS (
+      SELECT a.id AS id_a, b.id AS id_b
+      FROM cells a JOIN cells b
+        ON b.cx BETWEEN a.cx - 1 AND a.cx + 1
+       AND b.cy BETWEEN a.cy - 1 AND a.cy + 1
+       AND a.id <> b.id
+      WHERE (a.x - b.x) * (a.x - b.x) + (a.y - b.y) * (a.y - b.y)
+            <= {_DB_EPS} * {_DB_EPS}
+    ), ncount AS (
+      SELECT c.id, CAST(COALESCE(k.n, 0) AS BIGINT) AS n_nbrs
+      FROM cells c LEFT JOIN (
+        SELECT id_a AS id, COUNT(*) AS n FROM nbr GROUP BY id_a
+      ) k ON k.id = c.id
+    ), core AS (
+      SELECT id FROM ncount WHERE n_nbrs >= {_DB_MINPTS}
+    ), labeled AS (
+      SELECT nc.id,
+             CASE WHEN nc.n_nbrs >= {_DB_MINPTS} THEN 'core'
+                  WHEN EXISTS (SELECT 1 FROM nbr
+                               JOIN core ON core.id = nbr.id_b
+                               WHERE nbr.id_a = nc.id) THEN 'border'
+                  ELSE 'noise' END AS role
+      FROM ncount nc
+    )
+"""
+
+
+@query(
+    "dbscan_core_points",
+    oracle=f"""
+    WITH {_DB_PTS_SQL}
+    SELECT role, CAST(COUNT(*) AS BIGINT) AS n_points
+    FROM labeled GROUP BY role
+    """,
+    description="DBSCAN density classification (eps-neighbor counting "
+    "-> core / border / noise roles) over hash-synthesized planar "
+    "points: core = >= 4 neighbors within eps, border = non-core "
+    "with a core neighbor, noise = the rest — the density-based "
+    "outlier/cluster screen (anomalous embeddings, sparse geo "
+    "regions).  Spatial shape identical to geo_proximity_join: the "
+    "eps-grid EQUI-join (side a explodes to its 3x3 neighborhood, "
+    "side b keeps its home cell) guarantees every in-eps pair "
+    "matches exactly once, so candidate volume ~ density x n, never "
+    "O(n^2); neighbor counts are one hash aggregate, the border "
+    "test ONE semi-join of the pair relation against the core set.  "
+    "Output is 3 rows at any corpus size.  Planar squared distance "
+    "keeps the oracle bit-exact.",
+)
+def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+
+    def coord(salt: str):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(
+                        F.concat(
+                            F.col("c_custkey").cast("string"), F.lit(salt)
+                        )
+                    ),
+                    1,
+                    6,
+                ),
+                16,
+                10,
+            ).cast("long")
+            % 1000
+        ).cast("double") / 1000.0
+
+    cells = cust.select(
+        F.col("c_custkey").alias("id"),
+        coord(":lat").alias("x"),
+        coord(":lon").alias("y"),
+    ).select(
+        "id",
+        "x",
+        "y",
+        F.floor(F.col("x") / _DB_EPS).cast("int").alias("cx"),
+        F.floor(F.col("y") / _DB_EPS).cast("int").alias("cy"),
+    )
+    a = cells.select(
+        F.col("id").alias("id_a"),
+        F.col("x").alias("xa"),
+        F.col("y").alias("ya"),
+        F.explode(
+            F.expr(
+                "flatten(transform(sequence(-1, 1), dx -> "
+                "transform(sequence(-1, 1), dy -> "
+                "struct(cx + dx AS cx, cy + dy AS cy))))"
+            )
+        ).alias("cell"),
+    ).select("id_a", "xa", "ya", "cell.cx", "cell.cy")
+    b = cells.select(
+        F.col("id").alias("id_b"),
+        F.col("x").alias("xb"),
+        F.col("y").alias("yb"),
+        "cx",
+        "cy",
+    )
+    dsq = (F.col("xa") - F.col("xb")) ** 2 + (F.col("ya") - F.col("yb")) ** 2
+    nbr = (
+        a.join(b, ["cx", "cy"])
+        .filter((F.col("id_a") != F.col("id_b")) & (dsq <= _DB_EPS**2))
+        .select("id_a", "id_b")
+    )
+    ncount = (
+        cells.select("id")
+        .join(
+            nbr.groupBy(F.col("id_a").alias("id")).agg(
+                F.count(F.lit(1)).alias("n")
+            ),
+            "id",
+            "left",
+        )
+        .select("id", F.coalesce(F.col("n"), F.lit(0)).alias("n_nbrs"))
+    )
+    core = ncount.filter(F.col("n_nbrs") >= _DB_MINPTS).select("id")
+    has_core_nbr = (
+        nbr.join(core.withColumnRenamed("id", "id_b"), "id_b", "semi")
+        .select(F.col("id_a").alias("id"))
+        .distinct()
+    )
+    labeled = ncount.join(
+        has_core_nbr.withColumn("has_core", F.lit(True)), "id", "left"
+    ).select(
+        "id",
+        F.when(F.col("n_nbrs") >= _DB_MINPTS, "core")
+        .when(F.col("has_core"), "border")
+        .otherwise("noise")
+        .alias("role"),
+    )
+    return labeled.groupBy("role").agg(
+        F.count(F.lit(1)).alias("n_points")
+    )
+
+
+# ---------------------------------------------------------------------------
+# Portable HyperLogLog: register construction differentially checked
+# ---------------------------------------------------------------------------
+
+_HLL_M = 64  # registers (p = 6)
+
+
+@query(
+    "hll_portable_registers",
+    oracle=f"""
+    WITH keyed AS (
+      SELECT md5(CAST(o_custkey AS VARCHAR)) AS h,
+             o_orderkey % 2 AS half
+      FROM orders
+    ), hashed AS (
+      SELECT half,
+             CAST(('0x' || substr(h, 1, 2)) AS BIGINT) % {_HLL_M}
+               AS bucket,
+             CAST(('0x' || substr(h, 3, 6)) AS BIGINT) AS w
+      FROM keyed
+    ), ranks AS (
+      SELECT half, bucket,
+             CASE WHEN w = 0 THEN 25
+                  ELSE 25 - length(bin(w)) END AS r
+      FROM hashed
+    ), regs AS (
+      SELECT bucket,
+             CAST(MAX(CASE WHEN half = 0 THEN r ELSE 0 END)
+                  AS BIGINT) AS r_h0,
+             CAST(MAX(CASE WHEN half = 1 THEN r ELSE 0 END)
+                  AS BIGINT) AS r_h1,
+             CAST(MAX(r) AS BIGINT) AS r_all
+      FROM ranks GROUP BY bucket
+    )
+    SELECT s.b AS bucket,
+           CAST(COALESCE(r_h0, 0) AS BIGINT) AS r_h0,
+           CAST(COALESCE(r_h1, 0) AS BIGINT) AS r_h1,
+           CAST(GREATEST(COALESCE(r_h0, 0), COALESCE(r_h1, 0))
+                AS BIGINT) AS r_merged,
+           CAST(COALESCE(r_all, 0) AS BIGINT) AS r_all
+    FROM (SELECT unnest(range({_HLL_M})) AS b) s
+    LEFT JOIN regs ON regs.bucket = s.b
+    """,
+    description=f"PORTABLE HyperLogLog over distinct customers in the "
+    f"orders fact — the Count-Min discipline applied to HLL: "
+    f"{_HLL_M} registers from md5-derived buckets (8 independent "
+    "bits) and leading-zero ranks of the next 24 bits, where the "
+    "rank is 25 - bit_length(w) via length(bin(w)) — exact integer "
+    "string math identical on both engines, so the REGISTER TABLE "
+    "itself is differentially checked, not just the estimate's "
+    "error bound (Spark's own hll_sketch_agg stays rows-only by "
+    "construction; this is the oracle-checkable twin).  "
+    "Mergeability is proven in-query: registers built per "
+    "deterministic data half merge by GREATEST and must equal the "
+    "whole-corpus registers (asserted in pytest; the per-batch "
+    "persistable distinct sketch).  Scale: one narrow hash map + "
+    f"one partial-aggregated GROUP BY whose output is {_HLL_M} rows "
+    "at any corpus size, spine-joined so empty registers exist as "
+    "rank 0.",
+)
+def hll_portable_registers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    keyed = orders.select(
+        F.md5(F.col("o_custkey").cast("string")).alias("h"),
+        (F.col("o_orderkey") % 2).alias("half"),
+    )
+    hashed = keyed.select(
+        "half",
+        (
+            F.conv(F.substring("h", 1, 2), 16, 10).cast("long") % _HLL_M
+        ).alias("bucket"),
+        F.conv(F.substring("h", 3, 6), 16, 10).cast("long").alias("w"),
+    )
+    ranks = hashed.select(
+        "half",
+        "bucket",
+        F.when(F.col("w") == 0, F.lit(25))
+        .otherwise(F.lit(25) - F.length(F.bin("w")))
+        .cast("long")
+        .alias("r"),
+    )
+    regs = ranks.groupBy("bucket").agg(
+        F.max(F.when(F.col("half") == 0, F.col("r")).otherwise(0)).alias(
+            "m_h0"
+        ),
+        F.max(F.when(F.col("half") == 1, F.col("r")).otherwise(0)).alias(
+            "m_h1"
+        ),
+        F.max("r").alias("m_all"),
+    )
+    spine = spark.range(_HLL_M).select(F.col("id").alias("bucket"))
+    return (
+        spine.join(regs, "bucket", "left")
+        .select(
+            "bucket",
+            F.coalesce(F.col("m_h0"), F.lit(0)).cast("long").alias("r_h0"),
+            F.coalesce(F.col("m_h1"), F.lit(0)).cast("long").alias("r_h1"),
+            F.greatest(
+                F.coalesce(F.col("m_h0"), F.lit(0)),
+                F.coalesce(F.col("m_h1"), F.lit(0)),
+            )
+            .cast("long")
+            .alias("r_merged"),
+            F.coalesce(F.col("m_all"), F.lit(0)).cast("long").alias("r_all"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# PCA power iteration over the exact integer Gram matrix
+# ---------------------------------------------------------------------------
+
+
+def _pca_oracle() -> str:
+    from dados_publicos_etl_spark.plans.mining import _GRAM_SQL
+
+    return f"""
+    WITH {_GRAM_SQL},
+    full_g AS (
+      SELECT dim_i AS i, dim_j AS j, g FROM gram
+      UNION ALL
+      SELECT dim_j AS i, dim_i AS j, g FROM gram WHERE dim_i < dim_j
+    ), v1 AS (
+      SELECT i, SUM(g) AS v FROM full_g GROUP BY i
+    ), v2 AS (
+      SELECT f.i, SUM(f.g * v1.v) AS v
+      FROM full_g f JOIN v1 ON v1.i = f.j GROUP BY f.i
+    ), norms AS (
+      SELECT (SELECT MAX(ABS(v)) FROM v1) AS n1,
+             (SELECT MAX(ABS(v)) FROM v2) AS n2
+    )
+    SELECT v2.i AS dim,
+           ROUND(CAST(v2.v AS DOUBLE) / CAST(n.n2 AS DOUBLE), 6)
+             AS eigvec_ratio,
+           ROUND(CAST(n.n2 AS DOUBLE) / CAST(n.n1 AS DOUBLE), 6)
+             AS lambda_growth
+    FROM v2 CROSS JOIN norms n
+    """
+
+
+@query(
+    "pca_power_iteration",
+    oracle=_pca_oracle(),
+    description="Dominant principal direction of the embedding corpus "
+    "by POWER ITERATION over the exact integer Gram matrix — the "
+    "tenth differential-checked iterative algorithm, and the PCA "
+    "step that usually hides behind float BLAS made "
+    "oracle-verifiable: X'X comes from embedding_gram_matrix's "
+    "int8-quantized exact cells (the corpus collapses to 2080 "
+    "integers in ONE Arrow pass — the only data-wide work), and two "
+    "v <- Gv rounds run as broadcast joins over that 64x64 cell "
+    "table in DECIMAL(38,0)/HUGEINT arithmetic (v2 entries stay "
+    "under ~4e27 at sf100 — no overflow, no float accumulation, so "
+    "both engines agree bit-for-bit until the final normalize).  "
+    "Output: the unit-free eigenvector direction v2/max|v2| and the "
+    "infinity-norm growth ratio max|v2|/max|v1| (the power-method "
+    "dominant-eigenvalue estimate), each ONE correctly-rounded "
+    "double division of exact decimals.  At 100 TB the iteration "
+    "cost is independent of corpus size — every round touches only "
+    "the d^2 cell table.",
+)
+def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.plans.mining import embedding_gram_matrix
+
+    gram = embedding_gram_matrix(spark, sf_dir)
+    full_g = gram.select(
+        F.col("dim_i").alias("i"), F.col("dim_j").alias("j"), "g"
+    ).unionAll(
+        gram.filter(F.col("dim_i") < F.col("dim_j")).select(
+            F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "g"
+        )
+    )
+    g18 = full_g.withColumn("g", F.col("g").cast("decimal(18,0)"))
+    v1 = (
+        g18.groupBy("i")
+        .agg(F.sum("g").alias("v"))
+        .select("i", F.col("v").cast("decimal(18,0)").alias("v"))
+    )
+    v2 = (
+        g18.join(
+            F.broadcast(
+                v1.select(F.col("i").alias("j"), F.col("v").alias("vj"))
+            ),
+            "j",
+        )
+        .groupBy("i")
+        .agg(F.sum(F.col("g") * F.col("vj")).alias("v"))
+    )
+    norms = (
+        v1.agg(F.max(F.abs(F.col("v"))).alias("n1"))
+        .crossJoin(v2.agg(F.max(F.abs(F.col("v"))).alias("n2")))
+    )
+    return v2.crossJoin(F.broadcast(norms)).select(
+        F.col("i").alias("dim"),
+        F.round(
+            F.col("v").cast("double") / F.col("n2").cast("double"), 6
+        ).alias("eigvec_ratio"),
+        F.round(
+            F.col("n2").cast("double") / F.col("n1").cast("double"), 6
+        ).alias("lambda_growth"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Kendall tau-b over the daily (volume, revenue) series
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "kendall_tau_daily",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY day
+    ), pairs AS (
+      SELECT CASE WHEN (a.x - b.x) * (a.y - b.y) > 0 THEN 1 ELSE 0 END
+               AS conc,
+             CASE WHEN (a.x - b.x) * (a.y - b.y) < 0 THEN 1 ELSE 0 END
+               AS disc
+      FROM daily a JOIN daily b ON a.day < b.day
+    ), cd AS (
+      SELECT CAST(SUM(conc) AS BIGINT) AS c,
+             CAST(SUM(disc) AS BIGINT) AS d,
+             CAST(COUNT(*) AS BIGINT) AS n0
+      FROM pairs
+    ), tx AS (
+      SELECT CAST(COALESCE(SUM(k * (k - 1) // 2), 0) AS BIGINT) AS n1
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM daily GROUP BY x) t
+    ), ty AS (
+      SELECT CAST(COALESCE(SUM(k * (k - 1) // 2), 0) AS BIGINT) AS n2
+      FROM (SELECT CAST(COUNT(*) AS BIGINT) AS k FROM daily GROUP BY y) t
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM daily) AS n_days,
+           cd.c AS concordant, cd.d AS discordant,
+           ROUND((cd.c - cd.d)
+                 / (sqrt(CAST(cd.n0 - tx.n1 AS DOUBLE))
+                    * sqrt(CAST(cd.n0 - ty.n2 AS DOUBLE))), 6) AS tau_b
+    FROM cd, tx, ty
+    """,
+    description="Kendall tau-b between daily order volume and daily "
+    "revenue — the rank-concordance twin of spearman_daily_rank_corr "
+    "(tau's pairwise definition is more robust to a few wild days; "
+    "together they complete the classical rank-statistics pair).  "
+    "Kendall is notorious for its O(n^2) pair enumeration; here n is "
+    "the CALENDAR-BOUNDED daily table (the facts collapse in one "
+    "partial-aggregated pass first), so the pair self-join is "
+    "~3M rows at a 7-year calendar REGARDLESS of corpus size.  "
+    "Concordant/discordant verdicts are exact integer sign tests; "
+    "tie corrections n1/n2 come from tie-group aggregates; tau-b is "
+    "one double division of exact integers, rounded identically on "
+    "both engines.",
+)
+def kendall_tau_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "y"
+        ),
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    prod = (F.col("a.x") - F.col("b.x")) * (F.col("a.y") - F.col("b.y"))
+    cd = (
+        a.join(b, F.col("a.day") < F.col("b.day"))
+        .select(
+            F.when(prod > 0, 1).otherwise(0).alias("conc"),
+            F.when(prod < 0, 1).otherwise(0).alias("disc"),
+        )
+        .agg(
+            F.sum("conc").alias("c"),
+            F.sum("disc").alias("d"),
+            F.count(F.lit(1)).alias("n0"),
+        )
+    )
+
+    def tie_corr(col: str, out: str) -> DataFrame:
+        return (
+            daily.groupBy(col)
+            .agg(F.count(F.lit(1)).alias("k"))
+            .agg(
+                F.coalesce(
+                    F.sum(F.expr("k * (k - 1) div 2")), F.lit(0)
+                ).alias(out)
+            )
+        )
+
+    n_days = daily.agg(F.count(F.lit(1)).alias("n_days"))
+    j = (
+        cd.crossJoin(tie_corr("x", "n1"))
+        .crossJoin(tie_corr("y", "n2"))
+        .crossJoin(n_days)
+    )
+    return j.select(
+        "n_days",
+        F.col("c").alias("concordant"),
+        F.col("d").alias("discordant"),
+        F.round(
+            (F.col("c") - F.col("d"))
+            / (
+                F.sqrt((F.col("n0") - F.col("n1")).cast("double"))
+                * F.sqrt((F.col("n0") - F.col("n2")).cast("double"))
+            ),
+            6,
+        ).alias("tau_b"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Theil-Sen robust trend (median of pairwise slopes)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "theil_sen_trend",
+    oracle="""
+    WITH daily AS (
+      SELECT CAST(CAST(o_orderdate AS DATE) - DATE '1970-01-01'
+                  AS BIGINT) AS d,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY d
+    ), slopes AS (
+      SELECT CAST(b.y - a.y AS DOUBLE) / CAST(b.d - a.d AS DOUBLE) AS s
+      FROM daily a JOIN daily b ON b.d > a.d
+    ), ranked AS (
+      SELECT s, ROW_NUMBER() OVER (ORDER BY s) AS rn,
+             COUNT(*) OVER () AS n
+      FROM slopes
+    )
+    SELECT CAST(MAX(n) AS BIGINT) AS n_pairs,
+           ROUND(AVG(s), 6) AS sen_slope_cents_per_day
+    FROM ranked
+    WHERE rn IN ((n + 1) // 2, (n + 2) // 2)
+    """,
+    description="Theil-Sen robust trend of daily revenue: the MEDIAN "
+    "of all pairwise slopes — the trend estimator that shrugs off "
+    "outlier days where OLS (multiple_regression_cramer's family) "
+    "gets dragged.  Slopes are correctly-rounded doubles of exact "
+    "integer differences (identical on both engines), enumerated "
+    "over the CALENDAR-BOUNDED daily table (the facts collapse "
+    "first; ~3M pairs at a 7-year calendar regardless of corpus "
+    "size).  The median selection runs on the range-partitioned "
+    "global rank (operators/ranking.py) — no SinglePartition sort "
+    "of the pair table — taking the middle one/two ranks and "
+    "averaging (<= 2 values, so even the float mean is "
+    "order-deterministic).",
+)
+def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.operators.ranking import ranked_by_range
+
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.datediff(
+            F.col("o_orderdate").cast("date"), F.lit("1970-01-01")
+        ).alias("d")
+    ).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
+            "y"
+        )
+    )
+    a, b = daily.alias("a"), daily.alias("b")
+    slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
+        (
+            (F.col("b.y") - F.col("a.y")).cast("double")
+            / (F.col("b.d") - F.col("a.d")).cast("double")
+        ).alias("s")
+    )
+    ranked, n = ranked_by_range(slopes, [F.col("s")])
+    k1, k2 = (n + 1) // 2, (n + 2) // 2
+    return ranked.filter(F.col("rn").isin(k1, k2)).agg(
+        F.lit(n).cast("long").alias("n_pairs"),
+        F.round(F.avg("s"), 6).alias("sen_slope_cents_per_day"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# DAG longest-path layering (topological depth) — 11th iterative algorithm
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dag_longest_path_layers",
+    oracle=f"""
+    WITH RECURSIVE {_EDGES_SQL},
+    nodes AS (
+      SELECT a AS v FROM edges UNION SELECT b AS v FROM edges
+    ), walk(v, len) AS (
+      SELECT v, 0 FROM nodes
+      UNION
+      SELECT e.b, w.len + 1 FROM walk w JOIN edges e ON e.a = w.v
+    )
+    SELECT v AS item, CAST(MAX(len) AS BIGINT) AS layer
+    FROM walk GROUP BY v
+    """,
+    description="Longest-path layering of the co-purchase DAG (edges "
+    "oriented a < b, so acyclic by construction): layer(v) = length "
+    "of the longest path reaching v — the topological DEPTH that "
+    "schedules dependency stages (build systems, lineage graphs, "
+    "feature DAGs).  Eleventh differential-checked iterative "
+    "algorithm: Spark iterates the max-plus recurrence layer(v) = "
+    "max(0, max over in-edges (layer(u) + 1)) to FIXPOINT — each "
+    "round one broadcast of the <=|V|-row layer table onto the edge "
+    "list + one max-aggregate, localCheckpoint-truncated, with a "
+    "changed-row count (a |V|-bounded driver scalar) as the exit "
+    "test; rounds are bounded by the longest chain, never unrolled "
+    "blind.  Oracle = the DuckDB recursive CTE enumerating all "
+    "(node, path-length) pairs — finite because the DAG bounds "
+    "length by |V|.",
+)
+def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _co_edges(spark, sf_dir).localCheckpoint()
+    labels = (
+        edges.select(F.col("a").alias("node"))
+        .unionAll(edges.select(F.col("b").alias("node")))
+        .distinct()
+        .withColumn("layer", F.lit(0))
+        .localCheckpoint()
+    )
+    for _ in range(64):  # safety bound >> any 50-node chain
+        cand = edges.join(
+            F.broadcast(labels), edges.a == labels.node
+        ).select(F.col("b").alias("node"), (F.col("layer") + 1).alias("layer"))
+        new = (
+            labels.unionAll(cand)
+            .groupBy("node")
+            .agg(F.max("layer").alias("layer"))
+            .localCheckpoint()
+        )
+        changed = (
+            new.alias("n")
+            .join(labels.alias("o"), "node")
+            .filter(F.col("n.layer") != F.col("o.layer"))
+            .count()
+        )
+        labels = new
+        if changed == 0:
+            break
+    return labels.select(
+        F.col("node").alias("item"), F.col("layer").cast("long").alias("layer")
+    )
+
+
+# ---------------------------------------------------------------------------
+# RFC-4180 CSV torture round-trip
+# ---------------------------------------------------------------------------
+
+_CSV_TORTURE_SQL = (
+    "concat('pre\"', substr(text, 1, 40), '\";', chr(10), 'x,', "
+    "chr(13), chr(10), '\"\"tail')"
+)
+
+
+@query(
+    "csv_rfc4180_roundtrip",
+    oracle=f"""
+    SELECT doc_id, md5({_CSV_TORTURE_SQL}) AS h
+    FROM documents
+    """,
+    description="RFC-4180 CSV dialect torture round-trip: every "
+    "document embeds the worst of CSV in one value — interior "
+    "double quotes, the field delimiter, bare LF, a CRLF pair, and "
+    "a leading quote-pair — then the table writes through Spark's "
+    "CSV sink (quoteAll + doubled-quote escaping) and reads back "
+    "through the CSV source (multiLine), and the md5 of every "
+    "recovered value must equal the oracle's md5 of the SAME value "
+    "built relationally, proving byte-lossless round-trip per row.  "
+    "The quoting/escaping contract the reference's single-file CSV "
+    "writer (script.py's df.to_csv) never has to prove; multiLine "
+    "CSV parsing is the one scan shape that is NOT trivially "
+    "splittable — exactly why a lakehouse converts such feeds to "
+    "parquet on ingest (io.convert_csv_to_parquet).",
+)
+def csv_rfc4180_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    docs = read_table(spark, sf_dir, "documents")
+    torture = docs.select(
+        "doc_id",
+        F.expr(
+            "concat('pre\"', substr(text, 1, 40), '\";', chr(10), "
+            "'x,', chr(13), chr(10), '\"\"tail')"
+        ).alias("torture"),
+    )
+    tmp = tempfile.TemporaryDirectory(prefix="spark_csv_rfc_")
+    _CSV_RFC_DIRS.append(tmp)
+    (
+        torture.write.mode("overwrite")
+        .option("header", "true")
+        .option("quoteAll", "true")
+        .option("escape", '"')
+        .csv(tmp.name)
+    )
+    back = (
+        spark.read.schema("doc_id long, torture string")
+        .option("header", "true")
+        .option("multiLine", "true")
+        .option("quote", '"')
+        .option("escape", '"')
+        .csv(tmp.name)
+    )
+    return back.select("doc_id", F.md5("torture").alias("h"))
+
+
+# round-trip output dirs must outlive the returned lazy DataFrame
+_CSV_RFC_DIRS: list = []

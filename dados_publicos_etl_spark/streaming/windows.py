@@ -965,3 +965,175 @@ def stream_late_drop(spark: SparkSession, sf_dir: str) -> DataFrame:
     return _run_update_upsert(
         spark, agg, ["window_start", "event_type"], "stream_late_drop"
     )
+
+
+# ---------------------------------------------------------------------------
+# Stream-stream LEFT OUTER join with oracle-checked eviction semantics
+# ---------------------------------------------------------------------------
+
+# sf_dir -> TemporaryDirectory of the 3-batch outer-join feed
+_OUTER_FEED_DIRS: dict[str, object] = {}
+
+
+def _outer_feed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Four ts-ascending micro-batch files: older half, newer half,
+    then TWO sentinel batches.  The halves arrive in event-time
+    order so no real row is ever watermark-dropped.  The global
+    watermark is the MIN over both sides' watermark nodes and a
+    batch runs under the watermark committed by the PREVIOUS batch,
+    so flushing every real unmatched click takes two steps: batch 2
+    plants one click and one purchase sentinel at max(ts) + 2h
+    (advancing BOTH per-side maxima — the lagging side, not the
+    global max, governs the join watermark), and batch 3 plants one
+    more so one final batch runs under watermark max(ts) + 1h, an
+    hour past every real join window.  Every real unmatched click
+    therefore emits null-extended and the streaming output equals
+    the plain batch left join — the oracle."""
+    import os as _os
+    import tempfile
+
+    hit = _OUTER_FEED_DIRS.get(sf_dir)
+    if hit is not None:
+        return hit.name
+    tmp = tempfile.TemporaryDirectory(prefix="spark_outer_feed_")
+    ev = read_table(spark, sf_dir, "events").select(
+        "event_id",
+        F.expr(
+            "timestampdiff(MICROSECOND, "
+            "TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+        ).alias("ts_us"),
+        "user_id",
+        "event_type",
+    )
+    lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
+    mid = (lo + hi) // 2
+    adv = int(hi) + 2 * 3_600_000_000  # max(ts) + 2h
+    sentinels = spark.createDataFrame(
+        [
+            (-1, adv, -1, "click", 2),
+            (-2, adv, -2, "purchase", 2),
+            (-3, adv, -3, "click", 3),
+        ],
+        "event_id long, ts_us long, user_id long, event_type string,"
+        " batch int",
+    )
+    (
+        ev.withColumn(
+            "batch", F.when(F.col("ts_us") <= mid, 0).otherwise(1)
+        )
+        .unionByName(sentinels)
+        .coalesce(1)
+        .write.mode("overwrite")
+        .partitionBy("batch")
+        .parquet(tmp.name)
+    )
+    for b in (0, 1, 2, 3):
+        d = _os.path.join(tmp.name, f"batch={b}")
+        for f in _os.listdir(d):
+            if f.endswith(".parquet"):
+                p = _os.path.join(d, f)
+                st = _os.stat(p)
+                _os.utime(p, (st.st_atime, st.st_mtime + b * 600))
+    _OUTER_FEED_DIRS[sf_dir] = tmp
+    return tmp.name
+
+
+@query(
+    "stream_stream_outer_join",
+    oracle="""
+    WITH c AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'click'
+    ), p AS (
+      SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    )
+    SELECT c.event_id AS click_event_id,
+           p.event_id AS purchase_event_id,
+           c.user_id AS user_id,
+           CAST(epoch_us(p.ts) - epoch_us(c.ts) AS BIGINT) AS gap_micros
+    FROM c LEFT JOIN p
+      ON p.user_id = c.user_id
+     AND p.ts >= c.ts AND p.ts <= c.ts + INTERVAL 15 MINUTE
+    """,
+    description="Stream-stream LEFT OUTER interval join with the "
+    "null-extension semantics ORACLE-CHECKED, not just smoked: "
+    "clicks join same-user purchases within 15 minutes; a click "
+    "with no purchase emits null-extended only once the watermark "
+    "proves no match can still arrive (c_ts + 15min < watermark, "
+    "where the watermark is the MIN over both sides' nodes and a "
+    "batch runs under the watermark its predecessor committed — "
+    "both facts the sentinel design of the feed had to respect, see "
+    "_outer_feed_dir).  The feed replays in event-time order and "
+    "two sentinel batches walk the watermark an hour past every "
+    "real join window, so the streaming output equals the plain "
+    "batch left join EXACTLY — full streaming/batch parity as the "
+    "oracle, unmatched rows included.  Both sides watermarked "
+    "(state eviction bounds the store); inner matches are "
+    "batch-split-invariant because eviction only removes rows "
+    "whose join window has provably closed.",
+)
+def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import uuid
+
+    feed = _outer_feed_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(
+            "event_id long, ts_us long, user_id long, event_type string"
+        )
+        .option("maxFilesPerTrigger", 1)
+        .option("recursiveFileLookup", "true")
+        .parquet(feed)
+        .withColumn("ts", F.timestamp_micros("ts_us"))
+    )
+
+    def side_of(event_type: str, alias: str) -> DataFrame:
+        return (
+            stream.filter(F.col("event_type") == event_type)
+            .selectExpr(
+                f"event_id AS {alias}_event_id",
+                f"user_id AS {alias}_user_id",
+                f"ts AS {alias}_ts",
+            )
+            .withWatermark(f"{alias}_ts", "1 hour")
+        )
+
+    clicks = side_of("click", "c")
+    purchases = side_of("purchase", "p")
+    # NOTE: no sentinel filter inside the streaming plan — a
+    # `c_user_id >= 0` here would be PUSHED DOWN through the
+    # watermark node into the parquet scan, where row-group stats
+    # (user_id in [-2,-1]) skip the sentinel files entirely, so the
+    # watermark never advances and no outer row ever flushes
+    # (measured: sentinel batches read 0 rows).  Sentinels are
+    # filtered from the SINK table instead.
+    joined = (
+        clicks.join(
+            purchases,
+            F.expr(
+                "c_user_id = p_user_id AND "
+                "p_ts >= c_ts AND p_ts <= c_ts + INTERVAL 15 MINUTES"
+            ),
+            "leftOuter",
+        )
+        .select(
+            F.col("c_event_id").alias("click_event_id"),
+            F.col("p_event_id").alias("purchase_event_id"),
+            F.col("c_user_id").alias("user_id"),
+            F.expr("timestampdiff(MICROSECOND, c_ts, p_ts)").alias(
+                "gap_micros"
+            ),
+        )
+    )
+    name = f"stream_outer_{uuid.uuid4().hex[:8]}"
+    with _streaming_shuffle(spark):
+        q = (
+            joined.writeStream.outputMode("append")
+            .format("memory")
+            .queryName(name)
+            .start()
+        )
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    # sentinel rows (negative user_id) drop HERE, on the sink table
+    return spark.table(name).filter(F.col("user_id") >= 0)

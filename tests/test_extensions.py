@@ -1929,3 +1929,52 @@ def test_stream_late_drop_measures_watermark_drops(spark, sf_dir):
     assert dropped == 2 * n_early_groups
     assert run["output_mode"] == "update"
     assert n_kept > 0
+
+
+def test_hll_portable_estimate_accuracy(spark, sf_dir):
+    """The portable HLL's classical estimate (alpha_64 * m^2 /
+    sum 2^-r, folded in bucket order so the float sum has ONE
+    evaluation order) must land within the ~1.04/sqrt(64) = 13%
+    relative-error band of the exact distinct count, and the
+    per-half registers must merge (MAX) into the whole-corpus ones
+    — the per-batch persistable-sketch property."""
+    from dados_publicos_etl_spark.io import read_table
+
+    rows = sorted(
+        QUERIES["hll_portable_registers"].fn(spark, sf_dir).collect(),
+        key=lambda r: r.bucket,
+    )
+    assert len(rows) == 64
+    for r in rows:
+        assert max(r.r_h0, r.r_h1) == r.r_merged == r.r_all
+
+    m = 64
+    alpha = 0.709  # alpha_64 per Flajolet et al. 2007
+    s = sum(2.0 ** -r.r_all for r in rows)
+    est = alpha * m * m / s
+    zeros = sum(1 for r in rows if r.r_all == 0)
+    if zeros and est <= 2.5 * m:  # small-range linear counting
+        import math
+
+        est = m * math.log(m / zeros)
+    exact = (
+        read_table(spark, sf_dir, "orders")
+        .select("o_custkey")
+        .distinct()
+        .count()
+    )
+    assert abs(est - exact) / exact < 0.30, (est, exact)
+
+
+def test_dbscan_roles_partition_points(spark):
+    """core/border/noise role counts must partition the customer
+    table exactly, and all three roles must be populated at sf0.01
+    (the smoke corpus is too sparse for eps=0.02 — everything is
+    noise there, which the differential oracle already pins)."""
+    from dados_publicos_etl_spark.io import read_table
+
+    rows = QUERIES["dbscan_core_points"].fn(spark, SF_CORRECT).collect()
+    got = {r.role: r.n_points for r in rows}
+    assert set(got) == {"core", "border", "noise"}
+    total = read_table(spark, SF_CORRECT, "customer").count()
+    assert sum(got.values()) == total
