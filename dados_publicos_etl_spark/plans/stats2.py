@@ -964,8 +964,6 @@ _CSV_TORTURE_SQL = (
     "parquet on ingest (io.convert_csv_to_parquet).",
 )
 def csv_rfc4180_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import tempfile
-
     docs = read_table(spark, sf_dir, "documents")
     torture = docs.select(
         "doc_id",
@@ -974,14 +972,13 @@ def csv_rfc4180_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
             "'x,', chr(13), chr(10), '\"\"tail')"
         ).alias("torture"),
     )
-    tmp = tempfile.TemporaryDirectory(prefix="spark_csv_rfc_")
-    _CSV_RFC_DIRS.append(tmp)
+    out_dir = _RT_DIRS.new_dir("csv_rfc", "spark_csv_rfc_")
     (
         torture.write.mode("overwrite")
         .option("header", "true")
         .option("quoteAll", "true")
         .option("escape", '"')
-        .csv(tmp.name)
+        .csv(out_dir)
     )
     back = (
         spark.read.schema("doc_id long, torture string")
@@ -989,10 +986,249 @@ def csv_rfc4180_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("multiLine", "true")
         .option("quote", '"')
         .option("escape", '"')
-        .csv(tmp.name)
+        .csv(out_dir)
     )
     return back.select("doc_id", F.md5("torture").alias("h"))
 
 
-# round-trip output dirs must outlive the returned lazy DataFrame
-_CSV_RFC_DIRS: list = []
+# Round-trip output dirs: bounded rolling pool (newest 8 per purpose,
+# atexit-cleaned) — the returned lazy DataFrames stay readable until
+# the same query has run 8 more times, and nothing accumulates for
+# the process lifetime.
+from dados_publicos_etl_spark.tmpstore import TempDirPool  # noqa: E402
+
+_RT_DIRS = TempDirPool()
+
+
+# ---------------------------------------------------------------------------
+# Equi-depth histogram boundaries (optimizer-stats / binning primitive)
+# ---------------------------------------------------------------------------
+
+_EQD_B = 16
+
+
+@query(
+    "equidepth_histogram",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT) AS val
+      FROM lineitem
+    ), ties AS (
+      SELECT val, CAST(COUNT(*) AS BIGINT) AS cnt FROM cents GROUP BY val
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM ties
+    ), cum AS (
+      SELECT val, cnt, SUM(cnt) OVER (ORDER BY val) AS cum FROM ties
+    )
+    SELECT g.k AS bucket, c.val AS upper_value,
+           CAST(c.cum AS BIGINT) AS cum_rows
+    FROM cum c CROSS JOIN tot
+    JOIN (SELECT unnest(range(1, {_EQD_B} + 1)) AS k) g
+      ON {_EQD_B} * (c.cum - c.cnt) < g.k * tot.n
+     AND g.k * tot.n <= {_EQD_B} * c.cum
+    """,
+    description=f"Equi-depth histogram boundaries ({_EQD_B} buckets "
+    "over line-item price cents) — the optimizer-statistics / "
+    "feature-binning primitive: boundary k is the smallest value "
+    "whose cumulative count reaches k*n/B, i.e. ~n/B rows per "
+    "bucket however skewed the values (equi-WIDTH histograms "
+    "collapse under skew; this is what ANALYZE builds).  Scale "
+    "shape: the facts collapse to the value TIE-GROUP table in one "
+    "hash aggregate, the cumulative count rides the "
+    "range-partitioned prefix-sum machinery (NO SinglePartition "
+    "window), and each tie row emits exactly the boundary indices "
+    "it is first to cross via integer interval arithmetic "
+    "(16*cum_prev < k*n <= 16*cum) — a sequence() explode bounded "
+    f"by {_EQD_B} total output rows.  All comparisons exact int64.",
+)
+def equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    ties = (
+        li.select(
+            F.round(F.col("l_extendedprice") * 100, 0)
+            .cast("long")
+            .alias("val")
+        )
+        .groupBy("val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+    )
+    cum, _, n = prefix_sums_by_range(ties, [F.col("val")], "cnt")
+    b = _EQD_B
+    # integer floors via div; k covers (B*cum_prev/n, B*cum/n]
+    lo = F.expr(f"({b} * (cum - cnt)) div {int(n)} + 1")
+    hi = F.expr(f"({b} * cum) div {int(n)}")
+    return (
+        cum.filter(hi >= lo)
+        .select(
+            F.explode(F.expr(f"sequence(({b} * (cum - cnt)) div {int(n)} + 1,"
+                             f" ({b} * cum) div {int(n)})")).alias("bucket"),
+            F.col("val").alias("upper_value"),
+            F.col("cum").cast("long").alias("cum_rows"),
+        )
+        .filter((F.col("bucket") >= 1) & (F.col("bucket") <= b))
+    )
+
+
+# ---------------------------------------------------------------------------
+# Quantile normalization onto a reference distribution (grid resolution)
+# ---------------------------------------------------------------------------
+
+_QN_Q = 64
+_QN_A = "BUILDING"   # reference distribution
+_QN_B = "MACHINERY"  # distribution to normalize
+
+
+@query(
+    "quantile_normalize_grid",
+    oracle=f"""
+    WITH a_ties AS (
+      SELECT CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS val,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer WHERE c_mktsegment = '{_QN_A}' GROUP BY val
+    ), a_tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM a_ties
+    ), a_cum AS (
+      SELECT val, cnt, SUM(cnt) OVER (ORDER BY val) AS cum FROM a_ties
+    ), a_bounds AS (
+      SELECT g.k, c.val
+      FROM a_cum c CROSS JOIN a_tot
+      JOIN (SELECT unnest(range(1, {_QN_Q} + 1)) AS k) g
+        ON {_QN_Q} * (c.cum - c.cnt) < g.k * a_tot.n
+       AND g.k * a_tot.n <= {_QN_Q} * c.cum
+    ), b_ties AS (
+      SELECT CAST(ROUND(c_acctbal * 100, 0) AS BIGINT) AS val,
+             CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM customer WHERE c_mktsegment = '{_QN_B}' GROUP BY val
+    ), b_tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n FROM b_ties
+    ), b_cum AS (
+      SELECT val, cnt, SUM(cnt) OVER (ORDER BY val) AS cum FROM b_ties
+    ), b_q AS (
+      SELECT ({_QN_Q} * cum + n - 1) // n AS q,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows
+      FROM b_cum CROSS JOIN b_tot
+      GROUP BY q
+    )
+    SELECT b_q.q AS bucket, b_q.n_rows,
+           a_bounds.val AS mapped_value
+    FROM b_q JOIN a_bounds ON a_bounds.k = b_q.q
+    """,
+    description=f"Quantile normalization of the {_QN_B} segment's "
+    f"balance distribution onto the {_QN_A} segment's — the "
+    "distribution-alignment transform (batch-effect removal, score "
+    "calibration across cohorts): each value maps to the reference "
+    f"value at the same quantile, at a fixed {_QN_Q}-point grid "
+    "resolution (the practical formulation — exact ECDF matching "
+    "is this with Q = n).  Composes the equi-depth machinery "
+    "twice: the reference's boundary table (Q rows, broadcast) and "
+    "the target's tie-group quantile positions (ceil(Q*cum/n) in "
+    "exact integer arithmetic), joined on the grid index.  Both "
+    "cumulative counts ride range-partitioned prefix sums; "
+    "everything is exact int64, output is <= Q rows at any corpus "
+    "size.",
+)
+def quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    cust = read_table(spark, sf_dir, "customer")
+    q = _QN_Q
+
+    def ties_of(seg: str) -> DataFrame:
+        return (
+            cust.filter(F.col("c_mktsegment") == seg)
+            .select(
+                F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("val")
+            )
+            .groupBy("val")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+
+    a_cum, _, a_n = prefix_sums_by_range(ties_of(_QN_A), [F.col("val")], "cnt")
+    a_bounds = (
+        a_cum.filter(
+            F.expr(f"({q} * cum) div {int(a_n)}")
+            >= F.expr(f"({q} * (cum - cnt)) div {int(a_n)} + 1")
+        )
+        .select(
+            F.explode(
+                F.expr(
+                    f"sequence(({q} * (cum - cnt)) div {int(a_n)} + 1,"
+                    f" ({q} * cum) div {int(a_n)})"
+                )
+            ).alias("k"),
+            F.col("val").alias("mapped_value"),
+        )
+        .filter((F.col("k") >= 1) & (F.col("k") <= q))
+    )
+    b_cum, _, b_n = prefix_sums_by_range(ties_of(_QN_B), [F.col("val")], "cnt")
+    b_q = (
+        b_cum.select(
+            F.expr(f"({q} * cum + {int(b_n)} - 1) div {int(b_n)}").alias("q"),
+            "cnt",
+        )
+        .groupBy("q")
+        .agg(F.sum("cnt").alias("n_rows"))
+    )
+    return b_q.join(
+        F.broadcast(a_bounds), b_q.q == a_bounds.k
+    ).select(
+        F.col("q").alias("bucket"), "n_rows", "mapped_value"
+    )
+
+
+# ---------------------------------------------------------------------------
+# Parquet codec round-trip matrix
+# ---------------------------------------------------------------------------
+
+_PQ_CODECS = ("none", "snappy", "gzip", "zstd")
+
+# most recent codec round-trip root, for the footprint pytest
+LAST_CODEC_DIR: list = [None]
+
+@query(
+    "parquet_codec_roundtrip",
+    oracle=f"""
+    WITH base AS (
+      SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS checksum_cents
+      FROM orders
+    )
+    SELECT c.codec, base.n_rows, base.checksum_cents
+    FROM base CROSS JOIN (
+      SELECT unnest(['{"','".join(_PQ_CODECS)}']) AS codec
+    ) c
+    """,
+    description="Parquet compression-codec round-trip matrix: the "
+    "orders projection writes once per codec (uncompressed, snappy, "
+    "gzip, zstd — the storage/CPU trade the table-layout decision "
+    "actually weighs at 100 TB) and each copy reads back to the "
+    "same exact row count and integer-cents checksum, proving codec "
+    "choice never touches values.  The oracle is the relational "
+    "identity fanned across the codec list; a pytest additionally "
+    "pins that each directory's files carry the codec-specific "
+    "extension (so the option demonstrably took effect) and "
+    "compares on-disk footprints.",
+)
+def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+    )
+    root = _RT_DIRS.new_dir("codec_rt", "spark_codec_rt_")
+    LAST_CODEC_DIR[0] = root
+    parts = []
+    for codec in _PQ_CODECS:
+        path = f"{root}/{codec}"
+        orders.write.mode("overwrite").option(
+            "compression", codec
+        ).parquet(path)
+        parts.append(
+            spark.read.parquet(path).agg(
+                F.lit(codec).alias("codec"),
+                F.count(F.lit(1)).alias("n_rows"),
+                F.sum("cents").alias("checksum_cents"),
+            )
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionAll(p)
+    return out

@@ -1978,3 +1978,39 @@ def test_dbscan_roles_partition_points(spark):
     assert set(got) == {"core", "border", "noise"}
     total = read_table(spark, SF_CORRECT, "customer").count()
     assert sum(got.values()) == total
+
+
+def test_parquet_codec_files_and_footprints(spark, sf_dir):
+    """Each codec directory's data files must carry the
+    codec-specific extension (proof the option took effect), and
+    the compressed variants must be smaller on disk than the
+    uncompressed one."""
+    import glob
+    import os
+
+    from dados_publicos_etl_spark.plans.stats2 import (
+        _PQ_CODECS,
+        LAST_CODEC_DIR,
+    )
+
+    QUERIES["parquet_codec_roundtrip"].fn(spark, sf_dir).collect()
+    root = LAST_CODEC_DIR[0]
+    sizes = {}
+    for codec in _PQ_CODECS:
+        files = [
+            f
+            for f in glob.glob(f"{root}/{codec}/*.parquet")
+            if not os.path.basename(f).startswith("_")
+        ]
+        assert files, codec
+        ext = {"snappy": ".snappy.", "gzip": ".gz.", "zstd": ".zstd."}.get(
+            codec
+        )
+        if ext:
+            assert all(ext in os.path.basename(f) for f in files), (
+                codec,
+                files[:2],
+            )
+        sizes[codec] = sum(os.path.getsize(f) for f in files)
+    for codec in ("snappy", "gzip", "zstd"):
+        assert sizes[codec] < sizes["none"], sizes
