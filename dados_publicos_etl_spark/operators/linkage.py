@@ -372,3 +372,138 @@ def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_members"), "entity_id")
         .limit(25)
     )
+
+
+def _golden_oracle() -> str:
+    leads = ",\n             ".join(
+        f"LEAD(c_custkey, {j}) OVER w AS ck{j}, "
+        f"LEAD(c_name, {j}) OVER w AS nm{j}"
+        for j in range(1, _SNM_WINDOW + 1)
+    )
+    arms = "\n      UNION ALL ".join(
+        f"SELECT c_custkey AS a, ck{j} AS b FROM base "
+        f"WHERE ck{j} IS NOT NULL "
+        f"AND levenshtein(c_name, nm{j}) <= {_LEV_MAX}"
+        for j in range(1, _SNM_WINDOW + 1)
+    )
+    return f"""
+    WITH RECURSIVE base AS (
+      SELECT c_custkey, c_name,
+             {leads}
+      FROM customer
+      WINDOW w AS (PARTITION BY substring(c_name, 1, {_BLOCK_LEN})
+                   ORDER BY c_name, c_custkey)
+    ), pairs AS (
+      {arms}
+    ), edges AS (
+      SELECT a, b FROM pairs UNION SELECT b, a FROM pairs
+    ), reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+    ), comp AS (
+      SELECT n AS custkey, MIN(m) AS entity_id FROM reach GROUP BY n
+    ), members AS (
+      SELECT comp.entity_id, c.c_custkey, c.c_name, c.c_mktsegment,
+             CAST(ROUND(c.c_acctbal * 100, 0) AS BIGINT) AS cents
+      FROM comp JOIN customer c ON c.c_custkey = comp.custkey
+    ), best_name AS (
+      SELECT entity_id, c_name AS golden_name,
+             ROW_NUMBER() OVER (PARTITION BY entity_id
+                                ORDER BY cents DESC, c_custkey) AS rn
+      FROM members
+    ), seg_mode AS (
+      SELECT entity_id, c_mktsegment AS golden_segment,
+             ROW_NUMBER() OVER (
+               PARTITION BY entity_id
+               ORDER BY COUNT(*) DESC, c_mktsegment) AS rn
+      FROM members GROUP BY entity_id, c_mktsegment
+    ), rollup_m AS (
+      SELECT entity_id,
+             CAST(COUNT(*) AS BIGINT) AS n_members,
+             CAST(MAX(cents) AS BIGINT) AS golden_acctbal_cents
+      FROM members GROUP BY entity_id
+    )
+    SELECT r.entity_id, r.n_members, bn.golden_name,
+           r.golden_acctbal_cents, sm.golden_segment
+    FROM rollup_m r
+    JOIN best_name bn ON bn.entity_id = r.entity_id AND bn.rn = 1
+    JOIN seg_mode sm ON sm.entity_id = r.entity_id AND sm.rn = 1
+    WHERE r.n_members >= 2
+    """
+
+
+@query(
+    "golden_record_merge",
+    oracle=_golden_oracle(),
+    description="Golden-record construction (field-level "
+    "survivorship): each resolved entity (the fuzzy matcher's pairs "
+    "through connected components) merges its duplicate member "
+    "records FIELD BY FIELD under explicit survivorship rules — "
+    "name from the highest-balance member (deterministic custkey "
+    "tie-break), balance as the max, segment as the mode "
+    "(count-then-alphabetical tie-break) — the MDM step after "
+    "entity_resolution_e2e that produces the single record "
+    "downstream joins consume, rather than just a cluster id.  "
+    "Per-field argmax/mode are windows PARTITIONED BY entity "
+    "(clusters are tiny — no global window), members come from one "
+    "join of the component map back to the dimension; only "
+    "multi-member entities emit.  Oracle = the same survivorship "
+    "windows over the recursive-CTE closure.",
+)
+def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.operators.graph import (
+        connected_components,
+    )
+
+    pairs = fuzzy_match_customers(spark, sf_dir).select(
+        F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")
+    )
+    comp = connected_components(pairs)
+    cust = read_table(spark, sf_dir, "customer")
+    members = comp.join(
+        cust, comp.node == cust.c_custkey
+    ).select(
+        F.col("label").alias("entity_id"),
+        "c_custkey",
+        "c_name",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
+    )
+    w_name = Window.partitionBy("entity_id").orderBy(
+        F.desc("cents"), "c_custkey"
+    )
+    best_name = (
+        members.withColumn("rn", F.row_number().over(w_name))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("c_name").alias("golden_name"))
+    )
+    w_seg = Window.partitionBy("entity_id").orderBy(
+        F.desc("cnt"), "c_mktsegment"
+    )
+    seg_mode = (
+        members.groupBy("entity_id", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .withColumn("rn", F.row_number().over(w_seg))
+        .filter(F.col("rn") == 1)
+        .select("entity_id", F.col("c_mktsegment").alias("golden_segment"))
+    )
+    roll = members.groupBy("entity_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_members"),
+        F.max("cents").cast("long").alias("golden_acctbal_cents"),
+    )
+    return (
+        roll.filter(F.col("n_members") >= 2)
+        .join(best_name, "entity_id")
+        .join(seg_mode, "entity_id")
+        .select(
+            "entity_id",
+            "n_members",
+            "golden_name",
+            "golden_acctbal_cents",
+            "golden_segment",
+        )
+    )

@@ -1232,3 +1232,102 @@ def parquet_codec_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionAll(p)
     return out
+
+
+# ---------------------------------------------------------------------------
+# Difference-in-differences estimator
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "diff_in_diff",
+    oracle="""
+    WITH b AS (
+      SELECT (MIN(epoch_us(ts)) + MAX(epoch_us(ts))) // 2 AS mid
+      FROM events
+    ), cells AS (
+      SELECT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)), 1, 8))
+                  AS BIGINT) % 2 AS treated,
+             CASE WHEN epoch_us(ts) > b.mid THEN 1 ELSE 0 END AS post,
+             CAST(SUM(CAST(ROUND(value * 100, 0) AS BIGINT)) AS BIGINT)
+               AS cents,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM events, b GROUP BY treated, post
+    ), m AS (
+      SELECT MAX(CASE WHEN treated = 1 AND post = 1
+                      THEN CAST(cents AS DOUBLE) / n END) AS m_t_post,
+             MAX(CASE WHEN treated = 1 AND post = 0
+                      THEN CAST(cents AS DOUBLE) / n END) AS m_t_pre,
+             MAX(CASE WHEN treated = 0 AND post = 1
+                      THEN CAST(cents AS DOUBLE) / n END) AS m_c_post,
+             MAX(CASE WHEN treated = 0 AND post = 0
+                      THEN CAST(cents AS DOUBLE) / n END) AS m_c_pre,
+             CAST(SUM(n) AS BIGINT) AS n_events
+      FROM cells
+    )
+    SELECT n_events,
+           ROUND(m_t_pre, 4) AS treated_pre,
+           ROUND(m_t_post, 4) AS treated_post,
+           ROUND(m_c_pre, 4) AS control_pre,
+           ROUND(m_c_post, 4) AS control_post,
+           ROUND((m_t_post - m_t_pre) - (m_c_post - m_c_pre), 4)
+             AS did_cents
+    FROM m
+    """,
+    description="Difference-in-differences estimator over the event "
+    "stream: users split into treatment/control by the md5 "
+    "experiment-assignment hash (ab_test_zscore's bucketing), time "
+    "split pre/post at the corpus midpoint, and the causal effect "
+    "estimate is the classic interaction of the four cell means — "
+    "the quasi-experimental readout (feature launches, pricing "
+    "changes) that controls for both group baselines and secular "
+    "trends where a naive pre/post or treated/control comparison "
+    "confounds.  ONE conditional aggregate produces the four cells "
+    "as exact integer (cents, count) partials; each mean is a "
+    "single correctly-rounded division and the DiD combination of "
+    "four doubles is the same IEEE expression tree on both engines.",
+)
+def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.operators.sampling import hash_bucket
+
+    ev = read_table(spark, sf_dir, "events")
+    ts_us = F.expr(
+        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
+    )
+    lo, hi = ev.agg(F.min(ts_us), F.max(ts_us)).first()
+    mid = (int(lo) + int(hi)) // 2
+    cells = ev.groupBy(
+        hash_bucket(F.col("user_id"), 2).alias("treated"),
+        F.when(ts_us > mid, 1).otherwise(0).alias("post"),
+    ).agg(
+        F.sum(F.round(F.col("value") * 100, 0).cast("long")).alias("cents"),
+        F.count(F.lit(1)).alias("n"),
+    )
+
+    def cell(t: int, p: int):
+        return F.max(
+            F.when(
+                (F.col("treated") == t) & (F.col("post") == p),
+                F.col("cents").cast("double") / F.col("n"),
+            )
+        )
+
+    m = cells.agg(
+        cell(1, 1).alias("m_t_post"),
+        cell(1, 0).alias("m_t_pre"),
+        cell(0, 1).alias("m_c_post"),
+        cell(0, 0).alias("m_c_pre"),
+        F.sum("n").cast("long").alias("n_events"),
+    )
+    return m.select(
+        "n_events",
+        F.round("m_t_pre", 4).alias("treated_pre"),
+        F.round("m_t_post", 4).alias("treated_post"),
+        F.round("m_c_pre", 4).alias("control_pre"),
+        F.round("m_c_post", 4).alias("control_post"),
+        F.round(
+            (F.col("m_t_post") - F.col("m_t_pre"))
+            - (F.col("m_c_post") - F.col("m_c_pre")),
+            4,
+        ).alias("did_cents"),
+    )

@@ -408,3 +408,104 @@ def stream_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             "kl_nat",
         )
     )
+
+
+_SHLL_M = 64  # portable HLL registers (p = 6), matching
+              # plans/stats2.hll_portable_registers' construction
+
+
+@query(
+    "stream_hll_distinct",
+    oracle=f"""
+    WITH hashed AS (
+      SELECT event_type,
+             md5(CAST(user_id AS VARCHAR)) AS h
+      FROM events
+    ), ranks AS (
+      SELECT event_type,
+             CAST(('0x' || substr(h, 1, 2)) AS BIGINT) % {_SHLL_M}
+               AS bucket,
+             CASE WHEN CAST(('0x' || substr(h, 3, 6)) AS BIGINT) = 0
+                  THEN 25
+                  ELSE 25 - length(bin(CAST(('0x' || substr(h, 3, 6))
+                                            AS BIGINT))) END AS r
+      FROM hashed
+    )
+    SELECT event_type, bucket, CAST(MAX(r) AS BIGINT) AS r
+    FROM ranks GROUP BY event_type, bucket
+    """,
+    description="STREAMING distinct-user sketch per event type: each "
+    "micro-batch computes its portable md5-derived HLL registers "
+    f"({_SHLL_M} per type — the construction "
+    "hll_portable_registers differentially proves) and foreachBatch "
+    "merges them into a versioned state table by MAX — register max "
+    "commutes and is idempotent, so the result is batch-split-"
+    "invariant AND replay-safe (at-least-once delivery cannot "
+    "corrupt a max-merge), equal to the batch registers over the "
+    "whole feed, which is the oracle.  State is |types| x "
+    f"{_SHLL_M} rows at ANY traffic volume — the streaming "
+    "COUNT(DISTINCT) that a 100 TB/day stream cannot afford "
+    "exactly; the serving read derives the estimate from kilobytes "
+    "of state.  Completes the mergeable-state sink family: counts "
+    "(CDC), histograms (quantiles), KL cells (drift), now "
+    "cardinality.",
+)
+def stream_hll_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    from dados_publicos_etl_spark.streaming.windows import (
+        _streaming_shuffle,
+    )
+
+    feed = _cdc_feed_dir(spark, sf_dir)
+    state_tmp = tempfile.TemporaryDirectory(prefix="spark_shll_state_")
+    state = {"path": None, "version": 0}
+
+    def regs_of(df: DataFrame) -> DataFrame:
+        h = F.md5(F.col("user_id").cast("string"))
+        w = F.conv(F.substring(h, 3, 6), 16, 10).cast("long")
+        return (
+            df.select(
+                "event_type",
+                (
+                    F.conv(F.substring(h, 1, 2), 16, 10).cast("long")
+                    % _SHLL_M
+                ).alias("bucket"),
+                F.when(w == 0, F.lit(25))
+                .otherwise(F.lit(25) - F.length(F.bin(w)))
+                .cast("long")
+                .alias("r"),
+            )
+            .groupBy("event_type", "bucket")
+            .agg(F.max("r").alias("r"))
+        )
+
+    def merge_regs(batch_df: DataFrame, _bid: int) -> None:
+        b = regs_of(batch_df)
+        if state["path"] is not None:
+            s = spark.read.parquet(state["path"])
+            b = (
+                s.unionByName(b)
+                .groupBy("event_type", "bucket")
+                .agg(F.max("r").alias("r"))
+            )
+        state["version"] += 1
+        new_path = f"{state_tmp.name}/v{state['version']}"
+        b.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    stream = (
+        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    with _streaming_shuffle(spark):
+        q = stream.writeStream.foreachBatch(merge_regs).start()
+        try:
+            q.processAllAvailable()
+        finally:
+            q.stop()
+    _CDC_STATE_DIRS.append(state_tmp)
+    return spark.read.parquet(state["path"]).select(
+        "event_type", "bucket", F.col("r").cast("long").alias("r")
+    )
