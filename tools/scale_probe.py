@@ -104,6 +104,25 @@ PROBE = [
     "scd2_pit_join",               # keyed containment join
     "rolling_mad_anomaly",         # offset-explode day windows
     "weekly_active_overlap",       # distinct + bounded self-join
+    # round-6 continuation: rank statistics, density/link mining,
+    # sketches, streaming outer join, round-trips, survivorship
+    "spearman_daily_rank_corr",    # calendar-bounded midranks
+    "ks_test_twosample",           # range-partitioned ECDF gaps
+    "kendall_tau_daily",           # bounded pair self-join
+    "theil_sen_trend",             # pair slopes + ranked median
+    "dbscan_core_points",          # eps-grid neighbor counting
+    "link_prediction_ra",          # wedge join over cached edges
+    "hll_portable_registers",      # 64-register portable HLL
+    "pca_power_iteration",         # Gram cells + decimal rounds
+    "dag_longest_path_layers",     # 11th iterative (max-plus)
+    "equidepth_histogram",         # prefix-sum boundary crossing
+    "quantile_normalize_grid",     # equi-depth composed twice
+    "csv_rfc4180_roundtrip",       # multiLine CSV write+read
+    "parquet_codec_roundtrip",     # 4-codec write+read matrix
+    "stream_stream_outer_join",    # watermark-evicted outer join
+    "stream_hll_distinct",         # max-merged register state
+    "golden_record_merge",         # per-entity survivorship
+    "diff_in_diff",                # 4-cell conditional aggregate
 ]
 
 
