@@ -1331,3 +1331,264 @@ def diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("did_cents"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Classifier precision / recall / F1 report (per class)
+# ---------------------------------------------------------------------------
+
+# ensure the NB query is registered before we wrap its oracle
+import dados_publicos_etl_spark.operators.classify  # noqa: E402,F401
+from dados_publicos_etl_spark.plans.registry import QUERIES  # noqa: E402
+
+
+def _prf1_oracle() -> str:
+    nb = QUERIES["nb_classifier_train_score"].oracle
+    return f"""
+    WITH preds AS ({nb}),
+    m AS (
+      SELECT true_lang, pred_lang, CAST(COUNT(*) AS BIGINT) AS n
+      FROM preds GROUP BY true_lang, pred_lang
+    ), classes AS (
+      SELECT true_lang AS cls FROM m UNION SELECT pred_lang FROM m
+    ), tp AS (
+      SELECT true_lang AS cls, CAST(SUM(n) AS BIGINT) AS tp
+      FROM m WHERE true_lang = pred_lang GROUP BY true_lang
+    ), tt AS (
+      SELECT true_lang AS cls, CAST(SUM(n) AS BIGINT) AS n_true
+      FROM m GROUP BY true_lang
+    ), pt AS (
+      SELECT pred_lang AS cls, CAST(SUM(n) AS BIGINT) AS n_pred
+      FROM m GROUP BY pred_lang
+    )
+    SELECT c.cls,
+           CAST(COALESCE(tt.n_true, 0) AS BIGINT) AS n_true,
+           CAST(COALESCE(pt.n_pred, 0) AS BIGINT) AS n_pred,
+           CAST(COALESCE(tp.tp, 0) AS BIGINT) AS tp,
+           ROUND(CASE WHEN COALESCE(pt.n_pred, 0) = 0 THEN 0.0
+                 ELSE CAST(COALESCE(tp.tp, 0) AS DOUBLE) / pt.n_pred END,
+                 6) AS precision_c,
+           ROUND(CASE WHEN COALESCE(tt.n_true, 0) = 0 THEN 0.0
+                 ELSE CAST(COALESCE(tp.tp, 0) AS DOUBLE) / tt.n_true END,
+                 6) AS recall_c,
+           ROUND(CASE WHEN COALESCE(tt.n_true, 0) + COALESCE(pt.n_pred, 0)
+                           = 0 THEN 0.0
+                 ELSE 2.0 * COALESCE(tp.tp, 0)
+                      / (COALESCE(tt.n_true, 0) + COALESCE(pt.n_pred, 0))
+                 END, 6) AS f1_c
+    FROM classes c
+    LEFT JOIN tp ON tp.cls = c.cls
+    LEFT JOIN tt ON tt.cls = c.cls
+    LEFT JOIN pt ON pt.cls = c.cls
+    """
+
+
+@query(
+    "classifier_prf1_report",
+    oracle=_prf1_oracle(),
+    description="Per-class precision / recall / F1 over the Naive "
+    "Bayes classifier's held-out predictions — the evaluation "
+    "report that joins exact ROC-AUC (threshold-free ranking "
+    "quality) and Cohen's kappa (chance-corrected agreement) to "
+    "complete the classifier-evaluation family with the per-class "
+    "decision metrics a model card actually prints.  The test-set "
+    "predictions collapse to the |classes|^2 confusion matrix in "
+    "one partial-aggregated pass (the ONLY data-scale work is the "
+    "NB scoring pipeline itself, already oracle-checked); "
+    "precision/recall are single divisions of exact counts and F1 "
+    "uses the one-division identity 2tp/(n_true + n_pred) — no "
+    "compound float expression to drift.  Empty classes report 0 "
+    "by convention.",
+)
+def classifier_prf1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.operators.classify import (
+        nb_classifier_train_score,
+    )
+
+    preds = nb_classifier_train_score(spark, sf_dir)
+    m = preds.groupBy("true_lang", "pred_lang").agg(
+        F.count(F.lit(1)).alias("n")
+    )
+    classes = (
+        m.select(F.col("true_lang").alias("cls"))
+        .unionAll(m.select(F.col("pred_lang").alias("cls")))
+        .distinct()
+    )
+    tp = (
+        m.filter(F.col("true_lang") == F.col("pred_lang"))
+        .groupBy(F.col("true_lang").alias("cls"))
+        .agg(F.sum("n").alias("tp"))
+    )
+    tt = m.groupBy(F.col("true_lang").alias("cls")).agg(
+        F.sum("n").alias("n_true")
+    )
+    pt = m.groupBy(F.col("pred_lang").alias("cls")).agg(
+        F.sum("n").alias("n_pred")
+    )
+    j = (
+        classes.join(tp, "cls", "left")
+        .join(tt, "cls", "left")
+        .join(pt, "cls", "left")
+        .select(
+            "cls",
+            F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),
+            F.coalesce("n_pred", F.lit(0)).cast("long").alias("n_pred"),
+            F.coalesce("tp", F.lit(0)).cast("long").alias("tp"),
+        )
+    )
+    return j.select(
+        "cls",
+        "n_true",
+        "n_pred",
+        "tp",
+        F.round(
+            F.when(F.col("n_pred") == 0, 0.0).otherwise(
+                F.col("tp").cast("double") / F.col("n_pred")
+            ),
+            6,
+        ).alias("precision_c"),
+        F.round(
+            F.when(F.col("n_true") == 0, 0.0).otherwise(
+                F.col("tp").cast("double") / F.col("n_true")
+            ),
+            6,
+        ).alias("recall_c"),
+        F.round(
+            F.when((F.col("n_true") + F.col("n_pred")) == 0, 0.0).otherwise(
+                2.0 * F.col("tp") / (F.col("n_true") + F.col("n_pred"))
+            ),
+            6,
+        ).alias("f1_c"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Retrieval quality: P@10 / MRR / NDCG@10 over exact cosine ranking
+# ---------------------------------------------------------------------------
+
+# integer-scaled DCG discounts: round(1e9 / log2(rank + 1)), rank 1..10,
+# and their prefix sums (IDCG for r relevant = PREFIX[r]).  Literal on
+# BOTH engines so no libm log2 enters the differential check.
+_NDCG_DISC = [1000000000, 630929754, 500000000, 430676558, 386852807,
+              356207187, 333333333, 315464877, 301029996, 289064826]
+_NDCG_PREFIX = [0, 1000000000, 1630929754, 2130929754, 2561606312,
+                2948459119, 3304666306, 3637999639, 3953464516,
+                4254494512, 4543559338]
+_NDCG_QUERIES = 20  # fixed query panel: cost stays linear in corpus
+_NDCG_K = 10
+
+
+@query(
+    "retrieval_ndcg_at_k",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id AS q_id, embedding AS qe, label AS q_label
+      FROM embeddings WHERE vec_id < {_NDCG_QUERIES}
+    ), scored AS (
+      SELECT q.q_id,
+             CASE WHEN e.label = q.q_label THEN 1 ELSE 0 END AS rel,
+             ROW_NUMBER() OVER (
+               PARTITION BY q.q_id
+               ORDER BY ROUND(
+                 list_sum(list_transform(list_zip(e.embedding, qe),
+                   p -> CAST(p[1] AS DOUBLE) * CAST(p[2] AS DOUBLE)))
+                 / (sqrt(list_sum(list_transform(e.embedding,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))
+                    * sqrt(list_sum(list_transform(qe,
+                      x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE))))),
+                 4) DESC,
+               e.vec_id) AS rn
+      FROM q JOIN embeddings e ON e.vec_id <> q.q_id
+    ), top AS (
+      SELECT q_id, rn, rel FROM scored WHERE rn <= {_NDCG_K}
+    ), agg AS (
+      SELECT q_id,
+             CAST(SUM(rel) AS BIGINT) AS n_rel,
+             CAST(SUM(rel * list_extract(
+               {_NDCG_DISC}, rn)) AS BIGINT) AS dcg_scaled,
+             MIN(CASE WHEN rel = 1 THEN rn END) AS first_rel
+      FROM top GROUP BY q_id
+    )
+    SELECT q_id, n_rel,
+           ROUND(CAST(n_rel AS DOUBLE) / {_NDCG_K}, 6) AS p_at_k,
+           ROUND(CASE WHEN first_rel IS NULL THEN 0.0
+                 ELSE 1.0 / first_rel END, 6) AS mrr,
+           ROUND(CASE WHEN n_rel = 0 THEN 0.0
+                 ELSE CAST(dcg_scaled AS DOUBLE)
+                      / list_extract({_NDCG_PREFIX}, n_rel + 1) END, 6)
+             AS ndcg_at_k
+    FROM agg
+    """,
+    description=f"Retrieval-quality evaluation (P@{_NDCG_K}, MRR, "
+    f"NDCG@{_NDCG_K}) of exact-cosine ranking for a fixed "
+    f"{_NDCG_QUERIES}-query panel, relevance = same label — the "
+    "metric harness every retrieval/ANN stack is judged by, made "
+    "differentially checkable: ranking ties break on rounded cosine "
+    "+ vec_id (portable), and the DCG log2 discounts are "
+    "PRE-SCALED INTEGER LITERALS shared by both engines "
+    "(round(1e9/log2(rank+1))), so DCG/IDCG accumulate as exact "
+    "integer sums in any order and only the final NDCG ratio "
+    "divides — no libm log2 difference can enter the check.  The "
+    "fixed panel keeps cost linear in corpus size (panel x N "
+    "brute-force pairs); at 100 TB swap the candidate source for "
+    "the IVF/LSH retrievers (the metrics compose unchanged — "
+    "that is the point of separating candidate generation from "
+    "evaluation).",
+)
+def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.filter(F.col("vec_id") < _NDCG_QUERIES).select(
+        F.col("vec_id").alias("q_id"),
+        F.col("embedding").alias("qe"),
+        F.col("label").alias("q_label"),
+    )
+    from dados_publicos_etl_spark.functions.vector import cosine
+
+    scored = (
+        F.broadcast(q)
+        .join(emb, F.col("vec_id") != F.col("q_id"))
+        .select(
+            "q_id",
+            F.when(F.col("label") == F.col("q_label"), 1)
+            .otherwise(0)
+            .alias("rel"),
+            F.round(
+                cosine(F.col("embedding"), F.col("qe")), 4
+            ).alias("cos_r"),
+            "vec_id",
+        )
+    )
+    w = Window.partitionBy("q_id").orderBy(F.desc("cos_r"), "vec_id")
+    top = (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") <= _NDCG_K)
+    )
+    disc = F.array(*[F.lit(d) for d in _NDCG_DISC])
+    prefix = F.array(*[F.lit(p) for p in _NDCG_PREFIX])
+    agg = top.groupBy("q_id").agg(
+        F.sum("rel").cast("long").alias("n_rel"),
+        F.sum(F.col("rel") * F.element_at(disc, F.col("rn")))
+        .cast("long")
+        .alias("dcg_scaled"),
+        F.min(F.when(F.col("rel") == 1, F.col("rn"))).alias("first_rel"),
+    )
+    return agg.select(
+        "q_id",
+        "n_rel",
+        F.round(F.col("n_rel").cast("double") / _NDCG_K, 6).alias("p_at_k"),
+        F.round(
+            F.when(F.col("first_rel").isNull(), 0.0).otherwise(
+                1.0 / F.col("first_rel")
+            ),
+            6,
+        ).alias("mrr"),
+        F.round(
+            F.when(F.col("n_rel") == 0, 0.0).otherwise(
+                F.col("dcg_scaled").cast("double")
+                / F.element_at(
+                    prefix, (F.col("n_rel") + 1).cast("int")
+                )
+            ),
+            6,
+        ).alias("ndcg_at_k"),
+    )
