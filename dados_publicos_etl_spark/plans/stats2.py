@@ -1592,3 +1592,70 @@ def retrieval_ndcg_at_k(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("ndcg_at_k"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Sequence gap audit (missing-id ranges without a global window)
+# ---------------------------------------------------------------------------
+
+_GAP_TOPK = 20
+
+
+@query(
+    "sequence_gap_audit",
+    oracle=f"""
+    WITH ids AS (
+      SELECT DISTINCT o_orderkey AS id FROM orders
+      WHERE o_orderpriority = '1-URGENT'
+    ), bounds AS (
+      SELECT CAST(MIN(id) AS BIGINT) AS lo, CAST(MAX(id) AS BIGINT) AS hi,
+             CAST(COUNT(*) AS BIGINT) AS n
+      FROM ids
+    ), gap_starts AS (
+      SELECT i.id + 1 AS gap_start
+      FROM ids i CROSS JOIN bounds b
+      WHERE i.id < b.hi
+        AND NOT EXISTS (SELECT 1 FROM ids x WHERE x.id = i.id + 1)
+    )
+    SELECT g.gap_start,
+           b.hi - b.lo + 1 - b.n AS total_missing
+    FROM gap_starts g CROSS JOIN bounds b
+    ORDER BY g.gap_start
+    LIMIT {_GAP_TOPK}
+    """,
+    description="Sequence-gap audit over a feed's key space (the "
+    "URGENT-priority order keys stand in for an incremental feed "
+    "that SHOULD have delivered a contiguous id range): the first "
+    "missing id after each present id (gap starts), plus the exact "
+    "total missing count from min/max/count arithmetic — the "
+    "completeness check for ingest feeds that promise dense "
+    "surrogate keys (a gap = lost batch or failed partition).  "
+    "Deliberately WINDOW-FREE: the classic LEAD(id) formulation "
+    "plans a SinglePartition global sort at corpus scale; here gap "
+    "starts come from one self-ANTI-join on id+1 (keys only, "
+    "hash-partitioned) and the total from a 1-row bounds aggregate "
+    "— every stage partition-parallel, TakeOrdered for the "
+    f"deterministic first-{_GAP_TOPK} report.",
+)
+def sequence_gap_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    ids = (
+        orders.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("id"))
+        .distinct()
+    )
+    lo, hi, n = ids.agg(F.min("id"), F.max("id"), F.count("id")).first()
+    nxt = ids.select((F.col("id") + 1).alias("gap_start"))
+    present = ids.select(F.col("id").alias("gap_start"))
+    gap_starts = (
+        nxt.filter(F.col("gap_start") <= int(hi))
+        .join(present, "gap_start", "left_anti")
+    )
+    total_missing = int(hi) - int(lo) + 1 - int(n)
+    return (
+        gap_starts.withColumn(
+            "total_missing", F.lit(total_missing).cast("long")
+        )
+        .orderBy("gap_start")
+        .limit(_GAP_TOPK)
+    )

@@ -485,6 +485,16 @@ _BNLJ_OK = {
     "countmin_sketch_estimate",  # d=4-row salt dimension crossJoin
     "bloom_filter_semijoin",  # 1-row filter-stats x 1-row key-count sides
     "selfjoin_size_cms",  # 4-row salt dimension + 1-row truth crossJoins
+    # round-6 continuation: calendar-bounded pair joins and fixed
+    # query panels — build sides that CANNOT grow with the corpus
+    "kendall_tau_daily",   # daily-aggregate pair join (calendar-bounded)
+    "theil_sen_trend",     # daily slope pair join (calendar-bounded)
+    "retrieval_ndcg_at_k",  # fixed 20-row query panel broadcast
+    "spearman_daily_rank_corr",  # daily tie-group joins (calendar-bounded)
+    "ks_test_twosample",   # 1-row sizes crossJoin
+    "diff_in_diff",        # 1-row midpoint scalar
+    "classifier_prf1_report",  # inherits NB's |classes|-row model table
+    "pca_power_iteration",  # 1-row norms crossJoin onto the 64-dim table
 }
 
 
@@ -634,3 +644,40 @@ def test_pareto_curve_has_no_single_partition(spark, sf_dir):
     plan = _plan(QUERIES["pareto_revenue_curve"].fn(spark, sf_dir))
     assert "SinglePartition" not in plan
     assert "row_number" in plan.lower()
+
+
+def test_ks_ecdf_has_no_single_partition_sort(spark, sf_dir):
+    """The KS running gap must ride the range-partitioned prefix-sum
+    machinery: no SinglePartition exchange may feed a Sort/Window
+    (the naive SUM() OVER (ORDER BY val) plan).  The final 1-ROW
+    aggregate's SinglePartition exchange is legitimate — it moves
+    32 partial-aggregate rows, not data — so the pin checks what
+    CONSUMES each SinglePartition exchange, not its existence."""
+    plan = _plan(QUERIES["ks_test_twosample"].fn(spark, sf_dir))
+    lines = plan.splitlines()
+    for i, ln in enumerate(lines):
+        if "Exchange SinglePartition" in ln:
+            parents = " ".join(lines[max(0, i - 2):i])
+            assert "Sort " not in parents and "Window" not in parents, (
+                "\n".join(lines[max(0, i - 3):i + 1])
+            )
+    # the running sum's window partitions on the range-partition id
+    # (the ranged layout itself is behind the localCheckpoint scan)
+    assert "hashpartitioning(__rbr_pid" in plan
+
+
+def test_equidepth_has_no_single_partition(spark, sf_dir):
+    """Equi-depth boundaries come from range-partitioned prefix sums
+    + interval arithmetic — never a global cumulative window."""
+    plan = _plan(QUERIES["equidepth_histogram"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+
+
+def test_dbscan_neighbor_join_is_equi(spark, sf_dir):
+    """The eps-grid neighbor join must plan as a hash/sort-merge
+    EQUI-join on the cell key (side a explodes to its 3x3
+    neighborhood) — a BETWEEN-shaped cell condition would plan the
+    O(n^2) BroadcastNestedLoopJoin the grid exists to avoid."""
+    plan = _plan(QUERIES["dbscan_core_points"].fn(spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
