@@ -730,3 +730,62 @@ def test_random_ranked_by_range_matches_native_ntile(
                  l_orderkey, l_linenumber)
     """
     compare(got, oracle, SF_DIR)
+
+
+# dimension 14: the range-partitioned global RUNNING SUM
+# (operators/ranking.prefix_sums_by_range) vs the engines' native
+# SUM() OVER (ORDER BY ...) — the prefix-sum sibling of dimension 13
+# now backs ks_test_twosample / equidepth_histogram /
+# quantile_normalize_grid / pareto_revenue_curve, so its offset
+# arithmetic gets swept under random predicates, partition counts,
+# value columns, and sort directions.
+@_FUZZ
+@given(
+    pred=predicates(),
+    parts=st.integers(2, 24),
+    vcol=st.sampled_from(["l_quantity", "l_extendedprice"]),
+    direction=st.sampled_from(["ASC", "DESC"]),
+)
+def test_random_prefix_sums_match_native_window_sum(
+    spark, pred, parts, vcol, direction
+):
+    """prefix_sums_by_range's rank AND cumulative sum must equal the
+    native global ROW_NUMBER + SUM() OVER for any filter, partition
+    count, value column and direction (exact integer cents so no
+    float accumulation enters the check)."""
+    from dados_publicos_etl_spark.operators.ranking import (
+        prefix_sums_by_range,
+    )
+
+    li = (
+        read_table(spark, SF_DIR, "lineitem")
+        .filter(F.expr(pred))
+        .select(
+            "l_orderkey",
+            "l_linenumber",
+            F.round(F.col(vcol) * 100, 0).cast("long").alias("v"),
+        )
+    )
+    order = [
+        F.col("v").desc() if direction == "DESC" else F.col("v"),
+        "l_orderkey",
+        "l_linenumber",
+    ]
+    cum, total, total_v = prefix_sums_by_range(
+        li, order, "v", num_partitions=parts
+    )
+    if total == 0:
+        return
+    got = cum.select("l_orderkey", "l_linenumber", "rn", "cum")
+    oracle = f"""
+    SELECT l_orderkey, l_linenumber,
+           CAST(ROW_NUMBER() OVER w AS BIGINT) AS rn,
+           CAST(SUM(CAST(ROUND({vcol} * 100, 0) AS BIGINT))
+                OVER (ORDER BY CAST(ROUND({vcol} * 100, 0) AS BIGINT)
+                      {direction}, l_orderkey, l_linenumber
+                      ROWS UNBOUNDED PRECEDING) AS BIGINT) AS cum
+    FROM lineitem WHERE {pred}
+    WINDOW w AS (ORDER BY CAST(ROUND({vcol} * 100, 0) AS BIGINT)
+                 {direction}, l_orderkey, l_linenumber)
+    """
+    compare(got, oracle, SF_DIR)
