@@ -918,3 +918,156 @@ def source_dup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("containment"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Bloom-prefiltered decontamination (end-to-end composition)
+# ---------------------------------------------------------------------------
+
+_CB_WORDS = 8192          # filter words (sized ~10 bits/eval-shingle
+_CB_BPW = 63              # at the bench SF; bit 63 clear — ANSI engines
+_CB_M = _CB_WORDS * _CB_BPW  # raise on 1<<63 where Spark wraps)
+_CB_K = 3
+
+
+def _cb_pos_sql(key: str, j: int) -> str:
+    return (
+        f"(CAST(('0x' || substr(md5('cb{j}:' || {key}), 1, 8)) AS BIGINT)"
+        f" % {_CB_M})"
+    )
+
+
+@query(
+    "decontaminate_bloom_e2e",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, {_DUCK_SH4} AS sh FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS s FROM sh WHERE source = 'src0'
+    ), bench_pos AS (
+      SELECT {_cb_pos_sql('s', 0)} AS p FROM bench UNION ALL
+      SELECT {_cb_pos_sql('s', 1)} FROM bench UNION ALL
+      SELECT {_cb_pos_sql('s', 2)} FROM bench
+    ), bloom AS (
+      SELECT p / {_CB_BPW} AS word,
+             bit_or(1::BIGINT << CAST(p % {_CB_BPW} AS INT)) AS bits
+      FROM bench_pos GROUP BY 1
+    ), train AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh WHERE source <> 'src0'
+    ), probed AS (
+      SELECT t.doc_id, t.s
+      FROM train t
+      LEFT JOIN bloom b0 ON {_cb_pos_sql('t.s', 0)} / {_CB_BPW} = b0.word
+      LEFT JOIN bloom b1 ON {_cb_pos_sql('t.s', 1)} / {_CB_BPW} = b1.word
+      LEFT JOIN bloom b2 ON {_cb_pos_sql('t.s', 2)} / {_CB_BPW} = b2.word
+      WHERE (COALESCE(b0.bits, 0)
+             & (1::BIGINT << CAST({_cb_pos_sql('t.s', 0)} % {_CB_BPW} AS INT))) <> 0
+        AND (COALESCE(b1.bits, 0)
+             & (1::BIGINT << CAST({_cb_pos_sql('t.s', 1)} % {_CB_BPW} AS INT))) <> 0
+        AND (COALESCE(b2.bits, 0)
+             & (1::BIGINT << CAST({_cb_pos_sql('t.s', 2)} % {_CB_BPW} AS INT))) <> 0
+    ), cand AS (
+      SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_bloom_candidates
+      FROM probed GROUP BY doc_id
+    ), confirmed AS (
+      SELECT p.doc_id, CAST(COUNT(*) AS BIGINT) AS n_confirmed
+      FROM probed p JOIN bench b ON b.s = p.s
+      GROUP BY p.doc_id
+    )
+    SELECT c.doc_id, c.n_bloom_candidates,
+           CAST(COALESCE(f.n_confirmed, 0) AS BIGINT) AS n_confirmed,
+           COALESCE(f.n_confirmed, 0) > 0 AS contaminated
+    FROM cand c LEFT JOIN confirmed f ON f.doc_id = c.doc_id
+    """,
+    description="Bloom-prefiltered decontamination END TO END — the "
+    "100 TB shape of the benchmark-overlap check: the eval split's "
+    f"distinct 4-gram shingles build a {_CB_M}-bit / k={_CB_K} "
+    "md5-salted Bloom filter (a fixed ~64 KB word table, broadcast), "
+    "the training-side shingle stream dies at the scan unless all "
+    "k bits hit, and only the surviving candidates pay the exact "
+    "semi-join against the eval shingle set.  Because a Bloom "
+    "filter has ZERO false negatives by construction, the confirmed "
+    "set provably equals the unfiltered exact check "
+    "(contamination_ngram) — the pruning is a pure optimization, "
+    "and the differential oracle verifies BOTH the filter's bit "
+    "layout (candidate counts, false positives included) and the "
+    "final exact verdicts.  Composes bloom_filter_semijoin's "
+    "machinery with contamination_ngram's semantics; three "
+    "broadcast joins, no new shuffle on the train side.",
+)
+def decontaminate_bloom_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    sh = docs.select(
+        "doc_id",
+        "source",
+        shingles_from_tokens(tokens("text"), n=_N_CONTAM).alias("sh"),
+    )
+    bench = (
+        sh.filter(F.col("source") == "src0")
+        .select(F.explode("sh").alias("s"))
+        .distinct()
+    )
+
+    def pos(col, j: int):
+        return (
+            F.conv(
+                F.substring(
+                    F.md5(F.concat(F.lit(f"cb{j}:"), col)), 1, 8
+                ),
+                16,
+                10,
+            ).cast("long")
+            % _CB_M
+        )
+
+    bench_pos = bench.select(
+        F.explode(
+            F.array(*[pos(F.col("s"), j) for j in range(_CB_K)])
+        ).alias("p")
+    )
+    bloom = bench_pos.groupBy(
+        F.expr(f"p div {_CB_BPW}").alias("word")
+    ).agg(
+        F.expr(f"bit_or(shiftleft(1L, CAST(p % {_CB_BPW} AS INT)))").alias(
+            "bits"
+        )
+    )
+    train = sh.filter(F.col("source") != "src0").select(
+        "doc_id", F.explode("sh").alias("s")
+    )
+    # Spark-SQL text of the salted position (mirrors _cb_pos_sql)
+    def pos_sql(j: int) -> str:
+        return (
+            f"(CAST(conv(substring(md5(concat('cb{j}:', s)), 1, 8),"
+            f" 16, 10) AS BIGINT) % {_CB_M})"
+        )
+
+    probed = train
+    for j in range(_CB_K):
+        wj = bloom.select(
+            F.col("word").alias(f"w{j}"), F.col("bits").alias(f"bits{j}")
+        )
+        probed = probed.join(
+            F.broadcast(wj),
+            F.expr(f"{pos_sql(j)} div {_CB_BPW}") == F.col(f"w{j}"),
+            "left",
+        ).filter(
+            F.expr(
+                f"(coalesce(bits{j}, 0L) & shiftleft(1L,"
+                f" CAST({pos_sql(j)} % {_CB_BPW} AS INT))) != 0"
+            )
+        ).drop(f"w{j}", f"bits{j}")
+    cand = probed.groupBy("doc_id").agg(
+        F.count(F.lit(1)).alias("n_bloom_candidates")
+    )
+    confirmed = (
+        probed.join(F.broadcast(bench), "s")
+        .groupBy("doc_id")
+        .agg(F.count(F.lit(1)).alias("n_confirmed"))
+    )
+    return cand.join(confirmed, "doc_id", "left").select(
+        "doc_id",
+        F.col("n_bloom_candidates").cast("long"),
+        F.coalesce("n_confirmed", F.lit(0)).cast("long").alias("n_confirmed"),
+        (F.coalesce("n_confirmed", F.lit(0)) > 0).alias("contaminated"),
+    )

@@ -132,3 +132,24 @@ def test_proration_conserves_order_totals(spark, sf_dir):
     )
     bad = sums.join(orders, "l_orderkey").filter("got <> want").count()
     assert bad == 0
+
+
+def test_bloom_decontamination_equals_exact_check(spark, sf_dir):
+    """Zero false negatives are STRUCTURAL for a Bloom filter, so the
+    bloom-prefiltered pipeline's confirmed verdicts must equal the
+    unfiltered exact check (contamination_ngram) doc for doc — the
+    prefilter is provably a pure optimization.  Candidates must also
+    be a superset of confirmations (false positives only prune)."""
+    from dados_publicos_etl_spark.plans import QUERIES
+    from dados_publicos_etl_spark.plans import catalog  # noqa: F401
+
+    exact = {
+        r.doc_id: r.n_shared_shingles
+        for r in QUERIES["contamination_ngram"].fn(spark, sf_dir).collect()
+        if r.n_shared_shingles > 0
+    }
+    rows = QUERIES["decontaminate_bloom_e2e"].fn(spark, sf_dir).collect()
+    confirmed = {r.doc_id: r.n_confirmed for r in rows if r.n_confirmed > 0}
+    assert confirmed == exact
+    for r in rows:
+        assert r.n_bloom_candidates >= r.n_confirmed
