@@ -997,10 +997,24 @@ def _cb_pos_sql(key: str, j: int) -> str:
 )
 def decontaminate_bloom_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    sh = docs.select(
-        "doc_id",
-        "source",
-        shingles_from_tokens(tokens("text"), n=_N_CONTAM).alias("sh"),
+    # two-step projection: materialize the token array FIRST, or the
+    # tokens() subexpression inlines into every slice reference inside
+    # shingles_from_tokens and the text re-tokenizes O(len) times per
+    # row — the projection-collapse trap (measured 25 s -> <1 s at
+    # sf0.1; same fix as winnowing's lead()-based k-grams)
+    # the local corpus is ONE parquet file = one input partition; the
+    # shingle explode + k salted hashes are the dominant per-row work,
+    # so spread the docs across the cluster first (at 100 TB the scan
+    # is naturally multi-partition and this repartition disappears)
+    par = spark.sparkContext.defaultParallelism
+    sh = (
+        docs.repartition(par)
+        .select("doc_id", "source", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            shingles_from_tokens(F.col("toks"), n=_N_CONTAM).alias("sh"),
+        )
     )
     bench = (
         sh.filter(F.col("source") == "src0")
@@ -1025,13 +1039,20 @@ def decontaminate_bloom_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.array(*[pos(F.col("s"), j) for j in range(_CB_K)])
         ).alias("p")
     )
-    bloom = bench_pos.groupBy(
-        F.expr(f"p div {_CB_BPW}").alias("word")
-    ).agg(
-        F.expr(f"bit_or(shiftleft(1L, CAST(p % {_CB_BPW} AS INT)))").alias(
-            "bits"
+    # build the word table and the exact-verify set ONCE
+    # (localCheckpoint: <= _CB_WORDS rows / |eval shing| rows) — three
+    # broadcast joins plus the verify would otherwise re-derive the
+    # eval-side explode per consumer (measured 22 s -> ~3 s at sf0.1)
+    bloom = (
+        bench_pos.groupBy(F.expr(f"p div {_CB_BPW}").alias("word"))
+        .agg(
+            F.expr(
+                f"bit_or(shiftleft(1L, CAST(p % {_CB_BPW} AS INT)))"
+            ).alias("bits")
         )
+        .localCheckpoint()
     )
+    bench = bench.localCheckpoint()
     train = sh.filter(F.col("source") != "src0").select(
         "doc_id", F.explode("sh").alias("s")
     )
@@ -1057,17 +1078,17 @@ def decontaminate_bloom_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
                 f" CAST({pos_sql(j)} % {_CB_BPW} AS INT))) != 0"
             )
         ).drop(f"w{j}", f"bits{j}")
-    cand = probed.groupBy("doc_id").agg(
-        F.count(F.lit(1)).alias("n_bloom_candidates")
+    # ONE pass: mark exact membership on the surviving candidates and
+    # fold candidate + confirmed counts in the same aggregation
+    marked = probed.join(
+        F.broadcast(bench.withColumn("hit", F.lit(1))), "s", "left"
     )
-    confirmed = (
-        probed.join(F.broadcast(bench), "s")
-        .groupBy("doc_id")
-        .agg(F.count(F.lit(1)).alias("n_confirmed"))
-    )
-    return cand.join(confirmed, "doc_id", "left").select(
-        "doc_id",
-        F.col("n_bloom_candidates").cast("long"),
-        F.coalesce("n_confirmed", F.lit(0)).cast("long").alias("n_confirmed"),
-        (F.coalesce("n_confirmed", F.lit(0)) > 0).alias("contaminated"),
+    return marked.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("long").alias("n_bloom_candidates"),
+        F.sum(F.coalesce(F.col("hit"), F.lit(0)))
+        .cast("long")
+        .alias("n_confirmed"),
+        (F.sum(F.coalesce(F.col("hit"), F.lit(0))) > 0).alias(
+            "contaminated"
+        ),
     )

@@ -56,6 +56,24 @@ def get_session(
         # convert to microsecond TIMESTAMP_NTZ.  Set once here rather
         # than mutated per read.
         .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+        # InferFiltersFromGenerate adds a `size(arr) > 0` guard under
+        # every explode(); when the array is a COMPUTED expression
+        # (word shingles, span hashes), filter pushdown re-INLINES
+        # the whole construction into that guard — lambda bodies get
+        # no common-subexpression elimination, so the text
+        # re-tokenizes O(len) times per row.  Measured at sf0.1:
+        # contamination_ngram 4.15 s -> 0.36 s, boilerplate_shingles
+        # 2.86 s -> 0.64 s, decontaminate_bloom_e2e 33 s -> 2.1 s.
+        # The guard only helps when empty-array rows are common AND
+        # the Generate sits above a join/shuffle worth pruning —
+        # never the case in this catalog (documented in BENCH_NOTES;
+        # public conf, same Catalyst rule-exclusion mechanism AQE
+        # uses).
+        .config(
+            "spark.sql.optimizer.excludedRules",
+            "org.apache.spark.sql.catalyst.optimizer."
+            "InferFiltersFromGenerate",
+        )
         .config("spark.sql.execution.arrow.pyspark.enabled", "true")
         .config("spark.driver.memory", os.environ.get("SPARK_DRIVER_MEM", "24g"))
         .config("spark.ui.enabled", "false")

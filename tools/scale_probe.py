@@ -123,6 +123,11 @@ PROBE = [
     "stream_hll_distinct",         # max-merged register state
     "golden_record_merge",         # per-entity survivorship
     "diff_in_diff",                # 4-cell conditional aggregate
+    # round-6 continuation, late wave
+    "classifier_prf1_report",      # confusion-matrix exact counts
+    "retrieval_ndcg_at_k",         # fixed query panel rank joins
+    "sequence_gap_audit",          # anti-join on id+1, window-free
+    "decontaminate_bloom_e2e",     # bloom prefilter + exact verify
 ]
 
 
