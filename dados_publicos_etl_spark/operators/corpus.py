@@ -1092,3 +1092,147 @@ def decontaminate_bloom_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
             "contaminated"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR-style importance weighting (hashed n-gram domain log-ratios)
+# ---------------------------------------------------------------------------
+
+_DS_B = 4096  # hashed-feature buckets (fixed model size at any corpus scale)
+
+
+def _ds_bucket_sql(expr: str) -> str:
+    """DuckDB fragment: salted md5 bucket of a bigram string."""
+    return (
+        f"(CAST(('0x' || substr(md5('ds:' || {expr}), 1, 7)) AS BIGINT)"
+        f" % {_DS_B})"
+    )
+
+
+@query(
+    "dsir_importance_weights",
+    oracle=f"""
+    WITH toks AS (
+      SELECT doc_id, source,
+             string_split_regex(lower(text), '\\s+') AS t
+      FROM documents
+    ), feats AS (
+      SELECT doc_id, source,
+             unnest(list_transform(
+               generate_series(1, len(t) - 1),
+               i -> {_ds_bucket_sql("t[i] || ' ' || t[i+1]")})) AS b
+      FROM toks
+    ), tgt AS (
+      SELECT b, COUNT(*) AS c FROM feats WHERE source = 'src0' GROUP BY b
+    ), raw AS (
+      SELECT b, COUNT(*) AS c FROM feats WHERE source <> 'src0' GROUP BY b
+    ), tot AS (
+      SELECT (SELECT COALESCE(SUM(c), 0) FROM tgt) AS tc,
+             (SELECT COALESCE(SUM(c), 0) FROM raw) AS rc
+    ), lr AS (
+      SELECT COALESCE(t.b, r.b) AS b,
+             ln((COALESCE(t.c, 0) + 1.0) / (tot.tc + {_DS_B}.0))
+           - ln((COALESCE(r.c, 0) + 1.0) / (tot.rc + {_DS_B}.0)) AS lr
+      FROM tgt t FULL JOIN raw r ON t.b = r.b CROSS JOIN tot
+    ), docw AS (
+      SELECT f.doc_id, COUNT(*) AS nf, SUM(lr.lr) AS w
+      FROM feats f JOIN lr ON f.b = lr.b
+      GROUP BY f.doc_id
+    )
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_feats,
+           ROUND(w, 6) AS weight,
+           w > (SELECT AVG(w) FROM docw) AS above_mean
+    FROM docw
+    """,
+    description="DSIR-style data selection (Xie et al. 2023, 'Data "
+    "Selection for Language Models via Importance Resampling'): "
+    "score every document by the log-likelihood ratio of a hashed "
+    "bigram bag-of-ngrams model fit on a TARGET domain (source = "
+    "'src0', the benchmark-like slice) vs the RAW pool (everything "
+    f"else).  Features are salted-md5 word-bigram buckets (B = {_DS_B}"
+    ", portable across engines), so the two 'models' are fixed "
+    f"{_DS_B}-row count tables however large the corpus — the log-"
+    "ratio table broadcasts, and scoring is one explode + one "
+    "broadcast join + one per-doc sum.  DSIR weights are RELATIVE "
+    "(smoothing shifts every absolute ratio), so the reported flag "
+    "is weight > corpus mean — the resampling tilt a pretraining "
+    "pipeline uses to favor target-like documents without training "
+    "a classifier; the mean is one scalar aggregate cross-joined "
+    "back (model-scale, never a data collect).  Add-one smoothing "
+    "on both numerators keeps every bucket finite; docs with fewer "
+    "than two tokens have no features and drop on both engines.",
+)
+def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    # materialize the token array before the bigram transform (no CSE
+    # inside lambda bodies — same two-step discipline as the shingle
+    # operators above)
+    toked = docs.select("doc_id", "source", tokens("text").alias("toks"))
+    feats = toked.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.transform(
+                F.sequence(F.lit(1), F.size("toks") - 1),
+                lambda i: (
+                    F.conv(
+                        F.substring(
+                            F.md5(
+                                F.concat(
+                                    F.lit("ds:"),
+                                    F.element_at(F.col("toks"), i),
+                                    F.lit(" "),
+                                    F.element_at(F.col("toks"), i + 1),
+                                )
+                            ),
+                            1,
+                            7,
+                        ),
+                        16,
+                        10,
+                    ).cast("long")
+                    % _DS_B
+                ),
+            )
+        ).alias("b"),
+    )
+    # ONE conditional aggregation builds both domain models (the
+    # bucket table is <= _DS_B rows — model-scale, never data-scale);
+    # a second corpus pass scores.  Two scans total.
+    lr = (
+        feats.groupBy("b")
+        .agg(
+            F.sum(
+                F.when(F.col("source") == "src0", 1).otherwise(0)
+            ).alias("tc"),
+            F.sum(
+                F.when(F.col("source") != "src0", 1).otherwise(0)
+            ).alias("rc"),
+        )
+        .localCheckpoint()
+    )
+    tot = lr.agg(F.sum("tc"), F.sum("rc")).first()
+    t_tot, r_tot = int(tot[0] or 0), int(tot[1] or 0)
+    lr = lr.select(
+        "b",
+        (
+            F.log((F.col("tc") + 1.0) / F.lit(float(t_tot + _DS_B)))
+            - F.log((F.col("rc") + 1.0) / F.lit(float(r_tot + _DS_B)))
+        ).alias("lr"),
+    )
+    doc_w = (
+        feats.join(F.broadcast(lr), "b")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_feats"),
+            F.sum("lr").alias("w_raw"),
+        )
+    )
+    mean_w = doc_w.agg(F.avg("w_raw").alias("mw"))
+    return doc_w.crossJoin(F.broadcast(mean_w)).select(
+        "doc_id",
+        "n_feats",
+        F.round("w_raw", 6).alias("weight"),
+        (F.col("w_raw") > F.col("mw")).alias("above_mean"),
+    )

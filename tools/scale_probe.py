@@ -128,6 +128,8 @@ PROBE = [
     "retrieval_ndcg_at_k",         # fixed query panel rank joins
     "sequence_gap_audit",          # anti-join on id+1, window-free
     "decontaminate_bloom_e2e",     # bloom prefilter + exact verify
+    "dsir_importance_weights",     # hashed-bigram domain log-ratios
+    "kn_bigram_score",             # KN-smoothed bigram LM scoring
 ]
 
 
