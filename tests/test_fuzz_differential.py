@@ -789,3 +789,89 @@ def test_random_prefix_sums_match_native_window_sum(
                  {direction}, l_orderkey, l_linenumber)
     """
     compare(got, oracle, SF_DIR)
+
+
+# dimension 15: EXPLODED computed-array pipelines — explode(Spark) vs
+# unnest(DuckDB) over arrays BUILT IN the query (sequence / split /
+# transform), then filtered and re-aggregated.  This is the plan
+# shape behind every shingle/bigram/feature operator in the catalog,
+# and the shape the session-wide InferFiltersFromGenerate exclusion
+# (session.py) changes the physical plan of: the sweep proves the
+# exclusion is results-invariant across random compositions, not
+# just on the hand-written queries.  Inner explode drops empty
+# arrays on both engines; all aggregates exact integers.
+@_FUZZ
+@given(
+    pred=predicates(),
+    src=st.sampled_from(["seq", "split", "transform"]),
+    mod=st.integers(2, 9),
+    post=st.integers(0, 3),
+)
+def test_random_exploded_arrays_match_duckdb(spark, pred, src, mod, post):
+    li = (
+        read_table(spark, SF_DIR, "lineitem")
+        .filter(F.expr(pred))
+        .select(
+            "l_returnflag",
+            F.col("l_quantity").cast("int").alias("n"),
+            F.concat_ws(
+                " ",
+                "l_returnflag",
+                "l_linestatus",
+                F.col("l_orderkey").cast("string"),
+                F.col("l_linenumber").cast("string"),
+            ).alias("s"),
+        )
+    )
+    duck_s = (
+        "(l_returnflag || ' ' || l_linestatus || ' ' "
+        "|| CAST(l_orderkey AS VARCHAR) || ' ' "
+        "|| CAST(l_linenumber AS VARCHAR))"
+    )
+    if src == "seq":
+        arr = F.expr(f"sequence(1, n % {mod} + 1)")
+        duck_arr = f"generate_series(1, (CAST(l_quantity AS INT) % {mod}) + 1)"
+        vexpr, duck_v = F.col("v"), "u.v"
+    elif src == "split":
+        arr = F.split("s", " ")
+        duck_arr = f"string_split({duck_s}, ' ')"
+        vexpr, duck_v = F.length("v"), "length(u.v)"
+    else:
+        arr = F.expr(
+            f"transform(sequence(1, n % {mod} + 1),"
+            f" i -> i * {mod} + length(s))"
+        )
+        duck_arr = (
+            f"list_transform(generate_series(1,"
+            f" (CAST(l_quantity AS INT) % {mod}) + 1),"
+            f" i -> i * {mod} + length({duck_s}))"
+        )
+        vexpr, duck_v = F.col("v"), "u.v"
+    ex = li.select("l_returnflag", F.explode(arr).alias("v")).select(
+        "l_returnflag", vexpr.cast("long").alias("val")
+    )
+    duck_where = ""
+    if post:
+        ex = ex.filter(F.col("val") % 4 == post % 4)
+        duck_where = f"WHERE val % 4 = {post % 4}"
+    got = ex.groupBy("l_returnflag").agg(
+        F.count(F.lit(1)).alias("n_vals"),
+        F.sum("val").cast("long").alias("sum_val"),
+        F.min("val").cast("long").alias("min_val"),
+        F.max("val").cast("long").alias("max_val"),
+    )
+    oracle = f"""
+    WITH ex AS (
+      SELECT l_returnflag, CAST({duck_v} AS BIGINT) AS val
+      FROM lineitem, unnest({duck_arr}) AS u(v)
+      WHERE {pred}
+    )
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n_vals,
+           CAST(SUM(val) AS BIGINT) AS sum_val,
+           CAST(MIN(val) AS BIGINT) AS min_val,
+           CAST(MAX(val) AS BIGINT) AS max_val
+    FROM ex {duck_where}
+    GROUP BY l_returnflag
+    """
+    compare(got, oracle, SF_DIR)

@@ -681,3 +681,28 @@ def test_dbscan_neighbor_join_is_equi(spark, sf_dir):
     plan = _plan(QUERIES["dbscan_core_points"].fn(spark, sf_dir))
     assert "BroadcastNestedLoopJoin" not in plan
     assert "CartesianProduct" not in plan
+
+
+def test_generate_guard_rule_is_excluded(spark):
+    """The tuned session must exclude InferFiltersFromGenerate: the
+    rule's size(arr)>0 guard under explode() gets pushed below the
+    projection that materialized the array, re-inlining the whole
+    array construction into the filter (lambda bodies have no CSE),
+    which re-tokenizes documents O(len) times per row — measured
+    4-15x slowdowns on the shingle family (BENCH_NOTES round 6).
+    The exclusion is results-invariant (fuzz dimension 15 sweeps the
+    explode composition space); this pin keeps the perf fix from
+    silently regressing.  The physical assertion: a post-explode
+    plan over a COMPUTED array must contain no size(...) > 0 guard
+    derived from the generator input."""
+    excluded = spark.conf.get("spark.sql.optimizer.excludedRules", "")
+    assert "InferFiltersFromGenerate" in (excluded or "")
+
+    from dados_publicos_etl_spark.io import read_table
+    from tests.conftest import SF_SMOKE
+
+    docs = read_table(spark, SF_SMOKE, "documents")
+    toked = docs.select("doc_id", F.split(F.lower("text"), r"\s+").alias("t"))
+    ex = toked.select("doc_id", F.explode("t").alias("tok"))
+    plan = ex._jdf.queryExecution().executedPlan().toString()
+    assert "size(" not in plan, plan[:2000]
