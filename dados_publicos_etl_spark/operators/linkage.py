@@ -445,15 +445,15 @@ def _golden_oracle() -> str:
     "(count-then-alphabetical tie-break) — the MDM step after "
     "entity_resolution_e2e that produces the single record "
     "downstream joins consume, rather than just a cluster id.  "
-    "Per-field argmax/mode are windows PARTITIONED BY entity "
-    "(clusters are tiny — no global window), members come from one "
-    "join of the component map back to the dimension; only "
-    "multi-member entities emit.  Oracle = the same survivorship "
-    "windows over the recursive-CTE closure.",
+    "Per-field argmax/mode are max_by/min_by HASH AGGREGATES with "
+    "struct tie-breaks (no per-entity window sort — the richest-"
+    "record pick folds into the same aggregate as the rollup), "
+    "members come from one join of the component map back to the "
+    "dimension; only multi-member entities emit.  Oracle = the "
+    "equivalent survivorship windows over the recursive-CTE "
+    "closure.",
 )
 def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window
-
     from dados_publicos_etl_spark.io import read_table
     from dados_publicos_etl_spark.operators.graph import (
         connected_components,
@@ -473,31 +473,42 @@ def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
         "c_mktsegment",
         F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("cents"),
     )
-    w_name = Window.partitionBy("entity_id").orderBy(
-        F.desc("cents"), "c_custkey"
-    )
-    best_name = (
-        members.withColumn("rn", F.row_number().over(w_name))
-        .filter(F.col("rn") == 1)
-        .select("entity_id", F.col("c_name").alias("golden_name"))
-    )
-    w_seg = Window.partitionBy("entity_id").orderBy(
-        F.desc("cnt"), "c_mktsegment"
-    )
-    seg_mode = (
-        members.groupBy("entity_id", "c_mktsegment")
-        .agg(F.count(F.lit(1)).alias("cnt"))
-        .withColumn("rn", F.row_number().over(w_seg))
-        .filter(F.col("rn") == 1)
-        .select("entity_id", F.col("c_mktsegment").alias("golden_segment"))
-    )
+    members = members.localCheckpoint()  # matched-entity scale, reused 2x
+    # survivorship picks are ARGMAX aggregates, not window sorts:
+    # max_by/min_by with a struct tie-break fold the richest-record
+    # name pick into the same hash aggregate as the rollup (no
+    # per-partition sort, no rank-and-filter pass) — the shape that
+    # survives 100x, where a partitionBy window would sort every
+    # entity group
     roll = members.groupBy("entity_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_members"),
         F.max("cents").cast("long").alias("golden_acctbal_cents"),
+        F.max_by(
+            "c_name",
+            F.struct(
+                F.col("cents").alias("c"),
+                (-F.col("c_custkey")).alias("k"),
+            ),
+        ).alias("golden_name"),
+    )
+    # segment mode: two-level count then argmax with ties toward the
+    # lexicographically smaller segment (min_by over (-cnt, seg))
+    seg_mode = (
+        members.groupBy("entity_id", "c_mktsegment")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("entity_id")
+        .agg(
+            F.min_by(
+                "c_mktsegment",
+                F.struct(
+                    (-F.col("cnt")).alias("nc"),
+                    F.col("c_mktsegment").alias("s"),
+                ),
+            ).alias("golden_segment")
+        )
     )
     return (
         roll.filter(F.col("n_members") >= 2)
-        .join(best_name, "entity_id")
         .join(seg_mode, "entity_id")
         .select(
             "entity_id",
