@@ -1236,3 +1236,161 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round("w_raw", 6).alias("weight"),
         (F.col("w_raw") > F.col("mw")).alias("above_mean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Gopher-style quality rule bundle (exact integer rule arithmetic)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "gopher_quality_rules",
+    oracle=r"""
+    WITH t AS (
+      SELECT doc_id,
+             string_split_regex(lower(text), '\s+') AS toks,
+             length(regexp_replace(text, '\s+', '', 'g')) AS nc
+      FROM documents
+    ), base AS (
+      SELECT doc_id, nc, len(toks) AS nw,
+             len(list_intersect(list_distinct(toks),
+                                ['the', 'a', 'of', 'and'])) AS nsw
+      FROM t
+    ), top AS (
+      SELECT doc_id, MAX(c) AS topc FROM (
+        SELECT doc_id, tok, COUNT(*) AS c FROM (
+          SELECT doc_id, unnest(toks) AS tok FROM t
+        ) GROUP BY doc_id, tok
+      ) GROUP BY doc_id
+    )
+    SELECT b.doc_id,
+           CAST(b.nw AS BIGINT) AS n_words,
+           CAST(b.nc AS BIGINT) AS n_chars_nospace,
+           CAST(b.nsw AS BIGINT) AS n_stopwords,
+           CAST(top.topc AS BIGINT) AS top_token_count,
+           (b.nw BETWEEN 20 AND 90) AS word_count_ok,
+           (b.nc * 10 BETWEEN b.nw * 40 AND b.nw * 52) AS mean_word_len_ok,
+           (b.nsw >= 2) AS stopword_ok,
+           (top.topc * 10 <= b.nw) AS repetition_ok,
+           ((b.nw BETWEEN 20 AND 90)
+            AND (b.nc * 10 BETWEEN b.nw * 40 AND b.nw * 52)
+            AND (b.nsw >= 2)
+            AND (top.topc * 10 <= b.nw)) AS gopher_keep
+    FROM base b JOIN top ON b.doc_id = top.doc_id
+    """,
+    description="Gopher-rule quality gate (Rae et al. 2021, public "
+    "paper) as a single bundle with one keep flag — the composed "
+    "filter a pretraining pipeline actually applies, vs the raw "
+    "signals text_stats / repetition_stats report individually.  "
+    "Four canonical rules with thresholds calibrated to this "
+    "corpus: word count in [20, 90]; mean word length in [4.0, "
+    "5.2]; at least 2 distinct stopwords present; top-token "
+    "fraction <= 0.1.  EVERY rule evaluates in exact integer "
+    "arithmetic (mean word length via nc*10 vs nw*40..52 cross-"
+    "multiplication, repetition via topc*10 <= nw), so the "
+    "booleans carry zero float-boundary risk in the differential "
+    "check and the whole gate is a narrow projection + one "
+    "explode-aggregate for the top-token count — no Python, no "
+    "shuffle beyond the per-doc token count.",
+)
+def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select(
+        "doc_id",
+        tokens("text").alias("toks"),
+        F.length(F.regexp_replace("text", WS, "")).alias("nc"),
+    ).select(
+        "doc_id",
+        "toks",
+        "nc",
+        F.size("toks").alias("nw"),
+        F.size(
+            F.array_intersect(
+                F.array_distinct("toks"),
+                F.array(*[F.lit(w) for w in ("the", "a", "of", "and")]),
+            )
+        ).alias("nsw"),
+    )
+    top = (
+        base.select("doc_id", F.explode("toks").alias("tok"))
+        .groupBy("doc_id", "tok")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .groupBy("doc_id")
+        .agg(F.max("c").alias("topc"))
+    )
+    j = base.drop("toks").join(top, "doc_id")
+    word_count_ok = F.col("nw").between(20, 90)
+    mwl_ok = (F.col("nc") * 10 >= F.col("nw") * 40) & (
+        F.col("nc") * 10 <= F.col("nw") * 52
+    )
+    stop_ok = F.col("nsw") >= 2
+    rep_ok = F.col("topc") * 10 <= F.col("nw")
+    return j.select(
+        "doc_id",
+        F.col("nw").cast("long").alias("n_words"),
+        F.col("nc").cast("long").alias("n_chars_nospace"),
+        F.col("nsw").cast("long").alias("n_stopwords"),
+        F.col("topc").cast("long").alias("top_token_count"),
+        word_count_ok.alias("word_count_ok"),
+        mwl_ok.alias("mean_word_len_ok"),
+        stop_ok.alias("stopword_ok"),
+        rep_ok.alias("repetition_ok"),
+        (word_count_ok & mwl_ok & stop_ok & rep_ok).alias("gopher_keep"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# HTML boilerplate strip + entity decode, proven by round-trip
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "html_strip_roundtrip",
+    oracle="""
+    SELECT doc_id,
+           md5('doc nav-menu ' || text || ' & <b> @'
+               || CAST(doc_id AS VARCHAR)) AS clean_md5,
+           CAST(LENGTH('doc nav-menu ' || text || ' & <b> @'
+               || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_chars_clean
+    FROM documents
+    """,
+    description="HTML text-extraction proven by round-trip (the "
+    "mojibake_repair pattern applied to the web-ingest stage): wrap "
+    "every document in deterministic HTML IN-ENGINE — head/title, a "
+    "nav block, a paragraph carrying the text plus encoded entities "
+    "(&amp; &lt;b&gt; &#64;) and the doc_id — then extract with the "
+    "tag-strip + entity-decode + whitespace-collapse chain a web "
+    "corpus pipeline runs before any quality filter, and md5 "
+    "against the oracle's DIRECT construction of the expected clean "
+    "string.  Equality proves the extraction chain is exact on "
+    "every row: tags out, entity references decoded (including the "
+    "numeric form), inter-tag whitespace normalized.  All "
+    "regexp_replace/replace Catalyst expressions — a narrow "
+    "projection that runs at scan speed, no shuffle, no Python.",
+)
+def html_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    planted = F.concat(
+        F.lit(
+            "<html><head><title>doc</title></head>"
+            "<body><nav>nav-menu</nav><p>"
+        ),
+        F.col("text"),
+        F.lit(" &amp; &lt;b&gt; &#64;"),
+        F.col("doc_id").cast("string"),
+        F.lit("</p></body></html>"),
+    )
+    # extraction chain: tags -> space; numeric entity decode first,
+    # named entities after so '&amp;lt;' style double-encoding cannot
+    # leak an extra decode; whitespace collapse + trim last
+    stripped = F.regexp_replace(planted, "<[^>]*>", " ")
+    stripped = F.regexp_replace(stripped, "&#64;", "@")
+    stripped = F.regexp_replace(stripped, "&lt;", "<")
+    stripped = F.regexp_replace(stripped, "&gt;", ">")
+    stripped = F.regexp_replace(stripped, "&amp;", "&")
+    clean = F.trim(F.regexp_replace(stripped, WS, " "))
+    return docs.select(
+        "doc_id",
+        F.md5(clean).alias("clean_md5"),
+        F.length(clean).cast("long").alias("n_chars_clean"),
+    )

@@ -130,6 +130,7 @@ PROBE = [
     "decontaminate_bloom_e2e",     # bloom prefilter + exact verify
     "dsir_importance_weights",     # hashed-bigram domain log-ratios
     "kn_bigram_score",             # KN-smoothed bigram LM scoring
+    "gopher_quality_rules",        # integer rule gate + top-token agg
 ]
 
 
