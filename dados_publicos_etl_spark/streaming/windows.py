@@ -1137,3 +1137,153 @@ def stream_stream_outer_join(spark: SparkSession, sf_dir: str) -> DataFrame:
             q.stop()
     # sentinel rows (negative user_id) drop HERE, on the sink table
     return spark.table(name).filter(F.col("user_id") >= 0)
+
+
+# ---------------------------------------------------------------------------
+# Streaming decontamination gate (stream-static semi-join, stateless)
+# ---------------------------------------------------------------------------
+
+# sf_dir -> TemporaryDirectory holding the 2-file training-doc feed
+_DECON_FEED_DIRS: dict[str, object] = {}
+
+from dados_publicos_etl_spark.functions.text import (  # noqa: E402
+    duck_shingles_sql as _duck_sh,
+)
+
+_DECON_DUCK_SH = _duck_sh("text", n=4)
+
+
+def _doc_feed_dir(spark: SparkSession, sf_dir: str) -> str:
+    """Training documents (source <> 'src0') split into two parquet
+    files by doc_id parity — two micro-batches under
+    maxFilesPerTrigger=1.  A document's rows live entirely in ONE
+    file, so every per-doc decision completes within its own batch
+    (the property that lets the gate run stateless)."""
+    import tempfile
+
+    hit = _DECON_FEED_DIRS.get(sf_dir)
+    if hit is not None:
+        return hit.name
+    tmp = tempfile.TemporaryDirectory(prefix="spark_decon_feed_")
+    docs = read_table(spark, sf_dir, "documents").filter(
+        F.col("source") != "src0"
+    )
+    for half in (0, 1):
+        (
+            docs.filter(F.col("doc_id") % 2 == half)
+            .coalesce(1)
+            .write.mode("append")
+            .parquet(tmp.name)
+        )
+    _DECON_FEED_DIRS[sf_dir] = tmp
+    return tmp.name
+
+
+@query(
+    "stream_decontaminate_gate",
+    oracle=f"""
+    WITH sh AS (
+      SELECT doc_id, source, {_DECON_DUCK_SH} AS sh FROM documents
+    ), bench AS (
+      SELECT DISTINCT unnest(sh) AS s FROM sh WHERE source = 'src0'
+    ), train AS (
+      SELECT doc_id, unnest(sh) AS s FROM sh WHERE source <> 'src0'
+    ), hits AS (
+      SELECT t.doc_id, COUNT(*) AS n_shared
+      FROM train t JOIN bench b ON t.s = b.s
+      GROUP BY t.doc_id
+    )
+    SELECT d.doc_id,
+           CAST(COALESCE(h.n_shared, 0) AS BIGINT) AS n_shared_shingles,
+           COALESCE(h.n_shared, 0) > 0 AS contaminated
+    FROM (SELECT doc_id FROM documents WHERE source <> 'src0') d
+    LEFT JOIN hits h ON d.doc_id = h.doc_id
+    """,
+    description="STREAMING benchmark-decontamination gate: training "
+    "documents arrive as a readStream file feed (two micro-batches) "
+    "and each batch's 4-gram shingles probe the STATIC benchmark "
+    "shingle set via a broadcast join inside foreachBatch — the "
+    "live-ingest twin of contamination_ngram, and the gate a "
+    "pipeline puts IN FRONT of the corpus so contaminated docs "
+    "never land.  The gate is STATELESS: a document's rows live "
+    "entirely within one feed file, so its decision completes in "
+    "its own batch — no state store, no watermark, nothing retained "
+    "across triggers (state bound = zero, stronger than the "
+    "update-mode upsert family's watermark eviction).  Sink = the "
+    "versioned idempotent parquet upsert.  Result equals the batch "
+    "oracle exactly.",
+)
+def stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.functions.text import (
+        shingles_from_tokens,
+        tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    bench = (
+        docs.filter(F.col("source") == "src0")
+        .select("doc_id", tokens("text").alias("toks"))
+        .select(F.explode(shingles_from_tokens(F.col("toks"), n=4)).alias("s"))
+        .distinct()
+        .localCheckpoint()
+    )
+    feed = _doc_feed_dir(spark, sf_dir)
+    stream = (
+        spark.readStream.schema(docs.schema)
+        .option("maxFilesPerTrigger", 1)
+        .parquet(feed)
+    )
+    state_dir = _STATE_DIRS.new_dir("decon_gate", "spark_decon_gate_")
+    state: dict = {"path": None, "version": 0}
+
+    def gate(bdf: DataFrame, _bid: int) -> None:
+        sh = bdf.select("doc_id", tokens("text").alias("toks")).select(
+            "doc_id",
+            F.explode(shingles_from_tokens(F.col("toks"), n=4)).alias("s"),
+        )
+        hits = (
+            sh.join(F.broadcast(bench), "s")
+            .groupBy("doc_id")
+            .agg(F.count(F.lit(1)).alias("n_shared"))
+        )
+        out = (
+            bdf.select("doc_id")
+            .join(hits, "doc_id", "left")
+            .select(
+                "doc_id",
+                F.coalesce("n_shared", F.lit(0))
+                .cast("long")
+                .alias("n_shared_shingles"),
+                (F.coalesce("n_shared", F.lit(0)) > 0).alias("contaminated"),
+            )
+        )
+        if state["path"] is not None:
+            prev = spark.read.parquet(state["path"])
+            merged = prev.join(out, ["doc_id"], "left_anti").unionByName(out)
+        else:
+            merged = out
+        state["version"] += 1
+        new_path = f"{state_dir}/v{state['version']}"
+        merged.write.mode("overwrite").parquet(new_path)
+        state["path"] = new_path
+
+    with _streaming_shuffle(spark):
+        q = stream.writeStream.outputMode("update").foreachBatch(gate).start()
+        try:
+            q.processAllAvailable()
+            _STREAM_LAST_RUNS["stream_decontaminate_gate"] = {
+                "output_mode": "update",
+                "n_batches": state["version"],
+                "stateless": True,
+                "progress": list(q.recentProgress or []),
+            }
+        finally:
+            q.stop()
+    cols = ["doc_id", "n_shared_shingles", "contaminated"]
+    if state["path"] is None:
+        return spark.createDataFrame([], "doc_id long").selectExpr(
+            "doc_id",
+            "CAST(0 AS LONG) AS n_shared_shingles",
+            "CAST(false AS BOOLEAN) AS contaminated",
+        )
+    return spark.read.parquet(state["path"]).select(*cols)

@@ -131,6 +131,7 @@ PROBE = [
     "dsir_importance_weights",     # hashed-bigram domain log-ratios
     "kn_bigram_score",             # KN-smoothed bigram LM scoring
     "gopher_quality_rules",        # integer rule gate + top-token agg
+    "stream_decontaminate_gate",   # stateless stream-static gate
 ]
 
 
