@@ -684,3 +684,78 @@ def class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("vec_id").cast("long").alias("max_kept_id"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-balanced training shard assignment (serpentine over global rank)
+# ---------------------------------------------------------------------------
+
+_SHARD_N = 8
+
+
+@query(
+    "training_shard_assignment",
+    oracle=f"""
+    WITH sized AS (
+      SELECT doc_id,
+             len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+      FROM sized
+    ), assigned AS (
+      SELECT doc_id, n_tokens,
+             CASE WHEN (r // {_SHARD_N}) % 2 = 0
+                  THEN r % {_SHARD_N}
+                  ELSE {_SHARD_N} - 1 - (r % {_SHARD_N}) END AS shard
+      FROM ranked
+    )
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens
+    FROM assigned GROUP BY shard
+    """,
+    description=f"Token-balanced shard assignment for distributed "
+    f"training dataloaders: rank documents by token count "
+    f"descending (deterministic doc_id tie-break) and deal them "
+    f"into {_SHARD_N} shards SERPENTINE (row r of block b takes "
+    f"shard r%N when b is even, N-1-r%N when odd) — the classic "
+    f"greedy balancing that bounds any shard's token excess by one "
+    f"document per block, vs hash sharding whose imbalance grows "
+    f"with length skew.  The global rank rides ranked_by_range "
+    f"(range-partitioned, per-partition offsets, NO SinglePartition "
+    f"exchange — the r5-verdict machinery), so the plan survives "
+    f"100x; output is the per-shard audit (doc count + token "
+    f"total), the table a training job reads to verify its shards "
+    f"before an epoch.  Integer division semantics match across "
+    f"engines (r and N non-negative).",
+)
+def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.functions.text import tokens
+    from dados_publicos_etl_spark.operators.ranking import ranked_by_range
+
+    docs = read_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    ranked, _n = ranked_by_range(
+        sized, [F.col("n_tokens").desc(), F.col("doc_id")]
+    )
+    r = F.col("rn") - 1
+    # `div` keeps the block index in exact integer arithmetic (no
+    # float division anywhere in the assignment)
+    block = F.expr(f"(rn - 1) div {_SHARD_N}")
+    shard = F.when(block % 2 == 0, r % _SHARD_N).otherwise(
+        _SHARD_N - 1 - (r % _SHARD_N)
+    )
+    return (
+        ranked.select(
+            "doc_id", "n_tokens", shard.cast("long").alias("shard")
+        )
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+        )
+    )

@@ -132,6 +132,7 @@ PROBE = [
     "kn_bigram_score",             # KN-smoothed bigram LM scoring
     "gopher_quality_rules",        # integer rule gate + top-token agg
     "stream_decontaminate_gate",   # stateless stream-static gate
+    "training_shard_assignment",   # serpentine deal over global rank
 ]
 
 
