@@ -759,3 +759,95 @@ def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum("n_tokens").cast("long").alias("total_tokens"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Temperature-scaled language sampling (multilingual mixing, alpha < 1)
+# ---------------------------------------------------------------------------
+
+_TEMP_ALPHA = 0.3  # XLM-R's multilingual sampling temperature
+
+
+@query(
+    "temperature_mix_sampling",
+    oracle=f"""
+    WITH counts AS (
+      SELECT lang, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS total
+      FROM documents GROUP BY lang
+    ), q AS (
+      SELECT lang, n, total,
+             pow(n / total, {_TEMP_ALPHA})
+               / SUM(pow(n / total, {_TEMP_ALPHA})) OVER () AS qi
+      FROM counts
+    ), rates AS (
+      SELECT lang, n,
+             CAST(floor(LEAST(1.0, qi * (total / 2.0) / n) * 1000000)
+                  AS BIGINT) AS thr
+      FROM q
+    ), kept AS (
+      SELECT d.lang, COUNT(*) AS n_kept
+      FROM documents d JOIN rates r ON d.lang = r.lang
+      WHERE {_MIX_DUCK_BUCKET} < r.thr
+      GROUP BY d.lang
+    )
+    SELECT r.lang,
+           CAST(r.n AS BIGINT) AS n_before,
+           r.thr AS keep_thr_ppm,
+           CAST(COALESCE(k.n_kept, 0) AS BIGINT) AS n_kept
+    FROM rates r LEFT JOIN kept k ON r.lang = k.lang
+    """,
+    description=f"Temperature-scaled LANGUAGE sampling (the mT5/XLM-R "
+    f"multilingual mixing rule, public papers): sampling share "
+    f"q_i = p_i^a / sum p_j^a with a = {_TEMP_ALPHA}, which "
+    f"up-weights low-resource languages and flattens the head — the knob "
+    f"that keeps low-resource slices represented without training a "
+    f"weighter.  The mixture solve runs on the per-source COUNT "
+    f"table (dozens of rows — the unpartitioned window is free); "
+    f"the per-document decision integerizes each keep probability "
+    f"to a ppm threshold (floor(p*1e6)) compared against the md5 "
+    f"hash bucket, so the keep set is deterministic, engine-"
+    f"portable, and reproducible from doc_id alone.  Corpus scan "
+    f"side = one broadcast join + narrow filter, no shuffle of the "
+    f"text.  Target sample size = N/2, capped per source at 100%.",
+)
+def temperature_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    counts = counts.withColumn(
+        "total", F.sum("n").over(W.partitionBy())
+    )
+    q = counts.withColumn(
+        "qi",
+        F.pow(F.col("n") / F.col("total"), _TEMP_ALPHA)
+        / F.sum(F.pow(F.col("n") / F.col("total"), _TEMP_ALPHA)).over(
+            W.partitionBy()
+        ),
+    )
+    rates = q.select(
+        "lang",
+        "n",
+        F.floor(
+            F.least(
+                F.lit(1.0),
+                F.col("qi") * (F.col("total") / 2.0) / F.col("n"),
+            )
+            * 1_000_000
+        )
+        .cast("long")
+        .alias("thr"),
+    )
+    kept = (
+        docs.join(F.broadcast(rates.select("lang", "thr")), "lang")
+        .filter(hash_bucket("doc_id", 1_000_000) < F.col("thr"))
+        .groupBy("lang")
+        .agg(F.count(F.lit(1)).alias("n_kept"))
+    )
+    return rates.join(kept, "lang", "left").select(
+        "lang",
+        F.col("n").cast("long").alias("n_before"),
+        F.col("thr").alias("keep_thr_ppm"),
+        F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
+    )

@@ -133,6 +133,7 @@ PROBE = [
     "gopher_quality_rules",        # integer rule gate + top-token agg
     "stream_decontaminate_gate",   # stateless stream-static gate
     "training_shard_assignment",   # serpentine deal over global rank
+    "temperature_mix_sampling",    # ppm-threshold language resample
 ]
 
 
