@@ -161,3 +161,45 @@ def test_dhash_signed_packing_roundtrip(bits_int):
     assert unsigned == bits_int
     for b in range(8):
         assert (unsigned >> (8 * b)) & 255 == (bits_int >> (8 * b)) & 255
+
+
+def test_shard_assignment_balance_bound(spark):
+    """Serpentine dealing over the descending token-count rank must
+    bound the spread of per-shard token totals by the LARGEST single
+    document (the greedy-balancing guarantee hash sharding lacks) —
+    the oracle proves value equality, this proves the balance
+    property the operator exists for."""
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.operators.sampling import (
+        training_shard_assignment,
+    )
+    from dados_publicos_etl_spark.functions.text import tokens
+    from tests.conftest import SF_SMOKE
+
+    from pyspark.sql import functions as F
+
+    rows = training_shard_assignment(spark, SF_SMOKE).collect()
+    totals = [r["total_tokens"] for r in rows]
+    max_doc = (
+        read_table(spark, SF_SMOKE, "documents")
+        .select(F.size(tokens("text")).alias("n"))
+        .agg(F.max("n"))
+        .first()[0]
+    )
+    assert len(rows) == 8
+    assert max(totals) - min(totals) <= max_doc, (totals, max_doc)
+
+
+def test_temperature_sampling_flattens_head(spark):
+    """alpha < 1 must up-weight low-resource languages: keep
+    thresholds strictly decrease as language frequency increases
+    (the flattening the mT5/XLM-R rule exists to provide)."""
+    from dados_publicos_etl_spark.operators.sampling import (
+        temperature_mix_sampling,
+    )
+    from tests.conftest import SF_SMOKE
+
+    rows = temperature_mix_sampling(spark, SF_SMOKE).collect()
+    by_size = sorted(rows, key=lambda r: r["n_before"])
+    thrs = [r["keep_thr_ppm"] for r in by_size]
+    assert thrs == sorted(thrs, reverse=True), by_size

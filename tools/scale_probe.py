@@ -11,6 +11,7 @@ near-dup pair count and measure the DATA pathology, not the
 operator).
 
 Usage: python tools/scale_probe.py [sf_dir] [n_copies] [--json]
+                                   [--only name1,name2,...]
 Human table on stdout by default; ``--json`` emits one JSON line
 ({"sf_dir", "n_copies", "queries": {name: {"t1", "tn", "ratio"}}})
 for drivers.  See BENCH_NOTES.md "10x scaling probe" for a recorded
@@ -134,12 +135,19 @@ PROBE = [
     "stream_decontaminate_gate",   # stateless stream-static gate
     "training_shard_assignment",   # serpentine deal over global rank
     "temperature_mix_sampling",    # ppm-threshold language resample
+    "html_strip_roundtrip",        # scan-speed extraction projection
 ]
 
 
 def main() -> None:
-    args = [a for a in sys.argv[1:] if a != "--json"]
-    as_json = "--json" in sys.argv[1:]
+    argv = sys.argv[1:]
+    only: list[str] | None = None
+    if "--only" in argv:
+        i = argv.index("--only")
+        only = argv[i + 1].split(",")
+        del argv[i:i + 2]
+    args = [a for a in argv if a != "--json"]
+    as_json = "--json" in argv
     sf = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
     n_copies = int(args[1]) if len(args) > 1 else 10
     spark = get_session(app_name="scale_probe", master="local[32]",
@@ -211,7 +219,7 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return best
 
-    for name in PROBE:
+    for name in (only or PROBE):
         t1 = timed(QUERIES[name].fn, sf)
         tn = timed(QUERIES[name].fn, tmp)
         results[name] = {
