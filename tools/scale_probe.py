@@ -136,6 +136,7 @@ PROBE = [
     "training_shard_assignment",   # serpentine deal over global rank
     "temperature_mix_sampling",    # ppm-threshold language resample
     "html_strip_roundtrip",        # scan-speed extraction projection
+    "cnpj_check_digits",           # unrolled mod-11 DV validation
 ]
 
 
