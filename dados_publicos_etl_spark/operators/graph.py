@@ -1407,3 +1407,74 @@ def label_propagation_communities(
         .orderBy(F.desc("n_members"), "community")
         .limit(20)
     )
+
+
+# ---------------------------------------------------------------------------
+# Dedup cluster-size report (the corpus-curation summary table)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "dedup_cluster_report",
+    oracle=f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {duck_shingles_sql("text")} AS sh FROM documents
+    ), blocked AS (
+      SELECT doc_id, sh, list_min(sh) AS blk FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) >= {_THRESH}
+    ), edges AS (
+      SELECT src AS a, dst AS b FROM pairs
+      UNION SELECT dst, src FROM pairs
+    ), reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+    ), comp AS (
+      SELECT n AS doc_id, MIN(m) AS cid FROM reach GROUP BY n
+    ), allc AS (
+      SELECT d.doc_id, COALESCE(c.cid, d.doc_id) AS cid
+      FROM documents d LEFT JOIN comp c ON d.doc_id = c.doc_id
+    ), sizes AS (
+      SELECT cid, COUNT(*) AS sz FROM allc GROUP BY cid
+    )
+    SELECT CAST(sz AS BIGINT) AS cluster_size,
+           CAST(COUNT(*) AS BIGINT) AS n_clusters,
+           CAST(SUM(sz) AS BIGINT) AS n_docs
+    FROM sizes GROUP BY sz
+    """,
+    description="Near-dup cluster-size report over the WHOLE corpus "
+    "(singletons included via the anti-join complement): for each "
+    "cluster size, how many clusters and how many documents — the "
+    "one-page summary a curation run prints before deciding "
+    "survivorship policy (a heavy tail of large clusters means "
+    "boilerplate or mirror sites; a thin tail means organic "
+    "near-dups).  Output is bounded by the number of DISTINCT "
+    "cluster sizes (<= largest cluster), so the report is "
+    "constant-size however large the corpus; the compute reuses the "
+    "same blocked pair graph + iterative min-label closure as "
+    "dedup_components.  Oracle = recursive-CTE closure + the same "
+    "two-level histogram.",
+)
+def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.io import read_table
+
+    pairs = near_dup_pair_graph(spark, sf_dir)
+    comps = connected_components(pairs)
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    allc = docs.join(
+        comps.select(F.col("node").alias("doc_id"), "label"),
+        "doc_id",
+        "left",
+    ).select(
+        "doc_id", F.coalesce("label", F.col("doc_id")).alias("cid")
+    )
+    sizes = allc.groupBy("cid").agg(F.count(F.lit(1)).alias("sz"))
+    return sizes.groupBy(F.col("sz").cast("long").alias("cluster_size")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_clusters"),
+        F.sum("sz").cast("long").alias("n_docs"),
+    )

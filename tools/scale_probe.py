@@ -137,6 +137,7 @@ PROBE = [
     "temperature_mix_sampling",    # ppm-threshold language resample
     "html_strip_roundtrip",        # scan-speed extraction projection
     "cnpj_check_digits",           # unrolled mod-11 DV validation
+    "dedup_cluster_report",        # CC closure + size histogram
 ]
 
 
