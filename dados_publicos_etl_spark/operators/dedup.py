@@ -1142,3 +1142,171 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count_distinct("ha").cast("long").alias("n_shared_fp"))
         .filter(F.col("n_shared_fp") >= _WN_MIN_SHARED)
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash estimator calibration (estimate vs exact Jaccard, bucketed)
+# ---------------------------------------------------------------------------
+
+
+def _minhash_calibration_oracle() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {_MH_PRIME}))"
+        for a, b in _MH_AB
+    )
+    band_concat = (
+        "CAST(sig[band_idx*4+1] AS VARCHAR) || '|' || "
+        "CAST(sig[band_idx*4+2] AS VARCHAR) || '|' || "
+        "CAST(sig[band_idx*4+3] AS VARCHAR) || '|' || "
+        "CAST(sig[band_idx*4+4] AS VARCHAR)"
+    )
+    matches = " + ".join(
+        f"CASE WHEN sa.sig[{i}] = sb.sig[{i}] THEN 1 ELSE 0 END"
+        for i in range(1, 33)
+    )
+    return f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {duck_shingles_sql('text')} AS shs FROM documents
+    ), hs AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform(shs,
+               s -> {duck_md5_long_sql('s')})) AS sh
+      FROM t
+    ), sig AS MATERIALIZED (
+      SELECT doc_id, [{sig_items}] AS sig FROM hs
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, band_idx,
+             {duck_md5_long_sql(f'({band_concat})', 15)} AS band_hash
+      FROM sig, UNNEST(generate_series(0, 7)) AS u(band_idx)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_hash = b.band_hash
+                  AND a.doc_id < b.doc_id
+    ), scored AS (
+      SELECT cand.id_a, cand.id_b,
+             ({matches}) AS n_match,
+             len(list_intersect(ha.sh, hb.sh)) AS inter,
+             len(list_distinct(list_concat(ha.sh, hb.sh))) AS uni
+      FROM cand
+      JOIN hs ha ON cand.id_a = ha.doc_id
+      JOIN hs hb ON cand.id_b = hb.doc_id
+      JOIN sig sa ON cand.id_a = sa.doc_id
+      JOIN sig sb ON cand.id_b = sb.doc_id
+    )
+    SELECT LEAST((inter * 10) // uni, 9) AS jaccard_decile,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs,
+           CAST(SUM(n_match) AS BIGINT) AS sum_sig_matches,
+           ROUND(AVG(CAST(inter AS DOUBLE) / uni), 4) AS avg_exact,
+           ROUND(AVG(ABS(n_match / 32.0
+                         - CAST(inter AS DOUBLE) / uni)), 4) AS mae
+    FROM scored GROUP BY jaccard_decile
+    """
+
+
+@query(
+    "minhash_calibration",
+    oracle=_minhash_calibration_oracle(),
+    description="MinHash estimator CALIBRATION: on every LSH "
+    "candidate pair (no verify threshold), compare the signature "
+    "estimate (matching minima / 32) against the exact shingle "
+    "Jaccard, aggregated per exact-Jaccard decile — the measurement "
+    "a pipeline runs before trusting sketch thresholds at 100 TB "
+    "(the estimator's std is sqrt(j(1-j)/32) ~ 0.09; a decile row "
+    "whose MAE blows past that flags broken hashing, not sampling "
+    "noise).  Decile assignment is exact integer cross-"
+    "multiplication (10*inter // union); the signature match count "
+    "is an exact integer sum, so only the two reported averages "
+    "round.  Reuses the portable md5-minhash construction, so the "
+    "whole calibration table is differential-checked bit-for-bit "
+    "against DuckDB.",
+)
+def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", tokens("text").alias("_tk"))
+        .select("doc_id", shingles_from_tokens(F.col("_tk")).alias("_shs"))
+        .select("doc_id", md5_hashed_shingles(F.col("_shs")).alias("sh"))
+        .localCheckpoint()
+    )
+
+    def perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
+
+    sig = t.select(
+        "doc_id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("sh"), perm(a, b)))
+                for a, b in _MH_AB
+            ]
+        ).alias("sig"),
+    ).localCheckpoint()
+    bands = sig.select(
+        "doc_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        _mh_band_hash_spark(F.col("sig"), bi, 4).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for bi in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select("doc_id", "band.band_idx", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cand = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b")
+        )
+        .distinct()
+    )
+    ha = t.select(F.col("doc_id").alias("id_a"), F.col("sh").alias("sh_a"))
+    hb = t.select(F.col("doc_id").alias("id_b"), F.col("sh").alias("sh_b"))
+    sa = sig.select(F.col("doc_id").alias("id_a"), F.col("sig").alias("sig_a"))
+    sb = sig.select(F.col("doc_id").alias("id_b"), F.col("sig").alias("sig_b"))
+    n_match = None
+    for i in range(1, 33):
+        term = (
+            F.col("sig_a").getItem(i - 1) == F.col("sig_b").getItem(i - 1)
+        ).cast("int")
+        n_match = term if n_match is None else n_match + term
+    scored = (
+        cand.join(ha, "id_a")
+        .join(hb, "id_b")
+        .join(sa, "id_a")
+        .join(sb, "id_b")
+        .select(
+            n_match.alias("n_match"),
+            F.size(F.array_intersect("sh_a", "sh_b")).alias("inter"),
+            F.size(F.array_union("sh_a", "sh_b")).alias("uni"),
+        )
+    )
+    decile = F.least(F.expr("(inter * 10) div uni"), F.lit(9))
+    return scored.groupBy(decile.cast("long").alias("jaccard_decile")).agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("n_match").cast("long").alias("sum_sig_matches"),
+        F.round(F.avg(F.col("inter").cast("double") / F.col("uni")), 4).alias(
+            "avg_exact"
+        ),
+        F.round(
+            F.avg(
+                F.abs(
+                    F.col("n_match") / F.lit(32.0)
+                    - F.col("inter").cast("double") / F.col("uni")
+                )
+            ),
+            4,
+        ).alias("mae"),
+    )

@@ -138,6 +138,7 @@ PROBE = [
     "html_strip_roundtrip",        # scan-speed extraction projection
     "cnpj_check_digits",           # unrolled mod-11 DV validation
     "dedup_cluster_report",        # CC closure + size histogram
+    "minhash_calibration",         # est-vs-exact sketch audit
 ]
 
 
