@@ -788,3 +788,75 @@ def cnpj_check_digits(spark: SparkSession, sf_dir: str) -> DataFrame:
     return full.select(
         "c_custkey", "cnpj", (dv1_ok & dv2_ok).alias("dv_valid")
     )
+
+
+# ---------------------------------------------------------------------------
+# Embedding table audit (the vector-ingest quality gate)
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "embedding_norm_audit",
+    oracle="""
+    WITH n AS (
+      SELECT label,
+             len(embedding) AS dim,
+             sqrt(list_sum(list_transform(embedding,
+               x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)))) AS nrm,
+             len(list_filter(embedding, x -> isnan(CAST(x AS DOUBLE))
+                                          OR x IS NULL)) AS n_bad
+      FROM embeddings
+    )
+    SELECT label,
+           CAST(COUNT(*) AS BIGINT) AS n_vecs,
+           CAST(MIN(dim) AS BIGINT) AS min_dim,
+           CAST(MAX(dim) AS BIGINT) AS max_dim,
+           CAST(SUM(CASE WHEN n_bad > 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_corrupt,
+           CAST(SUM(CASE WHEN nrm = 0 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_zero,
+           ROUND(MIN(nrm), 4) AS min_norm,
+           ROUND(MAX(nrm), 4) AS max_norm,
+           ROUND(AVG(nrm), 4) AS avg_norm
+    FROM n GROUP BY label
+    """,
+    description="Embedding-table ingest audit per label: vector "
+    "count, dimension min/max (a mixed-dim table breaks every "
+    "downstream dot product), corrupt vectors (NaN/NULL elements), "
+    "zero vectors (cosine is undefined on them — they poison ANN "
+    "indexes silently), and the L2-norm range (unnormalized "
+    "embeddings skew inner-product search).  The gate a vector "
+    "pipeline runs on every ingest batch BEFORE index build; one "
+    "narrow map over the scan + one hash aggregate, no shuffle of "
+    "the vectors themselves.  Per-row norms are identical IEEE "
+    "left-folds on both engines (float->double widening, the "
+    "functions/vector.py convention); cross-row aggregates round.",
+)
+def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.functions.vector import norm
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    n_bad = F.size(
+        F.filter(
+            "embedding",
+            lambda x: F.isnan(x.cast("double")) | x.isNull(),
+        )
+    )
+    per = emb.select(
+        "label",
+        F.size("embedding").alias("dim"),
+        norm(F.col("embedding")).alias("nrm"),
+        n_bad.alias("n_bad"),
+    )
+    return per.groupBy("label").agg(
+        F.count(F.lit(1)).cast("long").alias("n_vecs"),
+        F.min("dim").cast("long").alias("min_dim"),
+        F.max("dim").cast("long").alias("max_dim"),
+        F.sum((F.col("n_bad") > 0).cast("int")).cast("long").alias(
+            "n_corrupt"
+        ),
+        F.sum((F.col("nrm") == 0).cast("int")).cast("long").alias("n_zero"),
+        F.round(F.min("nrm"), 4).alias("min_norm"),
+        F.round(F.max("nrm"), 4).alias("max_norm"),
+        F.round(F.avg("nrm"), 4).alias("avg_norm"),
+    )

@@ -139,6 +139,7 @@ PROBE = [
     "cnpj_check_digits",           # unrolled mod-11 DV validation
     "dedup_cluster_report",        # CC closure + size histogram
     "minhash_calibration",         # est-vs-exact sketch audit
+    "embedding_norm_audit",        # vector-ingest quality gate
 ]
 
 
