@@ -462,6 +462,7 @@ def test_geo_proximity_join_is_equi_join(spark, sf_dir):
 # canonical scalar-subquery broadcast), not data-scale.
 _BNLJ_OK = {
     "benford_audit",       # 1-row digit-total crossJoin
+    "dsir_importance_weights",  # 1-row mean-weight crossJoin
     "bm25_topk",           # 1-row corpus stats (N, avgdl) crossJoin
     "class_balance_downsample",  # 1-row min-class-size floor crossJoin
     "hits_authorities",    # 1-row max-authority normalizer crossJoin
