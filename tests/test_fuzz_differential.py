@@ -875,3 +875,54 @@ def test_random_exploded_arrays_match_duckdb(spark, pred, src, mod, post):
     GROUP BY l_returnflag
     """
     compare(got, oracle, SF_DIR)
+
+
+# dimension 16: THREE-WAY join chains (lineitem-orders-customer) with
+# independent random predicates per table and a grouped exact-integer
+# aggregate on top — the composition where Catalyst's join REORDERING
+# and filter placement actually engage (two-way joins, dimension 3,
+# never trigger a reorder).  Any divergence under reordering would be
+# an engine-semantics bug the per-operator catalog cannot see.
+@_FUZZ
+@given(
+    lpred=predicates(),
+    opred=st.sampled_from([
+        "o_totalprice > 50000", "o_totalprice <= 150000",
+        "o_orderpriority = '1-URGENT'", "o_orderpriority <> '3-MEDIUM'",
+    ]),
+    cpred=st.sampled_from([
+        "c_acctbal > 0", "c_acctbal <= 5000",
+        "c_mktsegment = 'BUILDING'", "c_mktsegment <> 'MACHINERY'",
+    ]),
+    groupkey=st.sampled_from(["c_mktsegment", "o_orderpriority",
+                              "l_returnflag"]),
+)
+def test_random_three_way_join_matches_duckdb(
+    spark, lpred, opred, cpred, groupkey
+):
+    li = read_table(spark, SF_DIR, "lineitem").filter(F.expr(lpred))
+    orders = read_table(spark, SF_DIR, "orders").filter(F.expr(opred))
+    cust = read_table(spark, SF_DIR, "customer").filter(F.expr(cpred))
+    j = li.join(
+        orders, li.l_orderkey == orders.o_orderkey
+    ).join(cust, orders.o_custkey == cust.c_custkey)
+    got = j.groupBy(groupkey).agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("l_extendedprice") * 100, 0).cast("long"))
+        .cast("long")
+        .alias("sum_price_cents"),
+        F.countDistinct("o_orderkey").cast("long").alias("n_orders"),
+    )
+    oracle = f"""
+    SELECT {groupkey},
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS sum_price_cents,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    WHERE ({lpred}) AND ({opred}) AND ({cpred})
+    GROUP BY {groupkey}
+    """
+    compare(got, oracle, SF_DIR)
