@@ -11,7 +11,7 @@ near-dup pair count and measure the DATA pathology, not the
 operator).
 
 Usage: python tools/scale_probe.py [sf_dir] [n_copies] [--json]
-                                   [--only name1,name2,...]
+                                   [--only name1,name2,...] [--all]
 Human table on stdout by default; ``--json`` emits one JSON line
 ({"sf_dir", "n_copies", "queries": {name: {"t1", "tn", "ratio"}}})
 for drivers.  See BENCH_NOTES.md "10x scaling probe" for a recorded
@@ -150,6 +150,9 @@ def main() -> None:
         i = argv.index("--only")
         only = argv[i + 1].split(",")
         del argv[i:i + 2]
+    if "--all" in argv:
+        argv.remove("--all")
+        only = sorted(QUERIES)   # the WHOLE catalog, not the sample
     args = [a for a in argv if a != "--json"]
     as_json = "--json" in argv
     sf = args[0] if len(args) > 0 else "/root/testdata/sf0.1"
