@@ -243,10 +243,16 @@ def perplexity_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
     toks = docs.select(
         "doc_id", F.split("text", " ").alias("toks")
     )
+    # size guard: sequence(1, 0) DESCENDS in Spark ([1, 0]) and the
+    # out-of-bounds element_at throws under ANSI — a 1-token document
+    # must yield NO bigrams, exactly like DuckDB's empty
+    # generate_series(1, 0)
     bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
         "transform(sequence(1, size(toks) - 1), "
         "i -> named_struct('w1', element_at(toks, i), "
-        "'w2', element_at(toks, i + 1)))"
+        "'w2', element_at(toks, i + 1))) "
+        "ELSE array() END"
     )
     train_bg = (
         toks.filter(F.col("doc_id") % 2 == 0)
@@ -793,15 +799,19 @@ def kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     toked = docs.select("doc_id", tokens("text").alias("toks"))
+    # same ANSI sequence-descent guard as perplexity_filter above
+    bg_arr = F.transform(
+        F.sequence(F.lit(1), F.size("toks") - 1),
+        lambda i: F.struct(
+            F.element_at(F.col("toks"), i).alias("w1"),
+            F.element_at(F.col("toks"), i + 1).alias("w2"),
+        ),
+    )
     bigrams = toked.select(
         "doc_id",
         F.explode(
-            F.transform(
-                F.sequence(F.lit(1), F.size("toks") - 1),
-                lambda i: F.struct(
-                    F.element_at(F.col("toks"), i).alias("w1"),
-                    F.element_at(F.col("toks"), i + 1).alias("w2"),
-                ),
+            F.when(F.size("toks") >= 2, bg_arr).otherwise(
+                F.array().cast("array<struct<w1:string,w2:string>>")
             )
         ).alias("bg"),
     ).select("doc_id", "bg.w1", "bg.w2")

@@ -1169,7 +1169,10 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
     # inside lambda bodies — same two-step discipline as the shingle
     # operators above)
     toked = docs.select("doc_id", "source", tokens("text").alias("toks"))
-    feats = toked.select(
+    # same ANSI sequence-descent guard as the bigram operators: a
+    # 1-token document must yield no features, like the oracle's
+    # empty generate_series(1, 0)
+    feats = toked.filter(F.size("toks") >= 2).select(
         "doc_id",
         "source",
         F.explode(

@@ -446,10 +446,16 @@ def char_entropy_quality(spark: SparkSession, sf_dir: str) -> DataFrame:
 def pmi_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     toks = docs.select(F.split("text", " ").alias("toks"))
+    # size guard: sequence(1, 0) DESCENDS in Spark ([1, 0]) and the
+    # out-of-bounds element_at throws under ANSI — a 1-token document
+    # must yield NO bigrams, exactly like DuckDB's empty
+    # generate_series(1, 0)
     bigrams = F.expr(
+        "CASE WHEN size(toks) >= 2 THEN "
         "transform(sequence(1, size(toks) - 1), "
         "i -> named_struct('w1', element_at(toks, i), "
-        "'w2', element_at(toks, i + 1)))"
+        "'w2', element_at(toks, i + 1))) "
+        "ELSE array() END"
     )
     bgc = (
         toks.select(F.explode(bigrams).alias("p"))

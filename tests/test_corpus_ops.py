@@ -153,3 +153,57 @@ def test_bloom_decontamination_equals_exact_check(spark, sf_dir):
     assert confirmed == exact
     for r in rows:
         assert r.n_bloom_candidates >= r.n_confirmed
+
+
+def test_bigram_queries_survive_degenerate_docs(spark, tmp_path):
+    """A 1-token document makes sequence(1, size-1) DESCEND in Spark
+    ([1, 0]) and the out-of-bounds element_at throws under ANSI,
+    while DuckDB's generate_series(1, 0) is empty — every bigram
+    operator must guard the degenerate case so both engines drop
+    such documents identically.  (Latent until now: the synthetic
+    corpus has no short documents; this fixture plants 0-, 1- and
+    2-token docs and runs the full differential check.)"""
+    from oracle_harness import compare
+
+    import dados_publicos_etl_spark.plans.catalog  # noqa: F401
+    from dados_publicos_etl_spark.plans import QUERIES
+
+    rows = []
+    texts = ["one", "two words", "a b c d e f", "x", "the a of and then",
+             "solo", "pair up", "w1 w2 w3 w4 w5 w6 w7 w8"]
+    for i, t in enumerate(texts):
+        rows.append((i, t, "en" if i % 2 else "es",
+                     "src0" if i < 2 else f"src{i % 3}", len(t)))
+    import os
+    import shutil
+
+    import pyarrow as pa
+    import pyarrow.parquet as pq
+
+    from tests.conftest import SF_SMOKE
+
+    d = str(tmp_path / "degenerate")
+    os.makedirs(d)
+    # single parquet FILE per table, the testdata layout the oracle
+    # harness expects (a Spark directory-write would not register)
+    pq.write_table(
+        pa.table(
+            {
+                "doc_id": pa.array([r[0] for r in rows], pa.int64()),
+                "text": [r[1] for r in rows],
+                "lang": [r[2] for r in rows],
+                "source": [r[3] for r in rows],
+                "n_chars": pa.array([r[4] for r in rows], pa.int64()),
+            }
+        ),
+        f"{d}/documents.parquet",
+    )
+    # the harness registers a view per table; point the rest at the
+    # real smoke fixtures (these queries never read them)
+    for t in ("region", "nation", "customer", "supplier", "part",
+              "orders", "lineitem", "events", "embeddings"):
+        shutil.copy(f"{SF_SMOKE}/{t}.parquet", f"{d}/{t}.parquet")
+    for name in ("perplexity_filter", "pmi_collocations",
+                 "kn_bigram_score", "dsir_importance_weights"):
+        res = QUERIES[name].fn(spark, d)
+        compare(res, QUERIES[name].oracle, d)
