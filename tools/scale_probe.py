@@ -226,9 +226,16 @@ def main() -> None:
             best = dt if best is None else min(best, dt)
         return best
 
+    errors = {}
     for name in (only or PROBE):
-        t1 = timed(QUERIES[name].fn, sf)
-        tn = timed(QUERIES[name].fn, tmp)
+        try:
+            t1 = timed(QUERIES[name].fn, sf)
+            tn = timed(QUERIES[name].fn, tmp)
+        except Exception as ex:  # record, keep probing the rest
+            errors[name] = str(ex).split("\n")[0][:200]
+            if not as_json:
+                print(f"{name:35s} ERROR {errors[name][:60]}")
+            continue
         results[name] = {
             "t1": round(t1, 3), "tn": round(tn, 3),
             "ratio": round(tn / t1, 2),
@@ -240,6 +247,7 @@ def main() -> None:
 
         print(json.dumps({
             "sf_dir": sf, "n_copies": n_copies, "queries": results,
+            "errors": errors,
         }))
 
 
