@@ -1178,10 +1178,16 @@ def _corrupt_scan_dir(spark: SparkSession, sf_dir: str) -> str:
     if hit is not None:
         return hit.name
     tmp = tempfile.TemporaryDirectory(prefix="spark_corrupt_scan_")
-    shutil.copy(
-        os.path.join(sf_dir, "documents.parquet"),
-        os.path.join(tmp.name, "part-000.parquet"),
-    )
+    src = os.path.join(sf_dir, "documents.parquet")
+    if os.path.isdir(src):  # directory layout (e.g. scale-probe replica)
+        for i, part in enumerate(sorted(os.listdir(src))):
+            if part.endswith(".parquet"):
+                shutil.copy(
+                    os.path.join(src, part),
+                    os.path.join(tmp.name, f"part-{i:03d}.parquet"),
+                )
+    else:
+        shutil.copy(src, os.path.join(tmp.name, "part-000.parquet"))
     with open(os.path.join(tmp.name, "part-bad.parquet"), "wb") as f:
         # parquet magic + garbage: footer parse fails, row count is
         # unrecoverable — exactly the shape ignoreCorruptFiles skips

@@ -47,11 +47,19 @@ def stream_events_foreach_batch(
         )
         n_batches["n"] += 1
 
-    stream = (
-        spark.readStream.schema(_RAW_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-    )
+    # layout-aware (see streaming/source.py): directory-layout tables
+    # stream directly, single-file layout keeps the leaf-name filter
+    import os
+
+    table = f"{sf_dir}/events.parquet"
+    if os.path.isdir(table):
+        stream = spark.readStream.schema(_RAW_EVENTS_SCHEMA).parquet(table)
+    else:
+        stream = (
+            spark.readStream.schema(_RAW_EVENTS_SCHEMA)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
     q = (
         stream.writeStream.foreachBatch(sink)
         .option("checkpointLocation", checkpoint_dir)
@@ -82,10 +90,13 @@ def _cdc_feed_dir(spark: SparkSession, sf_dir: str) -> str:
     if hit is not None:
         return hit.name
     tmp = tempfile.TemporaryDirectory(prefix="spark_cdc_feed_")
-    src = (
-        spark.read.schema(_RAW_EVENTS_SCHEMA)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
+    # point at the exact table path: works whether events.parquet is
+    # the testdata's single FILE or a directory of part files (the
+    # scale-probe replica layout) — a pathGlobFilter on the parent
+    # dir would match only the leaf-FILE form and feed NOTHING on a
+    # directory layout
+    src = spark.read.schema(_RAW_EVENTS_SCHEMA).parquet(
+        f"{sf_dir}/events.parquet"
     )
     for half in (0, 1):
         (
@@ -395,6 +406,11 @@ def stream_kl_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     day_tot = daily.groupBy("day").agg(F.sum("c").alias("n_d"))
     gmix = daily.groupBy("event_type").agg(F.sum("c").alias("g"))
     n_g = daily.agg(F.sum("c")).first()[0]
+    if not n_g:  # empty feed -> loud, not float(None)
+        raise ValueError(
+            "stream_kl_drift: the event feed produced no state rows "
+            "(empty or unreadable events table?)"
+        )
     p_d = F.col("c").cast("double") / F.col("n_d")
     p_g = F.col("g").cast("double") / F.lit(float(n_g))
     return (

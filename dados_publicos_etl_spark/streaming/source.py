@@ -69,9 +69,19 @@ def read_event_stream(
         )
     else:
         ts_expr = f"timestamp_micros({micros})"
-    return (
-        spark.readStream.schema(schema)
-        .option("pathGlobFilter", "events.parquet")
-        .parquet(sf_dir)
-        .withColumn("ts", F.expr(ts_expr))
-    )
+    # layout-aware source: the streaming file source requires a
+    # DIRECTORY basePath, so a directory-layout events.parquet (the
+    # scale-probe replica) is streamed directly, while the testdata's
+    # single-FILE layout keeps the parent dir + leaf-name filter (a
+    # pathGlobFilter alone would silently feed an EMPTY stream on the
+    # directory layout — measured as bogus <1x scale ratios)
+    table = f"{sf_dir}/events.parquet"
+    if os.path.isdir(table):
+        reader = spark.readStream.schema(schema).parquet(table)
+    else:
+        reader = (
+            spark.readStream.schema(schema)
+            .option("pathGlobFilter", "events.parquet")
+            .parquet(sf_dir)
+        )
+    return reader.withColumn("ts", F.expr(ts_expr))
