@@ -14,7 +14,7 @@ Two standard remedies, both result-identical to the naive plan:
 
 from __future__ import annotations
 
-from pyspark.sql import Column, DataFrame
+from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from dados_publicos_etl_spark.io import read_table
@@ -110,3 +110,74 @@ def skew_salted_join(spark, sf_dir: str) -> DataFrame:
     )
     joined = replicate_broadcast_join(cust, nation, key="c_nationkey")
     return joined.groupBy("n_name").agg(F.count(F.lit(1)).alias("n_customers"))
+
+# ---------------------------------------------------------------------------
+# Join-key skew diagnosis (the report that decides WHICH remedy)
+# ---------------------------------------------------------------------------
+
+@query(
+    "join_skew_report",
+    oracle="""
+    WITH freq AS (
+      SELECT l_orderkey AS key, CAST(COUNT(*) AS BIGINT) AS cnt
+      FROM lineitem GROUP BY l_orderkey
+    ), tot AS (
+      SELECT CAST(SUM(cnt) AS BIGINT) AS n,
+             CAST(COUNT(*) AS BIGINT) AS n_keys,
+             CAST(MAX(cnt) AS BIGINT) AS max_cnt
+      FROM freq
+    ), hist AS (
+      SELECT CAST(CASE WHEN cnt = 1 THEN 0
+                  ELSE CAST(floor(ln(cnt) / ln(2)) AS BIGINT) END
+             AS BIGINT) AS log2_bucket,
+             CAST(COUNT(*) AS BIGINT) AS n_keys_in_bucket,
+             CAST(SUM(cnt) AS BIGINT) AS n_rows_in_bucket
+      FROM freq GROUP BY 1
+    )
+    SELECT h.log2_bucket, h.n_keys_in_bucket, h.n_rows_in_bucket,
+           t.n_keys AS total_keys, t.max_cnt AS hottest_key_rows,
+           (t.max_cnt * t.n_keys > 4 * t.n) AS skew_flag
+    FROM hist h CROSS JOIN tot t
+    """,
+    description="Join-key skew DIAGNOSIS over the fact table's join "
+    "key: log2-bucketed key-frequency histogram plus the hottest "
+    "key's row count and an integer-exact skew flag (hottest > 4x "
+    "the mean key size, the heuristic AQE's skewedPartitionFactor "
+    "encodes) — the report that decides WHICH remedy applies before "
+    "a big join: under the flag, salt the key "
+    "(operators/skew.py remedies) or lean on AQE skew splitting; "
+    "without it, a plain hash join is fine.  One hash aggregate to "
+    "the key-frequency table, a second to the constant-size "
+    "histogram; nothing data-scale leaves the executors, and the "
+    "cross-joined totals row is scalar.  The skew comparison is "
+    "exact integer cross-multiplication, no float boundary.",
+)
+def join_skew_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    li = read_table(spark, sf_dir, "lineitem")
+    freq = li.groupBy(F.col("l_orderkey").alias("key")).agg(
+        F.count(F.lit(1)).alias("cnt")
+    )
+    tot = freq.agg(
+        F.sum("cnt").cast("long").alias("n"),
+        F.count(F.lit(1)).cast("long").alias("n_keys"),
+        F.max("cnt").cast("long").alias("max_cnt"),
+    )
+    bucket = F.when(F.col("cnt") == 1, F.lit(0)).otherwise(
+        F.floor(F.log(F.col("cnt").cast("double")) / F.log(F.lit(2.0)))
+    )
+    hist = freq.groupBy(
+        bucket.cast("long").alias("log2_bucket")
+    ).agg(
+        F.count(F.lit(1)).cast("long").alias("n_keys_in_bucket"),
+        F.sum("cnt").cast("long").alias("n_rows_in_bucket"),
+    )
+    return hist.crossJoin(F.broadcast(tot)).select(
+        "log2_bucket",
+        "n_keys_in_bucket",
+        "n_rows_in_bucket",
+        F.col("n_keys").alias("total_keys"),
+        F.col("max_cnt").alias("hottest_key_rows"),
+        (F.col("max_cnt") * F.col("n_keys") > 4 * F.col("n")).alias(
+            "skew_flag"
+        ),
+    )

@@ -140,6 +140,7 @@ PROBE = [
     "dedup_cluster_report",        # CC closure + size histogram
     "minhash_calibration",         # est-vs-exact sketch audit
     "embedding_norm_audit",        # vector-ingest quality gate
+    "join_skew_report",            # key-frequency skew diagnosis
 ]
 
 
