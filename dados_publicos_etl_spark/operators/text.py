@@ -1370,3 +1370,113 @@ def readability_flesch(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("flesch"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Language-ID confusion matrix (the eval report on the lang_id gate)
+# ---------------------------------------------------------------------------
+
+
+_LID_PLANT = {"en": "the and", "es": "el la", "fr": "le et",
+              "de": "der und"}  # two markers per plantable language
+
+_LID_PLANT_SQL = " ".join(
+    f"WHEN '{k}' THEN ' {v}'" for k, v in _LID_PLANT.items()
+)
+
+
+@query(
+    "lang_id_confusion",
+    oracle=f"""
+    WITH planted AS (
+      SELECT doc_id, lang,
+             text || (CASE WHEN doc_id % 10 < 8
+                           THEN (CASE lang {_LID_PLANT_SQL} ELSE '' END)
+                           ELSE '' END) AS synth
+      FROM documents
+    ), t AS (
+      SELECT doc_id, lang,
+             list_distinct(string_split_regex(lower(synth), '{WS}')) AS toks
+      FROM planted
+    ), scored AS (
+      SELECT doc_id, lang,
+             {{s_en}} AS s_en, {{s_es}} AS s_es,
+             {{s_fr}} AS s_fr, {{s_de}} AS s_de
+      FROM t
+    ), pred AS (
+      SELECT lang AS true_lang,
+             CASE
+               WHEN s_en >= s_es AND s_en >= s_fr AND s_en >= s_de THEN 'en'
+               WHEN s_es >= s_fr AND s_es >= s_de THEN 'es'
+               WHEN s_fr >= s_de THEN 'fr'
+               ELSE 'de'
+             END AS predicted_lang
+      FROM scored
+    )
+    SELECT true_lang, predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           (true_lang = predicted_lang) AS correct
+    FROM pred GROUP BY true_lang, predicted_lang
+    """.format(
+        s_en=_lang_score_sql("en"),
+        s_es=_lang_score_sql("es"),
+        s_fr=_lang_score_sql("fr"),
+        s_de=_lang_score_sql("de"),
+    ),
+    description="Language-ID confusion matrix: the eval report on "
+    "the lang_id marker heuristic.  The synthetic corpus draws all "
+    "languages from one vocabulary, so (like nb_classifier's "
+    "planted class token) language markers are planted on 80% of "
+    "docs to give the heuristic organic-like signal; the matrix "
+    "then shows exactly what a pipeline needs to know before "
+    "trusting cheap routing — planted docs route correctly, the "
+    "unplanted 20% fall to the tie-break default, and zh (no Latin "
+    "markers) lands entirely in 'en': the blind spot is VISIBLE, "
+    "not hidden.  One narrow map + one constant-size hash "
+    "aggregate: |langs|^2 output rows at any corpus scale.",
+)
+def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    plant = F.when(F.lit(False), "")
+    for k, v in _LID_PLANT.items():
+        plant = plant.when(F.col("lang") == k, " " + v)
+    synth = F.concat(
+        F.col("text"),
+        F.when(F.col("doc_id") % 10 < 8, plant.otherwise("")).otherwise(""),
+    )
+    toks = F.array_distinct(F.split(F.lower(synth), WS))
+    scores = {}
+    for lang in ("en", "es", "fr", "de"):
+        score = None
+        for m in LANG_MARKERS[lang]:
+            hit = F.when(F.array_contains(toks, m), 1).otherwise(0)
+            score = hit if score is None else score + hit
+        scores[lang] = score
+    pred = (
+        F.when(
+            (scores["en"] >= scores["es"])
+            & (scores["en"] >= scores["fr"])
+            & (scores["en"] >= scores["de"]),
+            "en",
+        )
+        .when(
+            (scores["es"] >= scores["fr"]) & (scores["es"] >= scores["de"]),
+            "es",
+        )
+        .when(scores["fr"] >= scores["de"], "fr")
+        .otherwise("de")
+    )
+    return (
+        docs.select(F.col("lang").alias("true_lang"), pred.alias(
+            "predicted_lang"))
+        .groupBy("true_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_docs"))
+        .select(
+            "true_lang",
+            "predicted_lang",
+            "n_docs",
+            (F.col("true_lang") == F.col("predicted_lang")).alias(
+                "correct"
+            ),
+        )
+    )

@@ -141,6 +141,7 @@ PROBE = [
     "minhash_calibration",         # est-vs-exact sketch audit
     "embedding_norm_audit",        # vector-ingest quality gate
     "join_skew_report",            # key-frequency skew diagnosis
+    "lang_id_confusion",           # routing-heuristic eval matrix
 ]
 
 
