@@ -463,6 +463,7 @@ def test_geo_proximity_join_is_equi_join(spark, sf_dir):
 _BNLJ_OK = {
     "benford_audit",       # 1-row digit-total crossJoin
     "dsir_importance_weights",  # 1-row mean-weight crossJoin
+    "join_skew_report",    # 1-row key-totals crossJoin
     "bm25_topk",           # 1-row corpus stats (N, avgdl) crossJoin
     "class_balance_downsample",  # 1-row min-class-size floor crossJoin
     "hits_authorities",    # 1-row max-authority normalizer crossJoin
