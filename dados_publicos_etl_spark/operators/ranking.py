@@ -161,3 +161,55 @@ def prefix_sums_by_range(
         .drop("__rbr_pid", "__rbr_local", "__rbr_vlocal", "__rbr_off", "__rbr_voff")
     )
     return out, acc_n, acc_s
+
+
+def prefix_max_by_range(
+    df: DataFrame,
+    order: list[Column | str],
+    value_col: str,
+    pre_col: str = "pre_max",
+    num_partitions: int = _DEFAULT_PARTS,
+) -> DataFrame:
+    """Strictly-preceding running max of ``value_col`` under the
+    total order ``order`` — ``MAX(v) OVER (ORDER BY ... ROWS BETWEEN
+    UNBOUNDED PRECEDING AND 1 PRECEDING)`` — with NO SinglePartition
+    exchange.  NULL for the globally-first row (empty frame), the
+    exact window semantics.
+
+    Same two-job shape as :func:`ranked_by_range`: each range
+    partition computes its LOCAL strictly-preceding running max; a
+    P-row driver scan turns per-partition maxes into "max of every
+    EARLIER partition" offsets; ``greatest`` merges the two (Spark's
+    ``greatest`` skips NULLs, returning NULL only when both frames
+    are empty — precisely the empty-window contract).  Max is
+    merge-order-independent, so unlike prefix sums this is exact for
+    any orderable type.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn("__rbr_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    stats = sorted(
+        ranged.groupBy("__rbr_pid").agg(F.max(value_col).alias("m")).collect(),
+        key=lambda r: r["__rbr_pid"],
+    )
+    offsets: list[tuple[int, object]] = []
+    run = None
+    for r in stats:
+        offsets.append((r["__rbr_pid"], run))
+        if r["m"] is not None and (run is None or r["m"] > run):
+            run = r["m"]
+    val_type = ranged.schema[value_col].dataType.simpleString()
+    off = df.sparkSession.createDataFrame(
+        offsets, f"__rbr_pid int, __rbr_pmax {val_type}"
+    )
+    w = Window.partitionBy("__rbr_pid").orderBy(*order).rowsBetween(
+        Window.unboundedPreceding, -1
+    )
+    return (
+        ranged.withColumn("__rbr_lmax", F.max(value_col).over(w))
+        .join(F.broadcast(off), "__rbr_pid")
+        .withColumn(pre_col, F.greatest("__rbr_lmax", "__rbr_pmax"))
+        .drop("__rbr_pid", "__rbr_lmax", "__rbr_pmax")
+    )

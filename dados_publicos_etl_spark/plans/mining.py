@@ -192,18 +192,23 @@ def triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     "and the tiny frontier broadcasts back to recover the part rows.  "
     "Sort-and-scan is the textbook 2-D skyline algorithm; the "
     "aggregate keeps the sorted window proportional to DISTINCT "
-    "prices, not rows.",
+    "prices, not rows.  The running max rides prefix_max_by_range "
+    "(per-range-partition local running max + broadcast "
+    "earlier-partition maxes) because TPC-H retail prices are "
+    "near-unique per part — the candidate table is part-table-scale, "
+    "and a global window over it would plan the one-task "
+    "SinglePartition sort this repo bans from data-scale operators.",
 )
 def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.operators.ranking import prefix_max_by_range
+
     part = read_table(spark, sf_dir, "part")
     cand = part.groupBy(F.col("p_retailprice").alias("price")).agg(
         F.max("p_size").alias("best_size")
     )
-    w = (
-        Window.orderBy("price")
-        .rowsBetween(Window.unboundedPreceding, -1)
+    scanned = prefix_max_by_range(
+        cand, ["price"], "best_size", pre_col="cheaper_max"
     )
-    scanned = cand.withColumn("cheaper_max", F.max("best_size").over(w))
     frontier = scanned.filter(
         F.col("cheaper_max").isNull()
         | (F.col("best_size") > F.col("cheaper_max"))

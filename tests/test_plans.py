@@ -648,6 +648,21 @@ def test_pareto_curve_has_no_single_partition(spark, sf_dir):
     assert "row_number" in plan.lower()
 
 
+def test_pareto_frontier_has_no_single_partition(spark, sf_dir):
+    """Round-7 re-shape (round-6 verdict's one flagged plan): the
+    skyline's strictly-preceding running max runs over
+    prefix_max_by_range's range partitions — TPC-H retail prices are
+    near-unique, so the candidate table scales with parts and the
+    old global window's Exchange SinglePartition was one task
+    sorting it.  The whole plan must now be SinglePartition-free."""
+    plan = _plan(QUERIES["pareto_frontier"].fn(spark, sf_dir))
+    assert "SinglePartition" not in plan
+    # the earlier-partition maxes arrive as a broadcast, and the
+    # local window partitions on the range-partition id
+    assert "BroadcastHashJoin" in plan
+    assert "hashpartitioning(__rbr_pid" in plan
+
+
 def test_ks_ecdf_has_no_single_partition_sort(spark, sf_dir):
     """The KS running gap must ride the range-partitioned prefix-sum
     machinery: no SinglePartition exchange may feed a Sort/Window
