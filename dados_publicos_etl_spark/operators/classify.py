@@ -773,7 +773,7 @@ _KN_PPL_KEEP = 31.0  # splits the synthetic corpus ~60/40 at sf0.01-0.1
     SELECT doc_id,
            CAST(COUNT(*) AS BIGINT) AS n_bigrams,
            ROUND(EXP(-AVG(LN(p))), 2) AS kn_ppl,
-           EXP(-AVG(LN(p))) <= {_KN_PPL_KEEP} AS keep
+           ROUND(EXP(-AVG(LN(p))), 2) <= {_KN_PPL_KEEP} AS keep
     FROM sc GROUP BY doc_id
     """,
     description="Interpolated Kneser-Ney bigram LM quality scoring — "
@@ -846,5 +846,8 @@ def kn_bigram_score(spark: SparkSession, sf_dir: str) -> DataFrame:
     return scored.groupBy("doc_id").agg(
         F.count(F.lit(1)).cast("long").alias("n_bigrams"),
         F.round(raw_ppl, 2).alias("kn_ppl"),
-        (raw_ppl <= _KN_PPL_KEEP).alias("keep"),
+        # gate on the ROUNDED perplexity: the raw float differs by
+        # accumulation order across engines, so a doc within an ulp of
+        # the threshold could flip keep between Spark and DuckDB
+        (F.round(raw_ppl, 2) <= _KN_PPL_KEEP).alias("keep"),
     )

@@ -749,17 +749,18 @@ def basket_association_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
     "re-shuffling = changing the salt.",
 )
 def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
+    from dados_publicos_etl_spark.operators.ranking import ranked_by_range
 
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     keyed = docs.select(
         "doc_id",
         F.md5(F.concat(F.col("doc_id").cast("string"), F.lit(":shuffle42"))).alias("k"),
     )
-    pos = (
-        F.row_number().over(W.orderBy("k", "doc_id")) - 1
-    )
-    positioned = keyed.select("doc_id", pos.alias("pos"))
+    # the global position rides the range-partitioned ranking — a
+    # bare ROW_NUMBER() OVER (ORDER BY k) would funnel the whole
+    # corpus key table through one Exchange SinglePartition task
+    ranked, _n = ranked_by_range(keyed, ["k", "doc_id"])
+    positioned = ranked.select("doc_id", (F.col("rn") - 1).alias("pos"))
     # floor, not a raw double->int cast (Spark truncates, DuckDB
     # rounds — same trap as benford_audit)
     return positioned.select(
@@ -1142,7 +1143,7 @@ def _ds_bucket_sql(expr: str) -> str:
     SELECT doc_id,
            CAST(nf AS BIGINT) AS n_feats,
            ROUND(w, 6) AS weight,
-           w > (SELECT AVG(w) FROM docw) AS above_mean
+           ROUND(w, 6) > ROUND((SELECT AVG(w) FROM docw), 6) AS above_mean
     FROM docw
     """,
     description="DSIR-style data selection (Xie et al. 2023, 'Data "
@@ -1237,7 +1238,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "n_feats",
         F.round("w_raw", 6).alias("weight"),
-        (F.col("w_raw") > F.col("mw")).alias("above_mean"),
+        # compare ROUNDED values: the raw float sum's accumulation
+        # order is engine-dependent, so a doc sitting within an ulp of
+        # the mean could flip the boolean between Spark and DuckDB —
+        # at 6 dp both engines see the same numbers
+        (F.round("w_raw", 6) > F.round("mw", 6)).alias("above_mean"),
     )
 
 
@@ -1349,13 +1354,19 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "html_strip_roundtrip",
-    oracle="""
+    oracle=r"""
+    WITH expect AS (
+      SELECT doc_id,
+             trim(regexp_replace(
+               'doc nav-menu ' || text || ' & <b> @'
+                 || CAST(doc_id AS VARCHAR),
+               '\s+', ' ', 'g')) AS clean
+      FROM documents
+    )
     SELECT doc_id,
-           md5('doc nav-menu ' || text || ' & <b> @'
-               || CAST(doc_id AS VARCHAR)) AS clean_md5,
-           CAST(LENGTH('doc nav-menu ' || text || ' & <b> @'
-               || CAST(doc_id AS VARCHAR)) AS BIGINT) AS n_chars_clean
-    FROM documents
+           md5(clean) AS clean_md5,
+           CAST(LENGTH(clean) AS BIGINT) AS n_chars_clean
+    FROM expect
     """,
     description="HTML text-extraction proven by round-trip (the "
     "mojibake_repair pattern applied to the web-ingest stage): wrap "
@@ -1373,12 +1384,21 @@ def gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def html_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
+    # HTML-ESCAPE the document text before planting (& first, so the
+    # escapes themselves never double-decode): the wrap is then
+    # well-formed HTML for ARBITRARY text — a corpus string containing
+    # '<', '&', or literal entity spellings round-trips to itself
+    # instead of silently relying on the synthetic corpus being
+    # markup-free
+    esc = F.regexp_replace(F.col("text"), "&", "&amp;")
+    esc = F.regexp_replace(esc, "<", "&lt;")
+    esc = F.regexp_replace(esc, ">", "&gt;")
     planted = F.concat(
         F.lit(
             "<html><head><title>doc</title></head>"
             "<body><nav>nav-menu</nav><p>"
         ),
-        F.col("text"),
+        esc,
         F.lit(" &amp; &lt;b&gt; &#64;"),
         F.col("doc_id").cast("string"),
         F.lit("</p></body></html>"),

@@ -782,7 +782,7 @@ _TEMP_ALPHA = 0.3  # XLM-R's multilingual sampling temperature
       FROM counts
     ), rates AS (
       SELECT lang, n,
-             CAST(floor(LEAST(1.0, qi * (total / 2.0) / n) * 1000000)
+             CAST(round(LEAST(1.0, qi * (total / 2.0) / n) * 1000000, 0)
                   AS BIGINT) AS thr
       FROM q
     ), kept AS (
@@ -805,7 +805,7 @@ _TEMP_ALPHA = 0.3  # XLM-R's multilingual sampling temperature
     f"weighter.  The mixture solve runs on the per-source COUNT "
     f"table (dozens of rows — the unpartitioned window is free); "
     f"the per-document decision integerizes each keep probability "
-    f"to a ppm threshold (floor(p*1e6)) compared against the md5 "
+    f"to a ppm threshold (round(p*1e6)) compared against the md5 "
     f"hash bucket, so the keep set is deterministic, engine-"
     f"portable, and reproducible from doc_id alone.  Corpus scan "
     f"side = one broadcast join + narrow filter, no shuffle of the "
@@ -826,15 +826,20 @@ def temperature_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
             W.partitionBy()
         ),
     )
+    # ROUND, not floor: the pow-derived keep probability can differ by
+    # an ulp between engines, and floor amplifies that into a whole-ppm
+    # threshold flip whenever p*1e6 sits at an integer boundary; round
+    # only flips at .5, where both engines apply the same half-up rule
     rates = q.select(
         "lang",
         "n",
-        F.floor(
+        F.round(
             F.least(
                 F.lit(1.0),
                 F.col("qi") * (F.col("total") / 2.0) / F.col("n"),
             )
-            * 1_000_000
+            * 1_000_000,
+            0,
         )
         .cast("long")
         .alias("thr"),

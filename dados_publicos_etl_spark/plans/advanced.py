@@ -1817,6 +1817,10 @@ def retractable_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     return (
         merged.join(F.broadcast(remin), "o_orderpriority", "left")
+        # a delete batch that removes a group's LAST row retracts the
+        # group entirely (n reaches 0); without this the stale min
+        # would leak through the coalesce since remin has no row
+        .filter(F.col("n") > 0)
         .select(
             F.col("o_orderpriority").alias("priority"),
             F.col("n").cast("long").alias("n"),

@@ -3076,14 +3076,20 @@ def pareto_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
     ranked, n, s = prefix_sums_by_range(
         orders, [F.desc("o_totalprice"), "o_orderkey"], "cents"
     )
-    targets = {(n * p + 99) // 100: p for p in _PARETO_PCTS}
-    pct_expr = F.lit(None).cast("int")
-    for rn_t, p in targets.items():
-        pct_expr = F.when(F.col("rn") == rn_t, p).otherwise(pct_expr)
+    # one output row PER pct even when two pcts land on the same rank
+    # (small n): a broadcast (pct, target-rank) dimension joined on rn,
+    # mirroring the oracle's UNNEST-then-JOIN — never a dict keyed by
+    # rank, which collapses colliding pcts to one row
+    pcts = spark.createDataFrame(
+        [(p, (n * p + 99) // 100) for p in _PARETO_PCTS],
+        "pct int, __rn_t bigint",
+    )
     return (
-        ranked.filter(F.col("rn").isin(list(targets)))
+        ranked.join(
+            F.broadcast(pcts), F.col("rn") == F.col("__rn_t"), "inner"
+        )
         .select(
-            pct_expr.alias("pct"),
+            "pct",
             F.col("rn").cast("long").alias("n_orders"),
             (F.col("cum").cast("double") / float(s)).alias("revenue_share"),
         )

@@ -689,7 +689,15 @@ def _run_update_upsert(
             q.stop()
     if state["path"] is None:
         return spark.createDataFrame([], agg.schema)
-    return spark.read.parquet(state["path"]).select(*agg.columns)
+    # EAGERLY materialize off the pooled state dir: the TempDirPool
+    # rotates this dir out after 8 newer runs of the same purpose, so
+    # a lazily-returned parquet read deferred past that would hit an
+    # unreadable path — localCheckpoint pins the rows in block storage
+    return (
+        spark.read.parquet(state["path"])
+        .select(*agg.columns)
+        .localCheckpoint(eager=True)
+    )
 
 
 def _topk_feed_dir(spark: SparkSession, sf_dir: str) -> str:
@@ -1286,4 +1294,10 @@ def stream_decontaminate_gate(spark: SparkSession, sf_dir: str) -> DataFrame:
             "CAST(0 AS LONG) AS n_shared_shingles",
             "CAST(false AS BOOLEAN) AS contaminated",
         )
-    return spark.read.parquet(state["path"]).select(*cols)
+    # eager for the same TempDirPool-rotation reason as
+    # _run_update_upsert above
+    return (
+        spark.read.parquet(state["path"])
+        .select(*cols)
+        .localCheckpoint(eager=True)
+    )
