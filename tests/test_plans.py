@@ -521,6 +521,75 @@ def test_no_catalog_query_plans_data_scale_nested_loops(spark, sf_dir):
     assert not offenders, offenders
 
 
+# Queries whose Exchange SinglePartition feeds a Sort/Window over a
+# table that is GROUP-BOUNDED by construction (cells, buckets,
+# categories, calendar) — never corpus-scale.  Every other
+# SinglePartition in the catalog must be the scalar-merge shape
+# (parent is a zero-key aggregate).
+_SP_GROUP_BOUNDED = {
+    "chi_square_independence",  # window over the |A|x|B| cell table
+    "mutual_information_screen",  # same cell-table shape
+    "corpus_mix_rebalance",  # window over the per-source count table
+    "temperature_mix_sampling",  # window over the per-lang count table
+    "corpus_token_histogram",  # window over the histogram buckets
+    "decile_lift_table",  # final window over the 10-row decile table
+    "target_encode_loo",  # window over the per-category stats table
+    "survival_kaplan_meier",  # window over distinct event times
+    # (calendar-bounded: lifetimes are whole hours of a finite span)
+}
+
+_SCALAR_MERGE = (
+    "HashAggregate(keys=[]",
+    "SortAggregate(key=[]",
+    "ObjectHashAggregate(keys=[]",
+)
+
+
+def _node_col(line: str) -> int:
+    i = 0
+    while i < len(line) and line[i] in " :+|-":
+        i += 1
+    return i
+
+
+def test_no_catalog_query_plans_data_scale_single_partition(
+    spark, sf_dir
+):
+    """Catalog-wide plan audit (round-6 verdict #6): every `Exchange
+    SinglePartition` in every registered query's plan must be either
+    (a) the scalar-merge shape — its parent operator is a ZERO-KEY
+    aggregate combining partials into one row — or (b) a Sort/Window
+    over a group-bounded table, allowlisted by name above.  Anything
+    else is one task processing a data-scale relation — the global-
+    window class this sweep exists to catch mechanically (it would
+    have flagged pareto_frontier and corpus_global_shuffle, both
+    found by hand before it existed)."""
+    from dados_publicos_etl_spark.plans import QUERIES
+
+    offenders = {}
+    for name in sorted(QUERIES):
+        try:
+            plan = _plan(QUERIES[name].fn(spark, sf_dir))
+        except Exception:
+            continue  # execution-environment issues are other tests' job
+        lines = plan.splitlines()
+        for i, ln in enumerate(lines):
+            if "Exchange SinglePartition" not in ln:
+                continue
+            col = _node_col(ln)
+            parent = ""
+            for j in range(i - 1, -1, -1):
+                if lines[j].strip() and _node_col(lines[j]) < col:
+                    parent = lines[j].strip().lstrip("*(0123456789) ")
+                    break
+            if any(s in parent for s in _SCALAR_MERGE):
+                continue
+            if name in _SP_GROUP_BOUNDED:
+                continue
+            offenders.setdefault(name, []).append(parent[:80])
+    assert not offenders, offenders
+
+
 def test_log_parse_stays_jvm_side(spark, sf_dir):
     """regexp_extract parsing of the text source must compile to JVM
     expressions — a Python-UDF parse here would serialize every log
