@@ -87,6 +87,35 @@ def test_ann_lsh_recall_on_planted_neardups(spark):
     assert recall >= 0.85, f"ANN recall {recall:.2f}"
 
 
+def test_rademacher_ann_topk_recall_on_planted_neardups(spark):
+    """The PORTABLE (md5-Rademacher sign projection) ANN top-k path —
+    the one the DuckDB oracle now checks bit-for-bit — must also keep
+    its approximation contract: each query vector's planted noisy
+    twin (cosine ~0.95+) should surface in its top-5 for most
+    queries.  Sign projections with ±1 entries are the SimHash LSH
+    family, so recall is expected to match the Gaussian planes'."""
+    from dados_publicos_etl_spark.operators.similarity import ann_topk_lsh
+
+    rng = np.random.RandomState(11)
+    n_base, dim = 200, 64
+    base = rng.randn(n_base, dim)
+    noisy = base + 0.15 * rng.randn(n_base, dim)
+    vecs = np.vstack([base, noisy]).astype("float32")
+    rows = [(i, vecs[i].tolist()) for i in range(len(vecs))]
+    emb = spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+    n_queries = 20
+    got = ann_topk_lsh(emb, query_max_id=n_queries, k=5).collect()
+    hits = sum(
+        1
+        for q in range(n_queries)
+        if any(
+            r.query_id == q and r.neighbor_id == q + n_base for r in got
+        )
+    )
+    assert hits / n_queries >= 0.8, f"twin recall {hits}/{n_queries}"
+
+
 def test_minhash_incremental_flags_planted_neardups(spark):
     """The persisted-index incremental path must flag incoming docs
     that near-duplicate the snapshot and pass clean incoming docs:

@@ -35,7 +35,9 @@ SEEDED_QUERIES = [
     # list — their hashing is now portable (md5 + universal-hash
     # arithmetic), so the full pipelines are DuckDB-oracle-checked in
     # test_oracle_differential instead of golden-pinned.
-    "similarity_ann_lsh",
+    # round 7: similarity_ann_lsh moved OUT — its bucketing is now
+    # the portable md5-Rademacher sign projection over int64-quantized
+    # vectors, so the full ANN path is DuckDB-oracle-checked.
     "similarity_pq",
     # pinned in round 4: the remaining no-oracle entries
     "approx_sketches",       # HLL++/quantile sketches, engine-deterministic
@@ -45,7 +47,10 @@ SEEDED_QUERIES = [
     "similarity_ivf",        # seeded kmeans coarse quantizer
     "similarity_ivf_persisted",  # same model, persisted-probe path
     "similarity_ivfpq",      # both quantizers composed (round 4)
-    "dedup_minhash_incremental",  # persisted-index probe (round 4)
+    # round 7: dedup_minhash_incremental moved OUT — its hashing now
+    # shares dedup_minhash_lsh's portable construction, so the probe
+    # math is DuckDB-oracle-checked; the persisted-index IO keeps its
+    # planted pytest in test_extensions.py.
     "image_neardup_dhash",   # deterministic synth images + dHash (round 4)
     "video_scene_detect",    # planted scene cuts, frame-diff detection (round 4)
     "contrastive_pair_mining",  # LSH-bucket positives/hard-negatives (round 4)
