@@ -1415,3 +1415,186 @@ def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
             4,
         ).alias("mae"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Excerpt/quotation containment mining (asymmetric near-dup)
+# ---------------------------------------------------------------------------
+
+_EXC_ID_BASE = 1_000_000_000  # planted excerpt ids: doc_id + base
+_EXC_NUM, _EXC_DEN = 7, 10    # excerpt = first 70% of tokens
+_CONT_MIN = 0.9               # containment threshold
+_CONT_JAC_MAX = 0.8           # ... where Jaccard would MISS the pair
+
+
+def _containment_oracle() -> str:
+    sig_items = ", ".join(
+        f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {_MH_PRIME}))"
+        for a, b in _MH_AB
+    )
+    band_concat = (
+        "CAST(sig[band_idx*4+1] AS VARCHAR) || '|' || "
+        "CAST(sig[band_idx*4+2] AS VARCHAR) || '|' || "
+        "CAST(sig[band_idx*4+3] AS VARCHAR) || '|' || "
+        "CAST(sig[band_idx*4+4] AS VARCHAR)"
+    )
+    inter = "CAST(len(list_intersect(ha.sh, hb.sh)) AS DOUBLE)"
+    jac = f"{inter} / len(list_distinct(list_concat(ha.sh, hb.sh)))"
+    cont = f"GREATEST({inter} / len(ha.sh), {inter} / len(hb.sh))"
+    return rf"""
+    WITH toks AS MATERIALIZED (
+      SELECT doc_id, string_split_regex(lower(text), '\s+') AS t
+      FROM documents
+    ), allt AS MATERIALIZED (
+      SELECT doc_id AS id, t FROM toks
+      UNION ALL
+      SELECT doc_id + {_EXC_ID_BASE},
+             list_slice(t, 1,
+               GREATEST(1, (len(t) * {_EXC_NUM}) // {_EXC_DEN}))
+      FROM toks WHERE doc_id % 5 = 0
+    ), shs AS MATERIALIZED (
+      SELECT id,
+             CASE WHEN len(t) >= 3 THEN
+               list_distinct(list_transform(
+                 generate_series(1, len(t) - 2),
+                 i -> array_to_string(list_slice(t, i, i + 2), ' ')))
+             ELSE [array_to_string(t, ' ')] END AS s
+      FROM allt
+    ), hs AS MATERIALIZED (
+      SELECT id,
+             list_distinct(list_transform(s,
+               x -> {duck_md5_long_sql('x')})) AS sh
+      FROM shs
+    ), sig AS MATERIALIZED (
+      SELECT id, [{sig_items}] AS sig FROM hs
+    ), bands AS MATERIALIZED (
+      SELECT id, band_idx,
+             {duck_md5_long_sql(f'({band_concat})', 15)} AS band_hash
+      FROM sig, UNNEST(generate_series(0, 7)) AS u(band_idx)
+    ), cand AS (
+      SELECT DISTINCT a.id AS id_a, b.id AS id_b
+      FROM bands a
+      JOIN bands b ON a.band_idx = b.band_idx
+                  AND a.band_hash = b.band_hash
+                  AND a.id < b.id
+    )
+    SELECT id_a, id_b,
+           ROUND({jac}, 4) AS jaccard,
+           ROUND({cont}, 4) AS containment
+    FROM cand
+    JOIN hs ha ON cand.id_a = ha.id
+    JOIN hs hb ON cand.id_b = hb.id
+    WHERE {cont} >= {_CONT_MIN} AND {jac} < {_CONT_JAC_MAX}
+    """
+
+
+@query(
+    "excerpt_containment_mining",
+    oracle=_containment_oracle(),
+    description="Asymmetric near-dup mining by shingle CONTAINMENT — "
+    "the quotation/excerpt detector Jaccard structurally misses: a "
+    "passage quoted inside a longer host has containment(short in "
+    f"long) = 1.0 but Jaccard only ~|short|/|long|.  Excerpt docs "
+    f"(first {_EXC_NUM * 10}% of tokens of every doc_id%5==0 "
+    "document, planted in-engine — the html_strip/mojibake pattern) "
+    "join the corpus under synthetic ids; the SAME portable "
+    "MinHash+LSH banding as dedup_minhash_lsh generates candidates "
+    "(md5 shingles, universal permutations — the whole path is "
+    "DuckDB-differential), and pairs are kept where "
+    f"containment >= {_CONT_MIN} yet Jaccard < {_CONT_JAC_MAX}: "
+    "exactly the asymmetric-reuse set the symmetric dedup tier "
+    "filters out.  Scale: the excerpt side adds 20% corpus volume, "
+    "candidates stay band-bucketed (no cross join), and the "
+    "containment verify touches only candidate pairs.",
+)
+def excerpt_containment_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    base = docs.select("doc_id", tokens("text").alias("tk"))
+    full = base.select(F.col("doc_id").alias("id"), "tk")
+    exc = base.filter(F.col("doc_id") % 5 == 0).select(
+        (F.col("doc_id") + _EXC_ID_BASE).alias("id"),
+        F.slice(
+            F.col("tk"),
+            1,
+            F.greatest(
+                F.lit(1),
+                F.expr(f"(size(tk) * {_EXC_NUM}) div {_EXC_DEN}"),
+            ).cast("int"),
+        ).alias("tk"),
+    )
+    corpus = (
+        full.unionAll(exc)
+        .select("id", shingles_from_tokens(F.col("tk")).alias("_shs"))
+        .select("id", md5_hashed_shingles(F.col("_shs")).alias("sh"))
+        .localCheckpoint()
+    )
+
+    def perm(a: int, b: int):
+        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
+
+    sig = corpus.select(
+        "id",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("sh"), perm(a, b)))
+                for a, b in _MH_AB
+            ]
+        ).alias("sig"),
+    ).localCheckpoint()
+    bands = sig.select(
+        "id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(bi).alias("band_idx"),
+                        _mh_band_hash_spark(F.col("sig"), bi, 4).alias(
+                            "band_hash"
+                        ),
+                    )
+                    for bi in range(8)
+                ]
+            )
+        ).alias("band"),
+    ).select("id", "band.band_idx", "band.band_hash")
+    a, b = bands.alias("a"), bands.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band_idx") == F.col("b.band_idx"))
+            & (F.col("a.band_hash") == F.col("b.band_hash"))
+            & (F.col("a.id") < F.col("b.id")),
+        )
+        .select(F.col("a.id").alias("id_a"), F.col("b.id").alias("id_b"))
+        .distinct()
+    )
+    ha = corpus.select(F.col("id").alias("id_a"), F.col("sh").alias("sh_a"))
+    hb = corpus.select(F.col("id").alias("id_b"), F.col("sh").alias("sh_b"))
+    inter = F.size(
+        F.array_intersect(F.col("sh_a"), F.col("sh_b"))
+    ).cast("double")
+    union = F.size(F.array_distinct(F.array_union("sh_a", "sh_b")))
+    jac = inter / union
+    cont = F.greatest(
+        inter / F.size("sh_a"), inter / F.size("sh_b")
+    )
+    return (
+        cands.join(ha, "id_a")
+        .join(hb, "id_b")
+        .select(
+            "id_a",
+            "id_b",
+            jac.alias("j_raw"),
+            cont.alias("c_raw"),
+        )
+        .filter(
+            (F.col("c_raw") >= _CONT_MIN)
+            & (F.col("j_raw") < _CONT_JAC_MAX)
+        )
+        .select(
+            "id_a",
+            "id_b",
+            F.round("j_raw", 4).alias("jaccard"),
+            F.round("c_raw", 4).alias("containment"),
+        )
+    )

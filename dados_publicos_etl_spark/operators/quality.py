@@ -860,3 +860,143 @@ def embedding_norm_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(F.max("nrm"), 4).alias("max_norm"),
         F.round(F.avg("nrm"), 4).alias("avg_norm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Merkle-style table reconciliation (anti-entropy checksum diff)
+# ---------------------------------------------------------------------------
+
+_MERKLE_BUCKETS = 256
+# planted divergence between "snapshot A" (orders as landed) and
+# "snapshot B" (the re-synced copy): a modified slice and a deleted
+# slice, both deterministic
+_MK_MOD = 97   # o_orderkey % 97 == 5  -> price bumped one cent in B
+_MK_DEL = 131  # o_orderkey % 131 == 7 -> row missing from B
+
+
+@query(
+    "merkle_table_diff",
+    oracle=f"""
+    WITH a AS (
+      SELECT o_orderkey AS k, o_orderkey % {_MERKLE_BUCKETS} AS bucket,
+             CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                    AS VARCHAR) || '|' || o_orderstatus), 1, 7))
+               AS BIGINT) AS h
+      FROM orders
+    ), b AS (
+      SELECT o_orderkey AS k, o_orderkey % {_MERKLE_BUCKETS} AS bucket,
+             CAST(('0x' || substr(md5(
+               CAST(o_orderkey AS VARCHAR) || '|' ||
+               CAST(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                    + CASE WHEN o_orderkey % {_MK_MOD} = 5
+                           THEN 1 ELSE 0 END AS VARCHAR)
+               || '|' || o_orderstatus), 1, 7)) AS BIGINT) AS h
+      FROM orders WHERE o_orderkey % {_MK_DEL} <> 7
+    ), ca AS (
+      SELECT bucket, CAST(SUM(h) AS BIGINT) AS sum_a,
+             CAST(COUNT(*) AS BIGINT) AS n_a
+      FROM a GROUP BY bucket
+    ), cb AS (
+      SELECT bucket, CAST(SUM(h) AS BIGINT) AS sum_b,
+             CAST(COUNT(*) AS BIGINT) AS n_b
+      FROM b GROUP BY bucket
+    ), mismatched AS (
+      SELECT ca.bucket
+      FROM ca LEFT JOIN cb ON ca.bucket = cb.bucket
+      WHERE cb.bucket IS NULL OR ca.sum_a <> cb.sum_b
+         OR ca.n_a <> cb.n_b
+    )
+    SELECT a.k AS o_orderkey,
+           CAST(a.bucket AS INT) AS bucket,
+           CASE WHEN b.k IS NULL THEN 'deleted'
+                ELSE 'modified' END AS change_type
+    FROM a
+    JOIN mismatched m ON a.bucket = m.bucket
+    LEFT JOIN b ON a.k = b.k
+    WHERE b.k IS NULL OR a.h <> b.h
+    """,
+    description="Merkle-style table reconciliation (anti-entropy): "
+    "two snapshots of the orders table are compared by exchanging "
+    f"{_MERKLE_BUCKETS} per-bucket checksums — SUM of a portable "
+    "md5 row hash plus a row count per key bucket — and only the "
+    "MISMATCHED buckets are re-scanned row-by-row to name the "
+    "changed keys (a planted modified slice and a planted deleted "
+    "slice).  This is how replicas, warehouse copies, and CDC "
+    "landings are verified at 100 TB: the checksum exchange is "
+    "kilobytes however large the table, the row-level diff touches "
+    "only the O(changes) mismatched buckets (the second phase joins "
+    "through a broadcast of the mismatched bucket ids), and the "
+    "28-bit row hashes sum exactly in int64 (max 2^28 x rows-per-"
+    "bucket — no overflow below ~2^35 rows a bucket).  Completes "
+    "snapshot_diff (full-outer row diff) with the checksum-pruned "
+    "form that avoids shuffling both full tables.",
+)
+def merkle_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders").select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
+        "o_orderstatus",
+    )
+
+    def hashed(df: DataFrame) -> DataFrame:
+        h = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat_ws(
+                        "|",
+                        F.col("k").cast("string"),
+                        F.col("cents").cast("string"),
+                        F.col("o_orderstatus"),
+                    )
+                ),
+                1,
+                7,
+            ),
+            16,
+            10,
+        ).cast("long")
+        return df.select(
+            "k", (F.col("k") % _MERKLE_BUCKETS).alias("bucket"), h.alias("h")
+        )
+
+    a = hashed(orders)
+    b = hashed(
+        orders.filter(F.col("k") % _MK_DEL != 7).withColumn(
+            "cents",
+            F.col("cents")
+            + F.when(F.col("k") % _MK_MOD == 5, 1).otherwise(0),
+        )
+    )
+    ca = a.groupBy("bucket").agg(
+        F.sum("h").alias("sum_a"), F.count(F.lit(1)).alias("n_a")
+    )
+    cb = b.groupBy("bucket").agg(
+        F.sum("h").alias("sum_b"), F.count(F.lit(1)).alias("n_b")
+    )
+    mismatched = (
+        ca.join(cb, "bucket", "left")
+        .filter(
+            F.col("sum_b").isNull()
+            | (F.col("sum_a") != F.col("sum_b"))
+            | (F.col("n_a") != F.col("n_b"))
+        )
+        .select("bucket")
+    )
+    # phase 2: row-level drill restricted to mismatched buckets only
+    a_m = a.join(F.broadcast(mismatched), "bucket")
+    b_m = b.join(F.broadcast(mismatched), "bucket").select(
+        "k", F.col("h").alias("h_b")
+    )
+    return (
+        a_m.join(b_m, "k", "left")
+        .filter(F.col("h_b").isNull() | (F.col("h") != F.col("h_b")))
+        .select(
+            F.col("k").cast("long").alias("o_orderkey"),
+            F.col("bucket").cast("int").alias("bucket"),
+            F.when(F.col("h_b").isNull(), "deleted")
+            .otherwise("modified")
+            .alias("change_type"),
+        )
+    )

@@ -16,11 +16,13 @@ import dados_publicos_etl_spark.operators.sampling  # noqa: F401
 import dados_publicos_etl_spark.operators.similarity  # noqa: F401
 import dados_publicos_etl_spark.operators.skew  # noqa: F401
 import dados_publicos_etl_spark.operators.text  # noqa: F401
+import dados_publicos_etl_spark.operators.webprep  # noqa: F401
 import dados_publicos_etl_spark.plans.advanced  # noqa: F401
 import dados_publicos_etl_spark.plans.events  # noqa: F401
 import dados_publicos_etl_spark.plans.mining  # noqa: F401
 import dados_publicos_etl_spark.plans.relational  # noqa: F401
 import dados_publicos_etl_spark.plans.stats2  # noqa: F401
+import dados_publicos_etl_spark.plans.stats3  # noqa: F401
 import dados_publicos_etl_spark.plans.tpch_extra  # noqa: F401
 import dados_publicos_etl_spark.plans.tpch_full  # noqa: F401
 import dados_publicos_etl_spark.streaming.sinks  # noqa: F401

@@ -1,0 +1,469 @@
+"""Third statistics wave (round 7): the hypothesis-testing and
+model-audit operators that complete the §2.B evaluation families —
+Mann-Whitney U (rank-sum drift test over the range-partitioned rank
+machinery), McNemar's paired-filter agreement test, and the NB score
+reliability (confidence-vs-accuracy calibration) table.
+
+Same discipline as plans/stats2.py: every query oracle-checked at
+birth, fact tables collapse to BOUNDED intermediates (value tie
+groups, deciles, 2x2 discordance cells) before any window runs, the
+one data-scale ordered scan rides operators/ranking.py (never a
+SinglePartition window), and every float is a single division of
+exact integers rounded identically on both engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from dados_publicos_etl_spark.io import read_table
+from dados_publicos_etl_spark.operators.ranking import (
+    ntile_expr,
+    prefix_sums_by_range,
+    ranked_by_range,
+)
+from dados_publicos_etl_spark.plans.registry import QUERIES, query
+
+# ---------------------------------------------------------------------------
+# Mann-Whitney U rank-sum test (tie-corrected, no SinglePartition)
+# ---------------------------------------------------------------------------
+
+_MW_A = "1-URGENT"
+_MW_B = "5-LOW"
+
+
+@query(
+    "mann_whitney_u",
+    oracle=f"""
+    WITH cents AS (
+      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS val,
+             o_orderpriority AS pr
+      FROM orders WHERE o_orderpriority IN ('{_MW_A}', '{_MW_B}')
+    ), ties AS (
+      SELECT val,
+             CAST(SUM(CASE WHEN pr = '{_MW_A}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c1,
+             CAST(SUM(CASE WHEN pr = '{_MW_B}' THEN 1 ELSE 0 END)
+                  AS BIGINT) AS c2
+      FROM cents GROUP BY val
+    ), sizes AS (
+      SELECT CAST(SUM(c1) AS BIGINT) AS n1,
+             CAST(SUM(c2) AS BIGINT) AS n2
+      FROM ties
+    ), cum AS (
+      SELECT c1, (c1 + c2) AS t,
+             SUM(c1 + c2) OVER (ORDER BY val) AS cumt
+      FROM ties
+    ), stats AS (
+      SELECT CAST(SUM(c1 * (2 * cumt - t + 1)) AS BIGINT) AS r2a,
+             CAST(SUM(CAST(t AS HUGEINT) * t * t - t) AS HUGEINT)
+               AS tie3
+      FROM cum
+    )
+    SELECT s.n1, s.n2,
+           CAST(st.r2a - s.n1 * (s.n1 + 1) AS BIGINT) AS u2a,
+           ROUND(
+             (CAST(st.r2a - s.n1 * (s.n1 + 1) AS DOUBLE) - s.n1 * s.n2)
+             / (2 * sqrt(
+                 (CAST(s.n1 AS DOUBLE) * s.n2 / 12.0)
+                 * ((s.n1 + s.n2 + 1)
+                    - CAST(st.tie3 AS DOUBLE)
+                      / (CAST(s.n1 + s.n2 AS DOUBLE)
+                         * (s.n1 + s.n2 - 1))))),
+             6) AS z
+    FROM stats st CROSS JOIN sizes s
+    """,
+    description="Mann-Whitney U rank-sum test between the order-value "
+    f"distributions of '{_MW_A}' and '{_MW_B}' orders — the "
+    "nonparametric location test completing the hypothesis-testing "
+    "family (KS tests the whole ECDF shape; MWU tests stochastic "
+    "dominance, the question 'did values shift?' a drift monitor "
+    "actually asks).  Scale shape: the facts collapse to the value "
+    "TIE-GROUP table in one hash aggregate; doubled midranks come "
+    "from the running tie count (r2 = 2*below + t + 1, integer-exact "
+    "on both engines), and the one data-scale ordered scan — the "
+    "cumulative tie count over values — rides prefix_sums_by_range "
+    "(range partitions + broadcast offsets, NO SinglePartition "
+    "window).  The tie-corrected normal approximation "
+    "z = (U - n1n2/2) / sqrt(n1n2/12 ((N+1) - sum(t^3-t)/(N(N-1)))) "
+    "is one double expression over exact integer moments (tie cubes "
+    "accumulate as DECIMAL(38,0)/HUGEINT — the Cramer discipline), "
+    "rounded identically.  Output: exact doubled rank statistic "
+    "2*U_a and z.",
+)
+def mann_whitney_u(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    cents = orders.filter(
+        F.col("o_orderpriority").isin(_MW_A, _MW_B)
+    ).select(
+        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("val"),
+        F.col("o_orderpriority").alias("pr"),
+    )
+    ties = cents.groupBy("val").agg(
+        F.sum(F.when(F.col("pr") == _MW_A, 1).otherwise(0)).alias("c1"),
+        F.sum(F.when(F.col("pr") == _MW_B, 1).otherwise(0)).alias("c2"),
+    )
+    n1, n2 = (int(x) for x in ties.agg(F.sum("c1"), F.sum("c2")).first())
+    pooled = ties.withColumn("t", F.col("c1") + F.col("c2"))
+    cum, _, _ = prefix_sums_by_range(pooled, [F.col("val")], "t")
+    stats = cum.agg(
+        F.sum(
+            F.col("c1") * (2 * F.col("cum") - F.col("t") + 1)
+        ).alias("r2a"),
+        F.sum(
+            F.col("t").cast("decimal(38,0)") * F.col("t") * F.col("t")
+            - F.col("t")
+        ).alias("tie3"),
+    )
+    nn = n1 + n2
+    u2a = F.col("r2a") - F.lit(n1 * (n1 + 1))
+    var_u = (F.lit(float(n1) * n2 / 12.0)) * (
+        F.lit(float(nn + 1))
+        - F.col("tie3").cast("double") / F.lit(float(nn) * (nn - 1))
+    )
+    return stats.select(
+        F.lit(n1).alias("n1"),
+        F.lit(n2).alias("n2"),
+        u2a.cast("long").alias("u2a"),
+        F.round(
+            (u2a.cast("double") - F.lit(float(n1) * n2))
+            / (2 * F.sqrt(var_u)),
+            6,
+        ).alias("z"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# McNemar's test: do two corpus quality filters disagree systematically?
+# ---------------------------------------------------------------------------
+
+_MC_LEN_MIN = 150  # chars: the cheap length gate
+_MC_W_LO, _MC_W_HI = 20, 90  # words: the Gopher word-count rule
+
+
+@query(
+    "mcnemar_filter_agreement",
+    oracle=rf"""
+    WITH flags AS (
+      SELECT doc_id,
+             (n_chars >= {_MC_LEN_MIN}) AS f_len,
+             (len(string_split_regex(lower(text), '\s+'))
+                BETWEEN {_MC_W_LO} AND {_MC_W_HI}) AS f_words
+      FROM documents
+    ), cells AS (
+      SELECT
+        CAST(SUM(CASE WHEN f_len AND f_words THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_both_pass,
+        CAST(SUM(CASE WHEN NOT f_len AND NOT f_words THEN 1 ELSE 0 END)
+             AS BIGINT) AS n_both_fail,
+        CAST(SUM(CASE WHEN f_len AND NOT f_words THEN 1 ELSE 0 END)
+             AS BIGINT) AS b,
+        CAST(SUM(CASE WHEN NOT f_len AND f_words THEN 1 ELSE 0 END)
+             AS BIGINT) AS c
+      FROM flags
+    )
+    SELECT n_both_pass, n_both_fail, b, c,
+           ROUND(CASE WHEN b + c = 0 THEN 0.0
+                 ELSE CAST((b - c) * (b - c) AS DOUBLE) / (b + c) END,
+                 6) AS mcnemar_chi2
+    FROM cells
+    """,
+    description="McNemar's test between two PAIRED corpus quality "
+    "filters (the char-length gate vs the Gopher word-count rule) on "
+    "the same documents — the statistic that answers 'do these two "
+    "filters disagree SYSTEMATICALLY, or just randomly?' before one "
+    "replaces the other in a pipeline.  Chi-square tests need "
+    "independent samples; filters applied to the SAME rows are "
+    "paired, and only the discordant cells carry signal: "
+    "chi2 = (b-c)^2/(b+c) over the filter-disagreement counts.  One "
+    "conditional aggregate produces the whole 2x2 table (the Cohen's "
+    "kappa shape) — exact integers, one division, no shuffle beyond "
+    "the scalar merge.  Completes the classifier-evaluation family "
+    "with the paired-comparison member (AUC ranks one model, "
+    "P/R/F1 scores one model, kappa measures agreement strength, "
+    "McNemar decides if a disagreement is significant).",
+)
+def mcnemar_filter_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.functions.text import tokens
+
+    docs = read_table(spark, sf_dir, "documents")
+    flags = docs.select(
+        (F.col("n_chars") >= _MC_LEN_MIN).alias("f_len"),
+        F.size(tokens("text")).between(_MC_W_LO, _MC_W_HI).alias("f_words"),
+    )
+    cells = flags.agg(
+        F.sum(
+            F.when(F.col("f_len") & F.col("f_words"), 1).otherwise(0)
+        ).alias("n_both_pass"),
+        F.sum(
+            F.when(~F.col("f_len") & ~F.col("f_words"), 1).otherwise(0)
+        ).alias("n_both_fail"),
+        F.sum(
+            F.when(F.col("f_len") & ~F.col("f_words"), 1).otherwise(0)
+        ).alias("b"),
+        F.sum(
+            F.when(~F.col("f_len") & F.col("f_words"), 1).otherwise(0)
+        ).alias("c"),
+    )
+    chi2 = F.when(F.col("b") + F.col("c") == 0, F.lit(0.0)).otherwise(
+        ((F.col("b") - F.col("c")) * (F.col("b") - F.col("c"))).cast(
+            "double"
+        )
+        / (F.col("b") + F.col("c"))
+    )
+    return cells.select(
+        F.col("n_both_pass").cast("long").alias("n_both_pass"),
+        F.col("n_both_fail").cast("long").alias("n_both_fail"),
+        F.col("b").cast("long").alias("b"),
+        F.col("c").cast("long").alias("c"),
+        F.round(chi2, 6).alias("mcnemar_chi2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# NB score reliability: confidence-vs-accuracy calibration by decile
+# ---------------------------------------------------------------------------
+
+
+def _nb_reliability_oracle() -> str:
+    nb = QUERIES["nb_classifier_train_score"].oracle
+    return f"""
+    WITH preds AS ({nb}),
+    tiled AS (
+      SELECT CAST(correct AS INT) AS ok,
+             CAST(score AS DECIMAL(38,4)) AS sc,
+             NTILE(10) OVER (ORDER BY score DESC, doc_id) AS decile
+      FROM preds
+    )
+    SELECT CAST(decile AS INT) AS decile,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(ok) AS BIGINT) AS n_correct,
+           ROUND(CAST(SUM(ok) AS DOUBLE) / COUNT(*), 6) AS accuracy,
+           ROUND(CAST(SUM(sc) AS DOUBLE) / COUNT(*), 4) AS mean_score
+    FROM tiled GROUP BY decile ORDER BY decile
+    """
+
+
+@query(
+    "nb_score_reliability",
+    oracle=_nb_reliability_oracle(),
+    description="Score-reliability (confidence-vs-accuracy) table for "
+    "the Naive Bayes classifier: held-out predictions bucket into 10 "
+    "score deciles and each decile reports its empirical accuracy "
+    "next to its mean winning score — the model-card calibration "
+    "readout ('is the model MORE accurate where it is MORE "
+    "confident?') that isotonic_calibration consumes and "
+    "decile_lift_table mirrors for targeting.  Scale shape: the only "
+    "data-scale work is the already-oracle-checked NB scoring "
+    "pipeline; the decile assignment rides the range-partitioned "
+    "global rank + exact-NTILE arithmetic (operators/ranking.py — NO "
+    "SinglePartition window), and per-decile means are exact: scores "
+    "are 4-dp-rounded, so their DECIMAL(38,4) sum has no float "
+    "accumulation order to drift, divided once and rounded "
+    "identically on both engines.",
+)
+def nb_score_reliability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.operators.classify import (
+        nb_classifier_train_score,
+    )
+
+    preds = nb_classifier_train_score(spark, sf_dir).select(
+        "doc_id",
+        F.col("correct").cast("int").alias("ok"),
+        "score",
+    )
+    ranked, n = ranked_by_range(
+        preds, [F.desc("score"), F.col("doc_id")]
+    )
+    tiled = ranked.withColumn("decile", ntile_expr("rn", n, 10))
+    return (
+        tiled.groupBy("decile")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("ok").cast("long").alias("n_correct"),
+            F.round(
+                F.sum("ok").cast("double") / F.count(F.lit(1)), 6
+            ).alias("accuracy"),
+            F.round(
+                F.sum(F.col("score").cast("decimal(38,4)")).cast("double")
+                / F.count(F.lit(1)),
+                4,
+            ).alias("mean_score"),
+        )
+        .orderBy("decile")
+    )
+
+
+# ---------------------------------------------------------------------------
+# HLL set algebra: distinct-overlap estimate by inclusion-exclusion
+# ---------------------------------------------------------------------------
+
+_HI_M = 64          # registers (p = 6); alpha_64 = 0.709 (HLL paper)
+_HI_ALPHA = 0.709
+_HI_A = "1-URGENT"
+_HI_B = "5-LOW"
+
+
+def _hll_est_sql(denom: str, zeros: str) -> str:
+    """DuckDB/Spark-shared estimator text over exact integer inputs:
+    raw HLL with the small-range linear-counting correction."""
+    raw = (
+        f"({_HI_ALPHA} * {_HI_M} * {_HI_M} * 33554432.0 / {denom})"
+    )  # 2^25 = 33554432; denom = sum 2^(25-r) exact int
+    lc = f"({_HI_M} * ln(CAST({_HI_M} AS DOUBLE) / {zeros}))"
+    return (
+        f"CASE WHEN {zeros} > 0 AND {raw} <= {2.5 * _HI_M} "
+        f"THEN {lc} ELSE {raw} END"
+    )
+
+
+@query(
+    "hll_intersection",
+    oracle=f"""
+    WITH flagged AS (
+      SELECT md5(CAST(o_custkey AS VARCHAR)) AS h,
+             o_custkey AS k,
+             (o_orderpriority = '{_HI_A}') AS in_a,
+             (o_orderpriority = '{_HI_B}') AS in_b
+      FROM orders
+      WHERE o_orderpriority IN ('{_HI_A}', '{_HI_B}')
+    ), exact AS (
+      SELECT CAST(SUM(CASE WHEN a THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+             CAST(SUM(CASE WHEN b THEN 1 ELSE 0 END) AS BIGINT) AS n_b,
+             CAST(SUM(CASE WHEN a AND b THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_both
+      FROM (SELECT k, bool_or(in_a) AS a, bool_or(in_b) AS b
+            FROM flagged GROUP BY k)
+    ), ranks AS (
+      SELECT in_a, in_b,
+             CAST(('0x' || substr(h, 1, 2)) AS BIGINT) % {_HI_M}
+               AS bucket,
+             CASE WHEN CAST(('0x' || substr(h, 3, 6)) AS BIGINT) = 0
+                  THEN 25
+                  ELSE 25 - length(bin(CAST(('0x' || substr(h, 3, 6))
+                                            AS BIGINT))) END AS r
+      FROM flagged
+    ), regs AS (
+      SELECT s.b AS bucket,
+             COALESCE(MAX(CASE WHEN in_a THEN r END), 0) AS r_a,
+             COALESCE(MAX(CASE WHEN in_b THEN r END), 0) AS r_b,
+             COALESCE(MAX(r), 0) AS r_u
+      FROM (SELECT unnest(range({_HI_M})) AS b) s
+      LEFT JOIN ranks ON ranks.bucket = s.b
+      GROUP BY s.b
+    ), sums AS (
+      SELECT CAST(SUM(1 << (25 - r_a)) AS BIGINT) AS d_a,
+             CAST(SUM(1 << (25 - r_b)) AS BIGINT) AS d_b,
+             CAST(SUM(1 << (25 - r_u)) AS BIGINT) AS d_u,
+             CAST(SUM(CASE WHEN r_a = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS z_a,
+             CAST(SUM(CASE WHEN r_b = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS z_b,
+             CAST(SUM(CASE WHEN r_u = 0 THEN 1 ELSE 0 END) AS BIGINT)
+               AS z_u
+      FROM regs
+    )
+    SELECT e.n_a AS n_exact_a, e.n_b AS n_exact_b,
+           e.n_both AS n_exact_both,
+           ROUND({_hll_est_sql('d_a', 'z_a')}, 4) AS est_a,
+           ROUND({_hll_est_sql('d_b', 'z_b')}, 4) AS est_b,
+           ROUND({_hll_est_sql('d_u', 'z_u')}, 4) AS est_union,
+           ROUND({_hll_est_sql('d_a', 'z_a')}
+                 + {_hll_est_sql('d_b', 'z_b')}
+                 - {_hll_est_sql('d_u', 'z_u')}, 4) AS est_intersection
+    FROM sums CROSS JOIN exact e
+    """,
+    description="HLL set algebra: the distinct-customer OVERLAP of "
+    f"two order segments ('{_HI_A}' vs '{_HI_B}') estimated by "
+    "inclusion-exclusion over three PORTABLE HyperLogLogs (per-set "
+    "registers + their GREATEST-merge union — the only set "
+    "operation HLL supports natively), reported NEXT TO the exact "
+    "answer (the minhash_calibration discipline: the sketch-trust "
+    "audit ships with the sketch).  Everything up to the final "
+    "estimates is exact integer arithmetic both engines share: "
+    "md5-derived buckets/ranks (the hll_portable_registers "
+    "construction), and the harmonic denominator sum(2^-r) scaled "
+    "by 2^25 so it accumulates as an exact int64 — NO float "
+    "accumulation order anywhere; the estimate is one double "
+    "expression per set (with the standard linear-counting "
+    "small-range branch, chosen from exact integers so both engines "
+    "take the same branch).  Scale: one narrow map + one "
+    f"{_HI_M}-row register aggregate per set — the union register "
+    "table is what a 100 TB pipeline PERSISTS per segment, making "
+    "any pairwise overlap query a 64-row merge, no rescan.",
+)
+def hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    orders = read_table(spark, sf_dir, "orders")
+    flagged = orders.filter(
+        F.col("o_orderpriority").isin(_HI_A, _HI_B)
+    ).select(
+        F.md5(F.col("o_custkey").cast("string")).alias("h"),
+        F.col("o_custkey").alias("k"),
+        (F.col("o_orderpriority") == _HI_A).alias("in_a"),
+        (F.col("o_orderpriority") == _HI_B).alias("in_b"),
+    )
+    per_cust = flagged.groupBy("k").agg(
+        F.max(F.col("in_a").cast("int")).alias("a"),
+        F.max(F.col("in_b").cast("int")).alias("b"),
+    )
+    exact = per_cust.agg(
+        F.sum("a").cast("long").alias("n_a"),
+        F.sum("b").cast("long").alias("n_b"),
+        F.sum(F.col("a") * F.col("b")).cast("long").alias("n_both"),
+    )
+    w = F.conv(F.substring("h", 3, 6), 16, 10).cast("long")
+    ranks = flagged.select(
+        "in_a",
+        "in_b",
+        (
+            F.conv(F.substring("h", 1, 2), 16, 10).cast("long") % _HI_M
+        ).alias("bucket"),
+        F.when(w == 0, F.lit(25))
+        .otherwise(F.lit(25) - F.length(F.bin(w)))
+        .cast("long")
+        .alias("r"),
+    )
+    spine = spark.range(_HI_M).select(F.col("id").alias("bucket"))
+    regs = (
+        spine.join(ranks, "bucket", "left")
+        .groupBy("bucket")
+        .agg(
+            F.coalesce(
+                F.max(F.when(F.col("in_a"), F.col("r"))), F.lit(0)
+            ).alias("r_a"),
+            F.coalesce(
+                F.max(F.when(F.col("in_b"), F.col("r"))), F.lit(0)
+            ).alias("r_b"),
+            F.coalesce(F.max("r"), F.lit(0)).alias("r_u"),
+        )
+    )
+    sums = regs.agg(
+        F.sum(F.expr("shiftleft(1L, int(25 - r_a))")).alias("d_a"),
+        F.sum(F.expr("shiftleft(1L, int(25 - r_b))")).alias("d_b"),
+        F.sum(F.expr("shiftleft(1L, int(25 - r_u))")).alias("d_u"),
+        F.sum((F.col("r_a") == 0).cast("int")).alias("z_a"),
+        F.sum((F.col("r_b") == 0).cast("int")).alias("z_b"),
+        F.sum((F.col("r_u") == 0).cast("int")).alias("z_u"),
+    )
+
+    def est(denom: str, zeros: str):
+        raw = F.lit(_HI_ALPHA * _HI_M * _HI_M * 33554432.0) / F.col(denom)
+        lc = F.lit(float(_HI_M)) * F.log(
+            F.lit(float(_HI_M)) / F.col(zeros)
+        )
+        return F.when(
+            (F.col(zeros) > 0) & (raw <= F.lit(2.5 * _HI_M)), lc
+        ).otherwise(raw)
+
+    return sums.crossJoin(F.broadcast(exact)).select(
+        F.col("n_a").alias("n_exact_a"),
+        F.col("n_b").alias("n_exact_b"),
+        F.col("n_both").alias("n_exact_both"),
+        F.round(est("d_a", "z_a"), 4).alias("est_a"),
+        F.round(est("d_b", "z_b"), 4).alias("est_b"),
+        F.round(est("d_u", "z_u"), 4).alias("est_union"),
+        F.round(
+            est("d_a", "z_a") + est("d_b", "z_b") - est("d_u", "z_u"), 4
+        ).alias("est_intersection"),
+    )

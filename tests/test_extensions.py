@@ -116,6 +116,24 @@ def test_rademacher_ann_topk_recall_on_planted_neardups(spark):
     assert hits / n_queries >= 0.8, f"twin recall {hits}/{n_queries}"
 
 
+def test_k_truss_rounds_reach_fixpoint(spark):
+    """The 3 unrolled truss peel rounds must reach the fixpoint on
+    the fixture graph: peeling the query's surviving edge set once
+    more removes nothing (the Boruvka idempotency discipline — a
+    4th round in the oracle would be a no-op, so the fixed unroll
+    count is exact, not an approximation)."""
+    from dados_publicos_etl_spark.operators.graph import (
+        _truss_peel_once,
+        k_truss_edges,
+    )
+
+    edges = k_truss_edges(spark, SF_CORRECT).select("a", "b")
+    n = edges.count()
+    assert n > 0, "fixture truss should be non-empty"
+    again = _truss_peel_once(edges.localCheckpoint())
+    assert again.count() == n
+
+
 def test_minhash_incremental_flags_planted_neardups(spark):
     """The persisted-index incremental path must flag incoming docs
     that near-duplicate the snapshot and pass clean incoming docs:

@@ -497,6 +497,8 @@ _BNLJ_OK = {
     "diff_in_diff",        # 1-row midpoint scalar
     "classifier_prf1_report",  # inherits NB's |classes|-row model table
     "pca_power_iteration",  # 1-row norms crossJoin onto the 64-dim table
+    # round 7
+    "hll_intersection",  # 1-row register sums x 1-row exact counts
 }
 
 
