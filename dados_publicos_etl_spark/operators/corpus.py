@@ -1417,3 +1417,166 @@ def html_strip_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.md5(clean).alias("clean_md5"),
         F.length(clean).cast("long").alias("n_chars_clean"),
     )
+
+
+# ---------------------------------------------------------------------------
+# DSIR resampling end-to-end (weights -> keep set -> budget report)
+# ---------------------------------------------------------------------------
+
+
+def _dsir_resample_oracle() -> str:
+    from dados_publicos_etl_spark.plans.registry import QUERIES
+
+    dsir = QUERIES["dsir_importance_weights"].oracle
+    return f"""
+    WITH w AS ({dsir}),
+    toks AS (
+      SELECT doc_id, source,
+             len(string_split_regex(lower(text), '{WS}')) AS nt
+      FROM documents
+    )
+    SELECT t.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN w.above_mean THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_kept,
+           CAST(SUM(t.nt) AS BIGINT) AS tokens_before,
+           CAST(SUM(CASE WHEN w.above_mean THEN t.nt ELSE 0 END)
+                AS BIGINT) AS tokens_after
+    FROM toks t JOIN w ON t.doc_id = w.doc_id
+    GROUP BY t.source
+    """
+
+
+@query(
+    "dsir_resample_e2e",
+    oracle=_dsir_resample_oracle(),
+    description="DSIR resampling END-TO-END: the importance weights "
+    "(dsir_importance_weights, already oracle-checked) become the "
+    "actual keep decision (weight above corpus mean — the "
+    "target-domain tilt) and the report prices the decision in the "
+    "unit that matters, TOKENS per source before/after — the "
+    "budget sheet a pretraining run signs off on before mixing.  "
+    "Composition query in the corpus_pipeline_e2e pattern: proves "
+    "the pieces compose (weights join back to the corpus, the gate "
+    "filters, the accounting aggregates) with ONE extra broadcast-"
+    "scale join over the already-verified weight table; token "
+    "counts are exact integers, no new float surface.",
+)
+def dsir_resample_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = dsir_importance_weights(spark, sf_dir).select(
+        "doc_id", "above_mean"
+    )
+    toks = docs.select(
+        "doc_id", "source", F.size(tokens("text")).alias("nt")
+    )
+    return (
+        toks.join(w, "doc_id")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.col("above_mean").cast("int")).cast("long").alias(
+                "n_kept"
+            ),
+            F.sum("nt").cast("long").alias("tokens_before"),
+            F.sum(
+                F.when(F.col("above_mean"), F.col("nt")).otherwise(0)
+            ).cast("long").alias("tokens_after"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Dataset card: the per-source curation scorecard
+# ---------------------------------------------------------------------------
+
+
+def _dataset_card_oracle() -> str:
+    from dados_publicos_etl_spark.plans.registry import QUERIES
+
+    gopher = QUERIES["gopher_quality_rules"].oracle
+    return f"""
+    WITH g AS ({gopher}),
+    base AS (
+      SELECT doc_id, source, lang, n_chars,
+             len(string_split_regex(lower(text), '{WS}')) AS nt,
+             md5(trim(regexp_replace(lower(text), '{WS}', ' ', 'g')))
+               AS fp
+      FROM documents
+    ), dup AS (
+      SELECT fp, CAST(COUNT(*) AS BIGINT) AS n_fp FROM base GROUP BY fp
+    )
+    SELECT b.source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(b.nt) AS BIGINT) AS n_tokens,
+           ROUND(CAST(SUM(b.n_chars) AS DOUBLE) / COUNT(*), 4)
+             AS mean_chars,
+           ROUND(CAST(SUM(CASE WHEN b.lang = 'en' THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS pct_en,
+           ROUND(CAST(SUM(CASE WHEN d.n_fp > 1 THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS exact_dup_rate,
+           ROUND(CAST(SUM(CASE WHEN g.gopher_keep THEN 1 ELSE 0 END)
+                      AS DOUBLE) / COUNT(*), 6) AS gopher_pass_rate
+    FROM base b
+    JOIN dup d ON b.fp = d.fp
+    JOIN g ON b.doc_id = g.doc_id
+    GROUP BY b.source
+    """
+
+
+@query(
+    "dataset_card_report",
+    oracle=_dataset_card_oracle(),
+    description="The DATASET CARD: one per-source scorecard row "
+    "joining the curation battery's headline numbers — volume "
+    "(docs, whitespace tokens, mean chars), language mix (en "
+    "share), exact-duplicate rate (share of docs whose normalized "
+    "md5 fingerprint is corpus-wide non-unique — the doc_fingerprint "
+    "key), and Gopher quality pass rate (the already-oracle-checked "
+    "composed gate) — the summary table a data release publishes "
+    "and a training run reads before setting mixture weights.  "
+    "Composition discipline: the quality flags come from the "
+    "gopher_quality_rules pipeline verbatim (its oracle embeds as a "
+    "CTE), duplication joins through the fingerprint GROUP BY, and "
+    "every reported ratio is a single division of exact integer "
+    "counts rounded identically — a one-scan-per-signal report "
+    "whose output is |sources| rows at any corpus size.",
+)
+def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    g = gopher_quality_rules(spark, sf_dir).select(
+        "doc_id", "gopher_keep"
+    )
+    base = docs.select(
+        "doc_id",
+        "source",
+        "lang",
+        "n_chars",
+        F.size(tokens("text")).alias("nt"),
+        F.md5(
+            F.trim(F.regexp_replace(F.lower("text"), WS, " "))
+        ).alias("fp"),
+    )
+    dup = base.groupBy("fp").agg(F.count(F.lit(1)).alias("n_fp"))
+    j = base.join(dup, "fp").join(g, "doc_id")
+    cnt = F.count(F.lit(1))
+    return j.groupBy("source").agg(
+        cnt.cast("long").alias("n_docs"),
+        F.sum("nt").cast("long").alias("n_tokens"),
+        F.round(F.sum("n_chars").cast("double") / cnt, 4).alias(
+            "mean_chars"
+        ),
+        F.round(
+            F.sum((F.col("lang") == "en").cast("int")).cast("double")
+            / cnt,
+            6,
+        ).alias("pct_en"),
+        F.round(
+            F.sum((F.col("n_fp") > 1).cast("int")).cast("double") / cnt,
+            6,
+        ).alias("exact_dup_rate"),
+        F.round(
+            F.sum(F.col("gopher_keep").cast("int")).cast("double") / cnt,
+            6,
+        ).alias("gopher_pass_rate"),
+    )

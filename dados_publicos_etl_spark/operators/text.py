@@ -1480,3 +1480,195 @@ def lang_id_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer round-trip audit (BPE encode -> decode == input)
+# ---------------------------------------------------------------------------
+
+
+def _bpe_roundtrip_oracle() -> str:
+    return (
+        _bpe_cte_chain()
+        + f""",
+    dw AS (
+      SELECT source,
+             unnest(regexp_extract_all(lower(text), '[a-z0-9]+'))
+               AS word
+      FROM documents
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(SUM(CASE WHEN replace(w.seq, ' ', '') <> word
+                         THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_roundtrip_fail,
+           CAST(SUM(CASE WHEN w.seq = word THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_single_token
+    FROM dw JOIN w{_BPE_ROUNDS} w USING (word)
+    GROUP BY source
+    """
+    )
+
+
+@query(
+    "tokenizer_roundtrip_audit",
+    oracle=_bpe_roundtrip_oracle(),
+    description="Tokenizer LOSSLESSNESS audit: every corpus word is "
+    "encoded under the learned BPE segmentation and DECODED back "
+    "(concatenate the token pieces); the per-source report counts "
+    "round-trip failures — the invariant a tokenizer swap must hold "
+    "before any token-budget number downstream can be trusted "
+    "(n_roundtrip_fail must be 0 by construction of BPE merges, and "
+    "the audit PROVES it corpus-wide rather than assuming it; "
+    "n_single_token additionally reports how much of the corpus the "
+    "vocabulary already covers whole).  Same scale shape as "
+    "bpe_encode_corpus: the segmentation table broadcasts, the scan "
+    "side is one explode + one broadcast join + one "
+    "partial-aggregated GROUP BY.",
+)
+def tokenizer_roundtrip_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    _merges, final_vocab = _bpe_train(spark, sf_dir)
+    docs = read_table(spark, sf_dir, "documents")
+    dw = docs.select(
+        "source",
+        F.explode(
+            F.regexp_extract_all(F.lower("text"), F.lit("[a-z0-9]+"), 0)
+        ).alias("word"),
+    )
+    vocab = final_vocab.select(
+        "word",
+        (F.regexp_replace("seq", " ", "") != F.col("word")).alias("fail"),
+        (F.col("seq") == F.col("word")).alias("single"),
+    )
+    return (
+        dw.join(F.broadcast(vocab), "word")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_words"),
+            F.sum(F.col("fail").cast("int")).cast("long").alias(
+                "n_roundtrip_fail"
+            ),
+            F.sum(F.col("single").cast("int")).cast("long").alias(
+                "n_single_token"
+            ),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# RAKE keyword extraction (corpus-level, exact integer scores)
+# ---------------------------------------------------------------------------
+
+_RAKE_STOPS = ("the", "a", "of", "and")  # the repo's stopword set
+_RAKE_SPLIT = r"\b(?:" + "|".join(_RAKE_STOPS) + r")\b"
+_RAKE_TOPK = 20
+_RAKE_SCALE = 1_000_000
+
+
+@query(
+    "rake_keyword_extraction",
+    oracle=rf"""
+    WITH phrases_raw AS (
+      SELECT unnest(regexp_split_to_array(lower(text),
+                                          '{_RAKE_SPLIT}')) AS p
+      FROM documents
+    ), phrases AS (
+      SELECT trim(regexp_replace(p, '\s+', ' ', 'g')) AS phrase
+      FROM phrases_raw
+      WHERE trim(regexp_replace(p, '\s+', ' ', 'g')) <> ''
+    ), occ AS (
+      SELECT phrase,
+             string_split(phrase, ' ') AS ws,
+             len(string_split(phrase, ' ')) AS k
+      FROM phrases
+    ), wordstat AS (
+      SELECT w AS word,
+             CAST(COUNT(*) AS BIGINT) AS freq,
+             CAST(SUM(k) AS BIGINT) AS degree
+      FROM (SELECT unnest(ws) AS w, k FROM occ)
+      GROUP BY w
+    ), wscore AS (
+      SELECT word, (degree * {_RAKE_SCALE}) // freq AS s
+      FROM wordstat
+    ), dphrase AS (
+      SELECT phrase, CAST(COUNT(*) AS BIGINT) AS n_occurrences
+      FROM occ GROUP BY phrase
+    ), pscore AS (
+      SELECT d.phrase, d.n_occurrences,
+             CAST(SUM(ws.s) AS BIGINT) AS score_ppm
+      FROM dphrase d,
+           UNNEST(string_split(d.phrase, ' ')) AS u(w)
+      JOIN wscore ws ON ws.word = u.w
+      GROUP BY d.phrase, d.n_occurrences
+    )
+    SELECT phrase, n_occurrences, score_ppm
+    FROM pscore
+    ORDER BY score_ppm DESC, phrase
+    LIMIT {_RAKE_TOPK}
+    """,
+    description="RAKE keyword extraction (Rose et al. 2010) over the "
+    "corpus: candidate phrases are the maximal stopword-free token "
+    "runs (split at the stopword boundaries — one regex split, no "
+    "NLP model), each word scores degree/frequency over the phrase "
+    "co-occurrence graph, and a phrase scores the sum of its member "
+    "word scores — the zero-shot keyphrase surfacer behind corpus "
+    "topic triage.  Exactness discipline: word scores integerize as "
+    f"(degree * {_RAKE_SCALE}) // freq (integer division, no float "
+    "ratio), so phrase scores are exact integer sums with no "
+    "accumulation order — the bm25 fold problem solved by staying "
+    "integral.  Scale shape: one regex-split scan, one word-stat "
+    "hash aggregate (vocabulary-bounded), scores broadcast back "
+    "onto DISTINCT phrases, TakeOrdered top-k — no data-scale sort.",
+)
+def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    phrases = (
+        docs.select(
+            F.explode(
+                F.split(F.lower("text"), _RAKE_SPLIT)
+            ).alias("p")
+        )
+        .select(
+            F.trim(F.regexp_replace("p", r"\s+", " ")).alias("phrase")
+        )
+        .filter(F.col("phrase") != "")
+    )
+    occ = phrases.select(
+        "phrase",
+        F.split("phrase", " ").alias("ws"),
+        F.size(F.split("phrase", " ")).alias("k"),
+    )
+    wordstat = (
+        occ.select(F.explode("ws").alias("word"), "k")
+        .groupBy("word")
+        .agg(
+            F.count(F.lit(1)).alias("freq"),
+            F.sum("k").alias("degree"),
+        )
+    )
+    wscore = wordstat.select(
+        "word",
+        F.expr(f"(degree * {_RAKE_SCALE}) div freq").alias("s"),
+    )
+    dphrase = occ.groupBy("phrase").agg(
+        F.count(F.lit(1)).alias("n_occurrences")
+    )
+    pscore = (
+        dphrase.select(
+            "phrase",
+            "n_occurrences",
+            F.explode(F.split("phrase", " ")).alias("word"),
+        )
+        .join(F.broadcast(wscore), "word")
+        .groupBy("phrase", "n_occurrences")
+        .agg(F.sum("s").alias("score_ppm"))
+    )
+    return (
+        pscore.orderBy(F.desc("score_ppm"), "phrase")
+        .limit(_RAKE_TOPK)
+        .select(
+            "phrase",
+            F.col("n_occurrences").cast("long").alias("n_occurrences"),
+            F.col("score_ppm").cast("long").alias("score_ppm"),
+        )
+    )

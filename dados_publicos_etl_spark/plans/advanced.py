@@ -1830,3 +1830,78 @@ def retractable_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("min_value"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Hive-partitioned layout: write partitioned, read with partition pruning
+# ---------------------------------------------------------------------------
+
+# sf_dir -> (TemporaryDirectory handle, path): partitioned copy built
+# once per (session, corpus); the query measures the pruned READ
+_HIVE_DIRS: dict[str, tuple] = {}
+
+_HP_PRIORITY = "1-URGENT"
+
+
+def _hive_orders_dir(spark: SparkSession, sf_dir: str) -> str:
+    import tempfile
+
+    hit = _HIVE_DIRS.get(sf_dir)
+    if hit is not None:
+        return hit[1]
+    tmp = tempfile.TemporaryDirectory(prefix="spark_hive_orders_")
+    path = tmp.name + "/orders"
+    (
+        read_table(spark, sf_dir, "orders")
+        .select(
+            "o_orderkey",
+            "o_orderstatus",
+            F.round(F.col("o_totalprice") * 100, 0)
+            .cast("long")
+            .alias("cents"),
+            "o_orderpriority",
+        )
+        .write.mode("overwrite")
+        .partitionBy("o_orderpriority")
+        .parquet(path)
+    )
+    _HIVE_DIRS[sf_dir] = (tmp, path)
+    return path
+
+
+@query(
+    "hive_partition_prune",
+    oracle=f"""
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                AS BIGINT) AS cents
+    FROM orders
+    WHERE o_orderpriority = '{_HP_PRIORITY}'
+    GROUP BY o_orderstatus
+    """,
+    description="Hive-partitioned layout round-trip with PARTITION "
+    "PRUNING: orders rewritten partitionBy(o_orderpriority) (the "
+    "write-side layout decision), then read back filtered to one "
+    "priority — the filter must resolve at the FILE LISTING level "
+    "(PartitionFilters in the scan, pinned by the plan test), so "
+    "the job reads 1/5th of the files and ZERO rows of the other "
+    "partitions.  This is the first-line scale lever for every "
+    "time/tenant/category-partitioned 100 TB table: predicates on "
+    "the partition column cost directory listings, not IO.  The "
+    "partitioned copy is built once per (session, corpus) and "
+    "cached (the bucketed-join pattern); correctness is the "
+    "DuckDB-differential against the unpartitioned filter+aggregate "
+    "(values prove the partition write/read round-trips losslessly, "
+    "including the partition column rehydrated from directory "
+    "names).",
+)
+def hive_partition_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = _hive_orders_dir(spark, sf_dir)
+    scan = spark.read.parquet(d).filter(
+        F.col("o_orderpriority") == _HP_PRIORITY
+    )
+    return scan.groupBy("o_orderstatus").agg(
+        F.count(F.lit(1)).cast("long").alias("n_orders"),
+        F.sum("cents").cast("long").alias("cents"),
+    )

@@ -21,8 +21,10 @@ import dados_publicos_etl_spark.plans.advanced  # noqa: F401
 import dados_publicos_etl_spark.plans.events  # noqa: F401
 import dados_publicos_etl_spark.plans.mining  # noqa: F401
 import dados_publicos_etl_spark.plans.relational  # noqa: F401
+import dados_publicos_etl_spark.plans.scoring  # noqa: F401
 import dados_publicos_etl_spark.plans.stats2  # noqa: F401
 import dados_publicos_etl_spark.plans.stats3  # noqa: F401
+import dados_publicos_etl_spark.plans.timeseries  # noqa: F401
 import dados_publicos_etl_spark.plans.tpch_extra  # noqa: F401
 import dados_publicos_etl_spark.plans.tpch_full  # noqa: F401
 import dados_publicos_etl_spark.streaming.sinks  # noqa: F401

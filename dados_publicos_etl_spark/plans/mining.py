@@ -225,108 +225,6 @@ def pareto_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# Classical seasonal decomposition (trend + day-of-week + residual)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "seasonal_decompose",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY event_type, CAST(ts AS DATE)
-    ), windowed AS (
-      SELECT event_type, day, n,
-             SUM(n) OVER w AS sum7, COUNT(*) OVER w AS cnt7
-      FROM daily
-      WINDOW w AS (PARTITION BY event_type ORDER BY day
-                   ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING)
-    ), detrended AS (
-      SELECT event_type, day, n,
-             CASE WHEN cnt7 = 7 THEN sum7 END AS sum7,
-             CASE WHEN cnt7 = 7 THEN 7 * n - sum7 END AS det7,
-             isodow(day) AS dow
-      FROM windowed
-    ), seasonal AS (
-      SELECT event_type, dow,
-             CAST(SUM(det7) AS DOUBLE) / (7.0 * COUNT(det7)) AS s
-      FROM detrended WHERE det7 IS NOT NULL
-      GROUP BY event_type, dow
-    )
-    SELECT d.event_type, strftime(d.day, '%Y-%m-%d') AS day,
-           d.n,
-           ROUND(d.sum7 / 7.0, 4) AS trend,
-           ROUND(s.s, 4) AS seasonal,
-           ROUND(d.n - d.sum7 / 7.0 - s.s, 4) AS residual
-    FROM detrended d JOIN seasonal s
-      ON s.event_type = d.event_type AND s.dow = d.dow
-    WHERE d.sum7 IS NOT NULL
-    """,
-    description="Classical additive seasonal decomposition of the "
-    "daily event series per type: trend = centered 7-day moving "
-    "average, seasonal = mean day-of-week deviation from trend, "
-    "residual = remainder.  Engine-exactness trick: the detrended "
-    "series is kept as the INTEGER 7*n - sum7 so the seasonal means "
-    "are order-independent integer sums divided once — no floating "
-    "accumulation can diverge between Spark's partial aggregation "
-    "and the oracle's scan.  Two window passes + one broadcast join; "
-    "at 100 TB the daily aggregate is tiny regardless of event "
-    "volume (days x types rows).",
-)
-def seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    w = (
-        Window.partitionBy("event_type")
-        .orderBy("day")
-        .rowsBetween(-3, 3)
-    )
-    windowed = daily.select(
-        "event_type",
-        "day",
-        "n",
-        F.sum("n").over(w).alias("sum7_raw"),
-        F.count(F.lit(1)).over(w).alias("cnt7"),
-    )
-    full = F.col("cnt7") == 7
-    detrended = windowed.select(
-        "event_type",
-        "day",
-        "n",
-        F.when(full, F.col("sum7_raw")).alias("sum7"),
-        F.when(full, 7 * F.col("n") - F.col("sum7_raw")).alias("det7"),
-        (F.weekday("day") + 1).alias("dow"),
-    )
-    seasonal = (
-        detrended.filter(F.col("det7").isNotNull())
-        .groupBy("event_type", "dow")
-        .agg(
-            (
-                F.sum("det7").cast("double")
-                / (7.0 * F.count("det7"))
-            ).alias("s")
-        )
-    )
-    return (
-        detrended.filter(F.col("sum7").isNotNull())
-        .join(F.broadcast(seasonal), ["event_type", "dow"])
-        .select(
-            "event_type",
-            F.date_format("day", "yyyy-MM-dd").alias("day"),
-            "n",
-            F.round(F.col("sum7") / 7.0, 4).alias("trend"),
-            F.round(F.col("s"), 4).alias("seasonal"),
-            F.round(
-                F.col("n") - F.col("sum7") / 7.0 - F.col("s"), 4
-            ).alias("residual"),
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # Vocabulary coverage curve
 # ---------------------------------------------------------------------------
 
@@ -395,172 +293,6 @@ def vocab_coverage(spark: SparkSession, sf_dir: str) -> DataFrame:
             / F.col("total").cast("double"),
             6,
         ).alias("coverage"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Linear interpolation between sparse anchors
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "time_interpolate_linear",
-    oracle="""
-    WITH base AS (
-      SELECT event_id, user_id, ts, epoch_us(ts) AS us,
-             CASE WHEN event_id % 5 = 0 THEN value END AS a_val,
-             CASE WHEN event_id % 5 = 0 THEN epoch_us(ts) END AS a_us
-      FROM events
-    ), spanned AS (
-      SELECT event_id, user_id, us,
-             last_value(a_val IGNORE NULLS) OVER wp AS prev_val,
-             last_value(a_us  IGNORE NULLS) OVER wp AS prev_us,
-             first_value(a_val IGNORE NULLS) OVER wn AS next_val,
-             first_value(a_us  IGNORE NULLS) OVER wn AS next_us
-      FROM base
-      WINDOW
-        wp AS (PARTITION BY user_id ORDER BY us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW),
-        wn AS (PARTITION BY user_id ORDER BY us, event_id
-               ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING)
-    )
-    SELECT event_id, user_id,
-           ROUND(CASE
-             WHEN prev_us IS NULL THEN next_val
-             WHEN next_us IS NULL THEN prev_val
-             WHEN next_us = prev_us THEN prev_val
-             ELSE prev_val + (next_val - prev_val)
-                  * ((us - prev_us) / CAST(next_us - prev_us AS DOUBLE))
-           END, 4) AS value_interp
-    FROM spanned
-    WHERE prev_us IS NOT NULL OR next_us IS NOT NULL
-    """,
-    description="Linear interpolation between sparse anchor "
-    "observations (every 5th event is a deterministic 'sensor "
-    "reading'; the rest get time-weighted values between the "
-    "bracketing anchors, edge rows clamp to the nearest anchor) — "
-    "the gap-fill a feature-store backfill needs beyond "
-    "window_fill_forward's step function.  TWO window passes (last "
-    "non-null backward, first non-null forward) — no self-join, no "
-    "per-row anchor lookup; interpolation arithmetic is identical "
-    "IEEE ops on both engines so results hash-match exactly.",
-)
-def time_interpolate_linear(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    us = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    )
-    anchor = F.col("event_id") % 5 == 0
-    base = ev.select(
-        "event_id",
-        "user_id",
-        us.alias("us"),
-        F.when(anchor, F.col("value")).alias("a_val"),
-        F.when(anchor, us).alias("a_us"),
-    )
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, 0)
-    )
-    wn = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(0, Window.unboundedFollowing)
-    )
-    spanned = base.select(
-        "event_id",
-        "user_id",
-        "us",
-        F.last("a_val", ignorenulls=True).over(wp).alias("prev_val"),
-        F.last("a_us", ignorenulls=True).over(wp).alias("prev_us"),
-        F.first("a_val", ignorenulls=True).over(wn).alias("next_val"),
-        F.first("a_us", ignorenulls=True).over(wn).alias("next_us"),
-    )
-    frac = (F.col("us") - F.col("prev_us")) / (
-        F.col("next_us") - F.col("prev_us")
-    ).cast("double")
-    interp = (
-        F.when(F.col("prev_us").isNull(), F.col("next_val"))
-        .when(F.col("next_us").isNull(), F.col("prev_val"))
-        .when(F.col("next_us") == F.col("prev_us"), F.col("prev_val"))
-        .otherwise(
-            F.col("prev_val")
-            + (F.col("next_val") - F.col("prev_val")) * frac
-        )
-    )
-    return spanned.filter(
-        F.col("prev_us").isNotNull() | F.col("next_us").isNotNull()
-    ).select(
-        "event_id",
-        "user_id",
-        F.round(interp, 4).alias("value_interp"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Weight-of-evidence / information value
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "woe_information_value",
-    oracle="""
-    WITH binned AS (
-      SELECT CAST(floor(l_discount * 100 + 0.5) AS INT) AS bucket,
-             CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad
-      FROM lineitem
-    ), per_bucket AS (
-      SELECT bucket,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(bad) AS BIGINT) AS n_bad,
-             CAST(COUNT(*) - SUM(bad) AS BIGINT) AS n_good
-      FROM binned GROUP BY bucket
-    ), tot AS (
-      SELECT CAST(SUM(n_bad) AS DOUBLE) AS tot_bad,
-             CAST(SUM(n_good) AS DOUBLE) AS tot_good
-      FROM per_bucket
-    )
-    SELECT bucket, n, n_bad,
-           ROUND(ln(((n_good + 0.5) / tot_good)
-                    / ((n_bad + 0.5) / tot_bad)), 6) AS woe,
-           ROUND(((n_good + 0.5) / tot_good - (n_bad + 0.5) / tot_bad)
-                 * ln(((n_good + 0.5) / tot_good)
-                      / ((n_bad + 0.5) / tot_bad)), 6) AS iv_contrib
-    FROM per_bucket CROSS JOIN tot
-    """,
-    description="Weight-of-evidence / information-value scoring "
-    "(credit-risk feature screening): discount binned to integer "
-    "percents, per-bin WOE = ln(good share / bad share) against the "
-    "returned-flag label with 0.5 Laplace smoothing, IV contribution "
-    "per bin.  One conditional aggregate + a broadcast scalar join — "
-    "output is bins, not rows, at any corpus size.  The supervised "
-    "binning signal feature pipelines compute before model training.",
-)
-def woe_information_value(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    binned = li.select(
-        F.floor(F.col("l_discount") * 100 + 0.5).cast("int").alias("bucket"),
-        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("bad"),
-    )
-    per_bucket = binned.groupBy("bucket").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("bad").alias("n_bad"),
-        (F.count(F.lit(1)) - F.sum("bad")).alias("n_good"),
-    )
-    tot = per_bucket.agg(
-        F.sum("n_bad").cast("double").alias("tot_bad"),
-        F.sum("n_good").cast("double").alias("tot_good"),
-    )
-    good_share = (F.col("n_good") + 0.5) / F.col("tot_good")
-    bad_share = (F.col("n_bad") + 0.5) / F.col("tot_bad")
-    woe = F.log(good_share / bad_share)
-    return per_bucket.crossJoin(F.broadcast(tot)).select(
-        "bucket",
-        "n",
-        "n_bad",
-        F.round(woe, 6).alias("woe"),
-        F.round((good_share - bad_share) * woe, 6).alias("iv_contrib"),
     )
 
 
@@ -691,105 +423,6 @@ def n_hop_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
         walk.groupBy("node")
         .agg(F.min("hops").cast("int").alias("hops"))
         .orderBy("hops", "node")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Largest-remainder proration (exact integer allocation)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "proration_largest_remainder",
-    oracle="""
-    WITH cents AS (
-      SELECT l.l_orderkey, l.l_linenumber,
-             CAST(ROUND(l.l_extendedprice * 100, 0) AS BIGINT) AS ext_cents,
-             CAST(ROUND(o.o_totalprice * 100, 0) AS BIGINT) AS tot_cents
-      FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
-    ), shares AS (
-      SELECT l_orderkey, l_linenumber, tot_cents,
-             SUM(ext_cents) OVER (PARTITION BY l_orderkey) AS denom,
-             tot_cents * ext_cents AS share_num
-      FROM cents
-    ), floored AS (
-      SELECT l_orderkey, l_linenumber, tot_cents,
-             share_num // denom AS fl,
-             share_num % denom AS rem,
-             SUM(share_num // denom) OVER (PARTITION BY l_orderkey)
-               AS sum_fl,
-             ROW_NUMBER() OVER (PARTITION BY l_orderkey
-                                ORDER BY share_num % denom DESC,
-                                         l_linenumber) AS rnk
-      FROM shares
-    )
-    SELECT l_orderkey, l_linenumber,
-           CAST(fl + CASE WHEN rnk <= tot_cents - sum_fl THEN 1 ELSE 0 END
-                AS BIGINT) AS alloc_cents
-    FROM floored
-    """,
-    description="Largest-remainder proration: each order's total "
-    "spread over its line items proportionally to extended price, "
-    "in EXACT integer cents that provably sum back to the order "
-    "total (floor the integer shares, hand the leftover cents to "
-    "the largest fractional remainders, deterministic tie-break) — "
-    "the financial allocation primitive where naive rounding leaks "
-    "cents.  Every step is bigint arithmetic (shares as "
-    "tot*ext div/mod sum) so no float ordering can flip an "
-    "allocation on any engine; two window passes over the order "
-    "partition, no joins beyond the fact-dim lookup.",
-)
-def proration_largest_remainder(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-    orders = read_table(spark, sf_dir, "orders")
-    cents = li.join(
-        orders.select("o_orderkey", "o_totalprice"),
-        li.l_orderkey == orders.o_orderkey,
-    ).select(
-        "l_orderkey",
-        "l_linenumber",
-        F.round(F.col("l_extendedprice") * 100, 0)
-        .cast("long")
-        .alias("ext_cents"),
-        F.round(F.col("o_totalprice") * 100, 0)
-        .cast("long")
-        .alias("tot_cents"),
-    )
-    worder = Window.partitionBy("l_orderkey")
-    shares = cents.select(
-        "l_orderkey",
-        "l_linenumber",
-        "tot_cents",
-        F.sum("ext_cents").over(worder).alias("denom"),
-        (F.col("tot_cents") * F.col("ext_cents")).alias("share_num"),
-    )
-    floored = shares.select(
-        "l_orderkey",
-        "l_linenumber",
-        "tot_cents",
-        F.expr("share_num div denom").alias("fl"),
-        (F.col("share_num") % F.col("denom")).alias("rem"),
-    )
-    floored = floored.select(
-        "*",
-        F.sum("fl").over(worder).alias("sum_fl"),
-        F.row_number()
-        .over(
-            Window.partitionBy("l_orderkey").orderBy(
-                F.desc("rem"), "l_linenumber"
-            )
-        )
-        .alias("rnk"),
-    )
-    return floored.select(
-        "l_orderkey",
-        "l_linenumber",
-        (
-            F.col("fl")
-            + F.when(
-                F.col("rnk") <= F.col("tot_cents") - F.col("sum_fl"), 1
-            ).otherwise(0)
-        ).alias("alloc_cents"),
     )
 
 
@@ -1031,212 +664,6 @@ def markov_transitions(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# A/B test z-scores (deterministic assignment, exact moment sums)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "ab_test_zscore",
-    oracle="""
-    WITH assigned AS (
-      SELECT event_type,
-             CASE WHEN substr(md5(CAST(user_id AS STRING) || ':ab'), 1, 1)
-                       < '8' THEN 'A' ELSE 'B' END AS variant,
-             CAST(ROUND(value * 100, 0) AS BIGINT) AS v_cents
-      FROM events
-    ), moments AS (
-      SELECT event_type, variant,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(v_cents) AS BIGINT) AS s1,
-             CAST(SUM(v_cents * v_cents) AS BIGINT) AS s2
-      FROM assigned GROUP BY event_type, variant
-    ), wide AS (
-      SELECT a.event_type,
-             a.n AS n_a, b.n AS n_b,
-             a.s1 / (100.0 * a.n) AS mean_a,
-             b.s1 / (100.0 * b.n) AS mean_b,
-             (a.s2 / 10000.0 - a.n * (a.s1 / (100.0 * a.n))
-                              * (a.s1 / (100.0 * a.n))) / (a.n - 1) AS var_a,
-             (b.s2 / 10000.0 - b.n * (b.s1 / (100.0 * b.n))
-                              * (b.s1 / (100.0 * b.n))) / (b.n - 1) AS var_b
-      FROM (SELECT * FROM moments WHERE variant = 'A') a
-      JOIN (SELECT * FROM moments WHERE variant = 'B') b
-        ON b.event_type = a.event_type
-    )
-    SELECT event_type, n_a, n_b,
-           ROUND(mean_a - mean_b, 4) AS mean_diff,
-           ROUND((mean_a - mean_b) / sqrt(var_a / n_a + var_b / n_b), 4)
-             AS z_score
-    FROM wide
-    """,
-    description="Two-sample A/B z-test per metric: users "
-    "deterministically split 50/50 by md5 bucket (reproducible on "
-    "any engine — the experiment-assignment hash every platform "
-    "uses), per-variant moments as EXACT integer cent sums (count / "
-    "sum / sum-of-squares are mergeable partials, so the test "
-    "statistic comes from one aggregation pass and no float "
-    "accumulation order can move it), Welch z = diff / "
-    "sqrt(va/na + vb/nb).  The experimentation-platform readout as "
-    "one narrow map + one partial-aggregated shuffle.",
-)
-def ab_test_zscore(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    assigned = ev.select(
-        "event_type",
-        F.when(
-            F.substring(
-                F.md5(F.concat(F.col("user_id").cast("string"), F.lit(":ab"))),
-                1,
-                1,
-            )
-            < "8",
-            "A",
-        )
-        .otherwise("B")
-        .alias("variant"),
-        F.round(F.col("value") * 100, 0).cast("long").alias("v_cents"),
-    )
-    moments = assigned.groupBy("event_type", "variant").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("v_cents").alias("s1"),
-        F.sum(F.col("v_cents") * F.col("v_cents")).alias("s2"),
-    )
-    a = moments.filter(F.col("variant") == "A").alias("a")
-    b = moments.filter(F.col("variant") == "B").alias("b")
-
-    def mean(side):
-        return F.col(f"{side}.s1") / (100.0 * F.col(f"{side}.n"))
-
-    def var(side):
-        return (
-            F.col(f"{side}.s2") / 10000.0
-            - F.col(f"{side}.n") * mean(side) * mean(side)
-        ) / (F.col(f"{side}.n") - 1)
-
-    z = (mean("a") - mean("b")) / F.sqrt(
-        var("a") / F.col("a.n") + var("b") / F.col("b.n")
-    )
-    return a.join(b, F.col("b.event_type") == F.col("a.event_type")).select(
-        F.col("a.event_type").alias("event_type"),
-        F.col("a.n").alias("n_a"),
-        F.col("b.n").alias("n_b"),
-        F.round(mean("a") - mean("b"), 4).alias("mean_diff"),
-        F.round(z, 4).alias("z_score"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Counter since last marker event
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "events_since_marker",
-    oracle="""
-    WITH marked AS (
-      SELECT event_id, user_id, event_type,
-             SUM(CASE WHEN event_type = 'signup' THEN 1 ELSE 0 END)
-               OVER (PARTITION BY user_id ORDER BY ts, event_id
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-               AS epoch,
-             ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id)
-               AS rn
-      FROM events
-    )
-    SELECT event_id, user_id,
-           CAST(CASE WHEN epoch = 0 THEN -1
-                ELSE rn - MIN(rn) OVER (PARTITION BY user_id, epoch)
-                END AS BIGINT) AS events_since_signup
-    FROM marked
-    """,
-    description="Resetting counter — events since the user's last "
-    "'signup' marker (-1 before any marker): the conditional "
-    "running sum assigns a monotone epoch id per marker, and the "
-    "position within the epoch is rn - min(rn) — two window passes "
-    "over the same user partition, no self-join, no per-row marker "
-    "lookup.  The counter-with-reset recurrence (retries since "
-    "success, actions since login) that naive implementations "
-    "solve with a correlated subquery per row.",
-)
-def events_since_marker(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
-    ev = read_table(spark, sf_dir, "events")
-    w = W.partitionBy("user_id").orderBy("ts", "event_id").rowsBetween(
-        W.unboundedPreceding, 0
-    )
-    wo = W.partitionBy("user_id").orderBy("ts", "event_id")
-    marked = ev.select(
-        "event_id",
-        "user_id",
-        F.sum(
-            F.when(F.col("event_type") == "signup", 1).otherwise(0)
-        )
-        .over(w)
-        .alias("epoch"),
-        F.row_number().over(wo).alias("rn"),
-    )
-    we = W.partitionBy("user_id", "epoch")
-    return marked.select(
-        "event_id",
-        "user_id",
-        F.when(F.col("epoch") == 0, F.lit(-1))
-        .otherwise(F.col("rn") - F.min("rn").over(we))
-        .cast("long")
-        .alias("events_since_signup"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Time-decay weighted revenue
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "time_decay_weighted_revenue",
-    oracle="""
-    WITH terms AS (
-      SELECT o_orderpriority,
-             CAST(ROUND(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
-                        * exp(-date_diff('day', CAST(o_orderdate AS DATE),
-                                         DATE '2002-01-01') / 365.0),
-                        0) AS BIGINT) AS term_cents
-      FROM orders
-    )
-    SELECT o_orderpriority,
-           CAST(SUM(term_cents) AS DOUBLE) / 100.0 AS decayed_revenue
-    FROM terms GROUP BY o_orderpriority
-    """,
-    description="Exponential time-decay weighted revenue per priority "
-    "(half-life ~253 days): each order's cents scaled by "
-    "exp(-age/365) and ROUNDED TO INTEGER CENTS PER ROW before "
-    "summation, so the aggregate is an order-independent bigint sum "
-    "— the recency-weighted KPI (customer value decay, trending "
-    "revenue) computed in one pass with no float-accumulation "
-    "drift on any engine or partitioning.",
-)
-def time_decay_weighted_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    age_days = F.datediff(
-        F.lit("2002-01-01").cast("date"), F.col("o_orderdate").cast("date")
-    )
-    term = F.round(
-        F.round(F.col("o_totalprice") * 100, 0).cast("long")
-        * F.exp(-age_days / F.lit(365.0)),
-        0,
-    ).cast("long")
-    return (
-        orders.select("o_orderpriority", term.alias("term_cents"))
-        .groupBy("o_orderpriority")
-        .agg(
-            (F.sum("term_cents").cast("double") / 100.0).alias(
-                "decayed_revenue"
-            )
-        )
-    )
-
-
-# ---------------------------------------------------------------------------
 # Text-source log parsing round-trip
 # ---------------------------------------------------------------------------
 
@@ -1308,298 +735,6 @@ def log_parse_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_errors"
         ),
         F.sum("n_bytes").alias("total_bytes"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Correlation matrix between daily series
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "correlation_matrix_daily",
-    oracle="""
-    WITH daily AS (
-      SELECT event_type, CAST(ts AS DATE) AS day,
-             CAST(COUNT(*) AS BIGINT) AS n
-      FROM events GROUP BY event_type, CAST(ts AS DATE)
-    ), paired AS (
-      SELECT a.event_type AS type_a, b.event_type AS type_b,
-             a.n AS x, b.n AS y
-      FROM daily a JOIN daily b
-        ON a.day = b.day AND a.event_type < b.event_type
-    ), moments AS (
-      SELECT type_a, type_b,
-             CAST(COUNT(*) AS BIGINT) AS n_days,
-             CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
-             CAST(SUM(x * x) AS BIGINT) AS sxx,
-             CAST(SUM(y * y) AS BIGINT) AS syy,
-             CAST(SUM(x * y) AS BIGINT) AS sxy
-      FROM paired GROUP BY type_a, type_b
-    )
-    SELECT type_a, type_b, n_days,
-           ROUND((n_days * sxy - sx * sy)
-                 / (sqrt(CAST(n_days * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n_days * syy - sy * sy AS DOUBLE))), 6)
-             AS pearson_r
-    FROM moments
-    """,
-    description="Pearson correlation matrix between the daily volume "
-    "series of every event-type pair: the corpus collapses to a "
-    "(days x types) table first, pairs align on day with a "
-    "type_a < type_b self-join, and r comes from EXACT integer "
-    "moment sums (sum, sum-of-squares, cross-product) divided once "
-    "— mergeable partials, no float accumulation, engine-identical.  "
-    "The metric-correlation screen (which signals co-move?) whose "
-    "cost is independent of event volume after the first aggregate.",
-)
-def correlation_matrix_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    daily = ev.groupBy(
-        "event_type", F.col("ts").cast("date").alias("day")
-    ).agg(F.count(F.lit(1)).alias("n"))
-    a, b = daily.alias("a"), daily.alias("b")
-    paired = a.join(
-        b,
-        (F.col("a.day") == F.col("b.day"))
-        & (F.col("a.event_type") < F.col("b.event_type")),
-    ).select(
-        F.col("a.event_type").alias("type_a"),
-        F.col("b.event_type").alias("type_b"),
-        F.col("a.n").alias("x"),
-        F.col("b.n").alias("y"),
-    )
-    m = paired.groupBy("type_a", "type_b").agg(
-        F.count(F.lit(1)).alias("n_days"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-    )
-    num = F.col("n_days") * F.col("sxy") - F.col("sx") * F.col("sy")
-    den = F.sqrt(
-        (F.col("n_days") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-            "double"
-        )
-    ) * F.sqrt(
-        (F.col("n_days") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-            "double"
-        )
-    )
-    return m.select(
-        "type_a",
-        "type_b",
-        "n_days",
-        F.round(num / den, 6).alias("pearson_r"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Gini concentration per group
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "gini_concentration",
-    oracle="""
-    WITH cents AS (
-      SELECT o_orderpriority,
-             CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS x,
-             o_orderkey
-      FROM orders
-    ), ranked AS (
-      SELECT o_orderpriority, x,
-             ROW_NUMBER() OVER (PARTITION BY o_orderpriority
-                                ORDER BY x, o_orderkey) AS i
-      FROM cents
-    ), sums AS (
-      SELECT o_orderpriority,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(x) AS BIGINT) AS sx,
-             CAST(SUM(i * x) AS BIGINT) AS six
-      FROM ranked GROUP BY o_orderpriority
-    )
-    SELECT o_orderpriority, n,
-           ROUND((2.0 * six - (n + 1.0) * sx) / (CAST(n AS DOUBLE) * sx), 6)
-             AS gini
-    FROM sums
-    """,
-    description="Gini concentration coefficient of order value per "
-    "priority class — the revenue-concentration / inequality metric "
-    "(how much of the spend sits in the biggest orders): values as "
-    "exact integer cents, ascending rank per group (deterministic "
-    "tie-break), G = (2*sum(i*x) - (n+1)*sum(x)) / (n*sum(x)) from "
-    "TWO integer sums — one window pass + one aggregate, no "
-    "pairwise |x_i - x_j| join (the naive O(n^2) Gini formula).",
-)
-def gini_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    cents = orders.select(
-        "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("x"),
-        "o_orderkey",
-    )
-    w = Window.partitionBy("o_orderpriority").orderBy("x", "o_orderkey")
-    ranked = cents.select(
-        "o_orderpriority", "x", F.row_number().over(w).alias("i")
-    )
-    sums = ranked.groupBy("o_orderpriority").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum(F.col("i") * F.col("x")).alias("six"),
-    )
-    gini = (2.0 * F.col("six") - (F.col("n") + 1.0) * F.col("sx")) / (
-        F.col("n").cast("double") * F.col("sx")
-    )
-    return sums.select(
-        "o_orderpriority", "n", F.round(gini, 6).alias("gini")
-    )
-
-
-# ---------------------------------------------------------------------------
-# Rolling median (exact aggregate-as-window over a sliding frame)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "rolling_median",
-    oracle="""
-    SELECT event_id,
-           ROUND(quantile_cont(value, 0.5) OVER (
-             PARTITION BY user_id ORDER BY ts, event_id
-             ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS med7
-    FROM events
-    """,
-    description="Rolling EXACT median over a 7-observation sliding "
-    "frame per user — the robust smoother (resistant to the spikes "
-    "a moving average chases): Spark's percentile aggregate runs as "
-    "a WINDOW function over a ROWS frame, matched against DuckDB's "
-    "quantile_cont with identical linear interpolation, proving the "
-    "exact-median-in-frame semantics across engines.  One window "
-    "shuffle on user_id; each frame holds <= 7 values so the "
-    "per-row sort is O(1).",
-)
-def rolling_median(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    return ev.selectExpr(
-        "event_id",
-        "round(percentile(value, 0.5) OVER ("
-        "PARTITION BY user_id ORDER BY ts, event_id "
-        "ROWS BETWEEN 3 PRECEDING AND 3 FOLLOWING), 4) AS med7",
-    )
-
-
-# ---------------------------------------------------------------------------
-# Bidirectional nearest-event join
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "nearest_event_join",
-    oracle="""
-    WITH base AS (
-      SELECT event_id, user_id, event_type, epoch_us(ts) AS us,
-             CASE WHEN event_type = 'click' THEN event_id END AS c_id,
-             CASE WHEN event_type = 'click' THEN epoch_us(ts) END AS c_us
-      FROM events WHERE event_type IN ('purchase', 'click')
-    ), spanned AS (
-      SELECT event_id, user_id, event_type, us,
-             last_value(c_id IGNORE NULLS) OVER wp AS prev_id,
-             last_value(c_us IGNORE NULLS) OVER wp AS prev_us,
-             first_value(c_id IGNORE NULLS) OVER wn AS next_id,
-             first_value(c_us IGNORE NULLS) OVER wn AS next_us
-      FROM base
-      WINDOW
-        wp AS (PARTITION BY user_id ORDER BY us, event_id
-               ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-        wn AS (PARTITION BY user_id ORDER BY us, event_id
-               ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-    )
-    SELECT event_id AS purchase_id, user_id,
-           CAST(CASE
-             WHEN prev_us IS NULL THEN next_id
-             WHEN next_us IS NULL THEN prev_id
-             WHEN us - prev_us <= next_us - us THEN prev_id
-             ELSE next_id END AS BIGINT) AS nearest_click_id,
-           CAST(CASE
-             WHEN prev_us IS NULL THEN next_us - us
-             WHEN next_us IS NULL THEN us - prev_us
-             WHEN us - prev_us <= next_us - us THEN us - prev_us
-             ELSE next_us - us END AS BIGINT) AS gap_us
-    FROM spanned
-    WHERE event_type = 'purchase'
-      AND (prev_us IS NOT NULL OR next_us IS NOT NULL)
-    """,
-    description="Bidirectional nearest-event join: each purchase "
-    "matched to the user's temporally CLOSEST click — before or "
-    "after, ties to the earlier one — completing the as-of family "
-    "(asof_join_events is backward-only).  Same union+window shape: "
-    "one shuffle on user_id, a backward and a forward IGNORE NULLS "
-    "window carry the candidate from each side, a row-local CASE "
-    "picks the closer — no per-purchase lookup join, no interval "
-    "product.  The microsecond arithmetic is integer, so the "
-    "choice is engine-exact.",
-)
-def nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    ev = read_table(spark, sf_dir, "events")
-    us = F.expr(
-        "timestampdiff(MICROSECOND, TIMESTAMP_NTZ '1970-01-01 00:00:00', ts)"
-    )
-    click = F.col("event_type") == "click"
-    base = ev.filter(
-        F.col("event_type").isin("purchase", "click")
-    ).select(
-        "event_id",
-        "user_id",
-        "event_type",
-        us.alias("us"),
-        F.when(click, F.col("event_id")).alias("c_id"),
-        F.when(click, us).alias("c_us"),
-    )
-    wp = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    wn = (
-        Window.partitionBy("user_id")
-        .orderBy("us", "event_id")
-        .rowsBetween(1, Window.unboundedFollowing)
-    )
-    s = base.select(
-        "event_id",
-        "user_id",
-        "event_type",
-        "us",
-        F.last("c_id", ignorenulls=True).over(wp).alias("prev_id"),
-        F.last("c_us", ignorenulls=True).over(wp).alias("prev_us"),
-        F.first("c_id", ignorenulls=True).over(wn).alias("next_id"),
-        F.first("c_us", ignorenulls=True).over(wn).alias("next_us"),
-    )
-    prev_closer = (F.col("us") - F.col("prev_us")) <= (
-        F.col("next_us") - F.col("us")
-    )
-    pick_id = (
-        F.when(F.col("prev_us").isNull(), F.col("next_id"))
-        .when(F.col("next_us").isNull(), F.col("prev_id"))
-        .when(prev_closer, F.col("prev_id"))
-        .otherwise(F.col("next_id"))
-    )
-    pick_gap = (
-        F.when(F.col("prev_us").isNull(), F.col("next_us") - F.col("us"))
-        .when(F.col("next_us").isNull(), F.col("us") - F.col("prev_us"))
-        .when(prev_closer, F.col("us") - F.col("prev_us"))
-        .otherwise(F.col("next_us") - F.col("us"))
-    )
-    return s.filter(
-        (F.col("event_type") == "purchase")
-        & (F.col("prev_us").isNotNull() | F.col("next_us").isNotNull())
-    ).select(
-        F.col("event_id").alias("purchase_id"),
-        "user_id",
-        pick_id.cast("long").alias("nearest_click_id"),
-        pick_gap.cast("long").alias("gap_us"),
     )
 
 
@@ -1751,107 +886,6 @@ def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).alias("support_cnt"))
         .orderBy(F.desc("support_cnt"), "item_a", "item_b", "item_c")
         .limit(25)
-    )
-
-
-# ---------------------------------------------------------------------------
-# Decile lift table (model-evaluation ranking diagnostic)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "decile_lift_table",
-    oracle="""
-    WITH scored AS (
-      SELECT CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS bad,
-             NTILE(10) OVER (ORDER BY l_discount DESC,
-                             l_orderkey, l_linenumber,
-                             CASE WHEN l_returnflag = 'R' THEN 1
-                                  ELSE 0 END) AS decile
-      FROM lineitem
-    ), per_decile AS (
-      SELECT decile,
-             CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(bad) AS BIGINT) AS n_bad
-      FROM scored GROUP BY decile
-    ), tot AS (
-      SELECT CAST(SUM(n_bad) AS DOUBLE) / SUM(n) AS base_rate
-      FROM per_decile
-    )
-    SELECT decile, n, n_bad,
-           ROUND(n_bad / CAST(n AS DOUBLE), 6) AS bad_rate,
-           ROUND((n_bad / CAST(n AS DOUBLE)) / t.base_rate, 4) AS lift,
-           ROUND(SUM(n_bad) OVER (ORDER BY decile
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
-                 / (t.base_rate * SUM(n) OVER (ORDER BY decile
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)),
-                 4) AS cum_lift
-    FROM per_decile CROSS JOIN tot t
-    """,
-    description="Decile lift table — the standard ranking diagnostic "
-    "for a scoring model (here: discount as the score, returned-flag "
-    "as the outcome): rows ranked into score deciles (deterministic "
-    "NTILE tie-break), per-decile capture rate vs the base rate, "
-    "plus cumulative lift down the ranking.  Exact integer counts "
-    "throughout; the cumulative windows run over the 10-row decile "
-    "table.  The fact-scale ranking is the range-partitioned "
-    "global row_number (operators/ranking.py) — NO SinglePartition "
-    "NTILE window; tile membership is row-local arithmetic on the "
-    "rank, reproducing NTILE's piecewise sizes exactly.  Pairs with "
-    "woe_information_value as the model-evaluation half of "
-    "supervised feature screening.",
-)
-def decile_lift_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dados_publicos_etl_spark.operators.ranking import (
-        ntile_expr,
-        ranked_by_range,
-    )
-
-    li = read_table(spark, sf_dir, "lineitem")
-    # (l_orderkey, l_linenumber) is NOT unique in the synthetic data,
-    # and tie groups can mix bad flags — append `bad` to the NTILE
-    # order (mirrored in the oracle) so any rows still tied are
-    # interchangeable w.r.t. the per-decile counts, making the
-    # ranking engine-permutation-proof even when a decile boundary
-    # lands inside a tie group.
-    bad = F.when(F.col("l_returnflag") == "R", 1).otherwise(0)
-    scored = li.select(
-        bad.alias("bad"), "l_discount", "l_orderkey", "l_linenumber"
-    )
-    # Range-partitioned global rank instead of a SinglePartition
-    # NTILE window: every partition ranks independently, the only
-    # global step is the P-row offset scan (see operators/ranking.py).
-    ranked, n_rows = ranked_by_range(
-        scored,
-        [F.desc("l_discount"), "l_orderkey", "l_linenumber", "bad"],
-    )
-    tiled = ranked.select("bad", ntile_expr("rn", n_rows, 10).alias("decile"))
-    per_decile = tiled.groupBy("decile").agg(
-        F.count(F.lit(1)).alias("n"), F.sum("bad").alias("n_bad")
-    )
-    tot = per_decile.agg(
-        (F.sum("n_bad").cast("double") / F.sum("n")).alias("base_rate")
-    )
-    wcum = Window.orderBy("decile").rowsBetween(
-        Window.unboundedPreceding, 0
-    )
-    return per_decile.crossJoin(F.broadcast(tot)).select(
-        "decile",
-        "n",
-        "n_bad",
-        F.round(F.col("n_bad") / F.col("n").cast("double"), 6).alias(
-            "bad_rate"
-        ),
-        F.round(
-            (F.col("n_bad") / F.col("n").cast("double"))
-            / F.col("base_rate"),
-            4,
-        ).alias("lift"),
-        F.round(
-            F.sum("n_bad").over(wcum)
-            / (F.col("base_rate") * F.sum("n").over(wcum)),
-            4,
-        ).alias("cum_lift"),
     )
 
 
@@ -2156,211 +1190,6 @@ def histogram_quantile_mergeable(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .cast("long")
         .alias("p90_upper"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Autocorrelation function of the daily revenue series
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "acf_daily_revenue",
-    oracle="""
-    WITH daily AS (
-      SELECT CAST(o_orderdate AS DATE) AS day,
-             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
-                  AS HUGEINT) AS x
-      FROM orders GROUP BY CAST(o_orderdate AS DATE)
-    ), lags AS (
-      SELECT * FROM (VALUES (1),(2),(3),(4),(5),(6),(7)) t(lag)
-    ), paired AS (
-      SELECT l.lag, a.x AS x, b.x AS y
-      FROM daily a
-      CROSS JOIN lags l
-      JOIN daily b ON b.day = a.day + l.lag
-    ), moments AS (
-      SELECT lag,
-             CAST(COUNT(*) AS HUGEINT) AS n,
-             SUM(x) AS sx, SUM(y) AS sy,
-             SUM(x * x) AS sxx, SUM(y * y) AS syy,
-             SUM(x * y) AS sxy
-      FROM paired GROUP BY lag
-    )
-    SELECT lag, CAST(n AS BIGINT) AS n_pairs,
-           ROUND(CAST(n * sxy - sx * sy AS DOUBLE)
-                 / (sqrt(CAST(n * sxx - sx * sx AS DOUBLE))
-                    * sqrt(CAST(n * syy - sy * sy AS DOUBLE))), 6)
-             AS acf
-    FROM moments
-    """,
-    description="Autocorrelation function (lags 1-7) of the daily "
-    "revenue series in correlation form — the seasonality detector "
-    "behind 'is there a weekly cycle?'.  Calendar-lag pairs come "
-    "from a distributed EQUI-join (b.day = a.day + k after a 7-row "
-    "lag-dimension explode), not a single-partition LAG window and "
-    "not a range join, so the pairing shuffles on date keys and "
-    "survives gaps in the calendar.  Moments are exact fixed-point: "
-    "cents as decimal(38,0) in Spark / HUGEINT in DuckDB, so "
-    "sum-of-products never sees float accumulation and never "
-    "overflows int64 even at sf100-scale daily revenue; one double "
-    "division at the end, rounded on both engines.",
-)
-def acf_daily_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(
-        F.col("o_orderdate").cast("date").alias("day")
-    ).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long"))
-        .cast("decimal(18,0)")
-        .alias("x")
-    )
-    lags = spark.range(1, 8).select(F.col("id").cast("int").alias("lag"))
-    a = daily.alias("a").crossJoin(F.broadcast(lags)).select(
-        F.expr("date_add(a.day, lag)").alias("target_day"),
-        "lag",
-        F.col("a.x").alias("x"),
-    )
-    b = daily.select(
-        F.col("day").alias("b_day"), F.col("x").alias("y")
-    )
-    paired = a.join(b, F.col("target_day") == F.col("b_day")).select(
-        "lag", "x", "y"
-    )
-    m = paired.groupBy("lag").agg(
-        F.count(F.lit(1)).cast("decimal(10,0)").alias("n"),
-        F.sum("x").alias("sx"),
-        F.sum("y").alias("sy"),
-        F.sum(F.col("x") * F.col("y")).alias("sxy"),
-        F.sum(F.col("x") * F.col("x")).alias("sxx"),
-        F.sum(F.col("y") * F.col("y")).alias("syy"),
-    )
-    num = (F.col("n") * F.col("sxy") - F.col("sx") * F.col("sy")).cast(
-        "double"
-    )
-    den = F.sqrt(
-        (F.col("n") * F.col("sxx") - F.col("sx") * F.col("sx")).cast(
-            "double"
-        )
-    ) * F.sqrt(
-        (F.col("n") * F.col("syy") - F.col("sy") * F.col("sy")).cast(
-            "double"
-        )
-    )
-    return m.select(
-        "lag",
-        F.col("n").cast("long").alias("n_pairs"),
-        F.round(num / den, 6).alias("acf"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# FIFO lot allocation as a running-sum interval join
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "fifo_lot_allocation",
-    oracle="""
-    WITH supply AS (
-      SELECT l_partkey, l_orderkey, l_linenumber,
-             CAST(l_quantity AS BIGINT) AS qty,
-             SUM(CAST(l_quantity AS BIGINT)) OVER w
-               - CAST(l_quantity AS BIGINT) AS s_lo,
-             SUM(CAST(l_quantity AS BIGINT)) OVER w AS s_hi
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1996-01-01'
-        AND l_shipdate < TIMESTAMP '1997-01-01'
-      WINDOW w AS (PARTITION BY l_partkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS UNBOUNDED PRECEDING)
-    ), demand AS (
-      SELECT l_partkey, l_orderkey, l_linenumber,
-             CAST(l_quantity AS BIGINT) AS qty,
-             SUM(CAST(l_quantity AS BIGINT)) OVER w
-               - CAST(l_quantity AS BIGINT) AS d_lo,
-             SUM(CAST(l_quantity AS BIGINT)) OVER w AS d_hi
-      FROM lineitem
-      WHERE l_shipdate >= TIMESTAMP '1997-01-01'
-        AND l_shipdate < TIMESTAMP '1997-04-01'
-      WINDOW w AS (PARTITION BY l_partkey
-                   ORDER BY l_shipdate, l_orderkey, l_linenumber
-                   ROWS UNBOUNDED PRECEDING)
-    )
-    SELECT d.l_partkey AS partkey,
-           d.l_orderkey AS demand_orderkey,
-           d.l_linenumber AS demand_linenumber,
-           s.l_orderkey AS supply_orderkey,
-           s.l_linenumber AS supply_linenumber,
-           CAST(LEAST(d.d_hi, s.s_hi) - GREATEST(d.d_lo, s.s_lo)
-                AS BIGINT) AS matched_qty
-    FROM demand d JOIN supply s
-      ON d.l_partkey = s.l_partkey
-     AND d.d_lo < s.s_hi AND s.s_lo < d.d_hi
-    """,
-    description="FIFO lot allocation (1996 shipments per part are "
-    "supply lots, 1997-Q1 shipments are demands): the allocation "
-    "that ERP systems run as a per-row cursor loop, recast as pure "
-    "set algebra — running sums per part turn lots and demands into "
-    "half-open integer intervals on the part's cumulative-quantity "
-    "axis, and FIFO matching IS interval overlap: equi-join on "
-    "partkey + two inequality post-filters, matched_qty = "
-    "least(hi)-greatest(lo).  Two window passes + one partkey-"
-    "partitioned join; no loop, no state, arbitrarily parallel over "
-    "parts at 100 TB.  Demand beyond remaining supply simply finds "
-    "no overlapping lot — short allocations fall out for free.",
-)
-def fifo_lot_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    li = read_table(spark, sf_dir, "lineitem")
-
-    def intervals(df: DataFrame, lo: str, hi: str) -> DataFrame:
-        w = (
-            Window.partitionBy("l_partkey")
-            .orderBy("l_shipdate", "l_orderkey", "l_linenumber")
-            .rowsBetween(Window.unboundedPreceding, 0)
-        )
-        qty = F.col("l_quantity").cast("long")
-        run = F.sum(qty).over(w)
-        return df.select(
-            "l_partkey",
-            "l_orderkey",
-            "l_linenumber",
-            (run - qty).alias(lo),
-            run.alias(hi),
-        )
-
-    supply = intervals(
-        li.filter(
-            (F.col("l_shipdate") >= "1996-01-01")
-            & (F.col("l_shipdate") < "1997-01-01")
-        ),
-        "s_lo",
-        "s_hi",
-    )
-    demand = intervals(
-        li.filter(
-            (F.col("l_shipdate") >= "1997-01-01")
-            & (F.col("l_shipdate") < "1997-04-01")
-        ),
-        "d_lo",
-        "d_hi",
-    )
-    d, s = demand.alias("d"), supply.alias("s")
-    return d.join(
-        s,
-        (F.col("d.l_partkey") == F.col("s.l_partkey"))
-        & (F.col("d.d_lo") < F.col("s.s_hi"))
-        & (F.col("s.s_lo") < F.col("d.d_hi")),
-    ).select(
-        F.col("d.l_partkey").alias("partkey"),
-        F.col("d.l_orderkey").alias("demand_orderkey"),
-        F.col("d.l_linenumber").alias("demand_linenumber"),
-        F.col("s.l_orderkey").alias("supply_orderkey"),
-        F.col("s.l_linenumber").alias("supply_linenumber"),
-        (
-            F.least(F.col("d.d_hi"), F.col("s.s_hi"))
-            - F.greatest(F.col("d.d_lo"), F.col("s.s_lo"))
-        ).alias("matched_qty"),
     )
 
 
@@ -2729,183 +1558,6 @@ def mutual_information_screen(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
-# RFM quintile segmentation (customer-base marketing analytics)
-# ---------------------------------------------------------------------------
-
-
-@query(
-    "rfm_segmentation",
-    oracle="""
-    WITH base AS (
-      SELECT o_custkey AS custkey,
-             MAX(o_orderdate) AS last_order,
-             CAST(COUNT(*) AS BIGINT) AS freq,
-             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS monetary_c
-      FROM orders GROUP BY 1
-    ), q AS (
-      SELECT custkey, monetary_c,
-             NTILE(5) OVER (ORDER BY last_order DESC, custkey) AS r_q,
-             NTILE(5) OVER (ORDER BY freq DESC, custkey) AS f_q,
-             NTILE(5) OVER (ORDER BY monetary_c DESC, custkey) AS m_q
-      FROM base
-    )
-    SELECT r_q AS r_quintile, f_q AS f_quintile, m_q AS m_quintile,
-           CAST(COUNT(*) AS BIGINT) AS n_customers,
-           (CAST(SUM(monetary_c) AS DOUBLE) / 100.0) AS sum_monetary
-    FROM q GROUP BY 1, 2, 3
-    """,
-    description="RFM quintile segmentation — the classic customer-"
-    "value grid: per-customer recency / frequency / monetary "
-    "aggregates (one partial-aggregated groupBy over the fact "
-    "table), each dimension ranked into quintiles, then the "
-    "125-cell (R,F,M) segment table with counts and revenue.  All "
-    "three quintile assignments ride the range-partitioned global "
-    "rank + exact NTILE arithmetic (operators/ranking.py) — the "
-    "customer base grows with the business, so no SinglePartition "
-    "NTILE window anywhere (replaces the earlier rfm_segments, whose "
-    "three global NTILEs were exactly the single-partition flaw the "
-    "r5 verdict flagged on decile_lift_table).  Deterministic "
-    "tie-breaks on custkey make the ranking engine-permutation-"
-    "proof.",
-)
-def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dados_publicos_etl_spark.operators.ranking import (
-        ntile_expr,
-        ranked_by_range,
-    )
-
-    orders = read_table(spark, sf_dir, "orders")
-    base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
-        F.max("o_orderdate").alias("last_order"),
-        F.count(F.lit(1)).alias("freq"),
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
-            "monetary_c"
-        ),
-    )
-    ranked, n = ranked_by_range(
-        base, [F.desc("last_order"), "custkey"], rn_col="rn_r"
-    )
-    ranked, _ = ranked_by_range(
-        ranked, [F.desc("freq"), "custkey"], rn_col="rn_f"
-    )
-    ranked, _ = ranked_by_range(
-        ranked, [F.desc("monetary_c"), "custkey"], rn_col="rn_m"
-    )
-    q = ranked.select(
-        "monetary_c",
-        ntile_expr("rn_r", n, 5).alias("r_quintile"),
-        ntile_expr("rn_f", n, 5).alias("f_quintile"),
-        ntile_expr("rn_m", n, 5).alias("m_quintile"),
-    )
-    return q.groupBy("r_quintile", "f_quintile", "m_quintile").agg(
-        F.count(F.lit(1)).cast("long").alias("n_customers"),
-        (F.sum("monetary_c").cast("double") / 100.0).alias("sum_monetary"),
-    )
-
-
-# ---------------------------------------------------------------------------
-# Rolling-MAD robust anomaly detection
-# ---------------------------------------------------------------------------
-
-_MAD_HALF = 7   # centered 15-day window
-_MAD_K = 3.0    # flag |x - med| > K * MAD
-
-
-@query(
-    "rolling_mad_anomaly",
-    oracle=f"""
-    WITH daily AS (
-      SELECT o_orderdate AS day,
-             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) AS rev_c
-      FROM orders GROUP BY 1
-    ), contrib AS (
-      SELECT day + o * INTERVAL 1 DAY AS center, rev_c
-      FROM daily, UNNEST(generate_series(-{_MAD_HALF}, {_MAD_HALF})) AS u(o)
-    ), win AS (
-      SELECT center, list_sort(list(rev_c)) AS vs
-      FROM contrib GROUP BY center
-    ), med AS (
-      SELECT center, vs, len(vs) AS n,
-             (vs[(len(vs) + 1) // 2] + vs[len(vs) // 2 + 1]) / 2.0 AS med
-      FROM win
-    ), stats AS (
-      SELECT center, med, n,
-             (SELECT (ds[(n + 1) // 2] + ds[n // 2 + 1]) / 2.0
-              FROM (SELECT list_sort(list_transform(vs,
-                      v -> abs(v - med))) AS ds)) AS mad
-      FROM med
-    )
-    SELECT d.day, (CAST(d.rev_c AS DOUBLE) / 100.0) AS revenue,
-           s.med / 100.0 AS med_revenue,
-           s.mad / 100.0 AS mad_revenue,
-           CAST(s.n AS INT) AS n_window,
-           abs(d.rev_c - s.med) > {_MAD_K} * s.mad AS is_anomaly
-    FROM daily d JOIN stats s ON d.day = s.center
-    """,
-    description="Rolling-MAD anomaly detection on daily revenue — "
-    "the robust monitoring detector (median/MAD shrug off the very "
-    "outliers a mean/sigma z-score chases): each day's revenue is "
-    "compared against the exact median and median-absolute-deviation "
-    f"of its centered {2 * _MAD_HALF + 1}-day window, flagged past "
-    f"{_MAD_K}x MAD.  Spark-first shape: the fact table collapses to "
-    "the day series in one partial-aggregated groupBy; the window is "
-    "an OFFSET EXPLODE on that tiny series (the sliding-distinct "
-    "trick — never a per-row subquery), one groupBy(center) builds "
-    "the sorted window array, and median/MAD are exact element "
-    "arithmetic on integer cents (interpolated medians land on .5 "
-    "halves, exactly representable — bit-identical cross-engine, no "
-    "float summation anywhere).",
-)
-def rolling_mad_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders")
-    daily = orders.groupBy(F.col("o_orderdate").alias("day")).agg(
-        F.sum(F.round(F.col("o_totalprice") * 100, 0).cast("long")).alias(
-            "rev_c"
-        )
-    )
-    offs = F.sequence(F.lit(-_MAD_HALF), F.lit(_MAD_HALF))
-    contrib = daily.select(
-        F.explode(offs).alias("o"), "day", "rev_c"
-    ).select(
-        F.expr("timestampadd(DAY, o, day)").alias("center"), "rev_c"
-    )
-    win = contrib.groupBy("center").agg(
-        F.sort_array(F.collect_list("rev_c")).alias("vs")
-    )
-    n = F.size("vs")
-    med = (
-        F.element_at("vs", ((n + 1) / 2).cast("int"))
-        + F.element_at("vs", (n / 2).cast("int") + 1)
-    ) / 2.0
-    stats = win.select("center", n.alias("n"), med.alias("med"), "vs")
-    ds = F.sort_array(
-        F.transform(F.col("vs"), lambda v: F.abs(v - F.col("med")))
-    )
-    stats = stats.select(
-        "center",
-        "n",
-        "med",
-        (
-            (
-                F.element_at(ds, ((F.col("n") + 1) / 2).cast("int"))
-                + F.element_at(ds, (F.col("n") / 2).cast("int") + 1)
-            )
-            / 2.0
-        ).alias("mad"),
-    )
-    return daily.join(stats, daily.day == stats.center).select(
-        "day",
-        (F.col("rev_c").cast("double") / 100.0).alias("revenue"),
-        (F.col("med") / 100.0).alias("med_revenue"),
-        (F.col("mad") / 100.0).alias("mad_revenue"),
-        F.col("n").cast("int").alias("n_window"),
-        (F.abs(F.col("rev_c") - F.col("med")) > _MAD_K * F.col("mad")).alias(
-            "is_anomaly"
-        ),
-    )
-
-
-# ---------------------------------------------------------------------------
 # Embedding centroid drift between label groups
 # ---------------------------------------------------------------------------
 
@@ -3021,77 +1673,3 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-# ---------------------------------------------------------------------------
-# Pareto revenue concentration curve (global prefix sum, no global window)
-# ---------------------------------------------------------------------------
-
-_PARETO_PCTS = (1, 5, 10, 25, 50)
-
-
-@query(
-    "pareto_revenue_curve",
-    oracle=f"""
-    WITH ranked AS (
-      SELECT CAST(ROUND(o_totalprice * 100, 0) AS BIGINT) AS cents,
-             ROW_NUMBER() OVER w AS rn,
-             SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)) OVER (
-               ORDER BY o_totalprice DESC, o_orderkey
-               ROWS UNBOUNDED PRECEDING) AS cum
-      FROM orders
-      WINDOW w AS (ORDER BY o_totalprice DESC, o_orderkey)
-    ), tot AS (
-      SELECT CAST(COUNT(*) AS BIGINT) AS n,
-             CAST(SUM(cents) AS BIGINT) AS s
-      FROM ranked
-    )
-    SELECT pct,
-           CAST(r.rn AS BIGINT) AS n_orders,
-           CAST(r.cum AS DOUBLE) / t.s AS revenue_share
-    FROM tot t,
-         UNNEST([{', '.join(str(p) for p in _PARETO_PCTS)}]) AS u(pct)
-    JOIN ranked r ON r.rn = (t.n * pct + 99) // 100
-    ORDER BY pct
-    """,
-    description="Pareto revenue-concentration curve: the share of "
-    "total revenue carried by the top 1/5/10/25/50% of orders — the "
-    "'do 20% of orders make 80% of revenue?' readout.  The global "
-    "rank AND the global running revenue both come from "
-    "prefix_sums_by_range (operators/ranking.py): per-range-"
-    "partition local cumsum + broadcast per-partition value offsets "
-    "— the scalable form of SUM() OVER (ORDER BY ...), whose naive "
-    "plan funnels the whole fact table through one task.  Exact "
-    "integer cents throughout; the share is a bare IEEE division of "
-    "exact totals.  Plan-pinned SinglePartition-free.",
-)
-def pareto_revenue_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dados_publicos_etl_spark.operators.ranking import (
-        prefix_sums_by_range,
-    )
-
-    orders = read_table(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_totalprice",
-        F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
-    )
-    ranked, n, s = prefix_sums_by_range(
-        orders, [F.desc("o_totalprice"), "o_orderkey"], "cents"
-    )
-    # one output row PER pct even when two pcts land on the same rank
-    # (small n): a broadcast (pct, target-rank) dimension joined on rn,
-    # mirroring the oracle's UNNEST-then-JOIN — never a dict keyed by
-    # rank, which collapses colliding pcts to one row
-    pcts = spark.createDataFrame(
-        [(p, (n * p + 99) // 100) for p in _PARETO_PCTS],
-        "pct int, __rn_t bigint",
-    )
-    return (
-        ranked.join(
-            F.broadcast(pcts), F.col("rn") == F.col("__rn_t"), "inner"
-        )
-        .select(
-            "pct",
-            F.col("rn").cast("long").alias("n_orders"),
-            (F.col("cum").cast("double") / float(s)).alias("revenue_share"),
-        )
-        .orderBy("pct")
-    )

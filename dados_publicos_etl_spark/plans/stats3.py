@@ -467,3 +467,215 @@ def hll_intersection(spark: SparkSession, sf_dir: str) -> DataFrame:
             est("d_a", "z_a") + est("d_b", "z_b") - est("d_u", "z_u"), 4
         ).alias("est_intersection"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Rolling correlation of two daily series (calendar-bounded window)
+# ---------------------------------------------------------------------------
+
+_RC_W = 7  # trailing window, days (rows, over the dense daily table)
+
+
+@query(
+    "rolling_corr_daily",
+    oracle=f"""
+    WITH daily AS (
+      SELECT CAST(o_orderdate AS DATE) AS day,
+             CAST(COUNT(*) AS BIGINT) AS x,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS BIGINT) AS y
+      FROM orders GROUP BY day
+    ), rolled AS (
+      SELECT day,
+             CAST(COUNT(*) OVER w AS BIGINT) AS n,
+             CAST(SUM(x) OVER w AS BIGINT) AS sx,
+             CAST(SUM(y) OVER w AS HUGEINT) AS sy,
+             CAST(SUM(x * x) OVER w AS BIGINT) AS sxx,
+             CAST(SUM(CAST(y AS HUGEINT) * y) OVER w AS HUGEINT) AS syy,
+             CAST(SUM(x * CAST(y AS HUGEINT)) OVER w AS HUGEINT) AS sxy
+      FROM daily
+      WINDOW w AS (ORDER BY day
+                   ROWS BETWEEN {_RC_W - 1} PRECEDING AND CURRENT ROW)
+    )
+    SELECT strftime(day, '%Y-%m-%d') AS day, n,
+           ROUND((CAST(n AS DOUBLE) * CAST(sxy AS DOUBLE)
+                  - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))
+                 / (sqrt(CAST(n AS DOUBLE) * CAST(sxx AS DOUBLE)
+                         - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))
+                    * sqrt(CAST(n AS DOUBLE) * CAST(syy AS DOUBLE)
+                           - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE))),
+                 6) AS corr_7d
+    FROM rolled
+    WHERE n = {_RC_W}
+      AND (CAST(n AS HUGEINT) * sxx - CAST(sx AS HUGEINT) * sx) > 0
+      AND (CAST(n AS HUGEINT) * syy - CAST(sy AS HUGEINT) * sy) > 0
+    """,
+    description=f"Rolling {_RC_W}-day Pearson correlation between the "
+    "daily order count and daily revenue series — the time-LOCAL "
+    "association monitor (correlation_matrix_daily is global; drift "
+    "shows up as the rolling value decoupling).  The fact table "
+    "collapses to the calendar-bounded daily aggregate in one "
+    "partial-aggregated pass; the rolling moments are exact-integer "
+    "window sums over that ~2.4k-row table (y-moments as "
+    "DECIMAL/HUGEINT — daily revenue cents squared exceeds int64, "
+    "the Cramer discipline), and each day's correlation is one "
+    "double expression over its exact window moments, rounded "
+    "identically.  Degenerate windows (zero variance or short head) "
+    "are excluded by exact integer predicates, so both engines drop "
+    "the same rows.  The unpartitioned window is calendar-bounded — "
+    "allowlisted in the catalog-wide SinglePartition sweep like the "
+    "Kaplan-Meier event-time table.",
+)
+def rolling_corr_daily(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    daily = orders.groupBy(
+        F.col("o_orderdate").cast("date").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("x"),
+        F.sum(
+            F.round(F.col("o_totalprice") * 100, 0).cast("long")
+        ).alias("y"),
+    )
+    w = Window.orderBy("day").rowsBetween(-(_RC_W - 1), 0)
+    yd = F.col("y").cast("decimal(38,0)")
+    rolled = daily.select(
+        "day",
+        F.count(F.lit(1)).over(w).alias("n"),
+        F.sum("x").over(w).alias("sx"),
+        F.sum(yd).over(w).alias("sy"),
+        F.sum(F.col("x") * F.col("x")).over(w).alias("sxx"),
+        F.sum(yd * yd).over(w).alias("syy"),
+        F.sum(F.col("x") * yd).over(w).alias("sxy"),
+    )
+    n_d = F.col("n").cast("double")
+    num = n_d * F.col("sxy").cast("double") - F.col("sx").cast(
+        "double"
+    ) * F.col("sy").cast("double")
+    den = F.sqrt(
+        n_d * F.col("sxx").cast("double")
+        - F.col("sx").cast("double") * F.col("sx").cast("double")
+    ) * F.sqrt(
+        n_d * F.col("syy").cast("double")
+        - F.col("sy").cast("double") * F.col("sy").cast("double")
+    )
+    varx = F.col("n").cast("decimal(38,0)") * F.col("sxx") - F.col(
+        "sx"
+    ).cast("decimal(38,0)") * F.col("sx")
+    vary = F.col("n").cast("decimal(38,0)") * F.col("syy") - F.col(
+        "sy"
+    ) * F.col("sy")
+    return (
+        rolled.filter(
+            (F.col("n") == _RC_W) & (varx > 0) & (vary > 0)
+        )
+        .select(
+            F.col("day").cast("string").alias("day"),
+            F.col("n").cast("long").alias("n"),
+            F.round(num / den, 6).alias("corr_7d"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Harmonic centrality (3-hop, exact sixths) over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+
+def _harmonic_oracle() -> str:
+    from dados_publicos_etl_spark.plans.mining import _EDGES_SQL
+
+    return f"""
+    WITH {_EDGES_SQL},
+    und AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ), d1 AS MATERIALIZED (
+      SELECT u, v FROM und
+    ), d2 AS MATERIALIZED (
+      SELECT DISTINCT a.u, b.v
+      FROM d1 a JOIN und b ON a.v = b.u
+      WHERE a.u <> b.v
+        AND NOT EXISTS (SELECT 1 FROM d1 x
+                        WHERE x.u = a.u AND x.v = b.v)
+    ), d3 AS MATERIALIZED (
+      SELECT DISTINCT a.u, b.v
+      FROM d2 a JOIN und b ON a.v = b.u
+      WHERE a.u <> b.v
+        AND NOT EXISTS (SELECT 1 FROM d1 x
+                        WHERE x.u = a.u AND x.v = b.v)
+        AND NOT EXISTS (SELECT 1 FROM d2 x
+                        WHERE x.u = a.u AND x.v = b.v)
+    ), contrib AS (
+      SELECT u, 6 AS w FROM d1
+      UNION ALL SELECT u, 3 FROM d2
+      UNION ALL SELECT u, 2 FROM d3
+    )
+    SELECT u AS node,
+           CAST(SUM(w) AS BIGINT) AS harmonic_sixths,
+           ROUND(CAST(SUM(w) AS DOUBLE) / 6.0, 4) AS harmonic_3hop
+    FROM contrib GROUP BY u
+    """
+
+
+@query(
+    "harmonic_centrality_3hop",
+    oracle=_harmonic_oracle(),
+    description="Harmonic centrality truncated at 3 hops over the "
+    "undirected co-purchase graph: sum of 1/d(u,v) for v within "
+    "distance 3 — the reachability-weighted influence score that, "
+    "unlike closeness, is well-defined on disconnected graphs and "
+    "truncates naturally for distributed evaluation (global "
+    "closeness needs full APSP; bounded-hop harmonic needs "
+    "exactly h frontier joins — the PageRank-family trade every "
+    "graph system makes at scale).  Distance sets are computed as "
+    "three successive frontier joins with NOT-EXISTS de-duplication "
+    "against closer levels (BFS level sets, the n_hop_reachability "
+    "recurrence), and the score accumulates in EXACT SIXTHS "
+    "(6/d for d = 1,2,3 -> 6,3,2), so the sum is an exact integer "
+    "on both engines and the single final division is cosmetic.  "
+    "Level joins are datasource-cut on the bounded edge table.",
+)
+def harmonic_centrality_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.plans.mining import _co_edges
+
+    edges = _co_edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    d1 = und
+    # anti-join de-dup against closer levels (the NOT EXISTS shape)
+    hop = (
+        d1.alias("a")
+        .join(F.broadcast(und.alias("b")), F.col("a.v") == F.col("b.u"))
+        .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    d2 = hop.join(d1, ["u", "v"], "left_anti").localCheckpoint()
+    hop3 = (
+        d2.alias("a")
+        .join(F.broadcast(und.alias("b")), F.col("a.v") == F.col("b.u"))
+        .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
+        .filter(F.col("u") != F.col("v"))
+        .distinct()
+    )
+    d3 = (
+        hop3.join(d1, ["u", "v"], "left_anti")
+        .join(d2, ["u", "v"], "left_anti")
+        .localCheckpoint()
+    )
+    contrib = (
+        d1.select("u", F.lit(6).alias("w"))
+        .unionAll(d2.select("u", F.lit(3).alias("w")))
+        .unionAll(d3.select("u", F.lit(2).alias("w")))
+    )
+    return contrib.groupBy(F.col("u").alias("node")).agg(
+        F.sum("w").cast("long").alias("harmonic_sixths"),
+        F.round(F.sum("w").cast("double") / 6.0, 4).alias(
+            "harmonic_3hop"
+        ),
+    )

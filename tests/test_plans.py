@@ -499,6 +499,7 @@ _BNLJ_OK = {
     "pca_power_iteration",  # 1-row norms crossJoin onto the 64-dim table
     # round 7
     "hll_intersection",  # 1-row register sums x 1-row exact counts
+    "dsir_resample_e2e",  # inherits DSIR's 1-row mean-weight crossJoin
 }
 
 
@@ -538,6 +539,8 @@ _SP_GROUP_BOUNDED = {
     "target_encode_loo",  # window over the per-category stats table
     "survival_kaplan_meier",  # window over distinct event times
     # (calendar-bounded: lifetimes are whole hours of a finite span)
+    "rolling_corr_daily",  # rolling window over the daily aggregate
+    # (calendar-bounded: one row per day regardless of corpus size)
 }
 
 _SCALAR_MERGE = (
@@ -590,6 +593,18 @@ def test_no_catalog_query_plans_data_scale_single_partition(
                 continue
             offenders.setdefault(name, []).append(parent[:80])
     assert not offenders, offenders
+
+
+def test_hive_partition_prune_reaches_file_listing(spark, sf_dir):
+    """The partition-column filter must prune at the file-listing
+    level: the scan's PartitionFilters carries the priority
+    predicate, and the data filters do NOT re-check it row-wise
+    (pruning replaced filtering)."""
+    plan = _plan(QUERIES["hive_partition_prune"].fn(spark, sf_dir))
+    scan = plan.split("FileScan parquet")[1]
+    head = scan.split("ReadSchema")[0]
+    assert "PartitionFilters: [" in head
+    assert "1-URGENT" in head.split("PartitionFilters: [")[1].split("]")[0]
 
 
 def test_log_parse_stays_jvm_side(spark, sf_dir):
