@@ -856,3 +856,84 @@ def temperature_mix_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("thr").alias("keep_thr_ppm"),
         F.coalesce("n_kept", F.lit(0)).cast("long").alias("n_kept"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Leakage-safe k-fold assignment (group integrity = near-dup component)
+# ---------------------------------------------------------------------------
+
+_KFOLD_K = 5
+
+
+def _group_kfold_oracle() -> str:
+    from dados_publicos_etl_spark.functions.text import duck_shingles_sql
+    from dados_publicos_etl_spark.operators.graph import _THRESH
+
+    return f"""
+    WITH RECURSIVE t AS (
+      SELECT doc_id, {duck_shingles_sql("text")} AS sh FROM documents
+    ), blocked AS (
+      SELECT doc_id, sh, list_min(sh) AS blk FROM t
+    ), pairs AS (
+      SELECT a.doc_id AS src, b.doc_id AS dst
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+      WHERE CAST(len(list_intersect(a.sh, b.sh)) AS DOUBLE)
+            / len(list_distinct(a.sh || b.sh)) >= {_THRESH}
+    ), edges AS (
+      SELECT src AS a, dst AS b FROM pairs
+      UNION SELECT dst, src FROM pairs
+    ), reach(n, m) AS (
+      SELECT a, a FROM edges
+      UNION
+      SELECT e.a, r.m FROM edges e JOIN reach r ON e.b = r.n
+    ), labels AS (
+      SELECT n AS doc_id, MIN(m) AS label FROM reach GROUP BY n
+    ), grouped AS (
+      SELECT d.doc_id,
+             COALESCE(l.label, d.doc_id) AS group_key
+      FROM documents d LEFT JOIN labels l ON l.doc_id = d.doc_id
+    )
+    SELECT doc_id, group_key,
+           CAST(CAST(('0x' || substr(
+                 md5('kf:' || CAST(group_key AS VARCHAR)), 1, 8))
+               AS BIGINT) % {_KFOLD_K} AS INT) AS fold
+    FROM grouped
+    """
+
+
+@query(
+    "group_kfold_assignment",
+    oracle=_group_kfold_oracle(),
+    description=f"Leakage-safe {_KFOLD_K}-fold cross-validation "
+    "assignment: the fold key is the document's NEAR-DUP COMPONENT "
+    "(split_leakage_safe's group key), hashed with a DIFFERENT salt "
+    "('kf:') so folds are independent of the 80/10/10 split — a "
+    "near-duplicate pair can never straddle folds, the group-k-fold "
+    "integrity sklearn's GroupKFold enforces and distributed eval "
+    "harnesses usually forget.  Deterministic md5 arithmetic makes "
+    "assignments reproducible from doc text alone (reruns, "
+    "backfills, and two engines agree); reuses the session-cached "
+    "near-dup pair graph, so the marginal cost is one left join + "
+    "a hash projection.",
+)
+def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.operators.graph import (
+        connected_components,
+        near_dup_pair_graph,
+    )
+
+    pairs = near_dup_pair_graph(spark, sf_dir)
+    comps = connected_components(pairs).withColumnRenamed(
+        "node", "doc_id"
+    )
+    docs = read_table(spark, sf_dir, "documents").select("doc_id")
+    group = F.coalesce("label", "doc_id")
+    fold = hash_bucket(
+        F.concat(F.lit("kf:"), group.cast("string")), _KFOLD_K
+    )
+    return docs.join(comps, "doc_id", "left").select(
+        "doc_id",
+        group.alias("group_key"),
+        fold.cast("int").alias("fold"),
+    )

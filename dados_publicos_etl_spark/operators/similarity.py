@@ -1644,3 +1644,123 @@ def hybrid_rrf_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.round("rrf", 6).alias("rrf_score"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Matryoshka truncation audit: recall@k of prefix-dim cosine vs full
+# ---------------------------------------------------------------------------
+
+_MAT_DIMS = (8, 16, 32)   # truncation prefixes audited vs full (64)
+_MAT_QUERIES = 10          # fixed panel: vec_id < 10
+_MAT_K = 5
+
+
+def _mat_cos_sql(k: int) -> str:
+    a = f"list_slice(qe.embedding, 1, {k})"
+    b = f"list_slice(ne.embedding, 1, {k})"
+    return _COS_DOUBLE_SQL.format(a=a, b=b)
+
+
+def _matryoshka_oracle() -> str:
+    def ranked(k: int, name: str) -> str:
+        return f"""{name} AS MATERIALIZED (
+      SELECT query_id, neighbor_id FROM (
+        SELECT qe.vec_id AS query_id, ne.vec_id AS neighbor_id,
+               ROW_NUMBER() OVER (
+                 PARTITION BY qe.vec_id
+                 ORDER BY ROUND({_mat_cos_sql(k)}, 6) DESC,
+                          ne.vec_id) AS rk
+        FROM embeddings qe JOIN embeddings ne
+          ON qe.vec_id < {_MAT_QUERIES} AND ne.vec_id <> qe.vec_id
+      ) WHERE rk <= {_MAT_K}
+    )"""
+
+    parts = [ranked(64, "fullk")]
+    unions = []
+    for d in _MAT_DIMS:
+        parts.append(ranked(d, f"t{d}"))
+        unions.append(
+            f"""SELECT {d} AS trunc_dim,
+               CAST(COUNT(*) AS BIGINT) AS n_overlap
+        FROM t{d} JOIN fullk USING (query_id, neighbor_id)"""
+        )
+    body = ",\n    ".join(parts)
+    un = "\n        UNION ALL ".join(unions)
+    return f"""
+    WITH {body},
+    ov AS ({un})
+    SELECT trunc_dim,
+           CAST({_MAT_QUERIES} AS BIGINT) AS n_queries,
+           n_overlap,
+           ROUND(CAST(n_overlap AS DOUBLE)
+                 / ({_MAT_QUERIES} * {_MAT_K}), 4) AS recall_at_{_MAT_K}
+    FROM ov
+    """
+
+
+@query(
+    "matryoshka_truncation_audit",
+    oracle=_matryoshka_oracle(),
+    description="Matryoshka embedding-truncation audit: for prefix "
+    f"dimensions {_MAT_DIMS}, the exact top-{_MAT_K} neighbor "
+    "overlap vs the full-dimension ranking over the fixed "
+    f"{_MAT_QUERIES}-query panel — the measurement that decides how "
+    "many dimensions an MRL-style embedding column can drop before "
+    "retrieval quality moves (Kusupati et al. 2022), priced in the "
+    "unit that matters at 100 TB: a 64->16 truncation is 4x less "
+    "vector IO for every ANN probe.  Ranking ties break on the "
+    "6-dp-ROUNDED cosine then neighbor id (one IEEE expression per "
+    "pair, identical on both engines); overlap counts are exact "
+    "integers.  Scale shape: the query panel is fixed-size and "
+    "broadcast (the retrieval_ndcg pattern), so cost is linear in "
+    "corpus vectors at any scale.",
+)
+def matryoshka_truncation_audit(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    queries = F.broadcast(
+        emb.filter(F.col("vec_id") < _MAT_QUERIES).select(
+            F.col("vec_id").alias("query_id"),
+            F.col("embedding").alias("qv"),
+        )
+    )
+    pairs = emb.select(
+        F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
+    ).join(queries, F.col("neighbor_id") != F.col("query_id"))
+
+    def topk(k: int) -> DataFrame:
+        qs = F.slice(F.col("qv"), 1, k)
+        ns = F.slice(F.col("nv"), 1, k)
+        w = W.partitionBy("query_id").orderBy(
+            F.desc(F.round(cosine(qs, ns), 6)), F.asc("neighbor_id")
+        )
+        return (
+            pairs.withColumn("rk", F.row_number().over(w))
+            .filter(F.col("rk") <= _MAT_K)
+            .select("query_id", "neighbor_id")
+        )
+
+    full = topk(64).localCheckpoint()
+    out = None
+    for d in _MAT_DIMS:
+        ov = (
+            topk(d)
+            .join(full, ["query_id", "neighbor_id"])
+            .agg(
+                F.lit(d).alias("trunc_dim"),
+                F.lit(_MAT_QUERIES).cast("long").alias("n_queries"),
+                F.count(F.lit(1)).cast("long").alias("n_overlap"),
+                F.round(
+                    F.count(F.lit(1)).cast("double")
+                    / (_MAT_QUERIES * _MAT_K),
+                    4,
+                ).alias(f"recall_at_{_MAT_K}"),
+            )
+        )
+        out = ov if out is None else out.unionAll(ov)
+    return out

@@ -1673,3 +1673,114 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+
+# ---------------------------------------------------------------------------
+# Personalized PageRank (seeded restart) over the co-purchase graph
+# ---------------------------------------------------------------------------
+
+_PPR_DAMP = 0.85
+_PPR_ROUNDS = 4
+_PPR_TOPK = 15
+
+
+def _ppr_oracle() -> str:
+    steps = []
+    for k in range(1, _PPR_ROUNDS + 1):
+        steps.append(
+            f"""ppr{k} AS MATERIALIZED (
+      SELECT nodes.node,
+             (1 - {_PPR_DAMP})
+               * (CASE WHEN nodes.node = (SELECT s FROM seed)
+                       THEN 1.0 ELSE 0.0 END)
+             + {_PPR_DAMP} * COALESCE(c.contrib, 0) AS pr
+      FROM nodes LEFT JOIN (
+        SELECT u.v AS node, SUM((1.0 / d.deg) * p.pr) AS contrib
+        FROM und u
+        JOIN ppr{k - 1} p ON u.u = p.node
+        JOIN deg d ON u.u = d.u
+        GROUP BY u.v
+      ) c ON nodes.node = c.node
+    )"""
+        )
+    chain = ",\n    ".join(steps)
+    return f"""
+    WITH {_EDGES_SQL},
+    und AS MATERIALIZED (
+      SELECT a AS u, b AS v FROM edges
+      UNION ALL SELECT b, a FROM edges
+    ), deg AS MATERIALIZED (
+      SELECT u, CAST(COUNT(*) AS BIGINT) AS deg FROM und GROUP BY u
+    ), nodes AS MATERIALIZED (
+      SELECT DISTINCT u AS node FROM und
+    ), seed AS (
+      SELECT MIN(node) AS s FROM nodes
+    ), ppr0 AS (
+      SELECT node,
+             CASE WHEN node = (SELECT s FROM seed)
+                  THEN 1.0 ELSE 0.0 END AS pr
+      FROM nodes
+    ),
+    {chain}
+    SELECT node AS item, ROUND(pr, 6) AS ppr
+    FROM ppr{_PPR_ROUNDS}
+    WHERE pr > 0
+    ORDER BY ppr DESC, item
+    LIMIT {_PPR_TOPK}
+    """
+
+
+@query(
+    "ppr_seeded",
+    oracle=_ppr_oracle(),
+    description=f"Personalized PageRank ({_PPR_ROUNDS} power "
+    f"iterations, damping {_PPR_DAMP}, restart mass pinned to the "
+    "minimum-id item) over the undirected co-purchase graph — the "
+    "'related to THIS item' ranking behind item-page "
+    "recommendations, where global PageRank answers the wrong "
+    "question (global importance, not proximity to the seed).  "
+    "Same Pregel-at-Spark-granularity loop as pagerank_suppliers: "
+    "per round one broadcast rank join + one partial-aggregated "
+    "contribution sum over the bounded edge table; the restart "
+    "vector concentrates (1-d) on the seed instead of spreading "
+    "1/n, which is the ONLY change — teleport locality is what "
+    "personalizes the walk.  Oracle unrolls the identical "
+    "recurrence into MATERIALIZED CTEs.  Fourteenth "
+    "differential-checked iterative algorithm.",
+)
+def ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    edges = _co_edges(spark, sf_dir)
+    und = (
+        edges.select(F.col("a").alias("u"), F.col("b").alias("v"))
+        .unionAll(edges.select(F.col("b").alias("u"), F.col("a").alias("v")))
+        .localCheckpoint()
+    )
+    deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
+    wund = und.join(F.broadcast(deg), "u").select(
+        "u", "v", (F.lit(1.0) / F.col("deg")).alias("w")
+    ).localCheckpoint()
+    nodes = und.select(F.col("u").alias("node")).distinct().localCheckpoint()
+    seed = nodes.agg(F.min("node")).first()[0]
+    restart = F.when(F.col("node") == seed, 1.0).otherwise(0.0)
+    pr = nodes.select("node", restart.alias("pr"))
+    for _ in range(_PPR_ROUNDS):
+        contrib = (
+            wund.join(F.broadcast(pr), wund.u == pr.node)
+            .groupBy("v")
+            .agg(F.sum(F.col("w") * F.col("pr")).alias("contrib"))
+        )
+        pr = nodes.join(
+            F.broadcast(contrib), nodes.node == contrib.v, "left"
+        ).select(
+            "node",
+            (
+                F.lit(1 - _PPR_DAMP) * restart
+                + _PPR_DAMP * F.coalesce("contrib", F.lit(0.0))
+            ).alias("pr"),
+        )
+    return (
+        pr.filter(F.col("pr") > 0)
+        .orderBy(F.desc(F.round("pr", 6)), "node")
+        .limit(_PPR_TOPK)
+        .select(F.col("node").alias("item"), F.round("pr", 6).alias("ppr"))
+    )

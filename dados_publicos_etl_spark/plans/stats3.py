@@ -679,3 +679,171 @@ def harmonic_centrality_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
             "harmonic_3hop"
         ),
     )
+
+
+# ---------------------------------------------------------------------------
+# Benjamini-Hochberg FDR over the one-vs-rest class mean tests
+# ---------------------------------------------------------------------------
+
+_BH_ALPHA = 0.05
+_BH_INV_SQRT_2PI = 0.3989422804014327
+# Abramowitz & Stegun 26.2.17 upper-tail polynomial (|err| < 7.5e-8)
+_BH_T_C = 0.2316419
+_BH_B = (0.319381530, -0.356563782, 1.781477937,
+         -1.821255978, 1.330274429)
+
+
+def _bh_qtail_sql(x: str) -> str:
+    """Shared SQL text: upper-tail normal probability Q(x), x >= 0."""
+    b1, b2, b3, b4, b5 = _BH_B
+    t = f"(1.0 / (1.0 + {_BH_T_C} * {x}))"
+    poly = (
+        f"({t} * ({b1} + {t} * ({b2} + {t} * ({b3} + {t} * "
+        f"({b4} + {t} * {b5})))))"
+    )
+    return f"(exp(-({x}) * ({x}) / 2.0) * {_BH_INV_SQRT_2PI} * {poly})"
+
+
+@query(
+    "bh_fdr_correction",
+    oracle=f"""
+    WITH cls AS (
+      SELECT o_orderpriority AS cls,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT))
+                  AS HUGEINT) AS s,
+             CAST(SUM(CAST(ROUND(o_totalprice * 100, 0) AS BIGINT)
+                      * CAST(ROUND(o_totalprice * 100, 0) AS HUGEINT))
+                  AS HUGEINT) AS ss
+      FROM orders GROUP BY cls
+    ), tot AS (
+      SELECT cls, n, s, ss,
+             SUM(n) OVER () AS nn,
+             SUM(s) OVER () AS st,
+             SUM(ss) OVER () AS sst
+      FROM cls
+    ), z AS (
+      SELECT cls, n,
+             abs(
+               (CAST(s AS DOUBLE) / n
+                - CAST(st - s AS DOUBLE) / (nn - n))
+               / sqrt(
+                   (CAST(n AS DOUBLE) * CAST(ss AS DOUBLE)
+                    - CAST(s AS DOUBLE) * CAST(s AS DOUBLE))
+                   / (CAST(n AS DOUBLE) * (n - 1.0)) / n
+                 + (CAST(nn - n AS DOUBLE) * CAST(sst - ss AS DOUBLE)
+                    - CAST(st - s AS DOUBLE) * CAST(st - s AS DOUBLE))
+                   / (CAST(nn - n AS DOUBLE) * (nn - n - 1.0))
+                   / (nn - n))
+             ) AS az
+      FROM tot
+    ), p AS (
+      SELECT cls, n, az,
+             ROUND(2.0 * {_bh_qtail_sql('az')}, 8) AS pval
+      FROM z
+    ), ranked AS (
+      SELECT cls, n, az, pval,
+             ROW_NUMBER() OVER (ORDER BY pval, cls) AS rk,
+             COUNT(*) OVER () AS m
+      FROM p
+    ), kstar AS (
+      SELECT COALESCE(MAX(CASE WHEN pval <= rk * {_BH_ALPHA} / m
+                               THEN rk END), 0) AS k
+      FROM ranked
+    )
+    SELECT r.cls,
+           r.n,
+           ROUND(r.az, 4) AS abs_z,
+           r.pval,
+           CAST(r.rk AS INT) AS p_rank,
+           ROUND(r.rk * {_BH_ALPHA} / r.m, 8) AS bh_cutoff,
+           (r.rk <= (SELECT k FROM kstar)) AS reject
+    FROM ranked r
+    """,
+    description="Benjamini-Hochberg FDR correction over the "
+    "one-vs-rest Welch z-tests of class mean order value (one test "
+    "per priority class) — the multiple-testing discipline every "
+    "metrics platform needs once it runs a BATTERY of tests instead "
+    "of one: control the expected false-discovery share at "
+    f"alpha={_BH_ALPHA} by rejecting the smallest k p-values with "
+    "p_(k) <= k*alpha/m.  Engine-exactness: moments accumulate as "
+    "exact integers (cents / HUGEINT-DECIMAL squares); each z is "
+    "one double expression of them; the p-value uses the "
+    "Abramowitz-Stegun 26.2.17 tail polynomial (fixed literal "
+    "coefficients — the SAME arithmetic expression text on both "
+    "engines, no erf dependency) and is ROUNDED to 8 dp BEFORE the "
+    "BH comparisons, so both engines make identical reject "
+    "decisions.  All windows run over the |classes|-row table "
+    "(group-bounded, allowlisted).",
+)
+def bh_fdr_correction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window
+
+    orders = read_table(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100, 0).cast("long")
+    cls = orders.groupBy(
+        F.col("o_orderpriority").alias("cls")
+    ).agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(cents).cast("decimal(38,0)").alias("s"),
+        F.sum(cents.cast("decimal(38,0)") * cents).alias("ss"),
+    )
+    wall = Window.partitionBy()
+    tot = cls.select(
+        "cls",
+        "n",
+        "s",
+        "ss",
+        F.sum("n").over(wall).alias("nn"),
+        F.sum("s").over(wall).alias("st"),
+        F.sum("ss").over(wall).alias("sst"),
+    )
+    n, s, ss = F.col("n"), F.col("s"), F.col("ss")
+    n2 = (F.col("nn") - n).cast("double")
+    s2 = (F.col("st") - s).cast("double")
+    ss2 = (F.col("sst") - ss).cast("double")
+    nd, sd, ssd = n.cast("double"), s.cast("double"), ss.cast("double")
+    var1_over_n1 = (nd * ssd - sd * sd) / (nd * (nd - 1.0)) / nd
+    var2_over_n2 = (n2 * ss2 - s2 * s2) / (n2 * (n2 - 1.0)) / n2
+    az = F.abs(
+        (sd / nd - s2 / n2) / F.sqrt(var1_over_n1 + var2_over_n2)
+    )
+    p = tot.select("cls", "n", az.alias("az")).selectExpr(
+        "cls",
+        "n",
+        "az",
+        f"ROUND(2.0 * {_bh_qtail_sql('az')}, 8) AS pval",
+    )
+    wrank = Window.orderBy("pval", "cls")
+    ranked = p.select(
+        "cls",
+        "n",
+        "az",
+        "pval",
+        F.row_number().over(wrank).alias("rk"),
+        F.count(F.lit(1)).over(wall).alias("m"),
+    )
+    kstar = ranked.withColumn(
+        "k",
+        F.coalesce(
+            F.max(
+                F.when(
+                    F.col("pval")
+                    <= F.col("rk") * _BH_ALPHA / F.col("m"),
+                    F.col("rk"),
+                )
+            ).over(wall),
+            F.lit(0),
+        ),
+    )
+    return kstar.select(
+        "cls",
+        F.col("n").cast("long").alias("n"),
+        F.round("az", 4).alias("abs_z"),
+        "pval",
+        F.col("rk").cast("int").alias("p_rank"),
+        F.round(F.col("rk") * _BH_ALPHA / F.col("m"), 8).alias(
+            "bh_cutoff"
+        ),
+        (F.col("rk") <= F.col("k")).alias("reject"),
+    )

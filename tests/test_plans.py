@@ -500,6 +500,7 @@ _BNLJ_OK = {
     # round 7
     "hll_intersection",  # 1-row register sums x 1-row exact counts
     "dsir_resample_e2e",  # inherits DSIR's 1-row mean-weight crossJoin
+    "matryoshka_truncation_audit",  # fixed 10-row query panel broadcast
 }
 
 
@@ -541,6 +542,7 @@ _SP_GROUP_BOUNDED = {
     # (calendar-bounded: lifetimes are whole hours of a finite span)
     "rolling_corr_daily",  # rolling window over the daily aggregate
     # (calendar-bounded: one row per day regardless of corpus size)
+    "bh_fdr_correction",  # windows over the |classes|-row test table
 }
 
 _SCALAR_MERGE = (
