@@ -910,7 +910,7 @@ _EMB_DEDUP_THR = 0.35
     "EXISTS.  Vectors are pre-normalized once so the pair predicate "
     "is a plain dot product.  Min-id survivorship is deterministic "
     "and engine-independent.  100 TB path: replace the exact "
-    "label-block pair source with the LSH (add_hyperplane_buckets) "
+    "label-block pair source with the LSH (add_rademacher_buckets) "
     "or IVF candidate generator — the survivorship rule composes "
     "unchanged.",
 )
@@ -948,15 +948,46 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+def _dedup_embedding_ann_oracle() -> str:
+    from dados_publicos_etl_spark.operators.similarity import (
+        _COS_DOUBLE_SQL,
+        _rademacher_buckets_sql,
+    )
+
+    cos = _COS_DOUBLE_SQL.format(a="qe.embedding", b="ne.embedding")
+    return f"""
+    WITH {_rademacher_buckets_sql()}, cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a
+      JOIN buckets b ON a.table_idx = b.table_idx
+                    AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id
+    ), dup AS (
+      SELECT DISTINCT c.id_b AS vec_id
+      FROM cand c
+      JOIN embeddings qe ON c.id_a = qe.vec_id
+      JOIN embeddings ne ON c.id_b = ne.vec_id
+      WHERE {cos} >= {_EMB_DEDUP_THR}
+    )
+    SELECT e.vec_id, e.label
+    FROM embeddings e
+    WHERE e.vec_id NOT IN (SELECT vec_id FROM dup)
+    """
+
+
 @query(
     "dedup_embedding_ann",
-    oracle=None,  # LSH candidate set is hyperplane-model-dependent;
-    # planted-twin recall + survivor-consistency pinned in pytest.
+    oracle=_dedup_embedding_ann_oracle(),
     description="Semantic dedup AT SCALE: the documented 100 TB "
     "composition made real — LSH candidate pairs "
-    "(hyperplane buckets, no label blocking, no cross join) feed the "
-    "same min-id survivorship rule as dedup_embedding_cosine.  "
-    "Survivors = vectors with no smaller-id LSH-confirmed near-dup.",
+    "(sign-projection buckets, no label blocking, no cross join) "
+    "feed the same min-id survivorship rule as "
+    "dedup_embedding_cosine.  Survivors = vectors with no "
+    "smaller-id LSH-confirmed near-dup.  Round 7: the candidate "
+    "generator rides the PORTABLE md5-Rademacher buckets, so the "
+    "whole path — buckets, candidates, cosine confirms, "
+    "survivorship — is DuckDB-differential; the planted-twin recall "
+    "pytest still pins the approximation quality.",
 )
 def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Global (label-free) embedding dedup via the ANN candidate path.

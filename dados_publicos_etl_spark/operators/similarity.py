@@ -130,60 +130,7 @@ def similarity_neardup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
 # produced ~6e8 candidate pairs — LSH depth must scale with n.
 N_PLANES = 12  # bits per table
 N_TABLES = 8  # OR-amplification: candidate if ANY table bucket matches
-LSH_SEED = 42
-
-
-def add_hyperplane_buckets(
-    df: DataFrame,
-    id_col: str = "vec_id",
-    vec_col: str = "embedding",
-    n_planes: int = N_PLANES,
-    n_tables: int = N_TABLES,
-    seed: int = LSH_SEED,
-) -> DataFrame:
-    """(id, table_idx, bucket) LSH keys — one row per table per vector.
-
-    bucket = sign bits of ``n_planes`` seeded random hyperplane
-    projections; ``n_tables`` independent tables give OR-amplified
-    recall (a pair is a candidate if any table agrees).  The
-    projection is an Arrow-batched numpy matmul in ``mapInPandas``
-    (per row a dim x n_planes*n_tables GEMV — the shape vectorized
-    Python beats per-element expressions at); the payload vector is
-    deliberately NOT carried through — the bucket table is 12 bytes a
-    row, and the re-rank joins embeddings back by id.
-    """
-    import numpy as np
-
-    def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        rng = np.random.RandomState(seed)
-        planes = None
-        weights = 1 << np.arange(n_planes)
-        for pdf in batches:
-            if len(pdf) == 0:
-                continue
-            mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            if planes is None:
-                planes = rng.randn(mat.shape[1], n_planes * n_tables)
-            bits = (mat @ planes) > 0
-            ids = pdf[id_col].to_numpy()
-            frames = [
-                pd.DataFrame(
-                    {
-                        id_col: ids,
-                        "table_idx": np.int32(t),
-                        "bucket": (
-                            bits[:, t * n_planes : (t + 1) * n_planes]
-                            @ weights
-                        ).astype("int32"),
-                    }
-                )
-                for t in range(n_tables)
-            ]
-            yield pd.concat(frames, ignore_index=True)
-
-    return df.select(id_col, vec_col).mapInPandas(
-        project, schema=f"{id_col} long, table_idx int, bucket int"
-    )
+LSH_SEED = 42  # seeds the IVF/PQ k-means quantizers (numpy Lloyd)
 
 
 # Portable sign-projection LSH (round-7 oracle conversion, verdict
@@ -198,15 +145,6 @@ def add_hyperplane_buckets(
 _ANN_QUANT = 1_000_000
 
 
-def _rademacher_sign(t: int, p: int, d: int) -> int:
-    import hashlib
-
-    h = int(
-        hashlib.md5(f"annp:{t}:{p}:{d}".encode()).hexdigest()[:7], 16
-    )
-    return 1 if h % 2 == 1 else -1
-
-
 def add_rademacher_buckets(
     df: DataFrame,
     id_col: str = "vec_id",
@@ -216,25 +154,49 @@ def add_rademacher_buckets(
 ) -> DataFrame:
     """(id, table_idx, bucket) LSH keys, bit-reproducible on any
     engine: bucket bit (t,p) = [ sum_d sign(t,p,d) * floor(v_d*1e6
-    + 0.5) > 0 ] with md5-derived ±1 signs.  Same Arrow-batched
-    mapInPandas shape as :func:`add_hyperplane_buckets`; the matmul
+    + 0.5) > 0 ] with md5-derived ±1 signs, one row per table per
+    vector; the n_tables independent tables give OR-amplified recall
+    (a pair is a candidate if ANY table agrees).  The projection is
+    an Arrow-batched numpy matmul in ``mapInPandas`` (per row a
+    dim x n_planes*n_tables GEMV); the payload vector is
+    deliberately NOT carried through — the bucket table is 12 bytes
+    a row and the re-rank joins embeddings back by id.  The matmul
     is int64, so there is no float accumulation order to diverge."""
     import numpy as np
 
+    quant = _ANN_QUANT  # bind as locals: the closure must reference
+
     def project(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        # no module globals — a module-level reference would make
+        # cloudpickle ship the closure BY REFERENCE and require the
+        # package importable on every python worker (the round-3
+        # pixel-helper / round-4 WAV-closure bug class, caught again
+        # by the round-7 TZ probe).  Everything the worker needs is
+        # defined or bound locally.
+        import hashlib
+
+        def sign(t: int, p: int, d: int) -> int:
+            h = int(
+                hashlib.md5(
+                    f"annp:{t}:{p}:{d}".encode()
+                ).hexdigest()[:7],
+                16,
+            )
+            return 1 if h % 2 == 1 else -1
+
         signs = None
         weights = 1 << np.arange(n_planes)
         for pdf in batches:
             if len(pdf) == 0:
                 continue
             mat = np.vstack(pdf[vec_col].to_numpy()).astype("float64")
-            q = np.floor(mat * _ANN_QUANT + 0.5).astype("int64")
+            q = np.floor(mat * quant + 0.5).astype("int64")
             if signs is None:
                 dim = mat.shape[1]
                 signs = np.array(
                     [
                         [
-                            _rademacher_sign(c // n_planes, c % n_planes, d)
+                            sign(c // n_planes, c % n_planes, d)
                             for c in range(n_planes * n_tables)
                         ]
                         for d in range(dim)
@@ -263,6 +225,40 @@ def add_rademacher_buckets(
     )
 
 
+def _rademacher_buckets_sql() -> str:
+    """Shared DuckDB CTE chain reproducing add_rademacher_buckets:
+    md5-sign planes, int64 quantization, exact projections, bucket
+    bits — ends with a ``buckets(vec_id, table_idx, bucket)`` CTE.
+    Reused by every oracle over the portable sign-projection LSH
+    (similarity_ann_lsh, dedup_embedding_ann,
+    contrastive_pair_mining)."""
+    return f"""planes AS MATERIALIZED (
+      SELECT t, p, d,
+             CASE WHEN CAST(('0x' || substr(
+                      md5('annp:' || t || ':' || p || ':' || d), 1, 7))
+                    AS BIGINT) % 2 = 1
+                  THEN 1 ELSE -1 END AS s
+      FROM generate_series(0, {N_TABLES - 1}) g1(t),
+           generate_series(0, {N_PLANES - 1}) g2(p),
+           generate_series(0, 63) g3(d)
+    ), qn AS MATERIALIZED (
+      SELECT vec_id, g.d,
+             CAST(floor(CAST(embedding[g.d + 1] AS DOUBLE)
+                        * {_ANN_QUANT} + 0.5) AS BIGINT) AS eq
+      FROM embeddings, generate_series(0, 63) g(d)
+    ), proj AS (
+      SELECT qn.vec_id, pl.t, pl.p,
+             SUM(pl.s * qn.eq) AS sproj
+      FROM qn JOIN planes pl ON qn.d = pl.d
+      GROUP BY 1, 2, 3
+    ), buckets AS MATERIALIZED (
+      SELECT vec_id, t AS table_idx,
+             CAST(SUM(CASE WHEN sproj > 0 THEN (1 << p) ELSE 0 END)
+                  AS INT) AS bucket
+      FROM proj GROUP BY 1, 2
+    )"""
+
+
 def _ann_lsh_oracle() -> str:
     """DuckDB reproduction of the full portable ANN path: signs,
     quantization, bucket bits, candidate join, exact-cosine re-rank
@@ -272,31 +268,7 @@ def _ann_lsh_oracle() -> str:
     nrm = "sqrt(list_sum(list_transform({v}, y -> CAST(y AS DOUBLE) * CAST(y AS DOUBLE))))"
     cos = f"{dot} / ({nrm.format(v='qe.embedding')} * {nrm.format(v='ne.embedding')})"
     return f"""
-    WITH planes AS MATERIALIZED (
-      SELECT t, p, d,
-             CASE WHEN CAST(('0x' || substr(
-                      md5('annp:' || t || ':' || p || ':' || d), 1, 7))
-                    AS BIGINT) % 2 = 1
-                  THEN 1 ELSE -1 END AS s
-      FROM generate_series(0, {N_TABLES - 1}) g1(t),
-           generate_series(0, {N_PLANES - 1}) g2(p),
-           generate_series(0, 63) g3(d)
-    ), q AS MATERIALIZED (
-      SELECT vec_id, g.d,
-             CAST(floor(CAST(embedding[g.d + 1] AS DOUBLE)
-                        * {_ANN_QUANT} + 0.5) AS BIGINT) AS eq
-      FROM embeddings, generate_series(0, 63) g(d)
-    ), proj AS (
-      SELECT q.vec_id, pl.t, pl.p,
-             SUM(pl.s * q.eq) AS sproj
-      FROM q JOIN planes pl ON q.d = pl.d
-      GROUP BY 1, 2, 3
-    ), buckets AS MATERIALIZED (
-      SELECT vec_id, t AS table_idx,
-             CAST(SUM(CASE WHEN sproj > 0 THEN (1 << p) ELSE 0 END)
-                  AS INT) AS bucket
-      FROM proj GROUP BY 1, 2
-    ), cand AS (
+    WITH {_rademacher_buckets_sql()}, cand AS (
       SELECT DISTINCT qb.vec_id AS query_id, nb.vec_id AS neighbor_id
       FROM buckets qb
       JOIN buckets nb ON qb.table_idx = nb.table_idx
@@ -442,7 +414,7 @@ def ann_pairs_lsh(
     corpus has no degenerate buckets) enables the hot-bucket guard
     (:func:`cap_bucket_sizes`) a boilerplate-heavy real corpus needs.
     """
-    bucketed = add_hyperplane_buckets(
+    bucketed = add_rademacher_buckets(
         emb, id_col=id_col, vec_col=vec_col,
         n_planes=n_planes, n_tables=n_tables,
     )
@@ -1391,7 +1363,7 @@ def mine_contrastive_pairs(
     re-rank the dedup tier runs (no extra scan, no cross join); the
     middle band (ambiguous similarity) is deliberately dropped.
     """
-    bucketed = add_hyperplane_buckets(
+    bucketed = add_rademacher_buckets(
         emb, id_col=id_col, vec_col=vec_col
     ).localCheckpoint()
     a, b = bucketed.alias("a"), bucketed.alias("b")
@@ -1436,9 +1408,28 @@ def mine_contrastive_pairs(
 
 @query(
     "contrastive_pair_mining",
-    oracle=None,  # LSH bucket collisions are model-dependent; golden
-    # pin + class-property pytest (positives/hard-negs verified
-    # against exact cosine)
+    oracle=f"""
+    WITH {_rademacher_buckets_sql()}, cand AS (
+      SELECT DISTINCT a.vec_id AS id_a, b.vec_id AS id_b
+      FROM buckets a
+      JOIN buckets b ON a.table_idx = b.table_idx
+                    AND a.bucket = b.bucket
+                    AND a.vec_id < b.vec_id
+    ), scored AS (
+      SELECT c.id_a, c.id_b,
+             {_COS_DOUBLE_SQL.format(a='qe.embedding', b='ne.embedding')}
+               AS cos_raw
+      FROM cand c
+      JOIN embeddings qe ON c.id_a = qe.vec_id
+      JOIN embeddings ne ON c.id_b = ne.vec_id
+    )
+    SELECT id_a AS anchor_id, id_b AS other_id,
+           CASE WHEN cos_raw >= {POS_COS} THEN 'positive'
+                ELSE 'hard_negative' END AS pair_type,
+           ROUND(cos_raw, 4) AS cos_sim
+    FROM scored
+    WHERE cos_raw >= {POS_COS} OR cos_raw <= {HARD_NEG_COS}
+    """,
     description="Contrastive training-pair mining for embedding "
     "models: ONE LSH candidate pass yields both positives (bucket "
     "pairs with cosine >= 0.35, to pull together) and hard "
@@ -1446,7 +1437,10 @@ def mine_contrastive_pairs(
     "true cosine <= 0.05 — to push apart; random negatives are "
     "trivially separable, bucket-collided ones are the informative "
     "ones).  No extra scan over the dedup tier's join, no cross "
-    "join.",
+    "join.  Round 7: rides the PORTABLE sign-projection buckets "
+    "(md5-Rademacher x int64-quantized vectors), so candidates and "
+    "both pair classes are DuckDB-differential — the golden pin "
+    "retired.",
 )
 def contrastive_pair_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select(

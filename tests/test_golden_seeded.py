@@ -35,15 +35,15 @@ SEEDED_QUERIES = [
     # list — their hashing is now portable (md5 + universal-hash
     # arithmetic), so the full pipelines are DuckDB-oracle-checked in
     # test_oracle_differential instead of golden-pinned.
-    # round 7: similarity_ann_lsh moved OUT — its bucketing is now
-    # the portable md5-Rademacher sign projection over int64-quantized
-    # vectors, so the full ANN path is DuckDB-oracle-checked.
+    # round 7: similarity_ann_lsh, dedup_embedding_ann and
+    # contrastive_pair_mining moved OUT — their bucketing is now the
+    # portable md5-Rademacher sign projection over int64-quantized
+    # vectors, so the full LSH-ANN paths are DuckDB-oracle-checked.
     "similarity_pq",
     # pinned in round 4: the remaining no-oracle entries
     "approx_sketches",       # HLL++/quantile sketches, engine-deterministic
     "hll_sketch_merge",      # sketch merge == whole, engine-deterministic
     "multimodal_audio_segments",  # deterministic synthetic PCM math
-    "dedup_embedding_ann",   # seeded hyperplane LSH candidates
     "similarity_ivf",        # seeded kmeans coarse quantizer
     "similarity_ivf_persisted",  # same model, persisted-probe path
     "similarity_ivfpq",      # both quantizers composed (round 4)
@@ -53,7 +53,6 @@ SEEDED_QUERIES = [
     # planted pytest in test_extensions.py.
     "image_neardup_dhash",   # deterministic synth images + dHash (round 4)
     "video_scene_detect",    # planted scene cuts, frame-diff detection (round 4)
-    "contrastive_pair_mining",  # LSH-bucket positives/hard-negatives (round 4)
     "compression_ratio_quality",  # zlib level-6 ratios, deterministic (round 5)
     "audio_spectral_centroid",    # deterministic rFFT over synth PCM (round 5)
     "boruvka_msf",  # unique forest (distinct edge costs); also Kruskal-pinned (round 5)
