@@ -266,6 +266,62 @@ def _mh_band_hash_spark(sig: F.Column, bi: int, band_size: int) -> F.Column:
     ).cast("long")
 
 
+def _mh_perm(a: int, b: int):
+    # closure factory: PySpark counts default-bound params as lambda
+    # arguments, so `lambda h, a=a: ...` would register as a 2-ary
+    # higher-order function
+    return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
+
+
+# sf_dir -> (TemporaryDirectory handle, path): the portable
+# (doc_id, source, sh, sig) table — md5-hashed shingles plus the
+# 32-permutation MinHash signature — computed ONCE per (session,
+# corpus) and parquet-backed.  Three catalog queries consume it
+# (dedup_minhash_lsh, dedup_minhash_incremental, and the calibration
+# audit builds the same construction); at 100 TB this is the
+# signature table a pipeline PERSISTS next to the corpus, not
+# recomputes per consumer.
+_PORTABLE_SIG_CACHE: dict[str, tuple] = {}
+
+
+def portable_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import tempfile
+
+    hit = _PORTABLE_SIG_CACHE.get(sf_dir)
+    if hit is not None:
+        return spark.read.parquet(hit[1])
+    docs = read_table(spark, sf_dir, "documents")
+    # staged selects (tokens -> shingles -> hashes) keep each
+    # expensive tree single-evaluation (no CSE inside projections)
+    t = (
+        docs.select("doc_id", "source", tokens("text").alias("_tk"))
+        .select(
+            "doc_id",
+            "source",
+            shingles_from_tokens(F.col("_tk")).alias("_shs"),
+        )
+        .select(
+            "doc_id", "source", md5_hashed_shingles(F.col("_shs")).alias("sh")
+        )
+    )
+    sig = t.select(
+        "doc_id",
+        "source",
+        "sh",
+        F.array(
+            *[
+                F.array_min(F.transform(F.col("sh"), _mh_perm(a, b)))
+                for a, b in _MH_AB
+            ]
+        ).alias("sig"),
+    )
+    tmp = tempfile.TemporaryDirectory(prefix="spark_mh_sig_")
+    path = tmp.name + "/sig"
+    sig.write.mode("overwrite").parquet(path)
+    _PORTABLE_SIG_CACHE[sf_dir] = (tmp, path)
+    return spark.read.parquet(path)
+
+
 def _minhash_lsh_oracle() -> str:
     sig_items = ", ".join(
         f"list_min(list_transform(sh, h -> (h * {a} + {b}) % {_MH_PRIME}))"
@@ -324,35 +380,12 @@ def _minhash_lsh_oracle() -> str:
     "differential-checked, not just recall-tested.",
 )
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    # portable md5-hashed shingles (array<long>), materialized once;
-    # reused by the signature stage and both Jaccard verify sides.
-    # Staged selects (tokens -> shingles -> hashes) keep each
-    # expensive tree single-evaluation (no CSE inside projections).
-    t = (
-        docs.select("doc_id", tokens("text").alias("_tk"))
-        .select("doc_id", shingles_from_tokens(F.col("_tk")).alias("_shs"))
-        .select("doc_id", md5_hashed_shingles(F.col("_shs")).alias("sh"))
-        .localCheckpoint()
-    )
-    # signature table materialized before banding (band hashes index
-    # into sig 4x8 times; inlining would re-evaluate the 32-min tree
-    # per reference)
-    def perm(a: int, b: int):
-        # closure factory: PySpark counts default-bound params as
-        # lambda arguments, so `lambda h, a=a: ...` would register as
-        # a 2-ary higher-order function
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
-
-    sig = t.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("sh"), perm(a, b)))
-                for a, b in _MH_AB
-            ]
-        ).alias("sig"),
-    ).localCheckpoint()
+    # the portable (sh, sig) table is computed once per (session,
+    # corpus) and parquet-backed — shared with the incremental probe;
+    # the parquet scan replaces the per-query localCheckpoints
+    cached = portable_sig_table(spark, sf_dir)
+    t = cached.select("doc_id", "sh")
+    sig = cached.select("doc_id", "sig")
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -576,37 +609,14 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    docs = read_table(spark, sf_dir, "documents")
-    # portable md5-hashed shingles, staged exactly like
-    # dedup_minhash_lsh (tokens -> shingles -> md5 buckets)
-    shingled = (
-        docs.select("doc_id", "source", tokens("text").alias("_tk"))
-        .select(
-            "doc_id",
-            "source",
-            shingles_from_tokens(F.col("_tk")).alias("_shs"),
-        )
-        .select(
-            "doc_id", "source", md5_hashed_shingles(F.col("_shs")).alias("sh")
-        )
-        .localCheckpoint()
-    )
+    # the portable (sh, sig) table is shared with dedup_minhash_lsh
+    # (one signature pass per session per corpus)
+    shingled = portable_sig_table(spark, sf_dir)
     snapshot = shingled.filter(F.col("source") != "src0")
     incoming = shingled.filter(F.col("source") == "src0")
 
     def portable_bands(side: DataFrame) -> DataFrame:
-        def perm(a: int, b: int):
-            return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
-
-        sig = side.select(
-            "doc_id",
-            F.array(
-                *[
-                    F.array_min(F.transform(F.col("sh"), perm(a, b)))
-                    for a, b in _MH_AB
-                ]
-            ).alias("sig"),
-        )
+        sig = side.select("doc_id", "sig")
         return sig.select(
             "doc_id",
             F.explode(
@@ -1359,26 +1369,11 @@ def _minhash_calibration_oracle() -> str:
     "against DuckDB.",
 )
 def minhash_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
-    t = (
-        docs.select("doc_id", tokens("text").alias("_tk"))
-        .select("doc_id", shingles_from_tokens(F.col("_tk")).alias("_shs"))
-        .select("doc_id", md5_hashed_shingles(F.col("_shs")).alias("sh"))
-        .localCheckpoint()
-    )
-
-    def perm(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
-
-    sig = t.select(
-        "doc_id",
-        F.array(
-            *[
-                F.array_min(F.transform(F.col("sh"), perm(a, b)))
-                for a, b in _MH_AB
-            ]
-        ).alias("sig"),
-    ).localCheckpoint()
+    # shares the session-cached portable signature table with
+    # dedup_minhash_lsh / dedup_minhash_incremental
+    cached = portable_sig_table(spark, sf_dir)
+    t = cached.select("doc_id", "sh")
+    sig = cached.select("doc_id", "sig")
     bands = sig.select(
         "doc_id",
         F.explode(
@@ -1540,10 +1535,16 @@ def _containment_oracle() -> str:
 )
 def excerpt_containment_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
-    base = docs.select("doc_id", tokens("text").alias("tk"))
-    full = base.select(F.col("doc_id").alias("id"), "tk")
-    exc = base.filter(F.col("doc_id") % 5 == 0).select(
+    # full-doc shingle sets come from the shared session cache; only
+    # the planted excerpts (20% of docs) compute shingles fresh
+    full_sh = portable_sig_table(spark, sf_dir).select(
+        F.col("doc_id").alias("id"), "sh"
+    )
+    exc = docs.filter(F.col("doc_id") % 5 == 0).select(
         (F.col("doc_id") + _EXC_ID_BASE).alias("id"),
+        tokens("text").alias("tk"),
+    ).select(
+        "id",
         F.slice(
             F.col("tk"),
             1,
@@ -1553,25 +1554,28 @@ def excerpt_containment_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).cast("int"),
         ).alias("tk"),
     )
-    corpus = (
-        full.unionAll(exc)
-        .select("id", shingles_from_tokens(F.col("tk")).alias("_shs"))
-        .select("id", md5_hashed_shingles(F.col("_shs")).alias("sh"))
-        .localCheckpoint()
-    )
+    exc_sh = exc.select(
+        "id", shingles_from_tokens(F.col("tk")).alias("_shs")
+    ).select("id", md5_hashed_shingles(F.col("_shs")).alias("sh"))
+    corpus = full_sh.unionAll(exc_sh).localCheckpoint()
 
-    def perm(a: int, b: int):
-        return lambda h: (h * F.lit(a) + F.lit(b)) % F.lit(_MH_PRIME)
-
-    sig = corpus.select(
+    # full-doc SIGNATURES also come from the cache; only the excerpt
+    # side runs the 32-permutation min fold
+    exc_sig = exc_sh.select(
         "id",
         F.array(
             *[
-                F.array_min(F.transform(F.col("sh"), perm(a, b)))
+                F.array_min(F.transform(F.col("sh"), _mh_perm(a, b)))
                 for a, b in _MH_AB
             ]
         ).alias("sig"),
-    ).localCheckpoint()
+    )
+    sig = (
+        portable_sig_table(spark, sf_dir)
+        .select(F.col("doc_id").alias("id"), "sig")
+        .unionAll(exc_sig)
+        .localCheckpoint()
+    )
     bands = sig.select(
         "id",
         F.explode(
