@@ -287,7 +287,18 @@ _PORTABLE_SIG_CACHE: dict[str, tuple] = {}
 def portable_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    hit = _PORTABLE_SIG_CACHE.get(sf_dir)
+    from dados_publicos_etl_spark.tmpstore import (
+        CACHE_LOCK,
+        corpus_fingerprint,
+    )
+
+    # keyed on the corpus fingerprint and populated under the shared
+    # lock (round-8 ADVICE fix): a regenerated corpus misses instead
+    # of serving a stale snapshot; concurrent first calls do not
+    # double-compute and leak a TemporaryDirectory
+    key = (sf_dir, corpus_fingerprint(sf_dir, "documents"))
+    with CACHE_LOCK:
+        hit = _PORTABLE_SIG_CACHE.get(key)
     if hit is not None:
         return spark.read.parquet(hit[1])
     docs = read_table(spark, sf_dir, "documents")
@@ -318,8 +329,9 @@ def portable_sig_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.TemporaryDirectory(prefix="spark_mh_sig_")
     path = tmp.name + "/sig"
     sig.write.mode("overwrite").parquet(path)
-    _PORTABLE_SIG_CACHE[sf_dir] = (tmp, path)
-    return spark.read.parquet(path)
+    with CACHE_LOCK:
+        stored = _PORTABLE_SIG_CACHE.setdefault(key, (tmp, path))
+    return spark.read.parquet(stored[1])
 
 
 def _minhash_lsh_oracle() -> str:
@@ -634,16 +646,29 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("band"),
         ).select("doc_id", "band.band_idx", "band.band_hash")
 
-    key = (sf_dir, "portable", _MH_PRIME)
-    hit = _MINHASH_INDEX_CACHE.get(key)
+    from dados_publicos_etl_spark.tmpstore import (
+        CACHE_LOCK,
+        corpus_fingerprint,
+    )
+
+    key = (
+        sf_dir,
+        corpus_fingerprint(sf_dir, "documents"),
+        "portable",
+        _MH_PRIME,
+    )
+    with CACHE_LOCK:
+        hit = _MINHASH_INDEX_CACHE.get(key)
     if hit is None:
         tmp = tempfile.TemporaryDirectory(prefix="spark_minhash_index_")
         path = tmp.name + "/index"
         portable_bands(snapshot).write.mode("overwrite").parquet(path)
         index_df = spark.read.parquet(path)
-        _MINHASH_INDEX_CACHE[key] = (tmp, path, index_df)
-    else:
-        index_df = hit[2]
+        with CACHE_LOCK:
+            hit = _MINHASH_INDEX_CACHE.setdefault(
+                key, (tmp, path, index_df)
+            )
+    index_df = hit[2]
 
     inc_bands = portable_bands(incoming).select(
         F.col("doc_id").alias("incoming_id"), "band_idx", "band_hash"
@@ -1015,7 +1040,9 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     emb = read_table(spark, sf_dir, "embeddings").select(
         "vec_id", "label", "embedding"
     )
-    pairs = ann_pairs_lsh(emb, threshold=0.35)
+    from dados_publicos_etl_spark.operators.similarity import EMBED_DIM
+
+    pairs = ann_pairs_lsh(emb, threshold=0.35, expect_dim=EMBED_DIM)
     # duplicate = appears as the LARGER id of any confirmed pair
     dup_ids = pairs.select(F.col("vec_id_b").alias("vec_id")).distinct()
     return emb.join(dup_ids, "vec_id", "left_anti").select(

@@ -867,12 +867,82 @@ _MSF_JUMPS = 8        # fixed pointer-jump depth: collapses nomination
                       # "self-join chain degradation"
 
 
+def _boruvka_oracle() -> str:
+    """Unrolled Boruvka rounds as a CTE chain (round-8 conversion,
+    verdict #3 — completing the k-core/k-truss MATERIALIZED-CTE
+    family so all 14 iterative algorithms are differential): per
+    round a cross-component edge stamp, a per-component best-edge
+    nomination (ROW_NUMBER over the globally-unique cost
+    (w DESC, u, v) — exactly the engine's min-struct on (-w, u, v)),
+    the conjoined-tree parent relation with the mutual pair broken
+    toward the smaller id, _MSF_JUMPS pointer-jump CTEs (chains
+    cannot exceed the per-round nomination count, so the fixed depth
+    reaches the same idempotent map the engine's jump batches do),
+    and the label re-stamp.  Identity rounds after contraction
+    completes are empty CTEs, mirroring the engine's early exit."""
+    parts = [f"""
+    WITH edges AS MATERIALIZED (
+      SELECT a.l_partkey AS u, b.l_partkey AS v,
+             CAST(COUNT(*) AS BIGINT) AS w
+      FROM lineitem a JOIN lineitem b
+        ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+      GROUP BY 1, 2
+      HAVING COUNT(*) >= {_KC_MIN_ORDERS}
+    ), labels0 AS MATERIALIZED (
+      SELECT DISTINCT node, node AS label FROM (
+        SELECT u AS node FROM edges UNION ALL SELECT v AS node FROM edges)
+    )"""]
+    for r in range(1, _MSF_MAX_ROUNDS + 1):
+        parts.append(f""", cross{r} AS (
+      SELECT e.u, e.v, e.w, lu.label AS cu, lv.label AS cv
+      FROM edges e JOIN labels{r - 1} lu ON e.u = lu.node
+                   JOIN labels{r - 1} lv ON e.v = lv.node
+      WHERE lu.label <> lv.label
+    ), nom{r} AS MATERIALIZED (
+      SELECT comp, u AS eu, v AS ev, w AS ew, cu AS ecu, cv AS ecv
+      FROM (
+        SELECT comp, u, v, w, cu, cv,
+               ROW_NUMBER() OVER (PARTITION BY comp
+                                  ORDER BY w DESC, u, v) AS rk
+        FROM (SELECT cu AS comp, u, v, w, cu, cv FROM cross{r}
+              UNION ALL
+              SELECT cv AS comp, u, v, w, cu, cv FROM cross{r})
+      ) WHERE rk = 1
+    ), par{r}_0 AS MATERIALIZED (
+      SELECT comp,
+             CASE WHEN comp = ecu THEN ecv ELSE ecu END AS parent
+      FROM nom{r}
+    ), par{r}_b AS MATERIALIZED (
+      SELECT p.comp,
+             CASE WHEN q.parent = p.comp AND p.parent > p.comp
+                  THEN p.comp ELSE p.parent END AS parent
+      FROM par{r}_0 p LEFT JOIN par{r}_0 q ON p.parent = q.comp
+    )""")
+        prev = f"par{r}_b"
+        for j in range(1, _MSF_JUMPS + 1):
+            parts.append(f""", par{r}_{j} AS MATERIALIZED (
+      SELECT p.comp, COALESCE(h.parent, p.parent) AS parent
+      FROM {prev} p LEFT JOIN {prev} h ON p.parent = h.comp
+    )""")
+            prev = f"par{r}_{j}"
+        parts.append(f""", labels{r} AS MATERIALIZED (
+      SELECT l.node, COALESCE(m.parent, l.label) AS label
+      FROM labels{r - 1} l LEFT JOIN {prev} m ON l.label = m.comp
+    )""")
+    unions = "\n      UNION ALL ".join(
+        f"SELECT DISTINCT eu AS u, ev AS v, ew AS w, "
+        f"CAST({r} AS INT) AS round_added FROM nom{r}"
+        for r in range(1, _MSF_MAX_ROUNDS + 1)
+    )
+    parts.append(f"""
+    {unions}
+    """)
+    return "".join(parts)
+
+
 @query(
     "boruvka_msf",
-    oracle=None,  # running connectivity state is not expressible in
-    # portable SQL (Kruskal needs union-find); pinned instead by an
-    # independent python-Kruskal EXACT-equality pytest + spanning
-    # properties (tests/test_extensions.py)
+    oracle=_boruvka_oracle(),
     description="Maximum spanning forest of the part co-purchase "
     "graph by Boruvka rounds: every component nominates its "
     "strongest incident edge (one min-struct aggregate), nominated "
@@ -881,8 +951,11 @@ _MSF_JUMPS = 8        # fixed pointer-jump depth: collapses nomination
     "per-contraction convergence actions), O(log V) rounds total.  "
     "Globally-unique edge costs (-w, u, v) make the forest UNIQUE, "
     "so the pytest pins the exact edge set against an independent "
-    "Kruskal.  Seventh iterative algorithm; the product-affinity "
-    "backbone of recommendation pipelines.",
+    "Kruskal — and since round 8 the unrolled-round MATERIALIZED-CTE "
+    "oracle replays the whole contraction in DuckDB (nomination, "
+    "mutual-pair rooting, pointer jumps, label re-stamp), making all "
+    "14 iterative algorithms differential-checked.  The "
+    "product-affinity backbone of recommendation pipelines.",
 )
 def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boruvka spanning forest (maximum-weight orientation).
@@ -1549,9 +1622,13 @@ def _truss_oracle() -> str:
 
 def _truss_peel_once(edges: DataFrame) -> DataFrame:
     """One Spark peel round over the (tiny, a<b oriented) edge set."""
+    # no broadcast hint on the edge table (round-8 ADVICE fix): a
+    # real co-purchase edge set is not executor-broadcast-sized; AQE
+    # picks broadcast at test scale from the checkpointed size stats
+    # and falls back to shuffle joins at corpus scale
     e1 = edges.alias("e1")
-    e2 = F.broadcast(edges.alias("e2"))
-    e3 = F.broadcast(edges.alias("e3"))
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.a") == F.col("e1.b"))
         .join(
@@ -1603,17 +1680,36 @@ def k_truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dados_publicos_etl_spark.plans.mining import _co_edges
 
     edges = _co_edges(spark, sf_dir).localCheckpoint()
+    converged = False
     for _ in range(_TRUSS_ROUNDS):
         nxt = _truss_peel_once(edges).localCheckpoint()
         # fixpoint early-exit: a converged set peels to itself, so
         # skipping the remaining no-op rounds cannot change the result
         if nxt.count() == edges.count():
             edges = nxt
+            converged = True
             break
         edges = nxt
+    if not converged and _truss_peel_once(edges).count() != edges.count():
+        # Surface non-convergence LOUDLY (round-8 ADVICE fix): on a
+        # graph needing more rounds, Spark and the oracle still agree
+        # (same truncated recurrence) but the output would no longer
+        # be the true k-truss the query claims — raise rather than
+        # silently ship it.  The probe costs one extra peel count and
+        # runs only when the unroll budget was exhausted (never at
+        # the tested scale factors, whose fixpoints sit at 4-6).
+        raise RuntimeError(
+            f"k-truss did not converge within _TRUSS_ROUNDS="
+            f"{_TRUSS_ROUNDS}; raise the unroll depth (engine AND "
+            "oracle share the constant)"
+        )
+    # no broadcast hint on the edge table (round-8 ADVICE fix): a
+    # real co-purchase edge set is not executor-broadcast-sized; AQE
+    # picks broadcast at test scale from the checkpointed size stats
+    # and falls back to shuffle joins at corpus scale
     e1 = edges.alias("e1")
-    e2 = F.broadcast(edges.alias("e2"))
-    e3 = F.broadcast(edges.alias("e3"))
+    e2 = edges.alias("e2")
+    e3 = edges.alias("e3")
     tri = (
         e1.join(e2, F.col("e2.a") == F.col("e1.b"))
         .join(

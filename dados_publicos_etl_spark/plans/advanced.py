@@ -1846,7 +1846,14 @@ _HP_PRIORITY = "1-URGENT"
 def _hive_orders_dir(spark: SparkSession, sf_dir: str) -> str:
     import tempfile
 
-    hit = _HIVE_DIRS.get(sf_dir)
+    from dados_publicos_etl_spark.tmpstore import (
+        CACHE_LOCK,
+        corpus_fingerprint,
+    )
+
+    key = (sf_dir, corpus_fingerprint(sf_dir, "orders"))
+    with CACHE_LOCK:
+        hit = _HIVE_DIRS.get(key)
     if hit is not None:
         return hit[1]
     tmp = tempfile.TemporaryDirectory(prefix="spark_hive_orders_")
@@ -1865,8 +1872,9 @@ def _hive_orders_dir(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("o_orderpriority")
         .parquet(path)
     )
-    _HIVE_DIRS[sf_dir] = (tmp, path)
-    return path
+    with CACHE_LOCK:
+        stored = _HIVE_DIRS.setdefault(key, (tmp, path))
+    return stored[1]
 
 
 @query(

@@ -19,6 +19,7 @@ import dados_publicos_etl_spark.operators.text  # noqa: F401
 import dados_publicos_etl_spark.operators.webprep  # noqa: F401
 import dados_publicos_etl_spark.plans.advanced  # noqa: F401
 import dados_publicos_etl_spark.plans.events  # noqa: F401
+import dados_publicos_etl_spark.plans.maintenance  # noqa: F401
 import dados_publicos_etl_spark.plans.mining  # noqa: F401
 import dados_publicos_etl_spark.plans.relational  # noqa: F401
 import dados_publicos_etl_spark.plans.scoring  # noqa: F401

@@ -1679,9 +1679,21 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
 # Personalized PageRank (seeded restart) over the co-purchase graph
 # ---------------------------------------------------------------------------
 
-_PPR_DAMP = 0.85
+_PPR_DAMP_NUM, _PPR_DAMP_DEN = 85, 100  # damping 0.85, kept rational
 _PPR_ROUNDS = 4
 _PPR_TOPK = 15
+# Integer fixed-point scale (round-8 ADVICE fix): ranks are
+# maintained as exact int64 "rank units" (1e9 per unit of mass), the
+# per-edge spread is one integer floor division
+# (pr * 85) // (100 * deg), and the contribution sum is an integer
+# aggregate — ORDER-INDEPENDENT, unlike the previous double SUM whose
+# partial-aggregation order differed between engines and relied on
+# 6-dp rounding to absorb the drift.  The recurrence is defined ON
+# the fixed-point integers (both engines run the identical one), and
+# the float appears only in the final display division of identical
+# int64 values.
+_PPR_SCALE = 1_000_000_000
+_PPR_RESTART_INT = (_PPR_DAMP_DEN - _PPR_DAMP_NUM) * _PPR_SCALE // _PPR_DAMP_DEN
 
 
 def _ppr_oracle() -> str:
@@ -1690,12 +1702,14 @@ def _ppr_oracle() -> str:
         steps.append(
             f"""ppr{k} AS MATERIALIZED (
       SELECT nodes.node,
-             (1 - {_PPR_DAMP})
-               * (CASE WHEN nodes.node = (SELECT s FROM seed)
-                       THEN 1.0 ELSE 0.0 END)
-             + {_PPR_DAMP} * COALESCE(c.contrib, 0) AS pr
+             (CASE WHEN nodes.node = (SELECT s FROM seed)
+                   THEN {_PPR_RESTART_INT} ELSE 0 END)
+             + COALESCE(c.contrib, 0) AS pr
       FROM nodes LEFT JOIN (
-        SELECT u.v AS node, SUM((1.0 / d.deg) * p.pr) AS contrib
+        SELECT u.v AS node,
+               CAST(SUM((p.pr * {_PPR_DAMP_NUM})
+                        // ({_PPR_DAMP_DEN} * d.deg)) AS BIGINT)
+                 AS contrib
         FROM und u
         JOIN ppr{k - 1} p ON u.u = p.node
         JOIN deg d ON u.u = d.u
@@ -1717,15 +1731,16 @@ def _ppr_oracle() -> str:
       SELECT MIN(node) AS s FROM nodes
     ), ppr0 AS (
       SELECT node,
-             CASE WHEN node = (SELECT s FROM seed)
-                  THEN 1.0 ELSE 0.0 END AS pr
+             CAST(CASE WHEN node = (SELECT s FROM seed)
+                  THEN {_PPR_SCALE} ELSE 0 END AS BIGINT) AS pr
       FROM nodes
     ),
     {chain}
-    SELECT node AS item, ROUND(pr, 6) AS ppr
+    SELECT node AS item,
+           ROUND(pr / {_PPR_SCALE}.0, 6) AS ppr
     FROM ppr{_PPR_ROUNDS}
     WHERE pr > 0
-    ORDER BY ppr DESC, item
+    ORDER BY pr DESC, item
     LIMIT {_PPR_TOPK}
     """
 
@@ -1734,7 +1749,8 @@ def _ppr_oracle() -> str:
     "ppr_seeded",
     oracle=_ppr_oracle(),
     description=f"Personalized PageRank ({_PPR_ROUNDS} power "
-    f"iterations, damping {_PPR_DAMP}, restart mass pinned to the "
+    f"iterations, damping {_PPR_DAMP_NUM}/{_PPR_DAMP_DEN}, restart "
+    "mass pinned to the "
     "minimum-id item) over the undirected co-purchase graph — the "
     "'related to THIS item' ranking behind item-page "
     "recommendations, where global PageRank answers the wrong "
@@ -1744,7 +1760,11 @@ def _ppr_oracle() -> str:
     "contribution sum over the bounded edge table; the restart "
     "vector concentrates (1-d) on the seed instead of spreading "
     "1/n, which is the ONLY change — teleport locality is what "
-    "personalizes the walk.  Oracle unrolls the identical "
+    "personalizes the walk.  Round 8: ranks are exact int64 "
+    "fixed-point (1e9 units of mass; per-edge spread is one integer "
+    "floor division), so the contribution sums are order-independent "
+    "and the differential no longer leans on 6-dp rounding to absorb "
+    "float-accumulation drift.  Oracle unrolls the identical integer "
     "recurrence into MATERIALIZED CTEs.  Fourteenth "
     "differential-checked iterative algorithm.",
 )
@@ -1756,31 +1776,47 @@ def ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
-    wund = und.join(F.broadcast(deg), "u").select(
-        "u", "v", (F.lit(1.0) / F.col("deg")).alias("w")
-    ).localCheckpoint()
+    dund = und.join(F.broadcast(deg), "u").localCheckpoint()
     nodes = und.select(F.col("u").alias("node")).distinct().localCheckpoint()
     seed = nodes.agg(F.min("node")).first()[0]
-    restart = F.when(F.col("node") == seed, 1.0).otherwise(0.0)
-    pr = nodes.select("node", restart.alias("pr"))
+    # exact int64 fixed-point ranks (round-8 ADVICE fix): the spread
+    # is an integer floor division per edge and the contribution sum
+    # an integer aggregate, so partial-aggregation order cannot move
+    # the result — no float appears until the final display division
+    # of identical integers on both engines
+    pr = nodes.select(
+        "node",
+        F.when(F.col("node") == seed, F.lit(_PPR_SCALE))
+        .otherwise(F.lit(0))
+        .cast("long")
+        .alias("pr"),
+    )
+    spread = F.expr(
+        f"(pr * {_PPR_DAMP_NUM}) div ({_PPR_DAMP_DEN} * deg)"
+    )
+    restart_int = (
+        F.when(F.col("node") == seed, F.lit(_PPR_RESTART_INT))
+        .otherwise(F.lit(0))
+        .cast("long")
+    )
     for _ in range(_PPR_ROUNDS):
         contrib = (
-            wund.join(F.broadcast(pr), wund.u == pr.node)
+            dund.join(F.broadcast(pr), dund.u == pr.node)
             .groupBy("v")
-            .agg(F.sum(F.col("w") * F.col("pr")).alias("contrib"))
+            .agg(F.sum(spread).alias("contrib"))
         )
         pr = nodes.join(
             F.broadcast(contrib), nodes.node == contrib.v, "left"
         ).select(
             "node",
-            (
-                F.lit(1 - _PPR_DAMP) * restart
-                + _PPR_DAMP * F.coalesce("contrib", F.lit(0.0))
-            ).alias("pr"),
+            (restart_int + F.coalesce("contrib", F.lit(0))).alias("pr"),
         )
     return (
         pr.filter(F.col("pr") > 0)
-        .orderBy(F.desc(F.round("pr", 6)), "node")
+        .orderBy(F.desc("pr"), "node")
         .limit(_PPR_TOPK)
-        .select(F.col("node").alias("item"), F.round("pr", 6).alias("ppr"))
+        .select(
+            F.col("node").alias("item"),
+            F.round(F.col("pr") / _PPR_SCALE, 6).alias("ppr"),
+        )
     )

@@ -650,7 +650,7 @@ def harmonic_centrality_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     # anti-join de-dup against closer levels (the NOT EXISTS shape)
     hop = (
         d1.alias("a")
-        .join(F.broadcast(und.alias("b")), F.col("a.v") == F.col("b.u"))
+        .join(und.alias("b"), F.col("a.v") == F.col("b.u"))
         .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()
@@ -658,7 +658,7 @@ def harmonic_centrality_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     d2 = hop.join(d1, ["u", "v"], "left_anti").localCheckpoint()
     hop3 = (
         d2.alias("a")
-        .join(F.broadcast(und.alias("b")), F.col("a.v") == F.col("b.u"))
+        .join(und.alias("b"), F.col("a.v") == F.col("b.u"))
         .select(F.col("a.u").alias("u"), F.col("b.v").alias("v"))
         .filter(F.col("u") != F.col("v"))
         .distinct()

@@ -520,12 +520,24 @@ def _ann_stream_query_dir(
     if hit is not None:
         return hit.name
     tmp = tempfile.TemporaryDirectory(prefix="spark_ann_stream_")
-    # two files => two micro-batches under maxFilesPerTrigger=1
+    # two files => two micro-batches under maxFilesPerTrigger=1.
+    # Each query row carries its Spark-SQL milli-quantized qq
+    # alongside the raw vector, so the probe's cell choice shares
+    # the one quantization site with the IVF oracle (round 8).
+    from dados_publicos_etl_spark.operators.similarity import (
+        _MILLI_QUANT_EXPR,
+    )
+
     for half in (0, 1):
         (
             emb.filter(
                 (F.col("vec_id") < n_queries)
                 & (F.col("vec_id") % 2 == half)
+            )
+            .select(
+                "vec_id",
+                F.col("embedding").cast("array<double>").alias("embedding"),
+                F.expr(_MILLI_QUANT_EXPR.format(v="embedding")).alias("qq"),
             )
             .coalesce(1)
             .write.mode("append")
@@ -570,7 +582,9 @@ def streaming_ann_probe(
     qdir = _ann_stream_query_dir(spark, emb, sf_dir, n_queries)
 
     stream = (
-        spark.readStream.schema("vec_id long, embedding array<double>")
+        spark.readStream.schema(
+            "vec_id long, embedding array<double>, qq array<long>"
+        )
         .option("maxFilesPerTrigger", 1)
         .parquet(qdir)
     )
@@ -587,7 +601,7 @@ def streaming_ann_probe(
     def probe_batch(bdf: DataFrame, bid: int) -> None:
         # query vectors per batch are a handful of rows (the serving
         # request), so this collect is request-scale, not data-scale
-        q = [(r.vec_id, r.embedding) for r in bdf.collect()]
+        q = [(r.vec_id, r.embedding, r.qq) for r in bdf.collect()]
         if q:
             res = probe_ivf_index(
                 spark, path, centroids, q, n_probe=4, k=5,
@@ -609,17 +623,24 @@ def streaming_ann_probe(
     )
 
 
+def _stream_ann_oracle() -> str:
+    from dados_publicos_etl_spark.operators.similarity import _ivf_oracle
+
+    return _ivf_oracle(qmax=10, n_cells=16, n_probe=4, k=5)
+
+
 @query(
     "stream_ann_probe",
-    oracle=None,  # kmeans cells are model-dependent; equality with
-    # the batch probe (and thus the similarity_ivf_persisted golden)
-    # pinned in pytest
+    oracle=_stream_ann_oracle(),
     description="Streaming ANN serving: a query-vector file stream "
     "probes the session-cached persisted IVF index per micro-batch "
     "(foreachBatch + partition-pruned reads) — the index is a "
     "static side built once per corpus snapshot; results are batch-"
     "split-invariant and equal the batch probe of the same query "
-    "set.",
+    "set.  Round 8: the portable integer quantizer makes the probe "
+    "DuckDB-differential (same oracle as similarity_ivf — streaming "
+    "delivery must not change the answer); batch-split invariance "
+    "stays pinned in pytest.",
 )
 def stream_ann_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     return streaming_ann_probe(spark, sf_dir)

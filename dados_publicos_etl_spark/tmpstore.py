@@ -20,7 +20,37 @@ removed atexit.
 from __future__ import annotations
 
 import atexit
+import os
 import tempfile
+import threading
+
+# Shared guard for the session-level build-once caches (portable
+# MinHash signatures, persisted LSH/IVF indexes, hive fixtures,
+# quantizer models): population is checked and written under this
+# lock so concurrent first calls do not double-compute and leak a
+# TemporaryDirectory handle (round-8 ADVICE fix).
+CACHE_LOCK = threading.Lock()
+
+
+def corpus_fingerprint(sf_dir: str | None, table: str | None = None):
+    """Best-effort identity of a corpus directory (or one table in
+    it): (mtime_ns, size) of the table's parquet if given, else of
+    the directory itself.  Session caches key on this next to the
+    path so a corpus REGENERATED under the same path misses the
+    cache instead of serving a stale snapshot."""
+    if not sf_dir:
+        return None
+    candidates = []
+    if table:
+        candidates.append(os.path.join(str(sf_dir), f"{table}.parquet"))
+    candidates.append(str(sf_dir))
+    for cand in candidates:
+        try:
+            st = os.stat(cand)
+            return (st.st_mtime_ns, st.st_size)
+        except OSError:
+            continue
+    return None
 
 
 class TempDirPool:

@@ -117,11 +117,13 @@ def test_rademacher_ann_topk_recall_on_planted_neardups(spark):
 
 
 def test_k_truss_rounds_reach_fixpoint(spark):
-    """The 3 unrolled truss peel rounds must reach the fixpoint on
-    the fixture graph: peeling the query's surviving edge set once
-    more removes nothing (the Boruvka idempotency discipline — a
-    4th round in the oracle would be a no-op, so the fixed unroll
-    count is exact, not an approximation)."""
+    """The _TRUSS_ROUNDS (=8) unrolled truss peel rounds must reach
+    the fixpoint on the fixture graph: peeling the query's surviving
+    edge set once more removes nothing (the Boruvka idempotency
+    discipline — extra oracle rounds past the fixpoint are no-ops,
+    so the fixed unroll count is exact, not an approximation; the
+    engine additionally RAISES if the budget is exhausted without
+    convergence)."""
     from dados_publicos_etl_spark.operators.graph import (
         _truss_peel_once,
         k_truss_edges,
@@ -1097,12 +1099,10 @@ def test_ivf_append_equals_full_rebuild(spark, tmp_path):
     snapshot = emb.filter("vec_id % 5 != 0")
     increment = emb.filter("vec_id % 5 = 0")
     # centroids trained once on the snapshot; FROZEN thereafter
-    centroids = _train_ivf_centroids(
-        snapshot, 16, "vec_id", "embedding", 42
-    )
+    centroids = _train_ivf_centroids(snapshot, 16, "vec_id", "embedding")
 
     def write(df, path):
-        cells = _assign_cells(df, centroids, "vec_id", "embedding")
+        cells = _assign_cells(df, *centroids, "vec_id", "embedding")
         (
             df.join(F.broadcast(cells), "vec_id")
             .write.mode("append")

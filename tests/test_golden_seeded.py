@@ -39,14 +39,16 @@ SEEDED_QUERIES = [
     # contrastive_pair_mining moved OUT — their bucketing is now the
     # portable md5-Rademacher sign projection over int64-quantized
     # vectors, so the full LSH-ANN paths are DuckDB-oracle-checked.
-    "similarity_pq",
+    # round 8: similarity_ivf, similarity_ivf_persisted, similarity_pq,
+    # similarity_ivfpq (and stream_ann_probe, pinned elsewhere) moved
+    # OUT — the IVF/PQ quantizers now train with integer-exact Lloyd
+    # over Spark-SQL milli-quantized vectors from a hash-ordered
+    # sample, so the full ANN paths are DuckDB-oracle-checked via
+    # unrolled Lloyd CTEs (the kmeans_lloyd_exact pattern).
     # pinned in round 4: the remaining no-oracle entries
     "approx_sketches",       # HLL++/quantile sketches, engine-deterministic
     "hll_sketch_merge",      # sketch merge == whole, engine-deterministic
     "multimodal_audio_segments",  # deterministic synthetic PCM math
-    "similarity_ivf",        # seeded kmeans coarse quantizer
-    "similarity_ivf_persisted",  # same model, persisted-probe path
-    "similarity_ivfpq",      # both quantizers composed (round 4)
     # round 7: dedup_minhash_incremental moved OUT — its hashing now
     # shares dedup_minhash_lsh's portable construction, so the probe
     # math is DuckDB-oracle-checked; the persisted-index IO keeps its
@@ -55,7 +57,10 @@ SEEDED_QUERIES = [
     "video_scene_detect",    # planted scene cuts, frame-diff detection (round 4)
     "compression_ratio_quality",  # zlib level-6 ratios, deterministic (round 5)
     "audio_spectral_centroid",    # deterministic rFFT over synth PCM (round 5)
-    "boruvka_msf",  # unique forest (distinct edge costs); also Kruskal-pinned (round 5)
+    # round 8: boruvka_msf moved OUT — the unrolled-round
+    # MATERIALIZED-CTE oracle (nomination, mutual-pair rooting,
+    # pointer jumps) makes it DuckDB-differential; the independent
+    # python-Kruskal equality pytest stays.
 ]
 
 
