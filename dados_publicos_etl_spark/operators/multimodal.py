@@ -588,18 +588,107 @@ def image_neardup_pairs(
     )
 
 
+# The oracle fixture scale: the driver's correctness corpus
+# (sf0.01, doc_id 0..499); smaller SFs are an id-prefix and the
+# fixture JOINs against documents, so extra ids drop out.  At 500
+# docs the engine's n_groups rule (max(50, n//10)) is 50 — baked
+# into the fixture generator below.
+_ORACLE_FIXTURE_DOCS = 500
+_ORACLE_FIXTURE_GROUPS = 50
+
+
+def _independent_dhash_fixture() -> list[tuple[int, int]]:
+    """INDEPENDENT reimplementation of synth-image dHashing for the
+    oracle fixture (round 8, verdict #6) — the python-Kruskal
+    discipline applied to the image modality: regenerate each doc's
+    pixels from the published recipe and re-derive the 64-bit dHash
+    WITHOUT calling synth_images/encode_ppm/decode_image/dhash64, so
+    the VALUES table the oracle consumes is a dual implementation,
+    not an engine export.  (The PPM encode/decode hop is byte-exact
+    uint8 and separately pytest-pinned, so skipping it here loses no
+    coverage.)  The banding, candidate join, and hamming re-rank —
+    the distributed part of the operator — then run as plain SQL in
+    the oracle."""
+    import numpy as np
+
+    out = []
+    base_cache: dict[int, object] = {}
+    for i in range(_ORACLE_FIXTURE_DOCS):
+        g = i % _ORACLE_FIXTURE_GROUPS
+        base = base_cache.get(g)
+        if base is None:
+            base = (
+                np.random.RandomState(17 + g)
+                .randint(0, 256, (IMG_H, IMG_W, 3))
+                .astype("uint8")
+            )
+            base_cache[g] = base
+        noise = np.random.RandomState(i)
+        n_flip = int(noise.randint(0, 40))
+        ys = noise.randint(0, IMG_H, n_flip)
+        xs = noise.randint(0, IMG_W, n_flip)
+        img = base.copy()
+        img[ys, xs] = 255 - img[ys, xs]
+        gray = img.astype("float64").mean(axis=2)
+        rows, cols = DHASH_BITS // 8, DHASH_BITS // 8 + 1
+        ri = np.minimum(
+            ((np.arange(rows) + 0.5) * IMG_H / rows).astype("int64"),
+            IMG_H - 1,
+        )
+        ci = np.minimum(
+            ((np.arange(cols) + 0.5) * IMG_W / cols).astype("int64"),
+            IMG_W - 1,
+        )
+        small = gray[ri][:, ci]
+        bits = (small[:, 1:] > small[:, :-1]).ravel()
+        hv = int.from_bytes(
+            np.packbits(bits, bitorder="little").tobytes(),
+            "little",
+            signed=True,
+        )
+        out.append((i, hv))
+    return out
+
+
+def _image_neardup_oracle() -> str:
+    vals = ", ".join(f"({i}, {h})" for i, h in _independent_dhash_fixture())
+    return f"""
+    WITH fixture(doc_id, dhash) AS (VALUES {vals}),
+    dh AS MATERIALIZED (
+      SELECT d.doc_id, f.dhash
+      FROM documents d JOIN fixture f ON d.doc_id = f.doc_id
+    ), bands AS MATERIALIZED (
+      SELECT doc_id, dhash, g.b AS band_idx,
+             CAST((dhash >> (8 * g.b)) & 255 AS INT) AS band_val
+      FROM dh, generate_series(0, {HAMMING_BANDS - 1}) g(b)
+    ), cand AS (
+      SELECT DISTINCT a.doc_id AS doc_id_a, b.doc_id AS doc_id_b,
+             a.dhash AS ha, b.dhash AS hb
+      FROM bands a JOIN bands b
+        ON a.band_idx = b.band_idx AND a.band_val = b.band_val
+       AND a.doc_id < b.doc_id
+    )
+    SELECT doc_id_a, doc_id_b,
+           CAST(bit_count(xor(ha, hb)) AS INT) AS hamming
+    FROM cand
+    WHERE bit_count(xor(ha, hb)) <= {HAMMING_MAX}
+    """
+
+
 @query(
     "image_neardup_dhash",
-    oracle=None,  # pixel decode + perceptual hash are not SQL-
-    # expressible; exact golden pin in tests/test_golden_seeded.py,
-    # planted-variant recall pinned in tests/test_extensions.py
+    oracle=_image_neardup_oracle,  # lazy: fixture regeneration is ~1 s
     description="Image near-dup dedup: synthesize a deterministic "
     "image per doc (50 shared base patterns + per-doc noise), decode "
     "+ 64-bit dHash in one Arrow pass (payload never shuffles), "
     "8-band hamming LSH for candidates (pigeonhole-complete at "
     "hamming <= 7), exact bit_count(XOR) re-rank at <= 6 — the "
     "banded-signature dedup discipline applied to the image "
-    "modality.",
+    "modality.  Round 8: DuckDB-differential via an INDEPENDENTLY "
+    "reimplemented dHash fixture (dual implementation, the "
+    "python-Kruskal discipline) joined to the corpus, with banding, "
+    "candidate join, and hamming re-rank replayed in SQL; the "
+    "pigeonhole-completeness and planted-recall pytests stay.",
 )
 def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skinny-id repartition: documents.parquet is one file => one
@@ -680,20 +769,29 @@ def _frame_cuts_pdf(
     pdf: pd.DataFrame, id_col: str, threshold: float
 ) -> pd.DataFrame:
     """Consecutive-frame mean-abs-diff cuts for ONE video's frames
-    (a sorted pandas frame) — shared by both detection entrypoints."""
+    (a sorted pandas frame) — shared by both detection entrypoints.
+
+    Round 8: the diff is an exact INTEGER sum of absolute pixel
+    deltas (SAD); the displayed 2-dp mean is integer
+    half-away-from-zero arithmetic and the cut compare is
+    sad > threshold * n_px — no float accumulation and no Python
+    ``round()`` (whose half-EVEN ties diverge from SQL ROUND at
+    dyadic boundaries like .125), so the DuckDB oracle reproduces
+    every value bit-for-bit."""
     import numpy as np
 
     pdf = pdf.sort_values("frame_idx")
-    imgs = [decode_image(bytes(p)).astype("float64") for p in pdf["payload"]]
+    imgs = [decode_image(bytes(p)).astype("int64") for p in pdf["payload"]]
     out = []
     for k in range(1, len(imgs)):
-        diff = float(np.abs(imgs[k] - imgs[k - 1]).mean())
+        sad = int(np.abs(imgs[k] - imgs[k - 1]).sum())
+        n_px = imgs[k].size
         out.append(
             (
                 int(pdf[id_col].iloc[0]),
                 int(pdf["frame_idx"].iloc[k]),
-                round(diff, 2),
-                diff > threshold,
+                ((100 * sad + n_px // 2) // n_px) / 100.0,
+                sad > threshold * n_px,
             )
         )
     return pd.DataFrame(
@@ -763,12 +861,19 @@ def synth_and_detect_cuts(
                     img = base.astype("uint8")
                     img[ys, xs] = 255 - img[ys, xs]
                     # byte-identical to synth_video_frames -> decode:
-                    # encode_ppm/decode_image round-trip is lossless
-                    cur = img.astype("float64")
+                    # encode_ppm/decode_image round-trip is lossless.
+                    # Integer SAD math (round 8): see _frame_cuts_pdf.
+                    cur = img.astype("int64")
                     if prev is not None:
-                        diff = float(np.abs(cur - prev).mean())
+                        sad = int(np.abs(cur - prev).sum())
+                        n_px = cur.size
                         rows.append(
-                            (int(i), fi, round(diff, 2), diff > threshold)
+                            (
+                                int(i),
+                                fi,
+                                ((100 * sad + n_px // 2) // n_px) / 100.0,
+                                sad > threshold * n_px,
+                            )
                         )
                     prev = cur
                 outs.extend(rows)
@@ -785,11 +890,70 @@ def synth_and_detect_cuts(
     )
 
 
+def _independent_video_sad_fixture() -> list[tuple[int, str]]:
+    """INDEPENDENT reimplementation of the synthetic-video frame
+    diffs for the oracle fixture (round 8, verdict #6): regenerate
+    each doc's 12 frames from the published recipe and compute the
+    11 consecutive-frame integer SADs without calling
+    synth_video_frames/synth_and_detect_cuts.  One compact CSV per
+    doc keeps the fixture SQL small; the thresholding and 2-dp
+    display math replay in SQL."""
+    import numpy as np
+
+    out = []
+    for i in range(_ORACLE_FIXTURE_DOCS):
+        rng = np.random.RandomState(900 + i)
+        n_cuts = int(rng.randint(1, 4))
+        cuts = {
+            int(x)
+            for x in rng.choice(range(2, N_FRAMES), n_cuts, replace=False)
+        }
+        scene, prev, sads = 0, None, []
+        for fi in range(N_FRAMES):
+            if fi in cuts:
+                scene += 1
+            base = np.random.RandomState(7001 + i * 17 + scene).randint(
+                0, 256, (IMG_H, IMG_W, 3)
+            )
+            drift = np.random.RandomState(i * 1000 + fi)
+            ys = drift.randint(0, IMG_H, 20)
+            xs = drift.randint(0, IMG_W, 20)
+            img = base.astype("uint8")
+            img[ys, xs] = 255 - img[ys, xs]
+            cur = img.astype("int64")
+            if prev is not None:
+                sads.append(int(np.abs(cur - prev).sum()))
+            prev = cur
+        out.append((i, ",".join(str(s) for s in sads)))
+    return out
+
+
+def _video_scene_oracle() -> str:
+    n_px = IMG_H * IMG_W * 3
+    vals = ", ".join(
+        f"({i}, '{csv}')" for i, csv in _independent_video_sad_fixture()
+    )
+    return f"""
+    WITH fixture(doc_id, sads) AS (VALUES {vals}),
+    bound AS MATERIALIZED (
+      SELECT d.doc_id, string_split(f.sads, ',') AS parts
+      FROM documents d JOIN fixture f ON d.doc_id = f.doc_id
+    ), sad AS (
+      SELECT doc_id, CAST(g.i AS INT) AS frame_idx,
+             CAST(parts[g.i] AS BIGINT) AS s
+      FROM bound, generate_series(1, {N_FRAMES - 1}) g(i)
+    )
+    SELECT doc_id, frame_idx,
+           ((100 * s + {n_px // 2}) // {n_px}) / 100.0 AS mean_abs_diff,
+           TRUE AS is_cut
+    FROM sad
+    WHERE s > {SCENE_CUT_THRESHOLD} * {n_px}
+    """
+
+
 @query(
     "video_scene_detect",
-    oracle=None,  # pixel decode + frame diffs are not SQL-
-    # expressible; planted-cut EXACTNESS pinned in pytest, golden
-    # parquet pins full output
+    oracle=_video_scene_oracle,  # lazy: fixture regeneration is ~2 s
     description="Video modality: per-doc synthesized frame sequences "
     "(1-3 seeded hard cuts + per-frame drift), scene-cut detection "
     "by consecutive-frame mean-abs-diff FUSED into the frame-"
@@ -797,7 +961,11 @@ def synth_and_detect_cuts(
     "per-video group dispatch; the generic post-hoc "
     "detect_scene_cuts operator covers pre-materialized frame "
     "tables).  Detected cuts provably equal the planted ground "
-    "truth (pytest).",
+    "truth (pytest).  Round 8: the diff math is exact integer SAD "
+    "(2-dp display via integer half-away arithmetic — no Python "
+    "round() half-even ties) and the query is DuckDB-differential "
+    "via an INDEPENDENTLY recomputed per-frame SAD fixture with "
+    "thresholding replayed in SQL.",
 )
 def video_scene_detect(spark: SparkSession, sf_dir: str) -> DataFrame:
     # documents.parquet is a single file => one input partition; the

@@ -20,25 +20,50 @@ contract):
 from __future__ import annotations
 
 from collections.abc import Callable
-from dataclasses import dataclass
 
 from pyspark.sql import DataFrame, SparkSession
 
 SparkQuery = Callable[[SparkSession, str], DataFrame]
 
 
-@dataclass(frozen=True)
 class QuerySpec:
-    name: str
-    fn: SparkQuery
-    oracle: str | None  # None => non-SQL-expressible, rows-only check
-    description: str = ""
+    """One registered query.  ``oracle`` may be passed as the SQL
+    string, ``None`` (non-SQL-expressible, rows-only check), or a
+    ZERO-ARG CALLABLE returning the SQL — the lazy form exists for
+    oracles whose generation is expensive (the multimodal fixture
+    reimplementations regenerate thousands of images), so plain
+    imports stay fast and only an actual differential pays the
+    generation, once."""
+
+    __slots__ = ("name", "fn", "_oracle", "description")
+
+    def __init__(
+        self,
+        name: str,
+        fn: SparkQuery,
+        oracle: str | Callable[[], str] | None,
+        description: str = "",
+    ) -> None:
+        self.name = name
+        self.fn = fn
+        self._oracle = oracle
+        self.description = description
+
+    @property
+    def oracle(self) -> str | None:
+        if callable(self._oracle):
+            self._oracle = self._oracle()
+        return self._oracle
 
 
 QUERIES: dict[str, QuerySpec] = {}
 
 
-def query(name: str, oracle: str | None, description: str = ""):
+def query(
+    name: str,
+    oracle: str | Callable[[], str] | None,
+    description: str = "",
+):
     """Decorator registering a (spark, sf_dir) -> DataFrame query."""
 
     def deco(fn: SparkQuery) -> SparkQuery:

@@ -53,8 +53,10 @@ SEEDED_QUERIES = [
     # shares dedup_minhash_lsh's portable construction, so the probe
     # math is DuckDB-oracle-checked; the persisted-index IO keeps its
     # planted pytest in test_extensions.py.
-    "image_neardup_dhash",   # deterministic synth images + dHash (round 4)
-    "video_scene_detect",    # planted scene cuts, frame-diff detection (round 4)
+    # round 8: image_neardup_dhash and video_scene_detect moved OUT —
+    # independently reimplemented dHash / per-frame-SAD fixtures make
+    # both DuckDB-differential (banding, hamming re-rank, and
+    # thresholding replay in SQL); pigeonhole/planted-cut pytests stay.
     "compression_ratio_quality",  # zlib level-6 ratios, deterministic (round 5)
     "audio_spectral_centroid",    # deterministic rFFT over synth PCM (round 5)
     # round 8: boruvka_msf moved OUT — the unrolled-round
