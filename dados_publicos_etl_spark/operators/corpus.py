@@ -43,7 +43,9 @@ from pyspark.sql import functions as F
 
 from dados_publicos_etl_spark.functions.text import (
     WS,
+    duck_md5_long_sql,
     duck_shingles_sql,
+    md5_hashed_shingles,
     shingles_from_tokens,
     tokens,
 )
@@ -1579,4 +1581,70 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sum(F.col("gopher_keep").cast("int")).cast("double") / cnt,
             6,
         ).alias("gopher_pass_rate"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# Corpus novelty curve — per-document first-occurrence shingle rate
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "corpus_novelty_curve",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id,
+             list_distinct(list_transform({duck_shingles_sql('text')},
+               s -> {duck_md5_long_sql('s')})) AS sh
+      FROM documents
+    ), e AS MATERIALIZED (
+      SELECT doc_id, unnest(sh) AS h FROM t
+    ), fst AS (
+      SELECT h, MIN(doc_id) AS first_doc FROM e GROUP BY h
+    )
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_shingles,
+           CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_novel,
+           ROUND(CAST(SUM(CASE WHEN f.first_doc = e.doc_id THEN 1 ELSE 0
+                          END) AS DOUBLE) / COUNT(*), 4) AS novelty_rate
+    FROM e JOIN fst f ON e.h = f.h
+    GROUP BY e.doc_id
+    """,
+    description="Corpus novelty curve: for each document (in "
+    "ingestion order = doc_id), the fraction of its distinct 3-gram "
+    "shingles seen for the FIRST time at that document — the "
+    "marginal-new-content measurement behind 'is more of this "
+    "source still worth crawling?' decisions and dedup-threshold "
+    "tuning (a saturating corpus shows novelty_rate collapsing "
+    "toward 0).  Spark shape: one explode of md5-hashed shingles "
+    "(portable 28-bit buckets, the dedup family's construction), "
+    "one partial-aggregated MIN per shingle, one shingle-keyed "
+    "equi-join back, one per-doc aggregate — never a doc x doc "
+    "comparison; at 100 TB every stage is a hash shuffle on "
+    "fixed-width keys.",
+)
+def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    # staged selects: each expensive expression tree single-evaluated
+    sh = (
+        docs.select("doc_id", tokens("text").alias("_tk"))
+        .select("doc_id", shingles_from_tokens(F.col("_tk")).alias("_shs"))
+        .select("doc_id", md5_hashed_shingles(F.col("_shs")).alias("sh"))
+    )
+    e = sh.select("doc_id", F.explode("sh").alias("h"))
+    fst = e.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    novel = F.sum(
+        F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+    )
+    return (
+        e.join(fst, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_shingles"),
+            novel.cast("long").alias("n_novel"),
+            F.round(
+                novel.cast("double") / F.count(F.lit(1)), 4
+            ).alias("novelty_rate"),
+        )
     )

@@ -1051,6 +1051,105 @@ def dedup_embedding_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 # ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup inside k-means cells (Abbas et al. 2023)
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_COS = 0.35  # within-cell near-dup threshold (testdata max ~0.48)
+_SEMDEDUP_CELLS = 16
+
+
+def _semdedup_oracle() -> str:
+    from dados_publicos_etl_spark.operators.similarity import (
+        _COS_DOUBLE_SQL,
+        _ann_prelude_sql,
+        _ivf_assign_sql,
+    )
+
+    cos = _COS_DOUBLE_SQL.format(a="ea.embedding", b="eb.embedding")
+    return f"""
+    WITH {_ann_prelude_sql()}, {_ivf_assign_sql(_SEMDEDUP_CELLS)}, dups AS (
+      SELECT DISTINCT b.vec_id AS dup_id
+      FROM assign a JOIN assign b
+        ON a.cell = b.cell AND a.vec_id < b.vec_id
+      JOIN embeddings ea ON ea.vec_id = a.vec_id
+      JOIN embeddings eb ON eb.vec_id = b.vec_id
+      WHERE {cos} >= {_SEMDEDUP_COS}
+    )
+    SELECT a.vec_id, a.cell FROM assign a
+    WHERE a.vec_id NOT IN (SELECT dup_id FROM dups)
+    """
+
+
+@query(
+    "dedup_semantic_cells",
+    oracle=_semdedup_oracle(),
+    description="SemDeDup (Abbas et al. 2023): semantic dedup inside "
+    "k-means cells — the coarse quantizer partitions the embedding "
+    "space, exact cosine pairs form ONLY within a cell, and min-id "
+    "survivorship drops the larger id of every near-dup pair.  The "
+    "clustering bounds the quadratic pair blow-up (sum of cell "
+    "sizes squared, never n^2 — at web scale n_cells grows with the "
+    "corpus so cells stay bounded), which is precisely the paper's "
+    "trick for semantic dedup at LAION/LLM-corpus scale.  Rides the "
+    "round-8 PORTABLE integer-Lloyd quantizer shared with the IVF "
+    "family (trained once per corpus, session-memoized), so the "
+    "whole path — training, assignment, within-cell pairs, "
+    "survivorship — is DuckDB-differential.",
+)
+def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Survivors (vec_id, cell) after within-cell cosine dedup.
+
+    Spark shape: one narrow Arrow assignment pass (centroids ship
+    with the closure), one equi-join to attach cells to vectors, one
+    cell-keyed self-join for pairs (the shuffle key IS the cluster —
+    SemDeDup's locality), one broadcast anti-join for survivorship.
+    """
+    from dados_publicos_etl_spark.functions.vector import cosine
+    from dados_publicos_etl_spark.operators.similarity import (
+        EMBED_DIM,
+        _assign_cells,
+        _train_ivf_centroids,
+    )
+
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    # SemDeDup's cluster-count scaling: cells grow with the corpus
+    # (~32 vectors per cell) so within-cell pair volume stays LINEAR
+    # in n — a fixed cell count would make dedup quadratic as the
+    # corpus grows (the 10x scale probe measures exactly this).  At
+    # the driver's correctness scale (sf0.01, 500 vectors) the rule
+    # yields exactly the oracle's {_SEMDEDUP_CELLS} cells, so the
+    # differential contract is pinned where it runs.
+    n_cells = max(_SEMDEDUP_CELLS, emb.count() // 32)
+    cell_ids, cents = _train_ivf_centroids(
+        emb, n_cells, "vec_id", "embedding",
+        cache_key=sf_dir, expect_dim=EMBED_DIM,
+    )
+    # assignment feeds the pair join AND the survivor anti-join:
+    # checkpoint the skinny (id, cell) table once
+    cells = _assign_cells(
+        emb, cell_ids, cents, "vec_id", "embedding"
+    ).localCheckpoint()
+    withc = emb.join(cells, "vec_id")
+    a, b = withc.alias("a"), withc.alias("b")
+    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cos >= _SEMDEDUP_COS)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    return cells.join(F.broadcast(dups), "vec_id", "left_anti").select(
+        "vec_id", "cell"
+    )
+
+
+# ---------------------------------------------------------------------------
 # Prefix-filtered exact set-similarity join (PPJoin-lite)
 # ---------------------------------------------------------------------------
 

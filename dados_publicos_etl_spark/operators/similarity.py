@@ -582,7 +582,18 @@ def _lloyd_int(train, k: int, rounds: int):
     ids = list(range(min(k, len(train))))
     cents = train[: len(ids)].copy()
     for _ in range(rounds):
-        d = ((train[:, None, :] - cents[None, :, :]) ** 2).sum(axis=2)
+        # exact squared L2 via the dot expansion — an (n, k) int64
+        # matrix instead of the (n, k, dim) difference tensor, so
+        # training stays in-memory when n_cells scales with the
+        # corpus (SemDeDup).  All terms bound well inside int64
+        # (|q| <= ~2e4 milli-units, dim <= 64), and integer algebra
+        # makes the expansion EXACTLY equal to sum((t-c)^2) — the
+        # oracle's form — with no float rounding to reconcile.
+        d = (
+            (train * train).sum(axis=1)[:, None]
+            - 2 * (train @ cents.T)
+            + (cents * cents).sum(axis=1)[None, :]
+        )
         assign = d.argmin(axis=1)
         keep_ids: list[int] = []
         keep_cents = []
@@ -666,10 +677,10 @@ def _lloyd_sql(
     return "".join(parts)
 
 
-def _ivf_cand_sql(qmax: int, n_cells: int, n_probe: int) -> str:
-    """Coarse-quantizer training + full-table cell assignment +
-    per-query probes + the probed candidate set
-    (``ivfcand(query_id, neighbor_id)``)."""
+def _ivf_assign_sql(n_cells: int) -> str:
+    """Coarse-quantizer training + full-table cell assignment
+    (``assign(vec_id, cell)``) — shared by the IVF probes and the
+    SemDeDup cell dedup (operators/dedup.py)."""
     rounds = _IVF_ROUNDS
     dist = (
         "list_sum(list_transform(list_zip(q.v, c.c), "
@@ -683,7 +694,18 @@ def _ivf_cand_sql(qmax: int, n_cells: int, n_probe: int) -> str:
                                   ORDER BY {dist}, c.cid) AS rk
         FROM qall q CROSS JOIN ivfc{rounds} c
       ) WHERE rk = 1
-    ), probes AS (
+    )"""
+
+
+def _ivf_cand_sql(qmax: int, n_cells: int, n_probe: int) -> str:
+    """IVF assignment + per-query probes + the probed candidate set
+    (``ivfcand(query_id, neighbor_id)``)."""
+    rounds = _IVF_ROUNDS
+    dist = (
+        "list_sum(list_transform(list_zip(q.v, c.c), "
+        "p -> (p[1]-p[2])*(p[1]-p[2])))"
+    )
+    return f"""{_ivf_assign_sql(n_cells)}, probes AS (
       SELECT query_id, cell FROM (
         SELECT q.vec_id AS query_id, c.cid AS cell,
                ROW_NUMBER() OVER (PARTITION BY q.vec_id
@@ -1926,6 +1948,119 @@ def ivf_balance_report(spark: SparkSession, path: str) -> DataFrame:
             F.round(F.col("_max") / F.col("_mean"), 4).alias("index_skew"),
         )
         .orderBy("cell")
+    )
+
+
+def _ivf_balance_oracle() -> str:
+    return f"""
+    WITH {_ann_prelude_sql()}, {_ivf_assign_sql(16)}, counts AS (
+      SELECT cell, CAST(COUNT(*) AS BIGINT) AS n_vectors
+      FROM assign GROUP BY cell
+    ), stats AS (
+      SELECT AVG(n_vectors) AS mean_n, MAX(n_vectors) AS max_n
+      FROM counts
+    )
+    SELECT c.cell, c.n_vectors,
+           ROUND(c.n_vectors / s.mean_n, 4) AS occupancy_ratio,
+           ROUND(s.max_n / s.mean_n, 4) AS index_skew
+    FROM counts c, stats s
+    ORDER BY c.cell
+    """
+
+
+@query(
+    "ivf_cell_balance",
+    oracle=_ivf_balance_oracle(),
+    description="IVF index cell-balance audit — the rebuild trigger "
+    "completing the incremental-ingest loop: per-cell occupancy of "
+    "the session's persisted index plus the max/mean skew a monitor "
+    "alerts on (appends under a FROZEN quantizer drift cell sizes; "
+    "a skewed index probes badly because hot cells do all the "
+    "work).  The scan projects ONLY the partition column, so counts "
+    "come from parquet metadata paths without touching vector "
+    "bytes.  Round 8: the portable integer quantizer makes the "
+    "report DuckDB-differential (same assignment CTEs as "
+    "similarity_ivf); the drifted-append skew behavior stays "
+    "pytest-pinned.",
+)
+def ivf_cell_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings").select(
+        "vec_id", "embedding"
+    )
+    path, _model, _index_df = session_ivf_index(emb, sf_dir, n_cells=16)
+    return ivf_balance_report(spark, path)
+
+
+@query(
+    "embedding_dim_stats",
+    oracle=f"""
+    WITH q AS (
+      SELECT vec_id,
+             {_MILLI_QUANT_SQL.format(v='embedding')} AS v
+      FROM embeddings
+    ), e AS (
+      SELECT g.d AS dim, q.v[g.d + 1] AS x
+      FROM q, generate_series(0, {EMBED_DIM - 1}) g(d)
+    )
+    SELECT * FROM (
+      SELECT CAST(dim AS INT) AS dim,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS sum_milli,
+             CAST(SUM(x * x) AS BIGINT) AS sumsq_milli,
+             ROUND(SUM(x) / (COUNT(*) * 1000.0), 6) AS mean,
+             ROUND((SUM(x * x) / CAST(COUNT(*) AS DOUBLE)
+                    - (SUM(x) / CAST(COUNT(*) AS DOUBLE))
+                      * (SUM(x) / CAST(COUNT(*) AS DOUBLE)))
+                   / 1000000.0, 6) AS variance
+      FROM e GROUP BY dim
+    ) ORDER BY dim
+    """,
+    description="Per-DIMENSION embedding distribution audit: exact "
+    "integer first/second moments of every coordinate over "
+    "milli-quantized vectors (the kmeans_lloyd_exact quantization), "
+    "plus mean/variance — the pre-indexing check that catches dead "
+    "dimensions (variance ~ 0: wasted PQ subspace bits), dominant "
+    "dimensions (they hijack L2 cell assignment), and ingestion "
+    "bugs (a shifted mean after a model swap), complementing the "
+    "per-VECTOR norm audit (embedding_norm_audit).  One "
+    "posexplode + one partial-aggregated GROUP BY dim — exact "
+    "int64 sums, order-independent; dim count is fixed, so output "
+    "is 64 rows at any corpus size.",
+)
+def embedding_dim_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        F.expr(_MILLI_QUANT_EXPR.format(v="embedding")).alias("v")
+    )
+    e = q.select(F.posexplode("v").alias("dim", "x"))
+    n = F.count(F.lit(1))
+    sx = F.sum("x")
+    sxx = F.sum(F.col("x") * F.col("x"))
+    return (
+        e.groupBy("dim")
+        .agg(
+            n.cast("long").alias("n"),
+            sx.cast("long").alias("sum_milli"),
+            sxx.cast("long").alias("sumsq_milli"),
+            F.round(sx / (n * 1000.0), 6).alias("mean"),
+            F.round(
+                (
+                    sxx / n.cast("double")
+                    - (sx / n.cast("double")) * (sx / n.cast("double"))
+                )
+                / 1000000.0,
+                6,
+            ).alias("variance"),
+        )
+        .select(
+            F.col("dim").cast("int").alias("dim"),
+            "n",
+            "sum_milli",
+            "sumsq_milli",
+            "mean",
+            "variance",
+        )
+        .orderBy("dim")
     )
 
 

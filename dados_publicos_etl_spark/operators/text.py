@@ -1672,3 +1672,64 @@ def rake_keyword_extraction(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("score_ppm").cast("long").alias("score_ppm"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Tokenizer fertility per language — multilingual efficiency audit
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "tokenizer_fertility",
+    oracle=f"""
+    SELECT lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(len(string_split_regex(lower(text), '{WS}')))
+                AS BIGINT) AS n_words,
+           CAST(SUM(len(regexp_extract_all(lower(text), '{_BPE_ISH}')))
+                AS BIGINT) AS n_tokens,
+           CAST(SUM(octet_length(CAST(text AS BLOB))) AS BIGINT)
+             AS n_bytes,
+           ROUND(CAST(SUM(len(regexp_extract_all(lower(text),
+                 '{_BPE_ISH}'))) AS DOUBLE)
+                 / SUM(len(string_split_regex(lower(text), '{WS}'))), 4)
+             AS fertility,
+           ROUND(CAST(SUM(octet_length(CAST(text AS BLOB))) AS DOUBLE)
+                 / SUM(len(regexp_extract_all(lower(text),
+                       '{_BPE_ISH}'))), 4)
+             AS bytes_per_token
+    FROM documents
+    GROUP BY lang
+    """,
+    description="Tokenizer fertility per language: tokens-per-word "
+    "and bytes-per-token under the BPE-ish pretokenizer — the "
+    "standard multilingual tokenizer-efficiency audit (a language "
+    "with fertility 3x English pays 3x the context budget for the "
+    "same content, and bytes/token decides mixture weights measured "
+    "in compute rather than documents).  Pure narrow-map "
+    "expressions + one partial-aggregated GROUP BY over "
+    "|languages| groups; exact integer sums, one division at the "
+    "end — linear at any corpus size.",
+)
+def tokenizer_fertility(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    per = docs.select(
+        "lang",
+        F.size(tokens("text")).cast("long").alias("w"),
+        F.regexp_count(F.lower("text"), F.lit(_BPE_ISH))
+        .cast("long")
+        .alias("t"),
+        F.octet_length("text").cast("long").alias("b"),
+    )
+    return per.groupBy("lang").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum("w").cast("long").alias("n_words"),
+        F.sum("t").cast("long").alias("n_tokens"),
+        F.sum("b").cast("long").alias("n_bytes"),
+        F.round(
+            F.sum("t").cast("double") / F.sum("w"), 4
+        ).alias("fertility"),
+        F.round(
+            F.sum("b").cast("double") / F.sum("t"), 4
+        ).alias("bytes_per_token"),
+    )

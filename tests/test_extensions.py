@@ -2061,3 +2061,91 @@ def test_parquet_codec_files_and_footprints(spark, sf_dir):
         sizes[codec] = sum(os.path.getsize(f) for f in files)
     for codec in ("snappy", "gzip", "zstd"):
         assert sizes[codec] < sizes["none"], sizes
+
+
+def test_semdedup_drops_planted_twins_within_cells(spark):
+    """SemDeDup (dedup_semantic_cells machinery): planted noisy twins
+    sit near their base vector, so quantizer cells co-locate most
+    pairs and the within-cell cosine pass drops the larger id; every
+    base vector must survive (nothing pairs two distinct bases at
+    a 0.9 threshold — random 32-dim gaussians top out near ~0.7
+    pairwise cosine over 10k pairs, twins sit at ~0.999)."""
+    import numpy as np
+
+    from dados_publicos_etl_spark.functions.vector import cosine
+    from dados_publicos_etl_spark.operators.similarity import (
+        _assign_cells,
+        _train_ivf_centroids,
+    )
+
+    rng = np.random.RandomState(31)
+    n_base, dim = 150, 32
+    base = rng.randn(n_base, dim)
+    noisy = base + 0.05 * rng.randn(n_base, dim)
+    vecs = np.vstack([base, noisy]).astype("float32")
+    emb = spark.createDataFrame(
+        [(i, vecs[i].tolist()) for i in range(len(vecs))],
+        "vec_id long, embedding array<float>",
+    )
+    cell_ids, cents = _train_ivf_centroids(emb, 8, "vec_id", "embedding")
+    cells = _assign_cells(emb, cell_ids, cents, "vec_id", "embedding")
+    withc = emb.join(cells, "vec_id")
+    a, b = withc.alias("a"), withc.alias("b")
+    dups = (
+        a.join(
+            b,
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .filter(cosine(F.col("a.embedding"), F.col("b.embedding")) >= 0.9)
+        .select(F.col("b.vec_id").alias("vec_id"))
+        .distinct()
+    )
+    dropped = {r.vec_id for r in dups.collect()}
+    twins_dropped = sum(1 for i in range(n_base) if i + n_base in dropped)
+    assert twins_dropped >= 0.8 * n_base, f"{twins_dropped}/{n_base}"
+    assert not any(i in dropped for i in range(n_base)), "base dropped"
+
+
+def test_novelty_curve_first_doc_and_copies(spark):
+    """corpus_novelty_curve semantics on a planted corpus: the first
+    doc is all-novel (rate 1.0), an exact later copy is all-stale
+    (rate 0.0), and a half-overlapping doc scores strictly between."""
+    from dados_publicos_etl_spark.functions.text import (
+        md5_hashed_shingles,
+        shingles_from_tokens,
+        tokens,
+    )
+
+    docs = spark.createDataFrame(
+        [
+            (0, "alpha beta gamma delta epsilon zeta"),
+            (1, "alpha beta gamma delta epsilon zeta"),
+            (2, "alpha beta gamma completely new words here"),
+            (3, "fresh tokens only in this document body"),
+        ],
+        "doc_id long, text string",
+    )
+    sh = (
+        docs.select("doc_id", tokens("text").alias("_tk"))
+        .select("doc_id", shingles_from_tokens(F.col("_tk")).alias("_s"))
+        .select("doc_id", md5_hashed_shingles(F.col("_s")).alias("sh"))
+    )
+    e = sh.select("doc_id", F.explode("sh").alias("h"))
+    fst = e.groupBy("h").agg(F.min("doc_id").alias("first_doc"))
+    rates = {
+        r.doc_id: (r.novel, r.total)
+        for r in e.join(fst, "h")
+        .groupBy("doc_id")
+        .agg(
+            F.sum(
+                F.when(F.col("first_doc") == F.col("doc_id"), 1).otherwise(0)
+            ).alias("novel"),
+            F.count(F.lit(1)).alias("total"),
+        )
+        .collect()
+    }
+    assert rates[0][0] == rates[0][1]          # all novel
+    assert rates[1][0] == 0                    # exact copy: none novel
+    assert 0 < rates[2][0] < rates[2][1]       # partial overlap
+    assert rates[3][0] == rates[3][1]          # disjoint: all novel

@@ -462,6 +462,7 @@ def test_geo_proximity_join_is_equi_join(spark, sf_dir):
 # canonical scalar-subquery broadcast), not data-scale.
 _BNLJ_OK = {
     "benford_audit",       # 1-row digit-total crossJoin
+    "ivf_cell_balance",    # 1-row (mean, max) occupancy-stats crossJoin
     "dsir_importance_weights",  # 1-row mean-weight crossJoin
     "join_skew_report",    # 1-row key-totals crossJoin
     "bm25_topk",           # 1-row corpus stats (N, avgdl) crossJoin
