@@ -404,25 +404,128 @@ def segment_audio(
     )
 
 
+_AUDIO_SEG = SAMPLE_RATE * 25 // 1000  # 400 samples per 25 ms window
+_AUDIO_MAX_SAMPLES = 2048  # oracle series bound; corpus docs are <~300
+
+
+def _audio_byte_sql(k: str) -> str:
+    """DuckDB fragment: byte ``k`` (0-based expr) of the doc's UTF-8
+    bytes via BLOB->BIT get_bit (MSB-first within the byte)."""
+    return (
+        f"(SELECT SUM(get_bit(bits, CAST(8*({k}) + j AS INT)) << (7 - j))"
+        f" FROM generate_series(0, 7) gb(j))"
+    )
+
+
+def _audio_segments_oracle() -> str:
+    """Replays the int16-LE PCM reinterpretation in SQL: bytes via
+    get_bit over the BLOB bitstring, little-endian pair -> signed
+    int16, exact integer energy + within-segment sign-change counts,
+    one sqrt at the end — the byte math previously declared
+    'not SQL-expressible' (round-8 conversion)."""
+    seg = _AUDIO_SEG
+    return f"""
+    WITH raw AS MATERIALIZED (
+      SELECT doc_id, CAST(encode(text) AS BIT) AS bits,
+             octet_length(encode(text)) AS nb
+      FROM documents
+      WHERE octet_length(encode(text)) >= 2
+    ), v AS MATERIALIZED (
+      SELECT doc_id, g.i,
+             {_audio_byte_sql('2*g.i')} + 256 * {_audio_byte_sql('2*g.i + 1')}
+             - CASE WHEN {_audio_byte_sql('2*g.i')}
+                         + 256 * {_audio_byte_sql('2*g.i + 1')} >= 32768
+                    THEN 65536 ELSE 0 END AS v
+      FROM raw, generate_series(0, {_AUDIO_MAX_SAMPLES - 1}) g(i)
+      WHERE 2 * g.i + 1 < nb
+    ), zc AS (
+      SELECT a.doc_id,
+             CAST(COUNT(*) FILTER (WHERE sign(a.v) <> sign(b.v))
+                  AS BIGINT) AS total_zc
+      FROM v a JOIN v b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+      WHERE (a.i + 1) % {seg} <> 0
+      GROUP BY a.doc_id
+    )
+    SELECT v.doc_id,
+           CAST(CEIL(COUNT(*) / {seg}.0) AS BIGINT) AS n_segments,
+           CAST(COUNT(*) AS BIGINT) AS n_samples,
+           CAST(SUM(v.v * v.v) AS BIGINT) AS sum_sq,
+           CAST(COALESCE(MAX(z.total_zc), 0) AS BIGINT) AS total_zc,
+           ROUND(sqrt(SUM(v.v * v.v) / CAST(COUNT(*) AS DOUBLE)), 4)
+             AS doc_rms
+    FROM v LEFT JOIN zc z ON v.doc_id = z.doc_id
+    GROUP BY v.doc_id
+    """
+
+
 @query(
     "multimodal_audio_segments",
-    oracle=None,  # byte-level PCM math; exactness pinned by pytest
-    description="Audio modality: int16-PCM segmentation into 25 ms "
-    "windows with per-segment RMS / zero-crossing features, Arrow "
-    "batched, 1->N fan-out in the scan stage (payload never "
-    "shuffles).  Aggregated to per-doc segment stats.",
+    oracle=_audio_segments_oracle(),
+    description="Audio modality: int16-PCM reinterpretation of the "
+    "payload bytes, 25 ms segmentation, per-doc pooled RMS (exact "
+    "integer energy, one sqrt at the end) and within-segment "
+    "zero-crossing totals — Arrow batched, payload never shuffles.  "
+    "Round 8: DuckDB-differential — the oracle replays the "
+    "little-endian int16 byte math via get_bit over the BLOB "
+    "bitstring, so the byte-level reinterpretation itself is "
+    "cross-checked, not just pinned; per-segment RMS/ZCR features "
+    "remain in segment_audio (pytest-exact).",
 )
 def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
+    import numpy as np
+
     docs = read_table(spark, sf_dir, "documents")
     mm = to_multimodal(docs, "text", modality="audio", mime="audio/pcm")
-    segs = segment_audio(mm)
-    return (
-        segs.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_segments"),
-            F.round(F.avg("rms"), 4).alias("avg_rms"),
-            F.sum("zero_crossings").cast("long").alias("total_zc"),
-        )
+    seg = _AUDIO_SEG
+
+    def doc_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, nsegs, ns, ssq, zcs = [], [], [], [], []
+            for i, b in zip(pdf["doc_id"], pdf["payload"]):
+                pcm = np.frombuffer(
+                    b[: len(b) - (len(b) % 2)], dtype="<i2"
+                ).astype("int64")
+                n = len(pcm)
+                if n == 0:
+                    continue
+                sg = np.sign(pcm)
+                if n > 1:
+                    change = sg[1:] != sg[:-1]
+                    within = (np.arange(1, n) % seg) != 0
+                    zc = int((change & within).sum())
+                else:
+                    zc = 0
+                ids.append(i)
+                nsegs.append((n + seg - 1) // seg)
+                ns.append(n)
+                ssq.append(int((pcm * pcm).sum()))
+                zcs.append(zc)
+            yield pd.DataFrame(
+                {
+                    "doc_id": pd.Series(ids, dtype="int64"),
+                    "n_segments": pd.Series(nsegs, dtype="int64"),
+                    "n_samples": pd.Series(ns, dtype="int64"),
+                    "sum_sq": pd.Series(ssq, dtype="int64"),
+                    "total_zc": pd.Series(zcs, dtype="int64"),
+                }
+            )
+
+    stats = mm.select("doc_id", "payload").mapInPandas(
+        doc_stats,
+        schema="doc_id long, n_segments long, n_samples long, "
+        "sum_sq long, total_zc long",
+    )
+    # the one float appears here, JVM-side: Spark ROUND/sqrt over the
+    # identical exact integers the oracle holds
+    return stats.select(
+        "doc_id",
+        "n_segments",
+        "n_samples",
+        "sum_sq",
+        "total_zc",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples")), 4
+        ).alias("doc_rms"),
     )
 
 

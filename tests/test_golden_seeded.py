@@ -48,7 +48,10 @@ SEEDED_QUERIES = [
     # pinned in round 4: the remaining no-oracle entries
     "approx_sketches",       # HLL++/quantile sketches, engine-deterministic
     "hll_sketch_merge",      # sketch merge == whole, engine-deterministic
-    "multimodal_audio_segments",  # deterministic synthetic PCM math
+    # round 8: multimodal_audio_segments moved OUT — the oracle now
+    # replays the int16-LE byte reinterpretation via get_bit over the
+    # BLOB bitstring; per-segment RMS/ZCR stay pytest-exact on
+    # segment_audio.
     # round 7: dedup_minhash_incremental moved OUT — its hashing now
     # shares dedup_minhash_lsh's portable construction, so the probe
     # math is DuckDB-oracle-checked; the persisted-index IO keeps its
