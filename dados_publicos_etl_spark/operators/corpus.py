@@ -1648,3 +1648,83 @@ def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("novelty_rate"),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Per-source quality-threshold calibration (keep top share per source)
+# ---------------------------------------------------------------------------
+
+_QT_PCT = 0.25  # keep roughly the top 75%: cutoff at the 25th pctile
+
+from dados_publicos_etl_spark.operators.text import _BPE_ISH  # noqa: E402  (shared pretokenizer)
+
+
+@query(
+    "quality_threshold_by_source",
+    oracle=f"""
+    WITH sc AS (
+      SELECT source,
+             CAST(len(regexp_extract_all(lower(text), '{_BPE_ISH}'))
+                  AS BIGINT) AS score
+      FROM documents
+    ), cut AS (
+      SELECT source,
+             CAST(COUNT(*) AS BIGINT) AS n_docs,
+             quantile_cont(score, {_QT_PCT}) AS cutoff
+      FROM sc GROUP BY source
+    )
+    SELECT c.source, c.n_docs,
+           ROUND(c.cutoff, 4) AS cutoff,
+           CAST(SUM(CASE WHEN sc.score >= c.cutoff THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_keep,
+           ROUND(CAST(SUM(CASE WHEN sc.score >= c.cutoff THEN 1 ELSE 0
+                          END) AS DOUBLE) / c.n_docs, 4) AS keep_rate
+    FROM sc JOIN cut c USING (source)
+    GROUP BY c.source, c.n_docs, c.cutoff
+    """,
+    description="Per-source quality-threshold calibration: each "
+    "source gets its own cutoff (the exact 25th percentile of a "
+    "token-count quality score, linear interpolation) and the keep "
+    "count/rate above it — the per-domain relative filter web "
+    "pipelines prefer over one global threshold (a global cutoff "
+    "empties low-resource sources and keeps every doc of verbose "
+    "ones; per-source percentiles preserve the mixture).  One "
+    "score scan + a |sources|-group exact-percentile aggregate + "
+    "one broadcast-back membership pass; the interpolation parity "
+    "between Spark percentile and DuckDB quantile_cont is the "
+    "rolling_median discipline.",
+)
+def quality_threshold_by_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.operators.text import _BPE_ISH
+
+    docs = read_table(spark, sf_dir, "documents")
+    sc = docs.select(
+        "source",
+        F.regexp_count(F.lower("text"), F.lit(_BPE_ISH))
+        .cast("long")
+        .alias("score"),
+    ).localCheckpoint()  # feeds the cutoff agg AND the membership pass
+    cut = sc.groupBy("source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.expr(f"percentile(score, {_QT_PCT})").alias("cutoff"),
+    )
+    keep = F.sum(
+        F.when(F.col("score") >= F.col("cutoff"), 1).otherwise(0)
+    )
+    return (
+        sc.join(F.broadcast(cut), "source")
+        .groupBy("source", "n_docs", "cutoff")
+        .agg(
+            keep.cast("long").alias("n_keep"),
+            F.round(
+                keep.cast("double") / F.col("n_docs").cast("double"), 4
+            ).alias("keep_rate"),
+        )
+        .select(
+            "source",
+            "n_docs",
+            F.round("cutoff", 4).alias("cutoff"),
+            "n_keep",
+            "keep_rate",
+        )
+    )

@@ -1131,17 +1131,25 @@ def dedup_semantic_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     cells = _assign_cells(
         emb, cell_ids, cents, "vec_id", "embedding"
     ).localCheckpoint()
-    withc = emb.join(cells, "vec_id")
-    a, b = withc.alias("a"), withc.alias("b")
-    cos = cosine(F.col("a.embedding"), F.col("b.embedding"))
+    # candidate pairs form on the SKINNY (id, cell) table — 12 bytes
+    # a row — and the fat vector column joins back BY ID only for
+    # the bounded within-cell pair set (the ann_pairs_lsh signature
+    # pattern: vectors never shuffle through the self-join).
+    a, b = cells.alias("a"), cells.alias("b")
+    cand = a.join(
+        b,
+        (F.col("a.cell") == F.col("b.cell"))
+        & (F.col("a.vec_id") < F.col("b.vec_id")),
+    ).select(
+        F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b")
+    )
+    va = emb.select(F.col("vec_id").alias("id_a"), F.col("embedding").alias("va"))
+    vb = emb.select(F.col("vec_id").alias("id_b"), F.col("embedding").alias("vb"))
     dups = (
-        a.join(
-            b,
-            (F.col("a.cell") == F.col("b.cell"))
-            & (F.col("a.vec_id") < F.col("b.vec_id")),
-        )
-        .filter(cos >= _SEMDEDUP_COS)
-        .select(F.col("b.vec_id").alias("vec_id"))
+        cand.join(va, "id_a")
+        .join(vb, "id_b")
+        .filter(cosine(F.col("va"), F.col("vb")) >= _SEMDEDUP_COS)
+        .select(F.col("id_b").alias("vec_id"))
         .distinct()
     )
     return cells.join(F.broadcast(dups), "vec_id", "left_anti").select(

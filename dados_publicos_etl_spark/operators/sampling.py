@@ -937,3 +937,94 @@ def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
         group.alias("group_key"),
         fold.cast("int").alias("fold"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Epoch schedule under repeat caps — data-constrained training plan
+# ---------------------------------------------------------------------------
+
+_EPOCH_CAP = 4        # max epochs per source (data-constrained rule:
+                      # value of repeated data decays past ~4 epochs)
+_EPOCH_BUDGET_X = 2   # token budget as a multiple of the corpus total
+_EPOCH_ALPHA = 0.7    # temperature on source shares (mild rebalancing)
+
+from dados_publicos_etl_spark.operators.text import _BPE_ISH  # noqa: E402  (shared pretokenizer)
+
+
+@query(
+    "epoch_schedule_plan",
+    oracle=f"""
+    WITH tok AS (
+      SELECT source,
+             CAST(SUM(len(regexp_extract_all(lower(text),
+                  ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))) AS BIGINT)
+               AS n_tokens
+      FROM documents GROUP BY source
+    ), tot AS (
+      SELECT source, n_tokens,
+             SUM(n_tokens) OVER () AS total
+      FROM tok
+    ), share AS (
+      SELECT source, n_tokens, total,
+             pow(n_tokens / CAST(total AS DOUBLE), {_EPOCH_ALPHA})
+               / SUM(pow(n_tokens / CAST(total AS DOUBLE),
+                         {_EPOCH_ALPHA})) OVER () AS q
+      FROM tot
+    ), plan AS (
+      SELECT source, n_tokens, q,
+             LEAST(CAST({_EPOCH_CAP} AS DOUBLE),
+                   q * {_EPOCH_BUDGET_X} * total / n_tokens) AS epochs
+      FROM share
+    )
+    SELECT source, n_tokens,
+           ROUND(q, 6) AS target_share,
+           ROUND(epochs, 4) AS epochs,
+           ROUND(epochs * n_tokens, 2) AS effective_tokens,
+           ROUND(SUM(epochs * n_tokens) OVER ()
+                 / ({_EPOCH_BUDGET_X}.0 * (SELECT SUM(n_tokens) FROM tok)),
+                 6) AS budget_utilization
+    FROM plan
+    """,
+    description="Epoch schedule under repeat caps — the "
+    "data-constrained training plan (value of repeated data decays "
+    "past ~4 epochs; public scaling-law results): temperature-"
+    "adjusted source shares (a=0.7) allocate a token budget of 2x "
+    "the corpus, per-source epochs cap at 4, and the report prices "
+    "what the cap costs (budget_utilization < 1 means capped "
+    "sources cannot absorb their allocation and the mixture must "
+    "rebalance).  One token-count aggregate over |sources| groups; "
+    "everything downstream is arithmetic on a 5-row table.  The "
+    "pow/LEAST expression trees are identical on both engines and "
+    "round identically (the temperature_mix_sampling discipline).",
+)
+def epoch_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    bpe = " ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+"
+    tok = docs.groupBy("source").agg(
+        F.sum(
+            F.regexp_count(F.lower("text"), F.lit(bpe)).cast("long")
+        ).cast("long").alias("n_tokens")
+    )
+    w = W.partitionBy()
+    tot = tok.withColumn("total", F.sum("n_tokens").over(w))
+    p = F.pow(F.col("n_tokens") / F.col("total").cast("double"), _EPOCH_ALPHA)
+    share = tot.withColumn("q", p / F.sum(p).over(w))
+    epochs = F.least(
+        F.lit(float(_EPOCH_CAP)),
+        F.col("q") * _EPOCH_BUDGET_X * F.col("total") / F.col("n_tokens"),
+    )
+    plan = share.withColumn("epochs", epochs)
+    return plan.select(
+        "source",
+        "n_tokens",
+        F.round("q", 6).alias("target_share"),
+        F.round("epochs", 4).alias("epochs"),
+        F.round(F.col("epochs") * F.col("n_tokens"), 2).alias(
+            "effective_tokens"
+        ),
+        F.round(
+            F.sum(F.col("epochs") * F.col("n_tokens")).over(w)
+            / (float(_EPOCH_BUDGET_X) * F.col("total")),
+            6,
+        ).alias("budget_utilization"),
+    )

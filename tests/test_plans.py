@@ -536,6 +536,7 @@ _SP_GROUP_BOUNDED = {
     "mutual_information_screen",  # same cell-table shape
     "corpus_mix_rebalance",  # window over the per-source count table
     "temperature_mix_sampling",  # window over the per-lang count table
+    "epoch_schedule_plan",  # windows over the per-source token table
     "corpus_token_histogram",  # window over the histogram buckets
     "decile_lift_table",  # final window over the 10-row decile table
     "target_encode_loo",  # window over the per-category stats table
