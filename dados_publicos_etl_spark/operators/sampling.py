@@ -1028,3 +1028,58 @@ def epoch_schedule_plan(spark: SparkSession, sf_dir: str) -> DataFrame:
             6,
         ).alias("budget_utilization"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-stream offsets — each doc's position in the concatenated stream
+# ---------------------------------------------------------------------------
+
+
+@query(
+    "token_stream_offsets",
+    oracle=f"""
+    WITH tok AS (
+      SELECT doc_id,
+             CAST(len(regexp_extract_all(lower(text), ' ?[a-z]+| ?[0-9]+| ?[^a-z0-9\\s]+'))
+                  AS BIGINT) AS n_tokens
+      FROM documents
+    )
+    SELECT doc_id, n_tokens,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                - n_tokens AS BIGINT) AS token_start,
+           CAST(SUM(n_tokens) OVER (ORDER BY doc_id
+                ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+                AS BIGINT) AS token_end
+    FROM tok
+    """,
+    description="Token-stream offsets: each document's exact "
+    "[token_start, token_end) position in the concatenated training "
+    "stream under the canonical doc_id order — the bookkeeping that "
+    "maps a training-step token index back to its source document "
+    "(data-ablation forensics, membership auditing, resumable "
+    "packing all need it).  The global running sum rides "
+    "prefix_sums_by_range (range partitions + broadcast offsets — "
+    "never the SinglePartition sort the naive SUM() OVER (ORDER BY) "
+    "plans); token counts are exact integers, so offsets merge "
+    "order-independently at any scale.",
+)
+def token_stream_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.operators.ranking import (
+        prefix_sums_by_range,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    tok = docs.select(
+        "doc_id",
+        F.regexp_count(F.lower("text"), F.lit(_BPE_ISH))
+        .cast("long")
+        .alias("n_tokens"),
+    )
+    cum, _n, _total = prefix_sums_by_range(tok, ["doc_id"], "n_tokens")
+    return cum.select(
+        "doc_id",
+        "n_tokens",
+        (F.col("cum") - F.col("n_tokens")).cast("long").alias("token_start"),
+        F.col("cum").cast("long").alias("token_end"),
+    )
