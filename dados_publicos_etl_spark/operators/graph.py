@@ -41,6 +41,11 @@ from dados_publicos_etl_spark.functions.text import (
 )
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
+from dados_publicos_etl_spark.tmpstore import (
+    CACHE_LOCK as _FIX_LOCK,
+    corpus_fingerprint as _fix_fp,
+)
+
 from dados_publicos_etl_spark.tmpstore import TempDirPool
 
 _THRESH = 0.8
@@ -299,7 +304,9 @@ def _pagerank_graph(spark: SparkSession, sf_dir: str):
     corpus) and parquet-backed."""
     import tempfile
 
-    hit = _PR_GRAPH_CACHE.get(sf_dir)
+    key = (sf_dir, _fix_fp(sf_dir, "lineitem"))
+    with _FIX_LOCK:
+        hit = _PR_GRAPH_CACHE.get(key)
     if hit is not None:
         _tmp, wpath, npath, n = hit
         return spark.read.parquet(wpath), spark.read.parquet(npath), n
@@ -338,7 +345,8 @@ def _pagerank_graph(spark: SparkSession, sf_dir: str):
     nodes.write.mode("overwrite").parquet(npath)
     nodes_r = spark.read.parquet(npath)
     n = nodes_r.count()
-    _PR_GRAPH_CACHE[sf_dir] = (tmp, wpath, npath, n)
+    with _FIX_LOCK:
+        _PR_GRAPH_CACHE.setdefault(key, (tmp, wpath, npath, n))
     return wedges_r, nodes_r, n
 
 
@@ -677,7 +685,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     import tempfile
 
-    hit = _KC_GRAPH_CACHE.get(sf_dir)
+    key = (sf_dir, _fix_fp(sf_dir, "lineitem"))
+    with _FIX_LOCK:
+        hit = _KC_GRAPH_CACHE.get(key)
     if hit is not None:
         return spark.read.parquet(hit[1])
     li = read_table(spark, sf_dir, "lineitem").select(
@@ -700,8 +710,9 @@ def _copurchase_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.TemporaryDirectory(prefix="spark_copurchase_")
     path = f"{tmp.name}/edges"
     pairs.write.mode("overwrite").parquet(path)
-    _KC_GRAPH_CACHE[sf_dir] = (tmp, path)
-    return spark.read.parquet(path)
+    with _FIX_LOCK:
+        stored = _KC_GRAPH_CACHE.setdefault(key, (tmp, path))
+    return spark.read.parquet(stored[1])
 
 
 def _kcore_adjacency(spark: SparkSession, sf_dir: str) -> DataFrame:

@@ -23,6 +23,11 @@ from dados_publicos_etl_spark.functions.text import (
 )
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
+from dados_publicos_etl_spark.tmpstore import (
+    CACHE_LOCK as _FIX_LOCK,
+    corpus_fingerprint as _fix_fp,
+)
+
 
 # Tiny per-language stopword marker sets for the n-gram/stopword
 # language-ID heuristic.  Deterministic and SQL-replicable.  The
@@ -688,7 +693,9 @@ _BPE_VOCAB_CACHE: dict[str, tuple] = {}
 def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     import tempfile
 
-    hit = _BPE_VOCAB_CACHE.get(sf_dir)
+    key = (sf_dir, _fix_fp(sf_dir, "documents"))
+    with _FIX_LOCK:
+        hit = _BPE_VOCAB_CACHE.get(key)
     if hit is not None:
         return spark.read.parquet(hit[1])
     docs = read_table(spark, sf_dir, "documents")
@@ -709,8 +716,9 @@ def _bpe_vocab(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.TemporaryDirectory(prefix="spark_bpe_vocab_")
     path = f"{tmp.name}/vocab"
     vocab.write.mode("overwrite").parquet(path)
-    _BPE_VOCAB_CACHE[sf_dir] = (tmp, path)
-    return spark.read.parquet(path)
+    with _FIX_LOCK:
+        stored = _BPE_VOCAB_CACHE.setdefault(key, (tmp, path))
+    return spark.read.parquet(stored[1])
 
 
 def _bpe_cte_chain() -> str:
@@ -833,7 +841,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     with the post-merge segmentation). Session-cached."""
     import tempfile
 
-    hit = _BPE_TRAIN_CACHE.get(sf_dir)
+    key = (sf_dir, _fix_fp(sf_dir, "documents"))
+    with _FIX_LOCK:
+        hit = _BPE_TRAIN_CACHE.get(key)
     if hit is not None:
         return hit[0], spark.read.parquet(hit[2])
     vocab = _bpe_vocab(spark, sf_dir)
@@ -887,8 +897,9 @@ def _bpe_train(spark: SparkSession, sf_dir: str):
     tmp = tempfile.TemporaryDirectory(prefix="spark_bpe_final_")
     path = f"{tmp.name}/final"
     vocab.write.mode("overwrite").parquet(path)
-    _BPE_TRAIN_CACHE[sf_dir] = (merges, tmp, path)
-    return merges, spark.read.parquet(path)
+    with _FIX_LOCK:
+        stored = _BPE_TRAIN_CACHE.setdefault(key, (merges, tmp, path))
+    return stored[0], spark.read.parquet(stored[2])
 
 
 # ---------------------------------------------------------------------------

@@ -13,6 +13,11 @@ from pyspark.sql import functions as F
 from dados_publicos_etl_spark.functions.numeric import money_sum
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
+from dados_publicos_etl_spark.tmpstore import (
+    CACHE_LOCK as _FIX_LOCK,
+    corpus_fingerprint as _fix_fp,
+)
+
 
 # ---------------------------------------------------------------------------
 # Subqueries
@@ -1174,7 +1179,9 @@ def _corrupt_scan_dir(spark: SparkSession, sf_dir: str) -> str:
     import shutil
     import tempfile
 
-    hit = _CORRUPT_DIRS.get(sf_dir)
+    key = (sf_dir, _fix_fp(sf_dir))
+    with _FIX_LOCK:
+        hit = _CORRUPT_DIRS.get(key)
     if hit is not None:
         return hit.name
     tmp = tempfile.TemporaryDirectory(prefix="spark_corrupt_scan_")
@@ -1192,8 +1199,9 @@ def _corrupt_scan_dir(spark: SparkSession, sf_dir: str) -> str:
         # parquet magic + garbage: footer parse fails, row count is
         # unrecoverable — exactly the shape ignoreCorruptFiles skips
         f.write(b"PAR1" + b"\x00garbage\x00" * 64)
-    _CORRUPT_DIRS[sf_dir] = tmp
-    return tmp.name
+    with _FIX_LOCK:
+        stored = _CORRUPT_DIRS.setdefault(key, tmp)
+    return stored.name
 
 
 @query(

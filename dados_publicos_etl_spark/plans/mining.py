@@ -26,6 +26,11 @@ from pyspark.sql import functions as F
 from dados_publicos_etl_spark.functions.numeric import money_sum, money_sum_sql
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
+from dados_publicos_etl_spark.tmpstore import (
+    CACHE_LOCK as _FIX_LOCK,
+    corpus_fingerprint as _fix_fp,
+)
+
 
 # ---------------------------------------------------------------------------
 # Triangle counting (graph mining)
@@ -61,7 +66,9 @@ def co_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     clustering_coefficient): a within-basket pair self-join bounded
     by basket size (~O(rows x basket_size), never O(n^2)), collapsed
     to at most C(50,2) = 1225 rows."""
-    hit = _PAIR_CACHE.get(sf_dir)
+    key = (sf_dir, _fix_fp(sf_dir))
+    with _FIX_LOCK:
+        hit = _PAIR_CACHE.get(key)
     if hit is not None:
         return spark.read.parquet(hit[1])
     li = read_table(spark, sf_dir, "lineitem")
@@ -81,8 +88,9 @@ def co_pair_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
     tmp = tempfile.TemporaryDirectory(prefix="co_pairs_")
     path = f"{tmp.name}/pairs"
     pairs.write.mode("overwrite").parquet(path)
-    _PAIR_CACHE[sf_dir] = (tmp, path)
-    return spark.read.parquet(path)
+    with _FIX_LOCK:
+        stored = _PAIR_CACHE.setdefault(key, (tmp, path))
+    return spark.read.parquet(stored[1])
 
 
 def _co_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -306,7 +314,9 @@ _ORC_CACHE: dict[str, tuple] = {}
 
 
 def _orc_copy(spark: SparkSession, sf_dir: str) -> str:
-    hit = _ORC_CACHE.get(sf_dir)
+    key = (sf_dir, _fix_fp(sf_dir))
+    with _FIX_LOCK:
+        hit = _ORC_CACHE.get(key)
     if hit is not None:
         return hit[1]
     tmp = tempfile.TemporaryDirectory(prefix="orc_roundtrip_")
@@ -317,8 +327,9 @@ def _orc_copy(spark: SparkSession, sf_dir: str) -> str:
         .write.mode("overwrite")
         .orc(path)
     )
-    _ORC_CACHE[sf_dir] = (tmp, path)
-    return path
+    with _FIX_LOCK:
+        stored = _ORC_CACHE.setdefault(key, (tmp, path))
+    return stored[1]
 
 
 @query(
@@ -674,7 +685,9 @@ _LOG_CACHE: dict[str, tuple] = {}
 def _log_lines(spark: SparkSession, sf_dir: str) -> str:
     """Apache-style access-log lines derived from events, written
     ONCE per (session, corpus) through Spark's text sink."""
-    hit = _LOG_CACHE.get(sf_dir)
+    key = (sf_dir, _fix_fp(sf_dir))
+    with _FIX_LOCK:
+        hit = _LOG_CACHE.get(key)
     if hit is not None:
         return hit[1]
     ev = read_table(spark, sf_dir, "events")
@@ -694,8 +707,9 @@ def _log_lines(spark: SparkSession, sf_dir: str) -> str:
     tmp = tempfile.TemporaryDirectory(prefix="access_logs_")
     path = f"{tmp.name}/logs"
     ev.select(line.alias("value")).write.mode("overwrite").text(path)
-    _LOG_CACHE[sf_dir] = (tmp, path)
-    return path
+    with _FIX_LOCK:
+        stored = _LOG_CACHE.setdefault(key, (tmp, path))
+    return stored[1]
 
 
 @query(

@@ -21,6 +21,11 @@ from pyspark.sql import functions as F
 from dados_publicos_etl_spark.functions.numeric import money_sum
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
+from dados_publicos_etl_spark.tmpstore import (
+    CACHE_LOCK as _FIX_LOCK,
+    corpus_fingerprint as _fix_fp,
+)
+
 from dados_publicos_etl_spark.tmpstore import TempDirPool
 
 _TS_FMT = "yyyy-MM-dd HH:mm:ss"
@@ -515,8 +520,9 @@ def _ann_stream_query_dir(
 ) -> str:
     import tempfile
 
-    key = (sf_dir, n_queries)
-    hit = _ANN_STREAM_QDIRS.get(key)
+    key = (sf_dir, _fix_fp(sf_dir, "embeddings"), n_queries)
+    with _FIX_LOCK:
+        hit = _ANN_STREAM_QDIRS.get(key)
     if hit is not None:
         return hit.name
     tmp = tempfile.TemporaryDirectory(prefix="spark_ann_stream_")
@@ -543,8 +549,9 @@ def _ann_stream_query_dir(
             .write.mode("append")
             .parquet(tmp.name)
         )
-    _ANN_STREAM_QDIRS[key] = tmp
-    return tmp.name
+    with _FIX_LOCK:
+        stored = _ANN_STREAM_QDIRS.setdefault(key, tmp)
+    return stored.name
 
 
 def streaming_ann_probe(
@@ -735,7 +742,9 @@ def _topk_feed_dir(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
     import tempfile
 
-    hit = _TOPK_FEED_DIRS.get(sf_dir)
+    key = (sf_dir, _fix_fp(sf_dir, "events"))
+    with _FIX_LOCK:
+        hit = _TOPK_FEED_DIRS.get(key)
     if hit is not None:
         return hit.name
     tmp = tempfile.TemporaryDirectory(prefix="spark_topk_feed_")
@@ -769,8 +778,9 @@ def _topk_feed_dir(spark: SparkSession, sf_dir: str) -> str:
                 p = _os.path.join(d, f)
                 st = _os.stat(p)
                 _os.utime(p, (st.st_atime, st.st_mtime + half * 600))
-    _TOPK_FEED_DIRS[sf_dir] = tmp
-    return tmp.name
+    with _FIX_LOCK:
+        stored = _TOPK_FEED_DIRS.setdefault(key, tmp)
+    return stored.name
 
 
 @query(
@@ -892,7 +902,9 @@ def _late_feed_dir(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
     import tempfile
 
-    hit = _LATE_FEED_DIRS.get(sf_dir)
+    key = (sf_dir, _fix_fp(sf_dir, "events"))
+    with _FIX_LOCK:
+        hit = _LATE_FEED_DIRS.get(key)
     if hit is not None:
         return hit.name
     tmp = tempfile.TemporaryDirectory(prefix="spark_late_feed_")
@@ -937,8 +949,9 @@ def _late_feed_dir(spark: SparkSession, sf_dir: str) -> str:
                 p = _os.path.join(d, f)
                 st = _os.stat(p)
                 _os.utime(p, (st.st_atime, st.st_mtime + b * 600))
-    _LATE_FEED_DIRS[sf_dir] = tmp
-    return tmp.name
+    with _FIX_LOCK:
+        stored = _LATE_FEED_DIRS.setdefault(key, tmp)
+    return stored.name
 
 
 @query(
@@ -1021,7 +1034,9 @@ def _outer_feed_dir(spark: SparkSession, sf_dir: str) -> str:
     import os as _os
     import tempfile
 
-    hit = _OUTER_FEED_DIRS.get(sf_dir)
+    key = (sf_dir, _fix_fp(sf_dir, "events"))
+    with _FIX_LOCK:
+        hit = _OUTER_FEED_DIRS.get(key)
     if hit is not None:
         return hit.name
     tmp = tempfile.TemporaryDirectory(prefix="spark_outer_feed_")
@@ -1063,8 +1078,9 @@ def _outer_feed_dir(spark: SparkSession, sf_dir: str) -> str:
                 p = _os.path.join(d, f)
                 st = _os.stat(p)
                 _os.utime(p, (st.st_atime, st.st_mtime + b * 600))
-    _OUTER_FEED_DIRS[sf_dir] = tmp
-    return tmp.name
+    with _FIX_LOCK:
+        stored = _OUTER_FEED_DIRS.setdefault(key, tmp)
+    return stored.name
 
 
 @query(
@@ -1190,7 +1206,9 @@ def _doc_feed_dir(spark: SparkSession, sf_dir: str) -> str:
     (the property that lets the gate run stateless)."""
     import tempfile
 
-    hit = _DECON_FEED_DIRS.get(sf_dir)
+    key = (sf_dir, _fix_fp(sf_dir, "documents"))
+    with _FIX_LOCK:
+        hit = _DECON_FEED_DIRS.get(key)
     if hit is not None:
         return hit.name
     tmp = tempfile.TemporaryDirectory(prefix="spark_decon_feed_")
@@ -1204,8 +1222,9 @@ def _doc_feed_dir(spark: SparkSession, sf_dir: str) -> str:
             .write.mode("append")
             .parquet(tmp.name)
         )
-    _DECON_FEED_DIRS[sf_dir] = tmp
-    return tmp.name
+    with _FIX_LOCK:
+        stored = _DECON_FEED_DIRS.setdefault(key, tmp)
+    return stored.name
 
 
 @query(
