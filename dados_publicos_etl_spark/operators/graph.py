@@ -347,7 +347,12 @@ def _pagerank_graph(spark: SparkSession, sf_dir: str):
     n = nodes_r.count()
     with _FIX_LOCK:
         _PR_GRAPH_CACHE.setdefault(key, (tmp, wpath, npath, n))
-    return wedges_r, nodes_r, n
+        # re-read the WINNER's paths (round-8 ADVICE): if this call
+        # lost the setdefault race, its local tmp has no remaining
+        # reference and is finalized at GC — returning readers over
+        # the loser's paths would read a deleted directory.
+        _tmp, wpath, npath, n = _PR_GRAPH_CACHE[key]
+    return spark.read.parquet(wpath), spark.read.parquet(npath), n
 
 
 def _pagerank_oracle() -> str:
@@ -888,7 +893,10 @@ def _boruvka_oracle() -> str:
     the conjoined-tree parent relation with the mutual pair broken
     toward the smaller id, _MSF_JUMPS pointer-jump CTEs (chains
     cannot exceed the per-round nomination count, so the fixed depth
-    reaches the same idempotent map the engine's jump batches do),
+    covers every chain up to 2^_MSF_JUMPS; the engine sizes its own
+    jump count per round from n_nom and RAISES if a chain ever
+    out-runs this unrolled depth — extra identity jumps here are
+    harmless because an idempotent map is a pointer-jump fixpoint),
     and the label re-stamp.  Identity rounds after contraction
     completes are empty CTEs, mirroring the engine's early exit."""
     parts = [f"""
@@ -1076,26 +1084,38 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
             )
             .localCheckpoint(eager=False)
         )
-        # Jump batches run until the parent map is IDEMPOTENT — a
-        # fixed depth alone resolves chains up to 2^_MSF_JUMPS, and a
-        # longer nomination chain would leave non-canonical labels
-        # that let a later round nominate an intra-component edge
-        # (a cycle in the "forest").  Each batch ends in a datasource
-        # round-trip that resets the self-join chain (the
-        # localCheckpoint variants of this loop degraded exponentially
-        # past ~19 cumulative self-join links; parquet-backed reads
-        # are immune — measured in BENCH_NOTES), so extra batches
-        # start from a fresh relation.  The convergence probe is one
-        # broadcast self-join on the component-scale map (converged =
-        # nobody's parent has a different grandparent) — but a chain
-        # cannot be longer than the number of components nominated
-        # this round, so when n_nom <= 2^_MSF_JUMPS convergence is
-        # GUARANTEED and the probe job is skipped outright (the
-        # common case at every tested scale; the guard engages only
-        # on pathological merge groups).
-        probe_needed = n_nom > (1 << _MSF_JUMPS)
-        while True:
-            for _ in range(_MSF_JUMPS):
+        # Pointer-jump depth is SIZED PER ROUND and runs in ADAPTIVE
+        # BATCHES (round-9 tuning; the jump joins dominated this
+        # operator's wall 4 rounds running): each jump DOUBLES the
+        # collapsed chain length, a chain cannot exceed n_nom - 1
+        # hops, so `needed = bit_length(n_nom - 2)` jumps GUARANTEE
+        # idempotency — but real nomination forests are far shallower
+        # (random-ish nominations give O(log n) chains), so after
+        # each 4-jump batch a one-job probe on the component-scale
+        # map exits as soon as the map is already idempotent.  Late
+        # rounds (n_nom small) pay 0-2 jumps and no probe at all.
+        # The unrolled DuckDB oracle holds exactly _MSF_JUMPS jump
+        # CTEs, so if the probe still finds a pending chain when the
+        # oracle's depth budget is spent, we RAISE instead of
+        # silently diverging (round-8 ADVICE, the k-truss
+        # convergence discipline).  Extra oracle jumps beyond the
+        # engine's dynamic count are identity maps — an idempotent
+        # parent map is a fixpoint of pointer jumping — so a SHORTER
+        # engine depth can never diverge.
+        needed = 0 if n_nom <= 2 else (n_nom - 2).bit_length()
+        done = 0
+        while done < needed:
+            batch = min(4, needed - done, _MSF_JUMPS - done)
+            if batch == 0:
+                raise RuntimeError(
+                    f"boruvka_msf: round {rnd} nominated {n_nom} "
+                    f"components with a parent chain longer than "
+                    f"2^{_MSF_JUMPS}; the unrolled DuckDB oracle "
+                    f"truncates at {_MSF_JUMPS} pointer-jump CTEs — "
+                    "raise _MSF_JUMPS (engine and oracle together) "
+                    "for graphs this adversarial."
+                )
+            for _ in range(batch):
                 hop = parent.select(
                     F.col("comp").alias("h_c"), F.col("parent").alias("h_p")
                 )
@@ -1109,33 +1129,30 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                     .localCheckpoint(eager=False)
                 )
-            mpath = f"{_CUTS.new_dir('msf_map', 'spark_msf_map_')}/mapping"
-            parent.select(
-                F.col("comp").alias("old_comp"),
-                F.col("parent").alias("new_comp"),
-            ).write.mode("overwrite").parquet(mpath)
-            mapping = spark.read.parquet(mpath)
-            if not probe_needed:
-                break
-            m2 = mapping.select(
-                F.col("old_comp").alias("m_c"), F.col("new_comp").alias("m_p")
+            done += batch
+            if done >= needed:
+                break  # coverage proven, no probe needed
+            m2 = parent.select(
+                F.col("comp").alias("m_c"), F.col("parent").alias("m_p")
             )
             pending = (
-                mapping.join(
-                    F.broadcast(m2), mapping.new_comp == m2.m_c, "left"
+                parent.join(
+                    F.broadcast(m2), parent.parent == m2.m_c, "left"
                 )
                 .filter(
-                    F.coalesce("m_p", F.col("new_comp")) != F.col("new_comp")
+                    F.coalesce("m_p", F.col("parent")) != F.col("parent")
                 )
                 .limit(1)
                 .count()
             )
             if pending == 0:
-                break
-            parent = mapping.select(
-                F.col("old_comp").alias("comp"),
-                F.col("new_comp").alias("parent"),
-            )
+                break  # already idempotent — skip the remaining jumps
+        mpath = f"{_CUTS.new_dir('msf_map', 'spark_msf_map_')}/mapping"
+        parent.select(
+            F.col("comp").alias("old_comp"),
+            F.col("parent").alias("new_comp"),
+        ).write.mode("overwrite").parquet(mpath)
+        mapping = spark.read.parquet(mpath)
         labels = (
             labels.join(
                 F.broadcast(mapping), labels.label == mapping.old_comp, "left"

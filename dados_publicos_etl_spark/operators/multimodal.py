@@ -488,6 +488,19 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 n = len(pcm)
                 if n == 0:
                     continue
+                if n > _AUDIO_MAX_SAMPLES:
+                    # the DuckDB oracle's generate_series bounds the
+                    # sample expansion at _AUDIO_MAX_SAMPLES; a
+                    # longer payload would silently DIVERGE (oracle
+                    # drops samples, engine keeps them), so surface
+                    # it as an error instead (round-8 ADVICE — the
+                    # expect_dim discipline for the audio leg).
+                    raise ValueError(
+                        f"multimodal_audio_segments: doc {i} has "
+                        f"{n} samples > _AUDIO_MAX_SAMPLES="
+                        f"{_AUDIO_MAX_SAMPLES}; raise the bound in "
+                        "BOTH the oracle and this guard."
+                    )
                 sg = np.sign(pcm)
                 if n > 1:
                     change = sg[1:] != sg[:-1]
@@ -1283,24 +1296,227 @@ def spectral_features(
     )
 
 
+# --- portable fixed-point DFT (round-9 oracle conversion) ------------------
+#
+# The r8 verdict's recipe (#3): an N-point magnitude spectrum IS
+# SQL-expressible as (sum x_n cos(2pi k n / N))^2 + (sum x_n sin)^2
+# over integer PCM, with the cos/sin table pre-rounded to fixed
+# point and shared VERBATIM between both engines — the engine
+# imports the table from this module, the oracle embeds the same
+# values as a VALUES CTE generated from the same function in the
+# same process, so there is NO libm seam at all.  cos(2pi k n / N)
+# depends only on (k*n) mod N, so the table is N rows, not N^2/2.
+#
+# Integer budget (everything pinned exact until one sqrt):
+#   products  v * cq        <= 32767 * 10^6            ~ 3.3e10
+#   re, im    sum of N=128  <= 128 * 3.3e10            ~ 4.2e12  (int64 ok)
+#   re^2+im^2                <= 2 * 1.8e25              ~ 3.6e25  (HUGEINT /
+#                                                        python int, exact)
+#   mag       floor(sqrt(double(re^2+im^2)) + 0.5): int->double is
+#             correctly rounded and IEEE sqrt/add are deterministic,
+#             verified against DuckDB over 3000 random probes at
+#             this magnitude (tests/test_fuzz_portable.py).
+_SPEC_N = 128            # 8 ms analysis window at 16 kHz
+_SPEC_BINS = _SPEC_N // 2 + 1   # rFFT bins 0..N/2
+_SPEC_HZ_PER_BIN = SAMPLE_RATE // _SPEC_N  # 125 Hz, exact integer
+_TRIG_SCALE = 10**6
+
+
+def _spec_trig() -> tuple[list[int], list[int]]:
+    """cq[m], sq[m] = round-half-away(cos|sin(2 pi m / N) * 1e6) for
+    m in 0..N-1 — the ONE shared trig table (engine matmul + oracle
+    VALUES CTE are both generated from this list)."""
+    import math
+
+    cq, sq = [], []
+    for m in range(_SPEC_N):
+        for arr, fn in ((cq, math.cos), (sq, math.sin)):
+            x = fn(2.0 * math.pi * m / _SPEC_N) * _TRIG_SCALE
+            r = int(math.floor(abs(x) + 0.5))
+            arr.append(r if x >= 0 else -r)
+    return cq, sq
+
+
+def _spectral_centroid_oracle() -> str:
+    """Replays the fixed-point DFT in SQL: the byte->int16 decode
+    CTE shared with multimodal_audio_segments, full 128-sample
+    windows, re/im as exact integer dot products against the shared
+    trig VALUES, magnitude via the verified HUGEINT->DOUBLE->sqrt
+    seam, centroid as a ratio of exact integer sums, peak bin by
+    (mag DESC, k) — ties to the lowest bin, the engine's argmax."""
+    cq, sq = _spec_trig()
+    trig_rows = ", ".join(
+        f"({m}, {cq[m]}, {sq[m]})" for m in range(_SPEC_N)
+    )
+    n = _SPEC_N
+    return f"""
+    WITH raw AS MATERIALIZED (
+      SELECT doc_id, CAST(encode(text) AS BIT) AS bits,
+             octet_length(encode(text)) AS nb
+      FROM documents
+      WHERE octet_length(encode(text)) >= 2
+    ), v AS MATERIALIZED (
+      SELECT doc_id, g.i,
+             {_audio_byte_sql('2*g.i')} + 256 * {_audio_byte_sql('2*g.i + 1')}
+             - CASE WHEN {_audio_byte_sql('2*g.i')}
+                         + 256 * {_audio_byte_sql('2*g.i + 1')} >= 32768
+                    THEN 65536 ELSE 0 END AS v
+      FROM raw, generate_series(0, {_AUDIO_MAX_SAMPLES - 1}) g(i)
+      WHERE 2 * g.i + 1 < nb
+    ), trig(m, cq, sq) AS (VALUES {trig_rows}
+    ), wcnt AS (
+      SELECT doc_id, i // {n} AS seg FROM v
+      GROUP BY 1, 2 HAVING COUNT(*) = {n}
+    ), w AS MATERIALIZED (
+      SELECT v.doc_id, v.i // {n} AS seg, v.i % {n} AS pos, v.v
+      FROM v JOIN wcnt
+        ON wcnt.doc_id = v.doc_id AND wcnt.seg = v.i // {n}
+    ), spec AS MATERIALIZED (
+      SELECT w.doc_id, w.seg, g.k,
+             CAST(SUM(w.v * t.cq) AS BIGINT) AS re,
+             CAST(SUM(w.v * t.sq) AS BIGINT) AS im
+      FROM w
+      CROSS JOIN generate_series(0, {_SPEC_BINS - 1}) g(k)
+      JOIN trig t ON t.m = (g.k * w.pos) % {n}
+      GROUP BY 1, 2, 3
+    ), mag AS MATERIALIZED (
+      SELECT doc_id, seg, k,
+             CAST(FLOOR(sqrt(CAST(CAST(re AS HUGEINT) * re
+                                  + CAST(im AS HUGEINT) * im AS DOUBLE))
+                        + 0.5) AS BIGINT) AS mq
+      FROM spec
+    ), agg AS (
+      SELECT doc_id, seg,
+             CAST(SUM(k * mq) AS BIGINT) AS centq,
+             CAST(SUM(mq) AS BIGINT) AS totq
+      FROM mag GROUP BY 1, 2
+    ), peak AS (
+      SELECT doc_id, seg, k AS kpeak FROM (
+        SELECT doc_id, seg, k,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, seg
+                                  ORDER BY mq DESC, k) AS rk
+        FROM mag
+      ) WHERE rk = 1
+    )
+    SELECT a.doc_id,
+           CAST(a.seg AS INT) AS segment_idx,
+           CASE WHEN a.totq = 0 THEN 0.0
+                ELSE ROUND({_SPEC_HZ_PER_BIN}.0 * a.centq / a.totq, 2)
+           END AS centroid_hz,
+           CAST({_SPEC_HZ_PER_BIN}.0 * p.kpeak AS DOUBLE) AS peak_hz,
+           a.totq AS mag_total
+    FROM agg a JOIN peak p ON p.doc_id = a.doc_id AND p.seg = a.seg
+    """
+
+
 @query(
     "audio_spectral_centroid",
-    oracle=None,  # FFT magnitudes; planted-sine + golden pytest pins
-    description="Audio modality, frequency domain: per-segment "
-    "spectral centroid + peak frequency via numpy rFFT over Arrow "
-    "batches (25 ms windows, payload never shuffles), aggregated to "
-    "per-doc brightness stats — the audio-quality filter signal "
-    "(hiss/silence/tone detection) beside segment_audio's RMS/ZCR.  "
-    "No SQL oracle (FFT is not SQL-expressible); correctness is "
-    "pinned by a planted-sine pytest (a pure 1 kHz tone's centroid "
-    "and peak land on 1 kHz) and the seeded golden.",
+    oracle=_spectral_centroid_oracle(),
+    description="Audio modality, frequency domain: per-window "
+    "spectral centroid + peak frequency — 128-sample (8 ms) full "
+    "windows, FIXED-POINT integer DFT (shared pre-rounded trig "
+    "table, exact int64 re/im dot products, one verified "
+    "sqrt seam per bin), centroid as a ratio of exact integer "
+    "magnitude sums, peak bin ties to the lowest k.  Round 9: "
+    "DuckDB-differential (was the rFFT rows-only entry — the "
+    "r8 verdict's VALUES-CTE recipe implemented); the float-rFFT "
+    "sibling spectral_features stays as the general library "
+    "function with its planted-sine pytest, and a second pytest "
+    "pins this portable path to the rFFT within quantization "
+    "tolerance on planted tones.",
 )
 def audio_spectral_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-full-window brightness features over int16-PCM payloads.
+
+    Spark shape: one narrow Arrow pass (trig matrix ships with the
+    closure; payload bytes never shuffle) emitting exact integers
+    per window; the only floats (centroid ratio, peak frequency)
+    are computed JVM-side with the oracle's own expression tree."""
     docs = read_table(spark, sf_dir, "documents")
     mm = to_multimodal(docs, "text", modality="audio", mime="audio/pcm")
-    feats = spectral_features(mm)
-    return feats.groupBy("doc_id").agg(
-        F.count(F.lit(1)).cast("long").alias("n_segments"),
-        F.round(F.avg("centroid_hz"), 2).alias("avg_centroid_hz"),
-        F.round(F.max("peak_hz"), 2).alias("max_peak_hz"),
+    return spectral_centroid_frames(mm.select("doc_id", "payload"))
+
+
+def spectral_centroid_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+    """Library form of the portable integer-DFT brightness features:
+    (id, payload) -> one row per FULL 128-sample window with
+    centroid_hz, peak_hz, mag_total.  Shared by the registered query
+    and the planted-tone pytest (which drives synthetic PCM through
+    the identical math)."""
+    import numpy as np
+
+    cq, sq = _spec_trig()
+    n = _SPEC_N
+    ks = np.arange(_SPEC_BINS, dtype="int64")
+    # C[k, pos] = cq[(k*pos) % N] — the (k x N) int64 DFT matrix
+    idx = (ks[:, None] * np.arange(n, dtype="int64")[None, :]) % n
+    cmat = np.asarray(cq, dtype="int64")[idx]
+    smat = np.asarray(sq, dtype="int64")[idx]
+
+    def feats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in batches:
+            ids, segs, cents, tots, peaks = [], [], [], [], []
+            for i, b in zip(pdf[id_col], pdf["payload"]):
+                pcm = np.frombuffer(
+                    b[: len(b) - (len(b) % 2)], dtype="<i2"
+                ).astype("int64")
+                if len(pcm) > _AUDIO_MAX_SAMPLES:
+                    raise ValueError(
+                        f"audio_spectral_centroid: doc {i} has "
+                        f"{len(pcm)} samples > _AUDIO_MAX_SAMPLES="
+                        f"{_AUDIO_MAX_SAMPLES}; raise the bound in "
+                        "BOTH the oracle and this guard."
+                    )
+                for si in range(len(pcm) // n):
+                    w = pcm[si * n : (si + 1) * n]
+                    re = cmat @ w  # exact int64 (budget in header)
+                    im = smat @ w
+                    # re^2+im^2 overflows int64 -> exact python int,
+                    # then the verified int->double->sqrt seam
+                    mq = np.array(
+                        [
+                            int(
+                                np.floor(
+                                    np.sqrt(
+                                        float(
+                                            int(r) * int(r)
+                                            + int(q) * int(q)
+                                        )
+                                    )
+                                    + 0.5
+                                )
+                            )
+                            for r, q in zip(re, im)
+                        ],
+                        dtype="int64",
+                    )
+                    ids.append(i)
+                    segs.append(si)
+                    cents.append(int((ks * mq).sum()))
+                    tots.append(int(mq.sum()))
+                    peaks.append(int(mq.argmax()))  # first max = low k
+            yield pd.DataFrame(
+                {
+                    id_col: pd.Series(ids, dtype="int64"),
+                    "segment_idx": pd.Series(segs, dtype="int32"),
+                    "centq": pd.Series(cents, dtype="int64"),
+                    "totq": pd.Series(tots, dtype="int64"),
+                    "kpeak": pd.Series(peaks, dtype="int32"),
+                }
+            )
+
+    exact = df.select(id_col, "payload").mapInPandas(
+        feats,
+        schema=f"{id_col} long, segment_idx int, centq long, totq long, "
+        "kpeak int",
+    )
+    hz = float(_SPEC_HZ_PER_BIN)
+    return exact.select(
+        id_col,
+        "segment_idx",
+        F.when(F.col("totq") == 0, F.lit(0.0))
+        .otherwise(F.round(F.lit(hz) * F.col("centq") / F.col("totq"), 2))
+        .alias("centroid_hz"),
+        (F.lit(hz) * F.col("kpeak")).alias("peak_hz"),
+        F.col("totq").alias("mag_total"),
     )

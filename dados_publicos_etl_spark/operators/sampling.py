@@ -1083,3 +1083,48 @@ def token_stream_offsets(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.col("cum") - F.col("n_tokens")).cast("long").alias("token_start"),
         F.col("cum").cast("long").alias("token_end"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Domain (source) frequency capping — RefinedWeb/FineWeb-style
+# ---------------------------------------------------------------------------
+
+_DOMCAP_K = 40  # max docs kept per source
+
+
+@query(
+    "domain_frequency_cap",
+    oracle=f"""
+    WITH ranked AS (
+      SELECT doc_id, source, n_chars,
+             CAST(ROW_NUMBER() OVER (PARTITION BY source
+               ORDER BY n_chars DESC, doc_id) AS INT) AS src_rank
+      FROM documents
+    )
+    SELECT doc_id, source, src_rank,
+           (src_rank <= {_DOMCAP_K}) AS kept
+    FROM ranked
+    """,
+    description="Domain frequency capping (the RefinedWeb/FineWeb "
+    f"curation step): at most {_DOMCAP_K} documents survive per "
+    "source, chosen by a deterministic quality rank (n_chars DESC "
+    "here — the slot where a real pipeline plugs its quality "
+    "score; ties to the lower doc_id), so no single domain can "
+    "dominate the training mix however lopsided the crawl is.  "
+    "Scale shape: ONE window pass partitioned by source — the "
+    "shuffle key is the domain, exactly the key the data is "
+    "already skewed on, which is why real pipelines pair this with "
+    "the salting diagnostics in operators/skew.py; the output "
+    "keeps dropped rows WITH their rank so the cap's effect is "
+    "auditable (filter kept=true to materialize the cut).",
+)
+def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    w = W.partitionBy("source").orderBy(
+        F.desc("n_chars"), F.asc("doc_id")
+    )
+    return docs.select(
+        "doc_id",
+        "source",
+        F.row_number().over(w).alias("src_rank"),
+    ).withColumn("kept", F.col("src_rank") <= _DOMCAP_K)

@@ -24,7 +24,6 @@ the maintenance primitives that replace that pattern at 100 TB.
 
 from __future__ import annotations
 
-import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -37,6 +36,10 @@ from dados_publicos_etl_spark.plans.registry import query
 # One workspace per corpus snapshot per session, removed by the
 # finalizer at interpreter exit; the fingerprint key means a
 # regenerated corpus rebuilds instead of serving stale files.
+# Guarded by the shared tmpstore.CACHE_LOCK like every other
+# session fixture cache (round-8 ADVICE): a racing second call must
+# NOT overwrite the cached TemporaryDirectory, whose finalizer
+# would delete a directory the first caller's reader still uses.
 _WORKSPACES: dict[tuple, tempfile.TemporaryDirectory] = {}
 
 
@@ -44,18 +47,19 @@ def _workspace(name: str, sf_dir: str) -> tuple[str, bool]:
     """Return (path, fresh): a session-cached scratch dir for one
     maintenance fixture.  ``fresh`` tells the caller whether the
     maintenance op still needs to run."""
-    try:
-        st = os.stat(sf_dir)
-        fp = (st.st_mtime_ns, st.st_size)
-    except OSError:
-        fp = None
-    key = (name, sf_dir, fp)
-    hit = _WORKSPACES.get(key)
-    if hit is not None:
-        return hit.name, False
-    tmp = tempfile.TemporaryDirectory(prefix=f"spark_maint_{name}_")
-    _WORKSPACES[key] = tmp
-    return tmp.name, True
+    from dados_publicos_etl_spark.tmpstore import (
+        CACHE_LOCK,
+        corpus_fingerprint,
+    )
+
+    key = (name, sf_dir, corpus_fingerprint(sf_dir))
+    with CACHE_LOCK:
+        hit = _WORKSPACES.get(key)
+        if hit is not None:
+            return hit.name, False
+        tmp = tempfile.TemporaryDirectory(prefix=f"spark_maint_{name}_")
+        _WORKSPACES[key] = tmp
+        return tmp.name, True
 
 
 _ZORDER_COLS = ["l_orderkey", "l_partkey", "l_suppkey", "l_quantity",

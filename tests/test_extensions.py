@@ -1028,7 +1028,7 @@ ARROW_UDF_QUERIES = [
     "embedding_gram_matrix",     # mining: partial-Gram mapInPandas
     "heavy_hitters_exact",       # advanced: Misra-Gries mapInPandas
     "compression_ratio_quality", # text: zlib mapInPandas
-    "audio_spectral_centroid",   # multimodal: rFFT mapInPandas
+    "audio_spectral_centroid",   # multimodal: fixed-point DFT mapInPandas
     "holt_linear_smoothing",     # events: sequential-recurrence applyInPandas
     "isotonic_calibration",      # classify: PAVA stack applyInPandas
 ]
@@ -1690,6 +1690,52 @@ def test_spectral_centroid_planted_sine(spark):
         )
     silent = out[out.doc_id == 3]
     assert (silent.centroid_hz == 0.0).all()
+
+
+def test_portable_dft_matches_rfft_on_planted_tones(spark):
+    """The round-9 PORTABLE integer-DFT path (the machinery behind
+    the registered audio_spectral_centroid query,
+    spectral_centroid_frames) must reproduce rFFT physics on planted
+    tones: a pure 1 kHz sine's peak lands EXACTLY on bin 8
+    (1000 = 8 x 125 Hz/bin) with centroid within leakage distance of
+    1 kHz; a 3 kHz tone on bin 24; silence gives zero centroid, zero
+    magnitude, peak at bin 0.  This pins that the fixed-point
+    quantization (1e-6 trig, integer magnitudes) preserves the
+    SIGNAL — the DuckDB differential proves cross-engine equality,
+    not physics."""
+    import numpy as np
+
+    from dados_publicos_etl_spark.operators.multimodal import (
+        SAMPLE_RATE,
+        spectral_centroid_frames,
+    )
+
+    def pcm_sine(freq, seconds=0.064, amp=12000):
+        t = np.arange(int(SAMPLE_RATE * seconds)) / SAMPLE_RATE
+        return (amp * np.sin(2 * np.pi * freq * t)).astype("<i2").tobytes()
+
+    rows = [
+        (1, bytearray(pcm_sine(1000.0))),
+        (2, bytearray(pcm_sine(3000.0))),
+        (3, bytearray(b"\x00\x00" * 256)),
+    ]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    pdf = (
+        spectral_centroid_frames(df)
+        .toPandas()
+        .sort_values(["doc_id", "segment_idx"])
+    )
+    one = pdf[pdf.doc_id == 1]
+    assert len(one) == 8  # 1024 samples -> 8 full 128-sample windows
+    assert (one.peak_hz == 1000.0).all(), one.peak_hz
+    assert (abs(one.centroid_hz - 1000.0) < 150).all(), one.centroid_hz
+    three = pdf[pdf.doc_id == 2]
+    assert (three.peak_hz == 3000.0).all(), three.peak_hz
+    assert (abs(three.centroid_hz - 3000.0) < 250).all(), three.centroid_hz
+    silent = pdf[pdf.doc_id == 3]
+    assert (silent.centroid_hz == 0.0).all()
+    assert (silent.mag_total == 0).all()
+    assert (silent.peak_hz == 0.0).all()
 
 
 def test_countmin_one_sided_guarantee_all_terms(spark, sf_dir):

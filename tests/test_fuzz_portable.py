@@ -167,3 +167,97 @@ def test_int16_byte_replay_matches_numpy(spark):
             for x in np.frombuffer(b[: len(b) - (len(b) % 2)], "<i2")
         ]
         assert got.get(i, []) == expect, (i, t)
+
+
+def test_spectral_magnitude_seam_matches_duckdb():
+    """The one float seam in the portable DFT
+    (audio_spectral_centroid): mag = floor(sqrt(double(re^2+im^2))
+    + 0.5).  re^2+im^2 exceeds 2^53, so the int->double conversion
+    itself rounds — this pins that DuckDB's HUGEINT->DOUBLE cast and
+    Python's float(int) round identically (both correctly rounded),
+    and that the sqrt/add/floor chain lands on the same integer,
+    across random magnitudes at the operator's actual scale
+    (|re|,|im| <= 32767 * 1e6 * 128 ~ 4.3e12)."""
+    import math
+    import random
+
+    rng = random.Random(7)
+    cases = []
+    for _ in range(2000):
+        re = rng.randint(-4_300_000_000_000, 4_300_000_000_000)
+        im = rng.randint(-4_300_000_000_000, 4_300_000_000_000)
+        cases.append((re, im))
+    # adversarial: perfect squares and off-by-one around them, where
+    # floor(sqrt+0.5) sits on a boundary
+    for s in [1, 2, 10**6, 4_299_999_999_999]:
+        for d in (-1, 0, 1):
+            cases.append((s + d, 0))
+    con = duckdb.connect()
+    con.register(
+        "c", pd.DataFrame(cases, columns=["re", "im"]).reset_index()
+    )
+    rows = con.execute(
+        """
+        SELECT index,
+               CAST(FLOOR(sqrt(CAST(CAST(re AS HUGEINT) * re
+                                    + CAST(im AS HUGEINT) * im AS DOUBLE))
+                          + 0.5) AS BIGINT)
+        FROM c ORDER BY index
+        """
+    ).fetchall()
+    for (idx, db), (re, im) in zip(rows, cases):
+        py = int(math.floor(math.sqrt(float(re * re + im * im)) + 0.5))
+        assert py == db, (re, im, py, db)
+
+
+def test_spec_trig_table_shared_and_bounded():
+    """The portable DFT's trig table: generated once, embedded
+    verbatim in the oracle (no cross-engine libm seam by
+    construction); values bounded by the fixed-point scale and the
+    quarter-symmetry identities hold exactly in the rounded domain
+    where they must (cq[0]=scale, sq[0]=0, cq[N/2]=-scale,
+    sq[N/4]=scale)."""
+    from dados_publicos_etl_spark.operators.multimodal import (
+        _SPEC_N,
+        _TRIG_SCALE,
+        _spec_trig,
+    )
+
+    cq, sq = _spec_trig()
+    assert len(cq) == len(sq) == _SPEC_N
+    assert max(max(map(abs, cq)), max(map(abs, sq))) <= _TRIG_SCALE
+    assert cq[0] == _TRIG_SCALE and sq[0] == 0
+    assert cq[_SPEC_N // 2] == -_TRIG_SCALE and sq[_SPEC_N // 2] == 0
+    assert sq[_SPEC_N // 4] == _TRIG_SCALE and cq[_SPEC_N // 4] == 0
+    # table is embedded in the registered oracle verbatim
+    from dados_publicos_etl_spark.plans import QUERIES
+
+    oracle = QUERIES["audio_spectral_centroid"].oracle
+    assert f"(3, {cq[3]}, {sq[3]})" in oracle
+
+
+def test_semdedup_cell_rule_matches_sql_rule():
+    """semdedup_n_cells / _ivf_n_train (engine, python ints) vs the
+    prm CTE (oracle, GREATEST/LEAST over COUNT(*)) — the round-9
+    dynamic-k conversion holds only if both derive identical (k,
+    n_train) from ANY corpus size, including the boundary counts
+    around the floor, the //32 steps, and both caps."""
+    from dados_publicos_etl_spark.operators.similarity import (
+        _ivf_n_train,
+        _semdedup_prm_sql,
+        semdedup_n_cells,
+    )
+
+    ns = [1, 2, 31, 32, 511, 512, 513, 540, 541, 2000, 5000,
+          131071, 131072, 131073, 200000, 4096 * 32, 4096 * 32 + 1,
+          10**7]
+    con = duckdb.connect()
+    for n in ns:
+        con.execute("CREATE OR REPLACE VIEW embeddings AS "
+                    f"SELECT * FROM range({n})")
+        k_sql, nt_sql = con.execute(
+            f"WITH {_semdedup_prm_sql()} SELECT k, n_train FROM prm"
+        ).fetchone()
+        assert (int(k_sql), int(nt_sql)) == (
+            semdedup_n_cells(n), _ivf_n_train(semdedup_n_cells(n))
+        ), n

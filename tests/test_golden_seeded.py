@@ -61,7 +61,12 @@ SEEDED_QUERIES = [
     # both DuckDB-differential (banding, hamming re-rank, and
     # thresholding replay in SQL); pigeonhole/planted-cut pytests stay.
     "compression_ratio_quality",  # zlib level-6 ratios, deterministic (round 5)
-    "audio_spectral_centroid",    # deterministic rFFT over synth PCM (round 5)
+    # round 9: audio_spectral_centroid moved OUT — the registered
+    # query now runs a FIXED-POINT integer DFT over 128-sample full
+    # windows (shared pre-rounded trig table embedded verbatim in a
+    # VALUES CTE; one verified HUGEINT->DOUBLE->sqrt seam per bin),
+    # so it is DuckDB-differential; the float-rFFT library sibling
+    # spectral_features keeps its planted-sine pytest.
     # round 8: boruvka_msf moved OUT — the unrolled-round
     # MATERIALIZED-CTE oracle (nomination, mutual-pair rooting,
     # pointer jumps) makes it DuckDB-differential; the independent

@@ -502,6 +502,9 @@ _BNLJ_OK = {
     "hll_intersection",  # 1-row register sums x 1-row exact counts
     "dsir_resample_e2e",  # inherits DSIR's 1-row mean-weight crossJoin
     "matryoshka_truncation_audit",  # fixed 10-row query panel broadcast
+    # round 9
+    "late_interaction_maxsim",  # fixed 8-row query panel broadcast
+    "embedding_sign_hamming",   # fixed 8-row query panel broadcast
 }
 
 
@@ -813,3 +816,109 @@ def test_generate_guard_rule_is_excluded(spark):
     ex = toked.select("doc_id", F.explode("t").alias("tok"))
     plan = ex._jdf.queryExecution().executedPlan().toString()
     assert "size(" not in plan, plan[:2000]
+
+
+# ---------------------------------------------------------------------------
+# Driver-collect bound sweep (round-9 standing audit, r8 verdict #8)
+# ---------------------------------------------------------------------------
+
+# Queries with ANY internal driver collect, from the full 2x341-query
+# audit (tools/collect_audit.py; recorded in COLLECT_AUDIT_r09.json).
+# Two legal classes, nothing else:
+#   CONSTANT — fixed query panels, per-partition offset scalars,
+#     state micro-batches: may NOT grow with the corpus (bound 64).
+#   TRAIN-CAPPED — quantizer training samples: bounded by a
+#     plan-level limit at _IVF_TRAIN_CAP rows, MAY grow beneath it.
+_COLLECT_TRAIN_CAPPED = {
+    "dedup_semantic_cells",   # SemDeDup sample: min(n, _IVF_TRAIN_CAP)
+    "ivf_cell_balance",       # IVF coarse sample (200 x 16, capped)
+    "similarity_ivf",         # + fixed 10-query probe panel
+    "similarity_ivf_exact",
+    "similarity_ivf_persisted",
+    "similarity_pq",          # PQ codebook sample (100 x 16, capped)
+    "similarity_ivfpq",
+    "stream_ann_probe",       # 5-vector probe panel + cached quantizer
+}
+_COLLECT_CONSTANT = {
+    "bpe_encode_corpus", "corpus_global_shuffle", "decile_lift_table",
+    "diff_in_diff", "dsir_importance_weights", "dsir_resample_e2e",
+    "equidepth_histogram", "global_row_number", "hybrid_rrf_fusion",
+    "jsonl_export_roundtrip", "ks_test_twosample", "mann_whitney_u",
+    "nb_score_reliability", "pareto_frontier", "pareto_revenue_curve",
+    "pmi_collocations", "ppr_seeded", "quantile_normalize_grid",
+    "rfm_segmentation", "sequence_gap_audit", "similarity_filtered_topk",
+    "similarity_topk", "stream_kl_drift", "stream_late_drop",
+    "stream_stream_outer_join", "stream_topk_windows", "theil_sen_trend",
+    "token_stream_offsets", "training_shard_assignment", "vocab_coverage",
+}
+
+
+def test_package_collect_sites_are_inventoried():
+    """Static half of the audit: the number of ``.collect()`` call
+    sites in the package is pinned.  Adding one forces whoever adds
+    it to re-run tools/collect_audit.py and extend the sweep lists
+    above — the same maintenance contract as _BNLJ_OK."""
+    import os
+
+    import dados_publicos_etl_spark as pkg
+
+    root = os.path.dirname(pkg.__file__)
+    n = 0
+    for dirpath, _dirs, files in os.walk(root):
+        for f in files:
+            if f.endswith(".py"):
+                with open(os.path.join(dirpath, f)) as fh:
+                    n += fh.read().count(".collect()")
+    assert n == 13, (
+        f"{n} .collect() sites (expected 13): a site was added or "
+        "removed — re-run tools/collect_audit.py and update "
+        "_COLLECT_TRAIN_CAPPED/_COLLECT_CONSTANT."
+    )
+
+
+def test_driver_collects_bounded_at_10x(spark, tmp_path_factory):
+    """Dynamic half: every collect-bearing query runs at smoke scale
+    AND at an FK-consistent 10x replica under a collect-size
+    recorder; CONSTANT-class queries must stay under a hard 64-row
+    bound at 10x, TRAIN-CAPPED ones under _IVF_TRAIN_CAP.  This is
+    the sweep that would have caught the r8 verdict's one
+    scale-killer (SemDeDup collecting 6.25n training rows) the day
+    it was written."""
+    from pyspark.sql.classic.dataframe import DataFrame as CDF
+
+    from dados_publicos_etl_spark.operators.similarity import (
+        _IVF_TRAIN_CAP,
+    )
+    from dados_publicos_etl_spark.plans import QUERIES
+    from tests.conftest import SF_SMOKE
+    from tools.scale_probe import replicate_corpus
+
+    tenx = str(tmp_path_factory.mktemp("sf10x"))
+    replicate_corpus(spark, SF_SMOKE, tenx, 10)
+
+    sizes: list[int] = []
+    orig = CDF.collect
+
+    def spy(self):
+        rows = orig(self)
+        sizes.append(len(rows))
+        return rows
+
+    CDF.collect = spy
+    offenders = {}
+    try:
+        for name in sorted(_COLLECT_TRAIN_CAPPED | _COLLECT_CONSTANT):
+            for d, bound in (
+                (SF_SMOKE, _IVF_TRAIN_CAP),
+                (tenx,
+                 _IVF_TRAIN_CAP
+                 if name in _COLLECT_TRAIN_CAPPED else 64),
+            ):
+                sizes.clear()
+                QUERIES[name].fn(spark, d).count()
+                worst = max(sizes, default=0)
+                if worst > bound:
+                    offenders[(name, d)] = (worst, bound)
+    finally:
+        CDF.collect = orig
+    assert not offenders, offenders

@@ -84,3 +84,44 @@ def test_spark_submit_example_job(tmp_path):
         f"FROM '{out_dir}/*.parquet'"
     ).fetchone()
     assert n > 0 and flags >= 2
+
+
+def test_curation_pipeline_example_runs_end_to_end(tmp_path):
+    """The OTHER user-facing entry point (round-8 verdict #3's
+    leftover): run ``examples/curation_pipeline.py`` exactly as its
+    docstring tells a user to, from a NEUTRAL cwd, and assert the
+    funnel it prints is coherent — every gate's count parses, the
+    funnel is monotone non-increasing (each stage only drops), docs
+    survive to the end, and both terminal tables render."""
+    import re
+    import subprocess
+    import sys
+
+    env = dict(os.environ)
+    env["SPARK_GRAFT_CPUS"] = "4"
+    env.setdefault("SPARK_DRIVER_MEM", "4g")
+    proc = subprocess.run(
+        [
+            sys.executable,
+            os.path.join(REPO, "examples", "curation_pipeline.py"),
+            "/root/testdata/sf0.001",
+        ],
+        capture_output=True,
+        text=True,
+        timeout=600,
+        cwd=str(tmp_path),
+    )
+    assert proc.returncode == 0, proc.stderr[-3000:]
+    out = proc.stdout
+    counts = []
+    for stage in ("ingest", "gopher gate", "exact dedup",
+                  "near-dup dedup", "decontamination", "DSIR tilt"):
+        m = re.search(rf"{stage}:\s+(\d+) docs", out)
+        assert m, (stage, out[-2000:])
+        counts.append(int(m.group(1)))
+    assert counts == sorted(counts, reverse=True), counts
+    assert counts[-1] > 0, counts
+    assert "temperature rebalance" in out
+    assert "training shards" in out
+    # the two .show() tables actually rendered rows
+    assert out.count("+---") >= 4, out[-2000:]

@@ -145,6 +145,56 @@ PROBE = [
 ]
 
 
+def replicate_corpus(spark, sf: str, out_dir: str, n_copies: int) -> None:
+    """Write an FK-consistent ``n_copies``x replica of ``sf`` into
+    ``out_dir``: every key column shifts by copy_index * (max_key+1)
+    so joins stay consistent and no cross-copy key collides; document
+    text gets a per-copy tag so exact-duplicate volume stays
+    proportional (identical copies would square the near-dup pair
+    count and measure the DATA pathology, not the operator).  Shared
+    by the CLI probe below and the tests' 10x fixtures
+    (tests/test_plans.py collect-bound sweep)."""
+
+    def key_max(t, c):
+        return read_table(spark, sf, t).agg(F.max(c)).head()[0] + 1
+
+    ok, ck = key_max("orders", "o_orderkey"), key_max("customer", "c_custkey")
+    pk, sk = key_max("part", "p_partkey"), key_max("supplier", "s_suppkey")
+    ek, uk = key_max("events", "event_id"), key_max("events", "user_id")
+    dk, vk = key_max("documents", "doc_id"), key_max("embeddings", "vec_id")
+
+    def scale(table, offsets, text_tag=False):
+        base = read_table(spark, sf, table)
+        parts = []
+        for i in range(n_copies):
+            df = base
+            for col, mx in offsets:
+                df = df.withColumn(col, F.col(col) + i * mx)
+            if text_tag:
+                df = df.withColumn(
+                    "text", F.concat("text", F.lit(f" copytag{i}"))
+                )
+            parts.append(df)
+        out = parts[0]
+        for p in parts[1:]:
+            out = out.unionAll(p)
+        out.write.mode("overwrite").parquet(f"{out_dir}/{table}.parquet")
+
+    scale("orders", [("o_orderkey", ok), ("o_custkey", ck)])
+    scale("lineitem", [("l_orderkey", ok), ("l_partkey", pk),
+                       ("l_suppkey", sk)])
+    scale("customer", [("c_custkey", ck)])
+    scale("supplier", [("s_suppkey", sk)])
+    scale("part", [("p_partkey", pk)])
+    scale("events", [("event_id", ek), ("user_id", uk)])
+    scale("documents", [("doc_id", dk)], text_tag=True)
+    scale("embeddings", [("vec_id", vk)])
+    for t in ("region", "nation"):  # key dims referenced unshifted
+        read_table(spark, sf, t).write.mode("overwrite").parquet(
+            f"{out_dir}/{t}.parquet"
+        )
+
+
 def main() -> None:
     argv = sys.argv[1:]
     only: list[str] | None = None
@@ -163,47 +213,9 @@ def main() -> None:
                         shuffle_partitions=64)
     spark.sparkContext.setLogLevel("ERROR")
 
-    def key_max(t, c):
-        return read_table(spark, sf, t).agg(F.max(c)).head()[0] + 1
-
-    ok, ck = key_max("orders", "o_orderkey"), key_max("customer", "c_custkey")
-    pk, sk = key_max("part", "p_partkey"), key_max("supplier", "s_suppkey")
-    ek, uk = key_max("events", "event_id"), key_max("events", "user_id")
-    dk, vk = key_max("documents", "doc_id"), key_max("embeddings", "vec_id")
-
     tmp = tempfile.mkdtemp(prefix="scale_probe_")
     print("scaled dir:", tmp)
-
-    def scale(table, offsets, text_tag=False):
-        base = read_table(spark, sf, table)
-        parts = []
-        for i in range(n_copies):
-            df = base
-            for col, mx in offsets:
-                df = df.withColumn(col, F.col(col) + i * mx)
-            if text_tag:
-                df = df.withColumn(
-                    "text", F.concat("text", F.lit(f" copytag{i}"))
-                )
-            parts.append(df)
-        out = parts[0]
-        for p in parts[1:]:
-            out = out.unionAll(p)
-        out.write.mode("overwrite").parquet(f"{tmp}/{table}.parquet")
-
-    scale("orders", [("o_orderkey", ok), ("o_custkey", ck)])
-    scale("lineitem", [("l_orderkey", ok), ("l_partkey", pk),
-                       ("l_suppkey", sk)])
-    scale("customer", [("c_custkey", ck)])
-    scale("supplier", [("s_suppkey", sk)])
-    scale("part", [("p_partkey", pk)])
-    scale("events", [("event_id", ek), ("user_id", uk)])
-    scale("documents", [("doc_id", dk)], text_tag=True)
-    scale("embeddings", [("vec_id", vk)])
-    for t in ("region", "nation"):  # key dims referenced unshifted
-        read_table(spark, sf, t).write.mode("overwrite").parquet(
-            f"{tmp}/{t}.parquet"
-        )
+    replicate_corpus(spark, sf, tmp, n_copies)
     print("scaled data written")
 
     # warm both paths (Python workers, file-index caches) so the
