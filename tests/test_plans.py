@@ -505,6 +505,7 @@ _BNLJ_OK = {
     # round 9
     "late_interaction_maxsim",  # fixed 8-row query panel broadcast
     "embedding_sign_hamming",   # fixed 8-row query panel broadcast
+    "tfidf_cosine_neardup",     # 1-row corpus-size (N) crossJoin
 }
 
 
