@@ -1153,6 +1153,12 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("parent").alias("new_comp"),
         ).write.mode("overwrite").parquet(mpath)
         mapping = spark.read.parquet(mpath)
+        # lazy re-stamp: the next round's nominate count (or the
+        # final forest action) materializes it — an eager checkpoint
+        # here was one whole job per round for a |V|-row map.  The
+        # RDD DAG is shared between the lu/lv references, and the
+        # chain re-roots on the parquet-backed mapping every round,
+        # so plan depth stays ~1 join per round (round-9 job trim).
         labels = (
             labels.join(
                 F.broadcast(mapping), labels.label == mapping.old_comp, "left"
@@ -1161,7 +1167,7 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "node",
                 F.coalesce("new_comp", F.col("label")).alias("label"),
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
     if not forest:
         return labels.limit(0).select(
