@@ -693,6 +693,32 @@ def class_balance_downsample(spark: SparkSession, sf_dir: str) -> DataFrame:
 _SHARD_N = 8
 
 
+def _serpentine_shards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """(doc_id, n_tokens, shard): the serpentine deal over the
+    range-partitioned global token rank — shared by the per-shard
+    audit query and the manifest checksum query."""
+    from dados_publicos_etl_spark.functions.text import tokens
+    from dados_publicos_etl_spark.operators.ranking import ranked_by_range
+
+    docs = read_table(spark, sf_dir, "documents")
+    sized = docs.select(
+        "doc_id", F.size(tokens("text")).alias("n_tokens")
+    )
+    ranked, _n = ranked_by_range(
+        sized, [F.col("n_tokens").desc(), F.col("doc_id")]
+    )
+    r = F.col("rn") - 1
+    # `div` keeps the block index in exact integer arithmetic (no
+    # float division anywhere in the assignment)
+    block = F.expr(f"(rn - 1) div {_SHARD_N}")
+    shard = F.when(block % 2 == 0, r % _SHARD_N).otherwise(
+        _SHARD_N - 1 - (r % _SHARD_N)
+    )
+    return ranked.select(
+        "doc_id", "n_tokens", shard.cast("long").alias("shard")
+    )
+
+
 @query(
     "training_shard_assignment",
     oracle=f"""
@@ -732,27 +758,8 @@ _SHARD_N = 8
     f"engines (r and N non-negative).",
 )
 def training_shard_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dados_publicos_etl_spark.functions.text import tokens
-    from dados_publicos_etl_spark.operators.ranking import ranked_by_range
-
-    docs = read_table(spark, sf_dir, "documents")
-    sized = docs.select(
-        "doc_id", F.size(tokens("text")).alias("n_tokens")
-    )
-    ranked, _n = ranked_by_range(
-        sized, [F.col("n_tokens").desc(), F.col("doc_id")]
-    )
-    r = F.col("rn") - 1
-    # `div` keeps the block index in exact integer arithmetic (no
-    # float division anywhere in the assignment)
-    block = F.expr(f"(rn - 1) div {_SHARD_N}")
-    shard = F.when(block % 2 == 0, r % _SHARD_N).otherwise(
-        _SHARD_N - 1 - (r % _SHARD_N)
-    )
     return (
-        ranked.select(
-            "doc_id", "n_tokens", shard.cast("long").alias("shard")
-        )
+        _serpentine_shards(spark, sf_dir)
         .groupBy("shard")
         .agg(
             F.count(F.lit(1)).cast("long").alias("n_docs"),
@@ -1128,3 +1135,139 @@ def domain_frequency_cap(spark: SparkSession, sf_dir: str) -> DataFrame:
         "source",
         F.row_number().over(w).alias("src_rank"),
     ).withColumn("kept", F.col("src_rank") <= _DOMCAP_K)
+
+
+# ---------------------------------------------------------------------------
+# Shard manifest checksums — data-identity proof per training shard
+# ---------------------------------------------------------------------------
+
+_SERPENTINE_SQL = f"""sized AS (
+      SELECT doc_id, text,
+             len(string_split_regex(lower(text), '\\s+')) AS n_tokens
+      FROM documents
+    ), ranked AS (
+      SELECT doc_id, text, n_tokens,
+             ROW_NUMBER() OVER (ORDER BY n_tokens DESC, doc_id) - 1 AS r
+      FROM sized
+    ), assigned AS (
+      SELECT doc_id, text, n_tokens,
+             CASE WHEN (r // {_SHARD_N}) % 2 = 0
+                  THEN r % {_SHARD_N}
+                  ELSE {_SHARD_N} - 1 - (r % {_SHARD_N}) END AS shard
+      FROM ranked
+    )"""
+
+
+@query(
+    "shard_manifest_checksum",
+    oracle=f"""
+    WITH {_SERPENTINE_SQL}
+    SELECT CAST(shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           CAST(bit_xor(CAST(('0x' || substr(md5(text), 1, 15))
+                             AS BIGINT)) AS BIGINT) AS content_xor,
+           CAST(SUM(doc_id) AS BIGINT) AS id_sum
+    FROM assigned GROUP BY shard
+    """,
+    description="Per-shard data-identity manifest: alongside the doc "
+    "and token counts, each training shard gets an ORDER-FREE "
+    "content checksum — bit_xor of a 60-bit md5 prefix of every "
+    "member document's text (xor commutes, so the checksum is "
+    "independent of partitioning, task order, and engine) — plus "
+    "the doc_id sum as a second independent invariant.  This is "
+    "the receipt a training run records before an epoch and "
+    "re-derives on resume/re-shard: counts alone miss a swapped "
+    "document, the xor does not (any single-doc substitution flips "
+    "it).  Scale shape: rides the range-partitioned serpentine "
+    "rank, then one partial-aggregated GROUP BY to 8 rows; md5 is "
+    "computed in the scan stage so text never shuffles.",
+)
+def shard_manifest_checksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.conv(
+            F.substring(F.md5(F.col("text").cast("binary")), 1, 15), 16, 10
+        )
+        .cast("long")
+        .alias("content_h"),
+    )
+    return (
+        _serpentine_shards(spark, sf_dir)
+        .join(docs, "doc_id")
+        .groupBy("shard")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum("n_tokens").cast("long").alias("total_tokens"),
+            F.expr("bit_xor(content_h)").cast("long").alias("content_xor"),
+            F.sum("doc_id").cast("long").alias("id_sum"),
+        )
+    )
+
+
+# ---------------------------------------------------------------------------
+# Temperature sweep — the mixture knob evaluated across a grid in one pass
+# ---------------------------------------------------------------------------
+
+_SWEEP_TAUS = (20, 40, 60, 80, 100)  # alpha in percent; 100 = natural mix
+
+
+@query(
+    "mixture_temperature_sweep",
+    oracle=f"""
+    WITH counts AS (
+      SELECT source, CAST(COUNT(*) AS DOUBLE) AS n,
+             CAST(SUM(COUNT(*)) OVER () AS DOUBLE) AS total
+      FROM documents GROUP BY source
+    ), grid AS (
+      SELECT c.source, c.n, c.total, g.tau,
+             pow(c.n / c.total, g.tau / 100.0)
+               / SUM(pow(c.n / c.total, g.tau / 100.0))
+                   OVER (PARTITION BY g.tau) AS share
+      FROM counts c
+      CROSS JOIN (VALUES {', '.join(f'({t})' for t in _SWEEP_TAUS)}) g(tau)
+    )
+    SELECT CAST(tau AS INT) AS tau_pct, source,
+           CAST(n AS BIGINT) AS n_docs,
+           CAST(round(share * 1000000, 0) AS BIGINT) AS share_ppm,
+           CAST(round((share - n / total) * 1000000, 0) AS BIGINT)
+             AS boost_ppm
+    FROM grid
+    """,
+    description="Mixture temperature sweep: the multilingual/"
+    "multi-source sampling rule q_i = p_i^a / sum p_j^a evaluated "
+    f"for a in {{{', '.join(str(t/100) for t in _SWEEP_TAUS)}}} in ONE "
+    "pass — the table a curation run reads to pick its temperature "
+    "(how much head-flattening each setting buys, per source, as "
+    "share and boost vs the natural mix in ppm).  Shares are "
+    "ppm-integerized like temperature_mix_sampling, the established "
+    "pow() seam treatment.  Scale shape: the sweep runs entirely on "
+    "the per-source COUNT table (dozens of rows x 5 grid points — "
+    "the windows are free); the corpus pays one partial-aggregated "
+    "GROUP BY, once, for the whole grid.",
+)
+def mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    docs = read_table(spark, sf_dir, "documents")
+    counts = docs.groupBy("source").agg(
+        F.count(F.lit(1)).cast("double").alias("n")
+    )
+    counts = counts.withColumn(
+        "total", F.sum("n").over(W.partitionBy())
+    )
+    taus = F.explode(
+        F.array(*[F.lit(t) for t in _SWEEP_TAUS])
+    ).alias("tau")
+    grid = counts.select("source", "n", "total", taus)
+    powed = grid.withColumn(
+        "pw", F.pow(F.col("n") / F.col("total"), F.col("tau") / 100.0)
+    )
+    share = F.col("pw") / F.sum("pw").over(W.partitionBy("tau"))
+    return powed.select(
+        F.col("tau").cast("int").alias("tau_pct"),
+        "source",
+        F.col("n").cast("long").alias("n_docs"),
+        F.round(share * 1000000, 0).cast("long").alias("share_ppm"),
+        F.round((share - F.col("n") / F.col("total")) * 1000000, 0)
+        .cast("long")
+        .alias("boost_ppm"),
+    )

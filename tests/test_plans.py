@@ -540,6 +540,7 @@ _SP_GROUP_BOUNDED = {
     "mutual_information_screen",  # same cell-table shape
     "corpus_mix_rebalance",  # window over the per-source count table
     "temperature_mix_sampling",  # window over the per-lang count table
+    "mixture_temperature_sweep",  # windows over the per-source count table
     "epoch_schedule_plan",  # windows over the per-source token table
     "corpus_token_histogram",  # window over the histogram buckets
     "decile_lift_table",  # final window over the 10-row decile table
@@ -847,7 +848,8 @@ _COLLECT_CONSTANT = {
     "jsonl_export_roundtrip", "ks_test_twosample", "mann_whitney_u",
     "nb_score_reliability", "pareto_frontier", "pareto_revenue_curve",
     "pmi_collocations", "ppr_seeded", "quantile_normalize_grid",
-    "rfm_segmentation", "sequence_gap_audit", "similarity_filtered_topk",
+    "rfm_segmentation", "sequence_gap_audit", "shard_manifest_checksum",
+    "similarity_filtered_topk",
     "similarity_topk", "stream_kl_drift", "stream_late_drop",
     "stream_stream_outer_join", "stream_topk_windows", "theil_sen_trend",
     "token_stream_offsets", "training_shard_assignment", "vocab_coverage",
