@@ -629,6 +629,118 @@ def duplicate_ngram_spans(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @query(
+    "exact_substring_scrub",
+    oracle=rf"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), w AS MATERIALIZED (
+      SELECT doc_id, i,
+             md5(array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}), ' '))
+               AS span_hash
+      FROM t, UNNEST(generate_series(1, len(toks) - {_SPAN_N - 1})) AS u(i)
+      WHERE len(toks) >= {_SPAN_N}
+    ), dup AS (
+      SELECT span_hash FROM w
+      GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    ), flag AS (
+      SELECT w.doc_id, list(w.i) AS ps
+      FROM w JOIN dup USING (span_hash)
+      GROUP BY w.doc_id
+    ), scrub AS (
+      SELECT t.doc_id, t.toks,
+             list_filter(range(1, len(t.toks) + 1), j ->
+               len(list_filter(COALESCE(f.ps, CAST([] AS BIGINT[])),
+                               p -> j >= p AND j <= p + {_SPAN_N - 1})) = 0)
+               AS kept
+      FROM t LEFT JOIN flag f ON f.doc_id = t.doc_id
+    )
+    SELECT doc_id,
+           CAST(len(toks) AS BIGINT) AS n_tokens,
+           CAST(len(toks) - len(kept) AS BIGINT) AS n_removed_tokens,
+           -- array_to_string([]) is NULL in DuckDB, '' in Spark's
+           -- array_join: coalesce the fully-scrubbed-doc case
+           COALESCE(array_to_string(list_transform(kept, j -> toks[j]), ' '),
+                    '') AS scrubbed_text
+    FROM scrub
+    """,
+    description=f"ExactSubstr REMOVAL — the missing half of Lee et "
+    f"al. 2022 span dedup: every positional {_SPAN_N}-token window "
+    "occurring in >= 2 distinct documents is excised from ALL its "
+    "occurrences, overlapping spans merged per doc in-row, and the "
+    "document text reconstructed from the surviving tokens — the "
+    "scrub step training pipelines actually run after "
+    "duplicate_ngram_spans mines the signal.  Scale shape: span "
+    "mining shuffles only (doc_id, position, 32-hex digest) rows; "
+    "the duplicated-digest decision is a window over the "
+    "(span_hash, doc_id) aggregate (subtree planned once, no "
+    "self-join); the per-doc cut-position list is the ONLY thing "
+    "joined back onto a second corpus scan, and the span merge + "
+    "token excision + text rebuild are in-row HOFs on that scan.",
+)
+def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rewrite the corpus with duplicated >= ``_SPAN_N``-token runs
+    excised (the ExactSubstr deduplication step of Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better" —
+    sibling of ``passage_scrub``'s C4-style passage granularity).
+
+    Plan shape (the house narrow-pass discipline):
+
+    1. span mining emits fixed-width digests per position — text dies
+       at the tokenize projection, only (doc_id, i, digest) shuffles;
+    2. "span duplicated?" is ``count() over (partition by span_hash)``
+       on the (span_hash, doc_id)-grouped table, so the mining subtree
+       is planned ONCE (no digest self-join, cf. round-9 verdict on
+       the chunks-vs-shared shape);
+    3. the per-doc flagged-position array — skinny, only docs that
+       contain duplicated spans — left-joins back onto a second
+       corpus scan (AQE broadcasts it at bench scale; at 100 TB this
+       is the one doc_id shuffle the rewrite inherently needs, and
+       its text volume equals the rewrite's output, which must move
+       anyway);
+    4. overlap merge + excision + rebuild are in-row HOFs: a token
+       index j survives iff no flagged span start p covers it
+       (p <= j <= p + N - 1) — merging overlapping spans implicitly,
+       no interval algebra materialized.
+    """
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    spans = docs.select("doc_id", tokens("text").alias("toks")).select(
+        "doc_id",
+        F.posexplode(_span_hashes(F.col("toks"))).alias("pos0", "span_hash"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "span_hash")
+    nd = F.count(F.lit(1)).over(W.partitionBy("span_hash"))
+    flagged = (
+        spans.groupBy("span_hash", "doc_id")
+        .agg(F.collect_list("i").alias("pl"))
+        .withColumn("nd", nd)
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", F.explode("pl").alias("i"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("i").alias("ps"))
+    )
+    joined = docs.select("doc_id", tokens("text").alias("toks")).join(
+        flagged, "doc_id", "left"
+    )
+    ps = F.coalesce(F.col("ps"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.sequence(F.lit(1), F.size("toks")),
+        lambda j: F.size(
+            F.filter(ps, lambda p: (j >= p) & (j <= p + (_SPAN_N - 1)))
+        )
+        == 0,
+    )
+    return joined.select(
+        "doc_id",
+        F.size("toks").cast("long").alias("n_tokens"),
+        (F.size("toks") - F.size(kept)).cast("long").alias("n_removed_tokens"),
+        F.array_join(
+            F.transform(kept, lambda j: F.element_at("toks", j)), " "
+        ).alias("scrubbed_text"),
+    )
+
+
+@query(
     "basket_association_rules",
     oracle="""
     WITH baskets AS (

@@ -345,6 +345,70 @@ def test_cdc_chunks_library_unbounded(spark):
         cdc_chunks(docs, max_chars=_CDC_MAX_CHARS).collect()
 
 
+def test_exact_substring_scrub_text_stays_on_scan(spark, sf_dir):
+    """The ExactSubstr rewrite must shuffle only digests and cut
+    positions: every Generate emits skinny columns (never text), the
+    mining subtree is window-based (no digest self-join), and the
+    text column reaches the output only via the scan side of the
+    final positions join — never through an Exchange."""
+    plan = _plan(QUERIES["exact_substring_scrub"].fn(spark, sf_dir))
+    gen_lines = [seg.split("\n")[0] for seg in plan.split("Generate ")[1:]]
+    assert gen_lines, plan
+    for g in gen_lines:
+        # output list is the bracketed tail: [pos0#.., span_hash#..]
+        assert "text#" not in g.rsplit("[", 1)[1], g
+    # no text column in any exchange's partitioning or input
+    for seg in plan.split("Exchange hashpartitioning(")[1:]:
+        assert not seg.split(")")[0].startswith("text"), seg[:80]
+    # the duplicated-span decision is a window, not a join of the
+    # span table against itself: the only join is the final per-doc
+    # positions join back onto the text scan
+    assert plan.count("Join") == 1, plan
+    assert "Window" in plan
+
+
+def test_exact_substring_scrub_planted_duplicates(spark):
+    """Planted corpus: a 12-token run shared by two docs is excised
+    from BOTH; a unique doc passes through with its whitespace
+    normalized; a doc that IS the duplicated run is fully scrubbed."""
+    from dados_publicos_etl_spark.plans import QUERIES as Q
+
+    run = "alpha bravo charlie delta echo foxtrot golf hotel india juliett kilo lima"
+    docs = spark.createDataFrame(
+        [
+            (1, f"intro one two three {run} outro closing words here now"),
+            (2, f"different opening phrase {run} and a different ending too"),
+            (3, "a totally unique document with no duplicated spans at all"),
+            (4, run),
+        ],
+        ["doc_id", "text"],
+    )
+    import tempfile
+
+    with tempfile.TemporaryDirectory() as d:
+        docs.write.parquet(f"{d}/documents.parquet")
+        out = {
+            r.doc_id: r
+            for r in Q["exact_substring_scrub"].fn(spark, d).collect()
+        }
+    # every 10-token window inside the planted run is duplicated, so
+    # all 12 run tokens go, plus any window straddling into context
+    # shared by... docs 1/2 share ONLY the run, so exactly the run's
+    # windows are flagged: tokens covered = the 12-token run.
+    assert "alpha" not in out[1].scrubbed_text
+    assert "lima" not in out[1].scrubbed_text
+    assert out[1].scrubbed_text.startswith("intro one two three")
+    assert out[1].scrubbed_text.endswith("outro closing words here now")
+    assert out[1].n_removed_tokens == 12
+    assert out[2].n_removed_tokens == 12
+    assert out[3].n_removed_tokens == 0
+    assert out[3].scrubbed_text == (
+        "a totally unique document with no duplicated spans at all"
+    )
+    assert out[4].n_removed_tokens == 12
+    assert out[4].scrubbed_text == ""
+
+
 def test_sequence_packing_single_exchange(spark, sf_dir):
     """Shard-parallel packing: the per-shard window and the
     (shard, seq_bin) aggregation share ONE shard-key Exchange —
