@@ -300,51 +300,93 @@ _DP_BITS = 24  # truncation of each geometric tail (P < 6e-8)
            CAST(true_count + eta AS BIGINT) AS noisy_count
     FROM noise
     """,
-    description="Differentially-private count release over the "
-    "(lang, source) histogram: two-sided geometric (discrete "
-    "Laplace) noise with alpha = 1/2, i.e. epsilon = ln 2 per "
-    "count, built PORTABLY — each geometric draw is the "
-    "leading-zero count of a 24-bit md5-seeded word (P(lz >= k) = "
-    "2^-k exactly, the hll_portable_registers rank trick), so the "
-    "mechanism is exact integer arithmetic on both engines with no "
-    "RNG or log() seam, and the release is reproducible per "
-    "(partition, seed) — what an auditable DP pipeline actually "
-    "wants.  The true_count column stays HERE for the calibration "
-    "audit; a production release projects it away.  Scale: one "
+    description="Discrete-Laplace noisy-count CALIBRATION DEMO over "
+    "the (lang, source) histogram: two-sided geometric noise with "
+    "alpha = 1/2 (the epsilon = ln 2 mechanism SHAPE), built "
+    "PORTABLY — each geometric draw is the leading-zero count of a "
+    "24-bit md5-seeded word (P(lz >= k) = 2^-k exactly), exact "
+    "integer arithmetic on both engines with no RNG or log() seam.  "
+    "NOT a DP release as registered: the demo salt is public (and "
+    "true_count is emitted for the calibration audit), so anyone "
+    "can recompute eta — the noise DISTRIBUTION is what the "
+    "differential verifies.  The library form "
+    "dp_noisy_group_counts() takes a caller-secret salt and drops "
+    "true_count; its epsilon = ln 2 guarantee holds exactly while "
+    "the salt stays secret (round-9 ADVICE).  Scale: one "
     "partial-aggregated GROUP BY to a |langs x sources| table; the "
     "noise is a per-row constant expression.  (Truncating each "
     "geometric at 24 bits perturbs the distribution by < 6e-8 — "
     "documented, not hidden.)",
 )
 def dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Registered DEMO mode: the salt ("dp") is public and true_count
+    is kept, so the release is deterministic and auditable — the
+    differential check verifies the mechanism's integer arithmetic,
+    not a privacy property.  Production callers use
+    :func:`dp_noisy_group_counts` with a secret salt."""
     docs = read_table(spark, sf_dir, "documents")
     grp = docs.groupBy("lang", "source").agg(
         F.count(F.lit(1)).cast("long").alias("true_count")
     )
-
-    def geo(tag: str) -> Column:
-        w = F.conv(
-            F.substring(
-                F.md5(
-                    F.concat_ws(
-                        "|", F.col("lang"), F.col("source"), F.lit(tag)
-                    ).cast("binary")
-                ),
-                1,
-                6,
-            ),
-            16,
-            10,
-        ).cast("long")
-        return F.when(w == 0, F.lit(_DP_BITS)).otherwise(
-            F.lit(_DP_BITS) - F.length(F.bin(w))
-        )
-
-    eta = (geo("dp1") - geo("dp2")).cast("long")
-    return grp.select(
+    return _with_dp_noise(grp, ["lang", "source"], salt="dp").select(
         "lang",
         "source",
         "true_count",
+        "noise",
+        "noisy_count",
+    )
+
+
+def _with_dp_noise(
+    grp: DataFrame, keys: list[str], *, salt: str, bits: int = _DP_BITS
+) -> DataFrame:
+    """Add (noise, noisy_count) discrete-Laplace columns to a counted
+    group table ``grp`` (columns ``keys`` + ``true_count``).  The
+    per-group seed is md5(k1 || '|' || ... || kn || '|' || salt ||
+    tag) — F.concat, NOT concat_ws, so a NULL key NULL-propagates the
+    seed exactly like the oracle's || operator (round-9 ADVICE)."""
+
+    def geo(tag: str) -> Column:
+        parts: list[Column] = []
+        for k in keys:
+            parts.append(F.col(k))
+            parts.append(F.lit("|"))
+        parts.append(F.lit(salt + tag))
+        w = F.conv(
+            F.substring(F.md5(F.concat(*parts).cast("binary")), 1, 6),
+            16,
+            10,
+        ).cast("long")
+        return F.when(w == 0, F.lit(bits)).otherwise(
+            F.lit(bits) - F.length(F.bin(w))
+        )
+
+    eta = (geo("1") - geo("2")).cast("long")
+    return grp.select(
+        "*",
         eta.alias("noise"),
         (F.col("true_count") + eta).alias("noisy_count"),
     )
+
+
+def dp_noisy_group_counts(
+    df: DataFrame,
+    keys: list[str],
+    *,
+    salt: str,
+    bits: int = _DP_BITS,
+) -> DataFrame:
+    """Epsilon = ln 2 discrete-Laplace count release over ``keys``.
+
+    The noise seed is a keyed hash of (group key, ``salt``): the DP
+    guarantee holds EXACTLY WHILE THE SALT STAYS SECRET — publish the
+    salt (or reuse the registered demo's public one) and any reader
+    can recompute eta and invert the release.  Unlike the registered
+    demo, ``true_count`` is NOT emitted.  Reproducibility per
+    (dataset, salt) is the feature: an auditable pipeline can re-run
+    the release bit-identically without storing the noise."""
+    grp = df.groupBy(*keys).agg(
+        F.count(F.lit(1)).cast("long").alias("true_count")
+    )
+    noisy = _with_dp_noise(grp, keys, salt=salt, bits=bits)
+    return noisy.select(*keys, "noisy_count")

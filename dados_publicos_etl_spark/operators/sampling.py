@@ -1241,7 +1241,12 @@ _SWEEP_TAUS = (20, 40, 60, 80, 100)  # alpha in percent; 100 = natural mix
     "(how much head-flattening each setting buys, per source, as "
     "share and boost vs the natural mix in ppm).  Shares are "
     "ppm-integerized like temperature_mix_sampling, the established "
-    "pow() seam treatment.  Scale shape: the sweep runs entirely on "
+    "pow() seam treatment — with the known residual risk that a "
+    "share landing within an ULP of a .5 ppm rounding boundary "
+    "could flip the last ppm digit between engines' libm pow() "
+    "(never observed on the fixture grid; the fully-rational "
+    "alternative would need integer n^(tau/100) roots).  Scale "
+    "shape: the sweep runs entirely on "
     "the per-source COUNT table (dozens of rows x 5 grid points — "
     "the windows are free); the corpus pays one partial-aggregated "
     "GROUP BY, once, for the whole grid.",

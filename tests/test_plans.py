@@ -975,24 +975,38 @@ _COLLECT_CONSTANT = {
 
 
 def test_package_collect_sites_are_inventoried():
-    """Static half of the audit: the number of ``.collect()`` call
-    sites in the package is pinned.  Adding one forces whoever adds
-    it to re-run tools/collect_audit.py and extend the sweep lists
+    """Static half of the audit: the number of ``.collect()`` CALL
+    SITES in the package is pinned — counted via ast (Call nodes
+    whose func is an Attribute named 'collect'), so comments and
+    docstrings can't break the pin or mask a simultaneously added
+    real site (round-9 ADVICE).  Adding one forces whoever adds it
+    to re-run tools/collect_audit.py and extend the sweep lists
     above — the same maintenance contract as _BNLJ_OK."""
+    import ast
     import os
 
     import dados_publicos_etl_spark as pkg
 
     root = os.path.dirname(pkg.__file__)
-    n = 0
+    sites: list[str] = []
     for dirpath, _dirs, files in os.walk(root):
         for f in files:
-            if f.endswith(".py"):
-                with open(os.path.join(dirpath, f)) as fh:
-                    n += fh.read().count(".collect()")
-    assert n == 13, (
-        f"{n} .collect() sites (expected 13): a site was added or "
-        "removed — re-run tools/collect_audit.py and update "
+            if not f.endswith(".py"):
+                continue
+            path = os.path.join(dirpath, f)
+            with open(path) as fh:
+                tree = ast.parse(fh.read(), filename=path)
+            for node in ast.walk(tree):
+                if (
+                    isinstance(node, ast.Call)
+                    and isinstance(node.func, ast.Attribute)
+                    and node.func.attr == "collect"
+                ):
+                    sites.append(f"{f}:{node.lineno}")
+    assert len(sites) == 13, (
+        f"{len(sites)} .collect() call sites (expected 13): {sites} "
+        "— a site was added or removed; re-run "
+        "tools/collect_audit.py and update "
         "_COLLECT_TRAIN_CAPPED/_COLLECT_CONSTANT."
     )
 
