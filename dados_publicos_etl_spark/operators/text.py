@@ -919,10 +919,11 @@ _ZRATIO_MIN_BYTES = 500
 
 @query(
     "compression_ratio_quality",
-    oracle=None,  # zlib is not SQL-expressible; the output is
-    # deterministic for a fixed zlib level, so it is golden-pinned
-    # (tests/golden) and property-tested (planted repetitive vs
-    # noise docs land on the correct side of the band)
+    oracle=None,
+    rows_only_reason="zlib DEFLATE is not SQL-expressible; the "
+    "output is deterministic for a fixed zlib level, so it is "
+    "golden-pinned (tests/golden) and property-tested (planted "
+    "repetitive vs noise docs land on the correct side of the band)",
     description="Compression-ratio quality signal: per-document "
     "DEFLATE ratio (zlib level 6) as the cheap, language-agnostic "
     "repetitiveness/noise detector used by large-corpus quality "

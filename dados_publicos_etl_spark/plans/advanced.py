@@ -155,7 +155,10 @@ def quantiles_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "approx_sketches",
-    oracle=None,  # HLL/KLL sketches are engine-specific; bounds in pytest
+    oracle=None,
+    rows_only_reason="HLL++/KLL sketch estimates are engine-specific "
+    "(DuckDB's approx algorithms differ bit-for-bit); error bounds "
+    "vs exact values are pytest-pinned instead",
     description="Approximate sketches: approx_count_distinct (HLL++) "
     "and percentile_approx (KLL-ish) — the 100 TB substitutes for "
     "exact distinct/quantiles (no giant hash table, one pass, "
@@ -589,7 +592,10 @@ def incremental_agg_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 @query(
     "hll_sketch_merge",
-    oracle=None,  # sketch bytes are engine-specific; merge==whole in pytest
+    oracle=None,
+    rows_only_reason="Datasketches HLL sketch bytes are "
+    "engine-specific; the merge-equals-whole invariant is "
+    "pytest-pinned instead",
     description="Datasketches HLL workflow (Spark 3.5+ API): "
     "hll_sketch_agg per deterministic half, hll_union_agg to merge, "
     "hll_sketch_estimate to read - the persistable/mergeable distinct-"

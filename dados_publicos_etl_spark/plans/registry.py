@@ -35,7 +35,8 @@ class QuerySpec:
     imports stay fast and only an actual differential pays the
     generation, once."""
 
-    __slots__ = ("name", "fn", "_oracle", "description")
+    __slots__ = ("name", "fn", "_oracle", "description",
+                 "rows_only_reason")
 
     def __init__(
         self,
@@ -43,11 +44,19 @@ class QuerySpec:
         fn: SparkQuery,
         oracle: str | Callable[[], str] | None,
         description: str = "",
+        rows_only_reason: str | None = None,
     ) -> None:
+        if oracle is None and not rows_only_reason:
+            raise ValueError(
+                f"query {name!r}: a rows-only registration (oracle="
+                "None) must declare rows_only_reason — the machine-"
+                "readable why-no-oracle the driver artifact surfaces"
+            )
         self.name = name
         self.fn = fn
         self._oracle = oracle
         self.description = description
+        self.rows_only_reason = rows_only_reason
 
     @property
     def oracle(self) -> str | None:
@@ -63,12 +72,17 @@ def query(
     name: str,
     oracle: str | Callable[[], str] | None,
     description: str = "",
+    rows_only_reason: str | None = None,
 ):
-    """Decorator registering a (spark, sf_dir) -> DataFrame query."""
+    """Decorator registering a (spark, sf_dir) -> DataFrame query.
+    ``rows_only_reason`` is REQUIRED when oracle is None: the one-line
+    non-SQL-expressibility justification, exported machine-readably by
+    __spark_entry__.rows_only() (round-9 verdict item #8)."""
 
     def deco(fn: SparkQuery) -> SparkQuery:
         QUERIES[name] = QuerySpec(name=name, fn=fn, oracle=oracle,
-                                  description=description)
+                                  description=description,
+                                  rows_only_reason=rows_only_reason)
         return fn
 
     return deco

@@ -1057,3 +1057,23 @@ def test_driver_collects_bounded_at_10x(spark, tmp_path_factory):
     finally:
         CDF.collect = orig
     assert not offenders, offenders
+
+
+def test_rows_only_declarations_machine_readable():
+    """Round-10 (r9 verdict item #8): every oracle-less query carries
+    a machine-readable rows_only_reason, the registry rejects
+    registrations without one, and __spark_entry__.rows_only()
+    exports exactly the oracle-less set."""
+    import pytest
+
+    import __spark_entry__ as entry
+    from dados_publicos_etl_spark.plans.registry import QuerySpec
+
+    ro = entry.rows_only()
+    oracleless = {
+        n for n, s in QUERIES.items() if s.oracle is None
+    }
+    assert set(ro) == oracleless
+    assert all(isinstance(v, str) and len(v) > 20 for v in ro.values())
+    with pytest.raises(ValueError, match="rows_only_reason"):
+        QuerySpec(name="x", fn=lambda s, d: None, oracle=None)
