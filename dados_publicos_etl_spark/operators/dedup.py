@@ -2065,6 +2065,16 @@ def tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         tok.join(dfreq.filter(F.col("df") <= _TC_DF_CAP), "s")
         .crossJoin(F.broadcast(n_docs))
         .select("doc_id", "s", F.expr("n DIV df").alias("w"))
+        # LAZY checkpoint: w feeds THREE consumers (norms + both pair
+        # sides); without it Catalyst re-plans the whole
+        # scan->tokenize->explode->df-join subtree per consumer — the
+        # r10 subtree audit (tools/subtree_audit.py) flagged the
+        # shingle Generate evaluated 4x here, the cdc_chunk_dedup
+        # double-evaluation defect generalized.  One in-memory
+        # materialization of the capped weighted-shingle table
+        # replaces ~4 corpus re-tokenizations; the caller's action
+        # materializes it (no extra job).
+        .localCheckpoint(eager=False)
     )
     nrm = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
