@@ -1276,3 +1276,91 @@ def mixture_temperature_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("long")
         .alias("boost_ppm"),
     )
+
+
+# ---------------------------------------------------------------------------
+# Token-budget curation (data-constrained selection) — round 10
+# ---------------------------------------------------------------------------
+
+_TB_NUM, _TB_DEN = 3, 5  # keep the best docs covering 60% of corpus tokens
+
+
+@query(
+    "token_budget_curation",
+    oracle=rf"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, lang, source,
+             CAST(len(toks) AS BIGINT) AS n_toks,
+             CAST(len(list_distinct(toks)) AS BIGINT) AS score
+      FROM (SELECT doc_id, lang, source,
+                   string_split_regex(lower(text), '\s+') AS toks
+            FROM documents)
+    ), tot AS (
+      SELECT CAST(SUM(n_toks) AS BIGINT) * {_TB_NUM} // {_TB_DEN}
+               AS budget
+      FROM t
+    ), r AS (
+      SELECT t.*,
+             SUM(n_toks) OVER (ORDER BY score DESC, doc_id) AS cum
+      FROM t
+    )
+    SELECT lang, source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN cum <= (SELECT budget FROM tot)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_selected,
+           CAST(SUM(n_toks) AS BIGINT) AS tokens_total,
+           CAST(SUM(CASE WHEN cum <= (SELECT budget FROM tot)
+                         THEN n_toks ELSE 0 END) AS BIGINT)
+             AS tokens_selected
+    FROM r GROUP BY lang, source
+    """,
+    description="Token-budget curation (data-constrained selection): "
+    "rank the corpus by a quality score (distinct-token count — the "
+    "type-count proxy; any integer score slots in), then keep the "
+    f"best documents until their cumulative token count reaches "
+    f"{_TB_NUM}/{_TB_DEN} of the corpus — the selection step of a "
+    "data-constrained scaling run (Muennighoff et al. 2023: when "
+    "compute exceeds unique data, train on the best-k-token subset), "
+    "reported per (lang, source) so the mixture impact of the cut is "
+    "visible.  Scale shape: the global quality ordering and running "
+    "token sum ride prefix_sums_by_range (range partitions + "
+    "P-row offset scan) — NO SinglePartition sort anywhere; the "
+    "budget is exact integer arithmetic on the offset totals; the "
+    "final rollup is one partial-aggregated GROUP BY.",
+)
+def token_budget_curation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Selection-under-budget over a global quality order.
+
+    The oracle's ``SUM() OVER (ORDER BY score DESC, doc_id)`` is the
+    semantics; the engine runs the house range-partitioned prefix-sum
+    (operators/ranking.py) because the naive global window is ONE
+    task sorting the corpus at 100 TB.  doc_id breaks score ties, so
+    RANGE vs ROWS framing cannot diverge (every window peer group is
+    a single row).
+    """
+    from dados_publicos_etl_spark.functions.text import tokens
+    from dados_publicos_etl_spark.operators.ranking import (
+        prefix_sums_by_range,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = docs.select(
+        "doc_id",
+        "lang",
+        "source",
+        F.size(tokens("text")).cast("long").alias("n_toks"),
+        F.size(F.array_distinct(tokens("text"))).cast("long").alias("score"),
+    )
+    ranked, _n_rows, total_toks = prefix_sums_by_range(
+        t, [F.col("score").desc(), F.col("doc_id").asc()], "n_toks"
+    )
+    budget = total_toks * _TB_NUM // _TB_DEN
+    sel = F.col("cum") <= F.lit(budget)
+    return ranked.groupBy("lang", "source").agg(
+        F.count(F.lit(1)).cast("long").alias("n_docs"),
+        F.sum(F.when(sel, 1).otherwise(0)).cast("long").alias("n_selected"),
+        F.sum("n_toks").cast("long").alias("tokens_total"),
+        F.sum(F.when(sel, F.col("n_toks")).otherwise(0))
+        .cast("long")
+        .alias("tokens_selected"),
+    )

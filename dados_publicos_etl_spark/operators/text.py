@@ -1059,7 +1059,10 @@ def source_vocab_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     vocab = docs.select(
         "source", F.explode(tokens("text")).alias("term")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
+    # ^ three consumers (sizes + both pair-join sides) would re-plan
+    # the tokenize/explode/distinct subtree each (r10 subtree audit);
+    # the checkpoint caches the |sources x vocab| table once.
     sizes = vocab.groupBy("source").agg(
         F.count(F.lit(1)).alias("n_terms")
     )

@@ -1638,8 +1638,19 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = q.select(
         "label", F.posexplode("qv").alias("i0", "qi")
     ).select("label", (F.col("i0") + 1).alias("i"), F.col("qi").cast("long").alias("q"))
-    sums = ex.groupBy("label", "i").agg(F.sum("q").alias("s"))
-    counts = q.groupBy("label").agg(F.count(F.lit(1)).alias("n"))
+    # ONE aggregation pass carries both the per-dim sums and (at i=1)
+    # the per-label vector counts, and the |labels| x dim result is
+    # lazily checkpointed: its four consumers (both dot sides, norms,
+    # counts) previously re-planned the quantize+posexplode subtree
+    # each (r10 subtree audit: 4x Generate).
+    sums = (
+        ex.groupBy("label", "i")
+        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("k"))
+        .localCheckpoint(eager=False)
+    )
+    counts = sums.filter(F.col("i") == 1).select(
+        "label", F.col("k").alias("n")
+    )
     dec = lambda c: F.col(c).cast("decimal(18,0)")
     a = sums.select(
         F.col("label").alias("label_a"), "i", F.col("s").alias("sa")

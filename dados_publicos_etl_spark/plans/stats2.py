@@ -1406,9 +1406,14 @@ def classifier_prf1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     preds = nb_classifier_train_score(spark, sf_dir)
+    # LAZY checkpoint: the confusion matrix is |langs|^2 rows but its
+    # lineage is the ENTIRE NB train+score pipeline, and five
+    # consumers reference it (classes x2, tp, tt, pt) — without the
+    # checkpoint Catalyst re-plans the whole tokenize/explode/score
+    # subtree five times (r10 subtree audit, tools/subtree_audit.py).
     m = preds.groupBy("true_lang", "pred_lang").agg(
         F.count(F.lit(1)).alias("n")
-    )
+    ).localCheckpoint(eager=False)
     classes = (
         m.select(F.col("true_lang").alias("cls"))
         .unionAll(m.select(F.col("pred_lang").alias("cls")))

@@ -970,6 +970,7 @@ _COLLECT_CONSTANT = {
     "similarity_filtered_topk",
     "similarity_topk", "stream_kl_drift", "stream_late_drop",
     "stream_stream_outer_join", "stream_topk_windows", "theil_sen_trend",
+    "token_budget_curation",  # r10: prefix_sums_by_range P-row offsets
     "token_stream_offsets", "training_shard_assignment", "vocab_coverage",
 }
 
