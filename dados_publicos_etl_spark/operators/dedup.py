@@ -2105,3 +2105,130 @@ def tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cos >= _TC_COS)
         .select("doc_a", "doc_b", F.round(cos, 4).alias("cos_sim"))
     )
+
+
+# ---------------------------------------------------------------------------
+# MinHash LSH band tuning curve (round 10)
+# ---------------------------------------------------------------------------
+
+_BT_BINS = 20
+_BT_GRID = [(64, 1), (32, 2), (16, 4), (8, 8), (4, 16)]  # b x r = 64
+
+
+def _bt_prob_table() -> list[tuple[int, int, int, int]]:
+    """(bands, rows_per_band, jbin, p_ppm): the LSH S-curve
+    P(candidate | s) = 1 - (1 - s^r)^b evaluated at each similarity
+    bin's midpoint s = (2*jbin+1)/(2*BINS), ppm-integerized.  The
+    floats are computed ONCE here in Python and embedded as LITERALS
+    in both the Spark lookup table and the DuckDB VALUES list — the
+    pow() seam cannot exist because neither engine ever calls pow."""
+    rows = []
+    for bands, r in _BT_GRID:
+        for jb in range(_BT_BINS):
+            s = (2 * jb + 1) / (2 * _BT_BINS)
+            p = 1.0 - (1.0 - s**r) ** bands
+            rows.append((bands, r, jb, int(round(p * 1_000_000))))
+    return rows
+
+
+def _bt_values_sql() -> str:
+    return ", ".join(
+        f"({b}, {r}, {jb}, {p})" for b, r, jb, p in _bt_prob_table()
+    )
+
+
+@query(
+    "minhash_band_tuning_curve",
+    oracle=lambda: f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_SH} AS sh FROM documents
+    ), blocked AS (
+      SELECT doc_id, sh, list_min(sh) AS blk FROM t
+    ), pr AS (
+      SELECT LEAST({_BT_BINS - 1},
+                   (len(list_intersect(a.sh, b.sh)) * {_BT_BINS})
+                   // len(list_distinct(a.sh || b.sh))) AS jbin
+      FROM blocked a JOIN blocked b
+        ON a.blk = b.blk AND a.doc_id < b.doc_id
+    ), hist AS (
+      SELECT jbin, CAST(COUNT(*) AS BIGINT) AS n_pairs
+      FROM pr GROUP BY jbin
+    ), grid(bands, rows_per_band, jbin, p_ppm) AS (
+      VALUES {_bt_values_sql()}
+    )
+    SELECT g.bands, g.rows_per_band,
+           CAST(SUM(h.n_pairs) AS BIGINT) AS n_pairs,
+           CAST(SUM(h.n_pairs * g.p_ppm) AS BIGINT)
+             AS exp_caught_ppm,
+           CAST(SUM(CASE WHEN h.jbin >= {_BT_BINS // 2}
+                         THEN h.n_pairs * g.p_ppm ELSE 0 END) AS BIGINT)
+             AS wanted_caught_ppm,
+           CAST(SUM(CASE WHEN h.jbin < {_BT_BINS // 2}
+                         THEN h.n_pairs * g.p_ppm ELSE 0 END) AS BIGINT)
+             AS unwanted_caught_ppm
+    FROM grid g JOIN hist h ON h.jbin = g.jbin
+    GROUP BY 1, 2
+    """,
+    description="MinHash LSH band-tuning curve: price every "
+    "(bands x rows, 64-hash budget) configuration against the "
+    "corpus's MEASURED pair-similarity histogram — expected caught "
+    "pairs split into wanted (Jaccard >= 0.5) and unwanted, in exact "
+    "ppm integers — the table an engineer reads before fixing the "
+    "LSH banding of a corpus-scale dedup run (more bands = more "
+    "recall AND more junk candidates; this quantifies both on the "
+    "actual data, not a textbook curve).  Portability: the S-curve "
+    "1-(1-s^r)^b is evaluated ONCE in Python at bin midpoints and "
+    "shipped as the same literal lookup table to both engines (no "
+    "pow() seam); similarity bins come from integer (inter*20) div "
+    "union arithmetic.  Scale shape: pairs are min-shingle blocked "
+    "(~linear pair count), the histogram is a 20-row aggregate, and "
+    "the grid evaluation is literal-table arithmetic.",
+)
+def minhash_band_tuning_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from dados_publicos_etl_spark.functions.text import (
+        shingles_from_tokens,
+    )
+
+    docs = read_table(spark, sf_dir, "documents")
+    t = (
+        docs.select("doc_id", tokens("text").alias("_tk"))
+        .select("doc_id", shingles_from_tokens(F.col("_tk")).alias("sh"))
+        .withColumn("blk", F.array_min("sh"))
+        .localCheckpoint()
+    )
+    a, b = t.alias("a"), t.alias("b")
+    inter = F.size(F.array_intersect(F.col("a.sh"), F.col("b.sh")))
+    uni = F.size(F.array_union(F.col("a.sh"), F.col("b.sh")))
+    pairs = a.join(
+        b,
+        (F.col("a.blk") == F.col("b.blk"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(inter.alias("inter"), uni.alias("uni"))
+    hist = (
+        pairs.select(
+            F.least(
+                F.lit(_BT_BINS - 1),
+                F.expr(f"(inter * {_BT_BINS}) div uni"),
+            ).cast("int").alias("jbin")
+        )
+        .groupBy("jbin")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+    )
+    grid = spark.createDataFrame(
+        _bt_prob_table(),
+        "bands int, rows_per_band int, jbin int, p_ppm long",
+    )
+    half = _BT_BINS // 2
+    caught = F.col("n_pairs") * F.col("p_ppm")
+    return (
+        F.broadcast(grid).join(hist, "jbin")
+        .groupBy("bands", "rows_per_band")
+        .agg(
+            F.sum("n_pairs").cast("long").alias("n_pairs"),
+            F.sum(caught).cast("long").alias("exp_caught_ppm"),
+            F.sum(F.when(F.col("jbin") >= half, caught).otherwise(0))
+            .cast("long").alias("wanted_caught_ppm"),
+            F.sum(F.when(F.col("jbin") < half, caught).otherwise(0))
+            .cast("long").alias("unwanted_caught_ppm"),
+        )
+    )
