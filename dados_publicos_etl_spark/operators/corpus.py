@@ -1004,7 +1004,11 @@ def source_dup_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
     docs = read_table(spark, sf_dir, "documents")
     fp = docs.select(
         "source", fingerprint_md5("text").alias("fp")
-    ).distinct()
+    ).distinct().localCheckpoint(eager=False)
+    # ^ the "write signatures, then join" step: three consumers
+    # (per-source totals + both pair sides) share one
+    # materialization instead of three corpus fingerprint passes
+    # (r10 subtree audit)
     per = fp.groupBy("source").agg(F.count(F.lit(1)).alias("n_fp"))
     a = fp.select(F.col("source").alias("source_a"), "fp")
     b = fp.select(F.col("source").alias("source_b"), F.col("fp").alias("fpb"))

@@ -1252,9 +1252,14 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_PFX_T_NUM} * n + {_PFX_T_DEN} - 1) div {_PFX_T_DEN}"
     )
     in_doc = Window.partitionBy("doc_id").orderBy("df", "s")
+    # LAZY checkpoint: both self-join sides consume the prefix table;
+    # without it the explode -> df-join -> window subtree is planned
+    # twice (r10 subtree audit).
     prefix = with_rank.withColumn(
         "pos", F.row_number().over(in_doc)
-    ).filter(F.col("pos") <= F.col("n") - ceil_tn + 1)
+    ).filter(
+        F.col("pos") <= F.col("n") - ceil_tn + 1
+    ).localCheckpoint(eager=False)
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
         pa.join(

@@ -1295,6 +1295,11 @@ def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
         )
+    # LAZY checkpoint before the normalization: `auth` is the whole
+    # unrolled iteration chain, and both the scalar MAX and the
+    # value rows consume it — without the checkpoint Catalyst plans
+    # the full chain TWICE (r10 subtree audit).
+    auth = auth.localCheckpoint(eager=False)
     mx = auth.agg(F.max("auth").alias("mx"))
     return (
         auth.crossJoin(F.broadcast(mx))

@@ -498,7 +498,7 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n",
         sd.alias("sd"),
         F.round(F.col("n") * sd, 0).cast("long").alias("w"),
-    )
+    ).localCheckpoint(eager=False)  # 5 rows; feeds tot AND alloc
     tot = strata.agg(F.sum("w").alias("sum_w"))
     alloc = strata.crossJoin(F.broadcast(tot)).select(
         "o_orderpriority",
@@ -517,6 +517,7 @@ def neyman_allocation_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.lit(_NEYMAN_BUCKETS).cast("long"),
         ).alias("threshold"),
     )
+    alloc = alloc.localCheckpoint(eager=False)  # feeds kept + output
     kept = (
         vals.join(
             F.broadcast(alloc.select("o_orderpriority", "threshold")),

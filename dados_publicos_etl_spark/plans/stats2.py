@@ -429,7 +429,10 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "y",
         F.floor(F.col("x") / _DB_EPS).cast("int").alias("cx"),
         F.floor(F.col("y") / _DB_EPS).cast("int").alias("cy"),
-    )
+    ).localCheckpoint(eager=False)
+    # ^ three consumers (explode side, home side, ncount spine) —
+    # checkpointed so the hash-coordinate synthesis isn't re-planned
+    # per consumer (r10 subtree audit)
     a = cells.select(
         F.col("id").alias("id_a"),
         F.col("x").alias("xa"),
@@ -454,6 +457,7 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         a.join(b, ["cx", "cy"])
         .filter((F.col("id_a") != F.col("id_b")) & (dsq <= _DB_EPS**2))
         .select("id_a", "id_b")
+        .localCheckpoint(eager=False)  # feeds ncount AND border semi
     )
     ncount = (
         cells.select("id")
@@ -658,11 +662,19 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "g"
         )
     )
-    g18 = full_g.withColumn("g", F.col("g").cast("decimal(18,0)"))
+    # LAZY checkpoints: the 64x64 Gram table's LINEAGE is the whole
+    # Arrow-batched corpus pass, and it feeds both matvec rounds;
+    # v1/v2 (64 rows each) feed two consumers apiece (next round +
+    # norm).  Without the checkpoints Catalyst re-plans the corpus
+    # Gram subtree per consumer (r10 subtree audit).
+    g18 = full_g.withColumn(
+        "g", F.col("g").cast("decimal(18,0)")
+    ).localCheckpoint(eager=False)
     v1 = (
         g18.groupBy("i")
         .agg(F.sum("g").alias("v"))
         .select("i", F.col("v").cast("decimal(18,0)").alias("v"))
+        .localCheckpoint(eager=False)
     )
     v2 = (
         g18.join(
@@ -674,6 +686,7 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(F.sum(F.col("g") * F.col("vj")).alias("v"))
     )
+    v2 = v2.localCheckpoint(eager=False)
     norms = (
         v1.agg(F.max(F.abs(F.col("v"))).alias("n1"))
         .crossJoin(v2.agg(F.max(F.abs(F.col("v"))).alias("n2")))

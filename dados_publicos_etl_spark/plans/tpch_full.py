@@ -326,9 +326,12 @@ def q11_important_stock(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("l_suppkey") == F.col("s_suppkey"),
         "left_semi",
     )
+    # LAZY checkpoint: the scalar threshold AND the filter both read
+    # per_part; without it the lineitem aggregate runs twice (r10
+    # subtree audit).
     per_part = scoped.groupBy(F.col("l_partkey").alias("partkey")).agg(
         money_sum(value).alias("part_value")
-    )
+    ).localCheckpoint(eager=False)
     threshold = per_part.agg(
         (F.sum(F.round(F.col("part_value") * 100, 0).cast("long")) / 100.0
          * 0.0008).alias("thr")
