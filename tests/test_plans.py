@@ -1078,3 +1078,132 @@ def test_rows_only_declarations_machine_readable():
     assert all(isinstance(v, str) and len(v) > 20 for v in ro.values())
     with pytest.raises(ValueError, match="rows_only_reason"):
         QuerySpec(name="x", fn=lambda s, d: None, oracle=None)
+
+
+# ---------------------------------------------------------------------------
+# Subtree-duplication audit (round-10; r9 verdict item #6)
+# ---------------------------------------------------------------------------
+
+# Queries allowed to keep SMALL duplicated expensive-rooted subtrees
+# (each <= 3x, <= 16 plan nodes — re-verified by the artifact test
+# below), with the reason re-execution is the right call.  The same
+# maintenance contract as _BNLJ_OK: adding a query here requires a
+# one-line justification; anything flagged by tools/subtree_audit.py
+# and NOT listed fails the artifact test.
+#
+# Reason classes:
+#  narrow-pass  — duplicated explode/hash map over the scan; the two
+#                 consumers need different downstream shuffles, and
+#                 re-running a narrow scan-stage pass is cheaper at
+#                 corpus scale than materializing the exploded stream
+#                 (the house re-scan-over-shuffle discipline).
+#  tiny-base    — duplicated aggregate whose input is a scalar or
+#                 few-row table; a checkpoint would cost more than
+#                 the recompute.
+#  self-join    — one derived table self-joined; the sides differ
+#                 only by alias, their identical lower exchanges are
+#                 runtime-reused (AQE stage reuse), and the residual
+#                 duplicate is the thin post-shuffle layer.
+#  ckpt-residual— <= 2x duplicate of a cheap aggregate ABOVE an
+#                 already-checkpointed table (the heavy lineage is
+#                 materialized once; only the small rollup repeats).
+#  two-phase    — the algorithm intentionally reads its input twice
+#                 (checksum pass + pruned re-scan).
+_SUBTREE_DUP_OK = {
+    "basket_association_rules": "self-join (basket table vs itself)",
+    "benford_audit": "tiny-base (digit histogram rollup)",
+    "bloom_filter_semijoin": "narrow-pass (filter build vs probe)",
+    "bm25_topk": "narrow-pass (df pass vs tf scoring pass)",
+    "corpus_mix_rebalance": "tiny-base (per-source count table)",
+    "corpus_novelty_curve": "narrow-pass (first-seen min vs per-doc)",
+    "correlation_matrix_daily": "self-join (daily series pairs)",
+    "countmin_sketch_estimate": "narrow-pass (sketch build vs truth)",
+    "dbscan_core_points": "ckpt-residual (aggs over cached cells/nbr)",
+    "decile_lift_table": "tiny-base (decile table rollups)",
+    "dedup_minhash_lsh": "narrow-pass (band emit vs verify pass)",
+    "dedup_simhash": "narrow-pass (signature emit vs verify pass)",
+    "dsir_importance_weights": "narrow-pass (target vs corpus scoring)",
+    "embedding_centroid_drift": "ckpt-residual (norms over cached sums)",
+    "excerpt_containment_mining": "narrow-pass (span emit vs verify)",
+    "forecast_backtest_naive": "self-join (train vs eval windows)",
+    "frequent_triples": "self-join (3-way basket join)",
+    "heavy_hitters_exact": "narrow-pass (3 exact passes by design)",
+    "image_neardup_dhash": "narrow-pass (band emit vs hamming verify)",
+    "ivf_cell_balance": "tiny-base (occupancy stats rollup)",
+    "join_skew_report": "tiny-base (key-total rollups)",
+    "k_truss_edges": "self-join (triangle support joins)",
+    "kendall_tau_daily": "self-join (day-pair concordance)",
+    "lexical_logodds_divergence": "narrow-pass (per-corpus counts)",
+    "markov_transitions": "self-join (lagged event pairs)",
+    "matryoshka_truncation_audit": "tiny-base (per-dim panel stats)",
+    "merkle_table_diff": "two-phase (checksums, then pruned re-scan)",
+    "minhash_calibration": "narrow-pass (est vs exact jaccard)",
+    "n_hop_reachability": "self-join (hop expansion reuse)",
+    "pca_power_iteration": "ckpt-residual (matvec over cached gram)",
+    "perplexity_filter": "narrow-pass (LM build vs scoring pass)",
+    "psi_drift": "tiny-base (bucket share rollups)",
+    "quantile_normalize_grid": "tiny-base (rank windows on tiny grid)",
+    "rake_keyword_extraction": "narrow-pass (degree vs freq passes)",
+    "retention_cohorts": "self-join (cohort vs activity month)",
+    "seasonal_decompose": "tiny-base (daily series windows)",
+    "selfjoin_size_cms": "tiny-base (sketch rollups)",
+    "source_dup_overlap": "ckpt-residual (aggs over cached fp table)",
+    "source_vocab_jaccard": "ckpt-residual (sizes over cached vocab)",
+    "temperature_mix_sampling": "tiny-base (per-source mix table)",
+    "tfidf_cosine_neardup": "ckpt-residual (norms over cached w)",
+    "weekly_active_overlap": "self-join (week-pair user sets)",
+    "winnowing_fingerprints": "narrow-pass (window mins vs verify)",
+}
+
+
+def test_subtree_audit_artifact_allowlisted():
+    """Every query flagged by the last tools/subtree_audit.py run is
+    either allowlisted above (with a reason) or must be fixed; and
+    every surviving finding stays SMALL (no >= 4x duplication, no
+    >= 17-node duplicated subtree — the cdc/tfidf-class defects the
+    round-10 reshape eliminated)."""
+    import json
+    import os
+
+    path = os.path.join(os.path.dirname(__file__), "..",
+                        "SUBTREE_AUDIT.json")
+    with open(path) as fh:
+        audit = json.load(fh)
+    flagged = set(audit["findings"])
+    unexplained = flagged - set(_SUBTREE_DUP_OK)
+    assert not unexplained, (
+        f"queries with duplicated expensive subtrees and no "
+        f"allowlist reason: {sorted(unexplained)} — fix them or add "
+        "a justified _SUBTREE_DUP_OK entry"
+    )
+    heavy = {
+        q: f
+        for q, fs in audit["findings"].items()
+        for f in fs
+        if f["count"] >= 4 or f["nodes"] >= 17
+    }
+    assert not heavy, f"heavy duplicated subtrees survived: {heavy}"
+
+
+def test_reshaped_queries_have_no_dup_subtrees(spark, sf_dir):
+    """The queries re-shaped this round must stay clean: their plans
+    carry NO duplicated expensive-rooted subtree at all (live check,
+    not artifact)."""
+    import sys as _sys
+
+    sys_path_root = __file__.rsplit("/tests/", 1)[0]
+    if sys_path_root not in _sys.path:
+        _sys.path.insert(0, sys_path_root)
+    from tools.subtree_audit import audit_plan
+
+    for name in (
+        "cdc_chunk_dedup",
+        "exact_substring_scrub",
+        "hits_authorities",
+        "q11_important_stock",
+        "classifier_prf1_report",
+        "dedup_prefix_join",
+        "neyman_allocation_sample",
+    ):
+        findings = audit_plan(QUERIES[name].fn(spark, sf_dir))
+        assert not findings, (name, findings)
