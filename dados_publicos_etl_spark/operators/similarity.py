@@ -2619,3 +2619,201 @@ def embedding_sign_hamming(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# ---------------------------------------------------------------------------
+# Diagonal-Mahalanobis embedding outliers (round 10)
+# ---------------------------------------------------------------------------
+
+_MAH_TOPK = 20
+
+
+@query(
+    "embedding_outlier_mahalanobis",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, label,
+             {_MILLI_QUANT_SQL.format(v="embedding")} AS qv
+      FROM embeddings
+    ), ex AS MATERIALIZED (
+      SELECT vec_id, label, u.i, qv[u.i] AS x
+      FROM q, UNNEST(generate_series(1, len(qv))) AS u(i)
+    ), st AS (
+      SELECT i,
+             CAST(COUNT(*) AS BIGINT) AS n,
+             CAST(SUM(x) AS BIGINT) AS s1,
+             CAST(SUM(x * x) AS BIGINT) AS s2
+      FROM ex GROUP BY i
+    ), term AS (
+      SELECT ex.vec_id, ex.label,
+             ((ex.x - st.s1 // st.n) * (ex.x - st.s1 // st.n)
+              * 1000000)
+             // GREATEST(1, st.s2 // st.n
+                            - (st.s1 // st.n) * (st.s1 // st.n))
+               AS t_pm
+      FROM ex JOIN st ON st.i = ex.i
+    )
+    SELECT vec_id, label,
+           CAST(SUM(t_pm) AS BIGINT) AS score_pm
+    FROM term
+    GROUP BY vec_id, label
+    ORDER BY score_pm DESC, vec_id
+    LIMIT {_MAH_TOPK}
+    """,
+    description="Diagonal-Mahalanobis embedding outliers: each "
+    "vector scored by sum_i (x_i - mu_i)^2 / var_i over FLOORED "
+    "integer per-dimension moments of the milli-quantized corpus — "
+    "the embedding-space quality screen (mis-encoded, truncated, or "
+    "off-manifold vectors surface first) run before dedup/indexing "
+    "passes trust the geometry.  The floored integer mean/variance "
+    "are a deterministic ranking statistic, not the textbook float "
+    "(documented): every division is integer (Spark div == DuckDB "
+    f"// — both truncate toward zero), so the top-{_MAH_TOPK} is "
+    "engine-exact at any corpus size with NO overflow (deviations "
+    "are per-dim milli-units; n appears only inside divisions).  "
+    "Scale shape: one explode + one 64-row moment aggregate, "
+    "broadcast back onto the exploded stream, one per-vector sum, "
+    "TakeOrderedAndProject top-k.",
+)
+def embedding_outlier_mahalanobis(
+    spark: SparkSession, sf_dir: str
+) -> DataFrame:
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(_MILLI_QUANT_EXPR.format(v="embedding")).alias("qv"),
+    )
+    ex = q.select(
+        "vec_id", "label", F.posexplode("qv").alias("i0", "x")
+    ).select("vec_id", "label", (F.col("i0") + 1).alias("i"), "x")
+    # ex feeds the moment aggregate AND the scoring join: checkpoint
+    # the skinny exploded table once (the subtree-audit discipline)
+    ex = ex.localCheckpoint(eager=False)
+    st = ex.groupBy("i").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("s1"),
+        F.sum(F.col("x") * F.col("x")).alias("s2"),
+    )
+    t_pm = F.expr(
+        "((x - s1 div n) * (x - s1 div n) * 1000000)"
+        " div GREATEST(1, s2 div n - (s1 div n) * (s1 div n))"
+    )
+    return (
+        ex.join(F.broadcast(st), "i")
+        .select("vec_id", "label", t_pm.alias("t_pm"))
+        .groupBy("vec_id", "label")
+        .agg(F.sum("t_pm").cast("long").alias("score_pm"))
+        .orderBy(F.desc("score_pm"), "vec_id")
+        .limit(_MAH_TOPK)
+    )
+
+
+# ---------------------------------------------------------------------------
+# Exact k-NN label evaluation over the embedding table (round 10)
+# ---------------------------------------------------------------------------
+
+_KNN_K = 5
+_KNN_PANEL_MOD = 61  # vec_id % 61 == 0 -> fixed ~|n|/61 query panel
+
+
+@query(
+    "knn_label_eval",
+    oracle=f"""
+    WITH q AS MATERIALIZED (
+      SELECT vec_id, label,
+             {_MILLI_QUANT_SQL.format(v="embedding")} AS v
+      FROM embeddings
+    ), panel AS (
+      SELECT * FROM q WHERE vec_id % {_KNN_PANEL_MOD} = 0
+    ), dists AS (
+      SELECT p.vec_id AS qid, p.label AS true_label,
+             n.vec_id AS nid, n.label AS n_label,
+             CAST(list_sum(list_transform(list_zip(p.v, n.v),
+                  pr -> (pr[1] - pr[2]) * (pr[1] - pr[2])))
+                  AS BIGINT) AS dist
+      FROM panel p JOIN q n ON n.vec_id <> p.vec_id
+    ), ranked AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY qid ORDER BY dist, nid) AS rk
+      FROM dists
+    ), votes AS (
+      SELECT qid, true_label, n_label,
+             CAST(COUNT(*) AS BIGINT) AS n_votes
+      FROM ranked WHERE rk <= {_KNN_K}
+      GROUP BY qid, true_label, n_label
+    ), best AS (
+      SELECT *, ROW_NUMBER() OVER (
+               PARTITION BY qid
+               ORDER BY n_votes DESC, n_label) AS brk
+      FROM votes
+    )
+    SELECT qid AS vec_id, true_label,
+           n_label AS pred_label, n_votes,
+           CAST(n_label = true_label AS BOOLEAN) AS correct
+    FROM best WHERE brk = 1
+    """,
+    description=f"Exact k-NN label evaluation (k = {_KNN_K}): a "
+    f"fixed deterministic query panel (vec_id %% {_KNN_PANEL_MOD} "
+    "= 0) is classified by majority label of its exact nearest "
+    "neighbors under integer squared-L2 on milli-quantized vectors "
+    "(ties: smaller distance, then smaller id; vote ties: smaller "
+    "label) — the label-quality / embedding-space-coherence check "
+    "run before trusting labels for curation or a classifier for "
+    "filtering.  Scale shape: the panel broadcasts against ONE "
+    "narrow corpus scan (|panel| ~ n/61 rows of 64 ints), the "
+    "per-query top-k is a WindowGroupLimit (rank <= k pushed into "
+    "the shuffle), and the vote/argmax run on k rows per query.",
+)
+def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    from pyspark.sql import Window as W
+
+    emb = read_table(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id",
+        "label",
+        F.expr(_MILLI_QUANT_EXPR.format(v="embedding")).alias("v"),
+    )
+    panel = q.filter(F.col("vec_id") % _KNN_PANEL_MOD == 0).select(
+        F.col("vec_id").alias("qid"),
+        F.col("label").alias("true_label"),
+        F.col("v").alias("pv"),
+    )
+    dist = F.aggregate(
+        F.zip_with(
+            F.col("pv"), F.col("v"), lambda a, b: (a - b) * (a - b)
+        ),
+        F.lit(0).cast("long"),
+        lambda acc, x: acc + x,
+    )
+    dists = (
+        q.join(F.broadcast(panel), F.col("vec_id") != F.col("qid"))
+        .select(
+            "qid",
+            "true_label",
+            F.col("vec_id").alias("nid"),
+            F.col("label").alias("n_label"),
+            dist.alias("dist"),
+        )
+    )
+    rk = F.row_number().over(W.partitionBy("qid").orderBy("dist", "nid"))
+    votes = (
+        dists.withColumn("rk", rk)
+        .filter(F.col("rk") <= _KNN_K)
+        .groupBy("qid", "true_label", "n_label")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_votes"))
+    )
+    brk = F.row_number().over(
+        W.partitionBy("qid").orderBy(F.desc("n_votes"), "n_label")
+    )
+    return (
+        votes.withColumn("brk", brk)
+        .filter(F.col("brk") == 1)
+        .select(
+            F.col("qid").alias("vec_id"),
+            "true_label",
+            F.col("n_label").alias("pred_label"),
+            "n_votes",
+            (F.col("n_label") == F.col("true_label")).alias("correct"),
+        )
+    )
