@@ -1252,14 +1252,15 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"({_PFX_T_NUM} * n + {_PFX_T_DEN} - 1) div {_PFX_T_DEN}"
     )
     in_doc = Window.partitionBy("doc_id").orderBy("df", "s")
-    # LAZY checkpoint: both self-join sides consume the prefix table;
-    # without it the explode -> df-join -> window subtree is planned
-    # twice (r10 subtree audit).
+    # NOTE (r10): the subtree audit flags the explode->df-join->window
+    # subtree planned once per self-join side; a lazy localCheckpoint
+    # here was MEASURED SLOWER at sf0.1 (3.9-4.6 s vs 2.8-3.0 s) —
+    # materializing the exploded prefix stream costs more than the
+    # second narrow pass, so the recompute stays (allowlisted as
+    # narrow-pass in tests/test_plans.py::_SUBTREE_DUP_OK).
     prefix = with_rank.withColumn(
         "pos", F.row_number().over(in_doc)
-    ).filter(
-        F.col("pos") <= F.col("n") - ceil_tn + 1
-    ).localCheckpoint(eager=False)
+    ).filter(F.col("pos") <= F.col("n") - ceil_tn + 1)
     pa, pb = prefix.alias("pa"), prefix.alias("pb")
     cand = (
         pa.join(

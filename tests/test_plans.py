@@ -1121,6 +1121,9 @@ _SUBTREE_DUP_OK = {
     "dbscan_core_points": "ckpt-residual (aggs over cached cells/nbr)",
     "decile_lift_table": "tiny-base (decile table rollups)",
     "dedup_minhash_lsh": "narrow-pass (band emit vs verify pass)",
+    "dedup_prefix_join": "narrow-pass (prefix stream per join side; "
+    "a checkpoint was MEASURED SLOWER — 3.9-4.6 s vs 2.1-2.3 s at "
+    "sf0.1)",
     "dedup_simhash": "narrow-pass (signature emit vs verify pass)",
     "dsir_importance_weights": "narrow-pass (target vs corpus scoring)",
     "embedding_centroid_drift": "ckpt-residual (norms over cached sums)",
@@ -1202,7 +1205,6 @@ def test_reshaped_queries_have_no_dup_subtrees(spark, sf_dir):
         "hits_authorities",
         "q11_important_stock",
         "classifier_prf1_report",
-        "dedup_prefix_join",
         "neyman_allocation_sample",
     ):
         findings = audit_plan(QUERIES[name].fn(spark, sf_dir))
