@@ -2228,3 +2228,74 @@ def test_audio_library_unbounded_past_oracle_cap(spark):
         spectral_centroid_frames(
             df, max_samples=_AUDIO_MAX_SAMPLES
         ).collect()
+
+
+def test_band_tuning_curve_monotone_in_bands(spark, sf_dir):
+    """LSH physics pin: at a fixed 64-hash budget, MORE bands (fewer
+    rows per band) can only catch MORE expected pairs — both overall
+    and among the unwanted (sim < 0.5) band — and every config
+    catches at least as many wanted as any config with fewer bands.
+    The differential proves cross-engine equality; this pins that the
+    literal S-curve table encodes the right physics."""
+    from dados_publicos_etl_spark.plans import QUERIES as Q
+
+    rows = {
+        r.bands: r
+        for r in Q["minhash_band_tuning_curve"].fn(spark, sf_dir).collect()
+    }
+    bands = sorted(rows)
+    for lo, hi in zip(bands, bands[1:]):
+        assert rows[hi].exp_caught_ppm >= rows[lo].exp_caught_ppm
+        assert (
+            rows[hi].unwanted_caught_ppm >= rows[lo].unwanted_caught_ppm
+        )
+        assert rows[hi].wanted_caught_ppm >= rows[lo].wanted_caught_ppm
+    # every config sees the same measured pair histogram
+    assert len({r.n_pairs for r in rows.values()}) == 1
+
+
+def test_knn_label_eval_planted_clusters(spark, tmp_path):
+    """Planted geometry: two tight, well-separated clusters with
+    consistent labels -> every panel query is classified correctly
+    with a unanimous vote."""
+    import numpy as np
+
+    from dados_publicos_etl_spark.plans import QUERIES as Q
+
+    rng = np.random.default_rng(7)
+    rows = []
+    for vid in range(200):
+        lab = vid % 2
+        center = 0.4 if lab == 0 else -0.4
+        vec = (center + rng.normal(0, 0.01, 64)).astype("float32")
+        rows.append((vid, [float(x) for x in vec], lab))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = Q["knn_label_eval"].fn(spark, str(tmp_path)).collect()
+    assert len(out) == 4  # vec_ids 0, 61, 122, 183
+    for r in out:
+        assert r.correct, r
+        assert r.n_votes == 5, r  # unanimous within the tight cluster
+
+
+def test_mahalanobis_outlier_surfaces_planted(spark, tmp_path):
+    """A single planted off-manifold vector (one dimension blown out
+    to 10x the population spread) must rank as the #1 outlier."""
+    import numpy as np
+
+    from dados_publicos_etl_spark.plans import QUERIES as Q
+
+    rng = np.random.default_rng(11)
+    rows = []
+    for vid in range(300):
+        vec = rng.normal(0, 0.05, 64)
+        if vid == 137:
+            vec[3] = 0.9  # off-manifold in one dimension
+        rows.append((vid, [float(x) for x in vec.astype("float32")], 0))
+    spark.createDataFrame(
+        rows, "vec_id long, embedding array<float>, label int"
+    ).write.parquet(f"{tmp_path}/embeddings.parquet")
+    out = Q["embedding_outlier_mahalanobis"].fn(spark, str(tmp_path)).collect()
+    assert out[0].vec_id == 137, out[:3]
+    assert out[0].score_pm > 2 * out[1].score_pm, out[:3]
