@@ -1012,7 +1012,7 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
         .unionAll(edges.select(F.col("v").alias("node")))
         .distinct()
         .withColumn("label", F.col("node"))
-        .localCheckpoint(eager=False)
+        .localCheckpoint()
     )
     forest = []
     for rnd in range(1, _MSF_MAX_ROUNDS + 1):
@@ -1047,12 +1047,15 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("edge")
             )
-            .localCheckpoint(eager=False)
+            .localCheckpoint()
         )
-        # ONE job: the count materializes the lazy checkpoint (the
-        # round-9 shape paid an eager-checkpoint job AND a count job
-        # per round — r10 job trim, round-9 verdict item #5)
-        n_nom = nominated.count()
+        # Eager checkpoint + count (the r9 shape): the r10 attempt to
+        # fuse them (lazy checkpoint materialized by the count) saved
+        # one job per round at sf0.1 but benched 4.97x (vs 1.56x) at
+        # the 10x probe — lazy-checkpoint materialization runs the
+        # aggregation outside AQE's coalescing, so every round paid
+        # full-width shuffle stages at scale.
+        n_nom = nominated.count()  # checkpointed — no recompute
         if n_nom == 0:
             break
         forest.append(
@@ -1295,11 +1298,11 @@ def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
         )
-    # LAZY checkpoint before the normalization: `auth` is the whole
-    # unrolled iteration chain, and both the scalar MAX and the
-    # value rows consume it — without the checkpoint Catalyst plans
-    # the full chain TWICE (r10 subtree audit).
-    auth = auth.localCheckpoint(eager=False)
+    # NOTE (r10): the subtree audit flags the unrolled chain planned
+    # twice (the scalar MAX and the value rows both consume `auth`),
+    # but a lazy checkpoint here benched SLOWER at 1x and at the 10x
+    # probe — each half-round's broadcast already materializes once,
+    # and the duplicated aggregate exchanges are runtime-reused.
     mx = auth.agg(F.max("auth").alias("mx"))
     return (
         auth.crossJoin(F.broadcast(mx))

@@ -2714,7 +2714,11 @@ def embedding_outlier_mahalanobis(
 # ---------------------------------------------------------------------------
 
 _KNN_K = 5
-_KNN_PANEL_MOD = 61  # vec_id % 61 == 0 -> fixed ~|n|/61 query panel
+_KNN_PANEL_MOD = 61   # deterministic panel stride ...
+_KNN_PANEL_CAP = 16   # ... capped at 16 queries at ANY corpus size,
+                      # so the eval costs O(n), not O(n^2/61) (the
+                      # uncapped rule probed 6.4x at 10x — panel and
+                      # corpus both grew)
 
 
 @query(
@@ -2725,7 +2729,9 @@ _KNN_PANEL_MOD = 61  # vec_id % 61 == 0 -> fixed ~|n|/61 query panel
              {_MILLI_QUANT_SQL.format(v="embedding")} AS v
       FROM embeddings
     ), panel AS (
-      SELECT * FROM q WHERE vec_id % {_KNN_PANEL_MOD} = 0
+      SELECT * FROM q
+      WHERE vec_id % {_KNN_PANEL_MOD} = 0
+        AND vec_id // {_KNN_PANEL_MOD} < {_KNN_PANEL_CAP}
     ), dists AS (
       SELECT p.vec_id AS qid, p.label AS true_label,
              n.vec_id AS nid, n.label AS n_label,
@@ -2755,7 +2761,9 @@ _KNN_PANEL_MOD = 61  # vec_id % 61 == 0 -> fixed ~|n|/61 query panel
     """,
     description=f"Exact k-NN label evaluation (k = {_KNN_K}): a "
     f"fixed deterministic query panel (vec_id %% {_KNN_PANEL_MOD} "
-    "= 0) is classified by majority label of its exact nearest "
+    f"= 0, first {_KNN_PANEL_CAP} — FIXED size at any corpus scale, "
+    "so the eval is O(n)) is classified by majority label of its "
+    "exact nearest "
     "neighbors under integer squared-L2 on milli-quantized vectors "
     "(ties: smaller distance, then smaller id; vote ties: smaller "
     "label) — the label-quality / embedding-space-coherence check "
@@ -2774,7 +2782,10 @@ def knn_label_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         "label",
         F.expr(_MILLI_QUANT_EXPR.format(v="embedding")).alias("v"),
     )
-    panel = q.filter(F.col("vec_id") % _KNN_PANEL_MOD == 0).select(
+    panel = q.filter(
+        (F.col("vec_id") % _KNN_PANEL_MOD == 0)
+        & (F.expr(f"vec_id div {_KNN_PANEL_MOD}") < _KNN_PANEL_CAP)
+    ).select(
         F.col("vec_id").alias("qid"),
         F.col("label").alias("true_label"),
         F.col("v").alias("pv"),

@@ -453,11 +453,14 @@ def dbscan_core_points(spark: SparkSession, sf_dir: str) -> DataFrame:
         "cy",
     )
     dsq = (F.col("xa") - F.col("xb")) ** 2 + (F.col("ya") - F.col("yb")) ** 2
+    # NOTE (r10): nbr feeds ncount AND the border semi-join, but a
+    # lazy checkpoint here MATERIALIZES the pair relation — which
+    # grows with density x n — and benched 28x (vs 5.7x) at the 10x
+    # probe; the pair stream must be recomputed, not cached.
     nbr = (
         a.join(b, ["cx", "cy"])
         .filter((F.col("id_a") != F.col("id_b")) & (dsq <= _DB_EPS**2))
         .select("id_a", "id_b")
-        .localCheckpoint(eager=False)  # feeds ncount AND border semi
     )
     ncount = (
         cells.select("id")
@@ -662,19 +665,16 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("dim_j").alias("i"), F.col("dim_i").alias("j"), "g"
         )
     )
-    # LAZY checkpoints: the 64x64 Gram table's LINEAGE is the whole
-    # Arrow-batched corpus pass, and it feeds both matvec rounds;
-    # v1/v2 (64 rows each) feed two consumers apiece (next round +
-    # norm).  Without the checkpoints Catalyst re-plans the corpus
-    # Gram subtree per consumer (r10 subtree audit).
-    g18 = full_g.withColumn(
-        "g", F.col("g").cast("decimal(18,0)")
-    ).localCheckpoint(eager=False)
+    # NOTE (r10): the subtree audit flags the Gram subtree planned
+    # once per matvec consumer, but lazy checkpoints here benched
+    # 5.2x (vs 1.8x) at the 10x probe — checkpoint materialization
+    # runs outside AQE coalescing, and the duplicated exchanges are
+    # runtime-reused anyway.  Allowlisted as ckpt-residual.
+    g18 = full_g.withColumn("g", F.col("g").cast("decimal(18,0)"))
     v1 = (
         g18.groupBy("i")
         .agg(F.sum("g").alias("v"))
         .select("i", F.col("v").cast("decimal(18,0)").alias("v"))
-        .localCheckpoint(eager=False)
     )
     v2 = (
         g18.join(
@@ -686,7 +686,6 @@ def pca_power_iteration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("i")
         .agg(F.sum(F.col("g") * F.col("vj")).alias("v"))
     )
-    v2 = v2.localCheckpoint(eager=False)
     norms = (
         v1.agg(F.max(F.abs(F.col("v"))).alias("n1"))
         .crossJoin(v2.agg(F.max(F.abs(F.col("v"))).alias("n2")))
