@@ -1183,11 +1183,18 @@ def test_subtree_audit_artifact_allowlisted():
         f"allowlist reason: {sorted(unexplained)} — fix them or add "
         "a justified _SUBTREE_DUP_OK entry"
     )
+    # Heavy duplicates (>= 4x, or a >= 17-node tree twice) need an
+    # EXPLICIT probed-and-rejected exemption: these two carried lazy
+    # checkpoints in round 10 that the 10x scale probe measured
+    # SLOWER (SCALE_r10.json notes, BENCH_NOTES r10 #8) — their
+    # duplicated exchanges are runtime-reused, so the duplication is
+    # planning-level, not execution-level.
+    measured_ok = {"hits_authorities", "pca_power_iteration"}
     heavy = {
         q: f
         for q, fs in audit["findings"].items()
         for f in fs
-        if f["count"] >= 4 or f["nodes"] >= 17
+        if (f["count"] >= 4 or f["nodes"] >= 17) and q not in measured_ok
     }
     assert not heavy, f"heavy duplicated subtrees survived: {heavy}"
 
