@@ -624,6 +624,11 @@ _BNLJ_OK = {
     "late_interaction_maxsim",  # fixed 8-row query panel broadcast
     "embedding_sign_hamming",   # fixed 8-row query panel broadcast
     "tfidf_cosine_neardup",     # 1-row corpus-size (N) crossJoin
+    # round 10
+    "knn_label_eval",  # query panel capped at 16 rows at ANY corpus
+                       # size (vec_id div 61 < 16) broadcast against
+                       # one scan; the != condition makes it a BNLJ
+                       # with a bounded build side by construction
 }
 
 
