@@ -740,6 +740,253 @@ def exact_substring_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+_LINE_N = 8  # tokens per pseudo-line (the corpus has no newline
+# structure — synthetic word-soup docs — so the "line" unit is a
+# fixed-width non-overlapping segment, same role as RefinedWeb's
+# newline-delimited lines on web text)
+
+
+def _line_hashes(toks: F.Column) -> F.Column:
+    """md5 of every non-overlapping ``_LINE_N``-token segment (the
+    last one clipped), 1-indexed by segment.  Only the 32-hex digest
+    leaves the row."""
+    n_lines = (F.size(toks) + (_LINE_N - 1)).cast("long") / F.lit(_LINE_N)
+    return F.transform(
+        F.sequence(F.lit(1), F.floor(n_lines).cast("int")),
+        lambda i: F.md5(
+            F.array_join(
+                F.slice(toks, (i - 1) * _LINE_N + 1, _LINE_N), " "
+            )
+        ),
+    )
+
+
+@query(
+    "repeated_line_scrub",
+    oracle=f"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, source, {_DUCK_TOKS} AS toks FROM documents
+    ), l AS MATERIALIZED (
+      SELECT doc_id, source, u.i AS idx,
+             md5(array_to_string(
+               list_slice(toks, (u.i - 1) * {_LINE_N} + 1,
+                          u.i * {_LINE_N}), ' ')) AS lh
+      FROM t, UNNEST(generate_series(
+        1, (len(toks) + {_LINE_N - 1}) // {_LINE_N})) AS u(i)
+    ), dup AS (
+      SELECT source, lh FROM l
+      GROUP BY source, lh HAVING COUNT(DISTINCT doc_id) >= 2
+    ), rm AS (
+      SELECT l.doc_id, list(l.idx) AS rms
+      FROM l JOIN dup ON dup.source = l.source AND dup.lh = l.lh
+      GROUP BY l.doc_id
+    )
+    SELECT t.doc_id,
+           CAST((len(t.toks) + {_LINE_N - 1}) // {_LINE_N} AS BIGINT)
+             AS n_lines,
+           CAST(COALESCE(len(r.rms), 0) AS BIGINT) AS n_removed_lines,
+           COALESCE(array_to_string(list_transform(
+             list_filter(
+               range(1, (len(t.toks) + {_LINE_N - 1}) // {_LINE_N} + 1),
+               i -> NOT list_contains(
+                 COALESCE(r.rms, CAST([] AS BIGINT[])), i)),
+             i -> array_to_string(
+               list_slice(t.toks, (i - 1) * {_LINE_N} + 1,
+                          i * {_LINE_N}), ' ')), ' '), '')
+             AS scrubbed_text
+    FROM t LEFT JOIN rm r ON r.doc_id = t.doc_id
+    """,
+    description=f"RefinedWeb-style repeated-line removal, WITHIN "
+    f"domain: every non-overlapping {_LINE_N}-token pseudo-line that "
+    "occurs in >= 2 distinct documents of the SAME source is removed "
+    "from ALL of them (navigation/footer boilerplate repeats inside "
+    "a site, not across the web — the within-domain key is what "
+    "distinguishes this from passage_scrub's global first-survives "
+    "dedup), and the text is rebuilt from the surviving lines.  "
+    "Scale shape: line mining shuffles only (doc_id, source, idx, "
+    "32-hex digest); the repeated decision is a window over the "
+    "(source, lh, doc_id) aggregate (mining subtree planned once); "
+    "only the per-doc removed-index arrays join back onto a second "
+    "corpus scan, where excision + rebuild are in-row HOFs.",
+)
+def repeated_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Within-domain repeated-line scrub (Penedo et al. 2023,
+    RefinedWeb: line-level dedup removes repeated lines from every
+    document, complementing document-level dedup).  Architecture
+    mirrors ``exact_substring_scrub``: digests-only mining pass, a
+    window (not a self-join) for the repeated decision, skinny cut
+    lists joined back onto a second scan, in-row rebuild."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    segs = (
+        docs.select("doc_id", "source", tokens("text").alias("toks"))
+        .select(
+            "doc_id",
+            "source",
+            F.posexplode(_line_hashes(F.col("toks"))).alias("i0", "lh"),
+        )
+        .select("doc_id", "source", (F.col("i0") + 1).alias("idx"), "lh")
+    )
+    nd = F.count(F.lit(1)).over(W.partitionBy("source", "lh"))
+    rm = (
+        segs.groupBy("source", "lh", "doc_id")
+        .agg(F.collect_list("idx").alias("pl"))
+        .withColumn("nd", nd)
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", F.explode("pl").alias("idx"))
+        .groupBy("doc_id")
+        .agg(F.collect_list("idx").alias("rms"))
+    )
+    joined = docs.select("doc_id", tokens("text").alias("toks")).join(
+        rm, "doc_id", "left"
+    )
+    n_lines = (F.size("toks") + (_LINE_N - 1)).cast("long") / F.lit(
+        _LINE_N
+    )
+    n_lines = F.floor(n_lines).cast("int")
+    rms = F.coalesce(F.col("rms"), F.array().cast("array<int>"))
+    kept = F.filter(
+        F.sequence(F.lit(1), n_lines),
+        lambda i: ~F.array_contains(rms, i),
+    )
+    return joined.select(
+        "doc_id",
+        n_lines.cast("long").alias("n_lines"),
+        F.size(rms).cast("long").alias("n_removed_lines"),
+        F.array_join(
+            F.transform(
+                kept,
+                lambda i: F.array_join(
+                    F.slice("toks", (i - 1) * _LINE_N + 1, _LINE_N), " "
+                ),
+            ),
+            " ",
+        ).alias("scrubbed_text"),
+    )
+
+
+@query(
+    "dup_span_length_report",
+    oracle=rf"""
+    WITH t AS MATERIALIZED (
+      SELECT doc_id, {_DUCK_TOKS} AS toks FROM documents
+    ), w AS MATERIALIZED (
+      SELECT doc_id, i,
+             md5(array_to_string(list_slice(toks, i, i + {_SPAN_N - 1}), ' '))
+               AS span_hash
+      FROM t, UNNEST(generate_series(1, len(toks) - {_SPAN_N - 1})) AS u(i)
+      WHERE len(toks) >= {_SPAN_N}
+    ), dup AS (
+      SELECT span_hash FROM w
+      GROUP BY span_hash HAVING COUNT(DISTINCT doc_id) >= 2
+    ), flagged AS (
+      SELECT w.doc_id, w.i FROM w JOIN dup USING (span_hash)
+    ), isl AS (
+      SELECT doc_id, i,
+             CASE WHEN i - LAG(i) OVER (PARTITION BY doc_id ORDER BY i)
+                       > {_SPAN_N} OR
+                  LAG(i) OVER (PARTITION BY doc_id ORDER BY i) IS NULL
+                  THEN 1 ELSE 0 END AS brk
+      FROM flagged
+    ), grp AS (
+      SELECT doc_id, i,
+             SUM(brk) OVER (PARTITION BY doc_id ORDER BY i
+                            ROWS UNBOUNDED PRECEDING) AS island
+      FROM isl
+    ), spans AS (
+      SELECT doc_id, island,
+             MAX(i) + {_SPAN_N - 1} - MIN(i) + 1 AS span_len
+      FROM grp GROUP BY doc_id, island
+    ), per_doc AS (
+      SELECT doc_id,
+             CAST(COUNT(*) AS BIGINT) AS n_spans,
+             CAST(MAX(span_len) AS BIGINT) AS longest_span_tokens,
+             CAST(SUM(span_len) AS BIGINT) AS dup_tokens
+      FROM spans GROUP BY doc_id
+    )
+    SELECT p.doc_id, CAST(len(t.toks) AS BIGINT) AS n_tokens,
+           p.n_spans, p.longest_span_tokens,
+           ROUND(CAST(p.dup_tokens AS DOUBLE) / len(t.toks), 4)
+             AS dup_token_share
+    FROM per_doc p JOIN t ON t.doc_id = p.doc_id
+    ORDER BY p.longest_span_tokens DESC, p.doc_id
+    LIMIT 25
+    """,
+    description=f"Longest-duplicated-substring report (suffix-"
+    f"automaton-free): duplicated {_SPAN_N}-token windows (>= 2 "
+    "distinct docs, the exact_substring_scrub mining pass) merge "
+    "into MAXIMAL runs per document — consecutive flagged starts "
+    f"within {_SPAN_N} positions cover one contiguous duplicated "
+    "region — and each doc reports its longest merged run in "
+    "tokens, run count, and duplicated-token share; top-25 by run "
+    "length.  This is the length DISTRIBUTION view the fixed-width "
+    "span miners can't give: a 200-token verbatim quote and twenty "
+    "scattered 10-token matches look identical to "
+    "duplicate_ngram_spans but not here.  Scale shape: mining "
+    "shuffles digests only; the merge is gaps-and-islands window "
+    "arithmetic over the skinny flagged-position stream; "
+    "TakeOrdered top-25.",
+)
+def dup_span_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Maximal duplicated-run lengths (the report half of Lee et al.
+    2022 span mining — merged overlapping/contiguous duplicated
+    windows, NOT the true longest-common-substring, which needs a
+    suffix automaton; documented as the window-merge view)."""
+    from pyspark.sql import Window as W
+
+    docs = read_table(spark, sf_dir, "documents")
+    toks_df = docs.select("doc_id", tokens("text").alias("toks"))
+    spans = toks_df.select(
+        "doc_id",
+        F.posexplode(_span_hashes(F.col("toks"))).alias("pos0", "span_hash"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("i"), "span_hash")
+    nd = F.count(F.lit(1)).over(W.partitionBy("span_hash"))
+    flagged = (
+        spans.groupBy("span_hash", "doc_id")
+        .agg(F.collect_list("i").alias("pl"))
+        .withColumn("nd", nd)
+        .filter(F.col("nd") >= 2)
+        .select("doc_id", F.explode("pl").alias("i"))
+    )
+    byi = W.partitionBy("doc_id").orderBy("i")
+    brk = F.when(
+        F.lag("i").over(byi).isNull()
+        | ((F.col("i") - F.lag("i").over(byi)) > _SPAN_N),
+        1,
+    ).otherwise(0)
+    grp = flagged.withColumn("brk", brk).withColumn(
+        "island",
+        F.sum("brk").over(byi.rowsBetween(W.unboundedPreceding, 0)),
+    )
+    span_len = F.max("i") + (_SPAN_N - 1) - F.min("i") + 1
+    per_doc = (
+        grp.groupBy("doc_id", "island")
+        .agg(span_len.alias("span_len"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_spans"),
+            F.max("span_len").cast("long").alias("longest_span_tokens"),
+            F.sum("span_len").cast("long").alias("dup_tokens"),
+        )
+    )
+    sizes = toks_df.select("doc_id", F.size("toks").alias("nt"))
+    return (
+        per_doc.join(sizes, "doc_id")
+        .select(
+            "doc_id",
+            F.col("nt").cast("long").alias("n_tokens"),
+            "n_spans",
+            "longest_span_tokens",
+            F.round(
+                F.col("dup_tokens").cast("double") / F.col("nt"), 4
+            ).alias("dup_token_share"),
+        )
+        .orderBy(F.desc("longest_span_tokens"), "doc_id")
+        .limit(25)
+    )
+
+
 @query(
     "basket_association_rules",
     oracle="""

@@ -1254,7 +1254,8 @@ def dedup_prefix_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     in_doc = Window.partitionBy("doc_id").orderBy("df", "s")
     # NOTE (r10): the subtree audit flags the explode->df-join->window
     # subtree planned once per self-join side; a lazy localCheckpoint
-    # here was MEASURED SLOWER at sf0.1 (3.9-4.6 s vs 2.8-3.0 s) —
+    # here was MEASURED SLOWER at sf0.1 (3.9-4.6 s vs 2.1-2.3 s for
+    # the recompute — BENCH_NOTES r10 #7 is the measurement record) —
     # materializing the exploded prefix stream costs more than the
     # second narrow pass, so the recompute stays (allowlisted as
     # narrow-pass in tests/test_plans.py::_SUBTREE_DUP_OK).

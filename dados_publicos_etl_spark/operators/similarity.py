@@ -2669,8 +2669,11 @@ _MAH_TOPK = 20
     "are a deterministic ranking statistic, not the textbook float "
     "(documented): every division is integer (Spark div == DuckDB "
     f"// — both truncate toward zero), so the top-{_MAH_TOPK} is "
-    "engine-exact at any corpus size with NO overflow (deviations "
-    "are per-dim milli-units; n appears only inside divisions).  "
+    "engine-exact up to the int64 moment bound: s2 = SUM(x*x) grows "
+    "linearly in rows at ~1e6 per milli-quantized dim, overflowing "
+    "int64 past ~9e12 rows per dimension (and the engines then "
+    "diverge differently — Spark sum(long) wraps, DuckDB errors out "
+    "of HUGEINT); past that bound, accumulate s1/s2 as decimal.  "
     "Scale shape: one explode + one 64-row moment aggregate, "
     "broadcast back onto the exploded stream, one per-vector sum, "
     "TakeOrderedAndProject top-k.",

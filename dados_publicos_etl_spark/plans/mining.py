@@ -1638,18 +1638,25 @@ def embedding_centroid_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
     ex = q.select(
         "label", F.posexplode("qv").alias("i0", "qi")
     ).select("label", (F.col("i0") + 1).alias("i"), F.col("qi").cast("long").alias("q"))
-    # ONE aggregation pass carries both the per-dim sums and (at i=1)
-    # the per-label vector counts, and the |labels| x dim result is
-    # lazily checkpointed: its four consumers (both dot sides, norms,
-    # counts) previously re-planned the quantize+posexplode subtree
-    # each (r10 subtree audit: 4x Generate).
+    # The |labels| x dim sum table is lazily checkpointed: its three
+    # consumers (both dot sides, norms) previously re-planned the
+    # quantize+posexplode subtree each (r10 subtree audit: 4x
+    # Generate).  Counts come from the PRE-explode table — a
+    # label-column-only scan — matching the oracle's COUNT(*) over
+    # all rows exactly even for a NULL/empty embedding, which the
+    # explode would drop (r10 ADVICE).
     sums = (
         ex.groupBy("label", "i")
-        .agg(F.sum("q").alias("s"), F.count(F.lit(1)).alias("k"))
+        .agg(F.sum("q").alias("s"))
         .localCheckpoint(eager=False)
     )
-    counts = sums.filter(F.col("i") == 1).select(
-        "label", F.col("k").alias("n")
+    # |labels| rows, consumed by both pair sides -> checkpoint so the
+    # label-column scan+agg isn't planned twice (small fan-out table,
+    # heavy-ish lineage — the rule of thumb from BENCH_NOTES r10 #7)
+    counts = (
+        emb.groupBy("label")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .localCheckpoint(eager=False)
     )
     dec = lambda c: F.col(c).cast("decimal(18,0)")
     a = sums.select(

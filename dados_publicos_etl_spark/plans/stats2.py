@@ -905,12 +905,15 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "algorithm: Spark iterates the max-plus recurrence layer(v) = "
     "max(0, max over in-edges (layer(u) + 1)) to FIXPOINT — each "
     "round one broadcast of the <=|V|-row layer table onto the edge "
-    "list + one max-aggregate, localCheckpoint-truncated, with a "
-    "changed-row count (a |V|-bounded driver scalar) as the exit "
-    "test; rounds are bounded by the longest chain, never unrolled "
-    "blind.  Oracle = the DuckDB recursive CTE enumerating all "
-    "(node, path-length) pairs — finite because the DAG bounds "
-    "length by |V|.",
+    "list + one max-aggregate; rounds run in ADAPTIVE BATCHES of "
+    "lazy checkpoints with ONE changed-row probe per batch (the "
+    "boruvka_msf pointer-jump discipline — the loop was driver-"
+    "round-trip-bound, 2 actions/round), exact because relaxation "
+    "past the fixpoint is an identity map; rounds are bounded by "
+    "the longest chain, never unrolled blind.  Oracle = the DuckDB "
+    "recursive CTE enumerating all (node, path-length) pairs — "
+    "finite because the DAG bounds length by |V| (no unroll depth "
+    "to keep in sync with the batch size).",
 )
 def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _co_edges(spark, sf_dir).localCheckpoint()
@@ -921,25 +924,49 @@ def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumn("layer", F.lit(0))
         .localCheckpoint()
     )
-    for _ in range(64):  # safety bound >> any 50-node chain
+
+    def relax(cur):
         cand = edges.join(
-            F.broadcast(labels), edges.a == labels.node
-        ).select(F.col("b").alias("node"), (F.col("layer") + 1).alias("layer"))
-        new = (
-            labels.unionAll(cand)
+            F.broadcast(cur), edges.a == cur.node
+        ).select(
+            F.col("b").alias("node"), (F.col("layer") + 1).alias("layer")
+        )
+        return (
+            cur.unionAll(cand)
             .groupBy("node")
             .agg(F.max("layer").alias("layer"))
-            .localCheckpoint()
+            # lazy: the batch's probe action materializes the whole
+            # chain in ONE job; the checkpoint still truncates
+            # lineage so the next batch re-roots on cached blocks
+            .localCheckpoint(eager=False)
         )
+
+    # Adaptive batches (r10 verdict item #4): probing after EVERY
+    # round cost 2 driver actions per round across ~12 rounds at
+    # bench scale.  Batches grow 2 -> 4 -> 8 (deep chains amortize
+    # more rounds per probe, shallow DAGs exit on the first or
+    # second probe); max(layer) increases by at most 1 per round, so
+    # a batch with NO change anywhere means the fixpoint was reached
+    # inside it, and relaxing past the fixpoint never changes a row
+    # (max-plus idempotency) — overshoot costs only sub-batch jobs,
+    # never correctness.  Hard cap 64 rounds >> any bench-scale
+    # chain; at 100 TB depth is data-bound, not driver-bound.
+    rounds_left, batch = 64, 2
+    while rounds_left > 0:
+        before = labels
+        for _ in range(min(batch, rounds_left)):
+            labels = relax(labels)
+        rounds_left -= min(batch, rounds_left)
         changed = (
-            new.alias("n")
-            .join(labels.alias("o"), "node")
+            labels.alias("n")
+            .join(before.alias("o"), "node")
             .filter(F.col("n.layer") != F.col("o.layer"))
+            .limit(1)
             .count()
         )
-        labels = new
         if changed == 0:
             break
+        batch = min(batch * 2, 8)
     return labels.select(
         F.col("node").alias("item"), F.col("layer").cast("long").alias("layer")
     )

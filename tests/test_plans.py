@@ -269,12 +269,36 @@ def test_join_strategy_hints_are_honored(spark, sf_dir):
 def test_fuzzy_match_single_window_single_exchange(spark, sf_dir):
     """Sorted-neighborhood matching must plan ONE Window node carrying
     all w lead() columns over ONE block-key Exchange — never a self
-    join, never a cartesian product."""
-    plan = _plan(QUERIES["fuzzy_match_customers"].fn(spark, sf_dir))
-    assert plan.count("Window [") == 1
-    assert plan.count("Exchange") == 1
-    assert "CartesianProduct" not in plan
-    assert "BroadcastNestedLoopJoin" not in plan
+    join, never a cartesian product.  Since r11 the pass lives in the
+    session-cached snm_pair_table (built once, shared by the whole
+    linkage family), so the window shape is pinned on the BUILD plan
+    and every consumer is pinned to the cached parquet scan."""
+    from dados_publicos_etl_spark.operators.linkage import (
+        _build_snm_pairs,
+    )
+
+    build = _plan(_build_snm_pairs(spark, sf_dir))
+    assert build.count("Window [") == 1
+    assert build.count("Exchange") == 1
+    assert "CartesianProduct" not in build
+    assert "BroadcastNestedLoopJoin" not in build
+    # consumers read the family cache, not a re-planned window pass
+    for q in ("fuzzy_match_customers", "linkage_fellegi_sunter"):
+        plan = _plan(QUERIES[q].fn(spark, sf_dir))
+        assert "spark_snm_pairs_" in plan, q
+        assert "Window [" not in plan, q
+    # the entity queries read the cached component map — neither the
+    # window pass nor the CC loop re-runs per consumer
+    plan = _plan(QUERIES["entity_resolution_e2e"].fn(spark, sf_dir))
+    assert "/comp" in plan
+    assert "Window [" not in plan
+    # golden_record_merge checkpoints its members table (comp joined
+    # back to the dimension), so the final plan re-roots on the
+    # checkpoint scan — pin that plus the absence of any re-planned
+    # window/CC machinery
+    plan = _plan(QUERIES["golden_record_merge"].fn(spark, sf_dir))
+    assert "Scan ExistingRDD" in plan
+    assert "Window [" not in plan
 
 
 def test_duplicate_spans_shuffle_digests_not_text(spark, sf_dir):
@@ -289,6 +313,36 @@ def test_duplicate_spans_shuffle_digests_not_text(spark, sf_dir):
     # the text column exists only below the generator (scan + tokenize)
     above_gen = plan.split("Generate ")[0]
     assert "text#" not in above_gen
+
+
+def test_repeated_line_scrub_shuffles_digests_not_text(spark, sf_dir):
+    """Line mining must hash segments to md5 INSIDE the explode (text
+    dies at the tokenize projection); the repeated decision is a
+    window over the (source, lh, doc_id) aggregate — no digest
+    self-join; only the rebuild scan carries text."""
+    plan = _plan(QUERIES["repeated_line_scrub"].fn(spark, sf_dir))
+    # two Generates print (the skinny flagged-position explode first,
+    # output-first ordering; the mining posexplode below): the MINING
+    # generator must emit md5 digests, and no generator emits text
+    gens = [seg.split("\n")[0] for seg in plan.split("Generate ")[1:]]
+    assert any("md5" in g for g in gens), gens
+    assert not any("text#" in g for g in gens), gens
+    assert "Window" in plan
+    assert "CartesianProduct" not in plan
+    assert "BroadcastNestedLoopJoin" not in plan
+
+
+def test_dup_span_length_report_plan(spark, sf_dir):
+    """Span mining emits digests only; the merge is gaps-and-islands
+    window arithmetic (two Window nodes: lag-break and running
+    island id — Spark fuses them into one partition's sort); top-25
+    via TakeOrdered."""
+    plan = _plan(QUERIES["dup_span_length_report"].fn(spark, sf_dir))
+    gens = [seg.split("\n")[0] for seg in plan.split("Generate ")[1:]]
+    assert any("md5" in g for g in gens), gens
+    assert not any("text#" in g for g in gens), gens
+    assert "TakeOrderedAndProject" in plan
+    assert "CartesianProduct" not in plan
 
 
 def test_cdc_chunk_dedup_narrow_pass(spark, sf_dir):
@@ -1221,6 +1275,16 @@ def test_reshaped_queries_have_no_dup_subtrees(spark, sf_dir):
         "q11_important_stock",
         "classifier_prf1_report",
         "neyman_allocation_sample",
+        # r11 reshapes: the linkage family over its session cache and
+        # the batched max-plus layering
+        "fuzzy_match_customers",
+        "linkage_fellegi_sunter",
+        "entity_resolution_e2e",
+        "golden_record_merge",
+        "dag_longest_path_layers",
+        # r11 new operators, clean at birth
+        "repeated_line_scrub",
+        "dup_span_length_report",
     ):
         findings = audit_plan(QUERIES[name].fn(spark, sf_dir))
         assert not findings, (name, findings)

@@ -59,85 +59,66 @@ SHARED = ("ReusedExchange", "ReusedSubquery", "InMemoryTableScan",
           "TableCacheQueryStage")
 
 
-def _walk(node, out: list, under_exchange: bool) -> None:
-    """Collect (node, under_exchange) pairs depth-first.
-    ``under_exchange`` marks nodes living below an Exchange — the
-    unit Spark's (and AQE's) exchange-reuse dedups at runtime."""
+def _walk(node, out: list, ex_ancestors: tuple) -> None:
+    """Collect (node, exchange-ancestor-fingerprints) depth-first.
+    ``ex_ancestors`` carries the canonical fingerprint of every
+    Exchange on the path above the node — the units Spark's (and
+    AQE's) exchange-reuse dedups at runtime.  Whether any of those
+    ancestors is DUPLICATED (and the node therefore shared, not
+    re-executed) is decided after the walk, once every exchange has
+    been counted — one traversal instead of the former count-then-
+    re-walk pair (r10 ADVICE)."""
     name = node.nodeName()
     if any(name.startswith(s) for s in SHARED):
         return
-    out.append((node, under_exchange))
-    is_ex = name.startswith("Exchange") or name.startswith(
-        "BroadcastExchange")
+    out.append((node, ex_ancestors))
+    if name.startswith("Exchange") or name.startswith(
+            "BroadcastExchange"):
+        ex_ancestors = ex_ancestors + (
+            node.canonicalized().treeString(),)
     ch = node.children()
     for i in range(ch.size()):
-        _walk(ch.apply(i), out, under_exchange or is_ex)
+        _walk(ch.apply(i), out, ex_ancestors)
     # AQE wrapper nodes hide their subtree behind queryStage/inputPlan
     if name == "AdaptiveSparkPlan":
-        _walk(node.inputPlan(), out, under_exchange)
+        _walk(node.inputPlan(), out, ex_ancestors)
 
 
 def audit_plan(df) -> list[dict]:
     """Return duplicated-expensive-subtree findings for one query.
 
-    Two passes.  Pass 1 fingerprints every Exchange subtree: two
-    canonically-equal exchanges are ONE runtime execution (Spark
-    plans a ReusedExchange; under AQE, stage-level reuse does the
-    same even though the pre-execution plan doesn't show it), so any
-    duplication living under a duplicated exchange is shared, not
-    re-executed.  Pass 2 flags duplicated expensive-rooted subtrees
-    that are NOT covered by a duplicated-exchange ancestor — the
-    genuinely re-planned, re-executed computation (the
-    cdc_chunk_dedup / tfidf_cosine_neardup class)."""
+    One walk, two reads of its result.  First, every Exchange
+    subtree is fingerprint-counted: two canonically-equal exchanges
+    are ONE runtime execution (Spark plans a ReusedExchange; under
+    AQE, stage-level reuse does the same even though the
+    pre-execution plan doesn't show it), so any duplication living
+    under a duplicated exchange is shared, not re-executed.  Then
+    duplicated expensive-rooted subtrees NOT covered by a
+    duplicated-exchange ancestor are flagged — the genuinely
+    re-planned, re-executed computation (the cdc_chunk_dedup /
+    tfidf_cosine_neardup class)."""
     root = df._jdf.queryExecution().executedPlan()
     nodes: list = []
-    _walk(root, nodes, False)
-    # pass 1: duplicated-exchange canonical forms
+    _walk(root, nodes, ())
+    # duplicated-exchange canonical forms (from the same walk)
     ex_fps: Counter = Counter()
-    for n, _u in nodes:
+    for n, _anc in nodes:
         name = n.nodeName()
         if name.startswith("Exchange") or name.startswith(
                 "BroadcastExchange"):
             ex_fps[n.canonicalized().treeString()] += 1
     shared_ex = {fp for fp, c in ex_fps.items() if c >= 2}
 
-    def covered(node) -> bool:
-        """True if every duplicate of this subtree is under some
-        duplicated exchange (approximated: the node's own nearest
-        exchange ancestor is duplicated — tracked via a re-walk)."""
-        return False  # resolved below via the under-map
-
-    # map node -> nearest duplicated-exchange-ancestor?  Re-walk with
-    # that predicate directly.
-    nodes2: list = []
-
-    def walk2(node, under_shared: bool) -> None:
-        name = node.nodeName()
-        if any(name.startswith(s) for s in SHARED):
-            return
-        nodes2.append((node, under_shared))
-        is_shared_ex = (
-            (name.startswith("Exchange")
-             or name.startswith("BroadcastExchange"))
-            and node.canonicalized().treeString() in shared_ex
-        )
-        ch = node.children()
-        for i in range(ch.size()):
-            walk2(ch.apply(i), under_shared or is_shared_ex)
-        if name == "AdaptiveSparkPlan":
-            walk2(node.inputPlan(), under_shared)
-
-    walk2(root, False)
     fps: Counter = Counter()
     sample: dict[str, str] = {}
     n_unshared: Counter = Counter()
-    for n, under_shared in nodes2:
+    for n, ex_ancestors in nodes:
         name = n.nodeName()
         if not any(name.startswith(e) for e in EXPENSIVE):
             continue
         fp = n.canonicalized().treeString()
         fps[fp] += 1
-        if not under_shared:
+        if not any(a in shared_ex for a in ex_ancestors):
             n_unshared[fp] += 1
         sample.setdefault(fp, name)
     return [
