@@ -57,12 +57,21 @@ def main() -> None:
     # BENCH_LOCAL_r09.json timings — do not update them when the host
     # changes; that is the point.
     # ------------------------------------------------------------------
+    # r11 extension (round-10 verdict What's-wrong #2): the original
+    # five probes are all JVM-relational, so Python-worker/streaming
+    # host drift was invisible to the ratio — one Arrow-heavy row
+    # (multimodal_features, the Pandas-UDF decode path) and one
+    # streaming row (stream_tumbling_window, micro-batch machinery)
+    # joined the set, refs frozen at their BENCH_LOCAL_r09 values
+    # like the rest.
     _PROBE_REF_R9 = {
         "q1_pricing_summary": 0.408,
         "topk_orders": 0.215,
         "window_rank_dense": 0.185,
         "text_stats": 0.215,
         "doc_fingerprint": 0.133,
+        "multimodal_features": 0.403,
+        "stream_tumbling_window": 0.226,
     }
     probe: dict[str, float] = {}
     for name in sorted(_PROBE_REF_R9):

@@ -219,13 +219,18 @@ def replicate_corpus(spark, sf: str, out_dir: str, n_copies: int) -> None:
 
 
 # FROZEN at BENCH_LOCAL_r09.json values — same contract as bench.py's
-# _PROBE_REF_R9 (do not update when the host changes; that's the point).
+# _PROBE_REF_R9 (do not update when the host changes; that's the
+# point).  Includes one Arrow-heavy and one streaming row so
+# Python-worker / micro-batch host drift is visible in the ratio
+# (round-10 verdict What's-wrong #2).
 _PROBE_REF_R9 = {
     "q1_pricing_summary": 0.408,
     "topk_orders": 0.215,
     "window_rank_dense": 0.185,
     "text_stats": 0.215,
     "doc_fingerprint": 0.133,
+    "multimodal_features": 0.403,
+    "stream_tumbling_window": 0.226,
 }
 
 
