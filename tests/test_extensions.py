@@ -2299,3 +2299,62 @@ def test_mahalanobis_outlier_surfaces_planted(spark, tmp_path):
     out = Q["embedding_outlier_mahalanobis"].fn(spark, str(tmp_path)).collect()
     assert out[0].vec_id == 137, out[:3]
     assert out[0].score_pm > 2 * out[1].score_pm, out[:3]
+
+
+def test_linkage_cache_misses_on_regenerated_corpus(spark, tmp_path):
+    """The linkage family's session cache keys on (sf_dir,
+    corpus_fingerprint): REWRITING the customer table under the same
+    path must miss the cache and serve results for the NEW data —
+    never a stale snapshot (the r8 portable-sig-cache contract,
+    applied to the r11 snm_pair_table / entity_cluster_table)."""
+    from pyspark.sql import functions as F
+
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.operators.linkage import (
+        _build_snm_pairs,
+        snm_pair_table,
+    )
+    from dados_publicos_etl_spark.plans import QUERIES as Q
+
+    base = read_table(spark, "/root/testdata/sf0.001", "customer")
+
+    def write_snapshot(df):
+        # rewrite under the SAME path (two-step so the source scan
+        # closes before the overwrite)
+        rows = df.collect()
+        spark.createDataFrame(rows, df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/customer.parquet")
+
+    write_snapshot(base.limit(20))
+    r1 = sorted(
+        (r.custkey_a, r.custkey_b)
+        for r in Q["fuzzy_match_customers"].fn(spark, str(tmp_path)).collect()
+    )
+    # touch the entity map too, so BOTH cache layers are populated
+    Q["entity_resolution_e2e"].fn(spark, str(tmp_path)).collect()
+
+    # regenerate: a different slice with shifted keys -> different
+    # pair structure under the same path
+    write_snapshot(
+        base.orderBy(F.desc("c_custkey")).limit(30).withColumn(
+            "c_custkey", F.col("c_custkey") + 10000
+        )
+    )
+    got = sorted(
+        (r.custkey_a, r.custkey_b)
+        for r in Q["fuzzy_match_customers"].fn(spark, str(tmp_path)).collect()
+    )
+    fresh = sorted(
+        (r.custkey_a, r.custkey_b)
+        for r in _build_snm_pairs(spark, str(tmp_path))
+        .filter(F.col("lev_dist") <= 2)
+        .collect()
+    )
+    assert got == fresh  # cache served the REGENERATED corpus
+    assert all(a > 10000 for a, _ in got) or got == []  # new keys
+    # and the second read is the parquet-backed cache, not a rebuild
+    plan = snm_pair_table(spark, str(tmp_path))._jdf.queryExecution() \
+        .executedPlan().toString()
+    assert "spark_snm_pairs_" in plan
+    del r1
