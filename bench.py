@@ -91,59 +91,104 @@ def main() -> None:
     # the two probes; both are recorded so a reader sees the
     # intra-run drift; a pre/post spread > ~1.2x means per-query
     # cross-round comparisons carry that much haze.
-    probe = run_probe()
-    host_ratio_pre = round(
-        sum(probe.values()) / sum(_PROBE_REF_R9.values()), 3
-    )
-
-    # N full PASSES over the catalog, min per query across passes:
-    # pass 1 pays one-off plan compilation / codegen / Python-worker
-    # startup that a long-lived cluster session amortizes away, and
-    # spreading a query's samples minutes apart means a transient
-    # machine-load spike can't inflate both samples of the same query
-    # (back-to-back repeats share the spike).
-    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
-    samples: dict[str, list[float]] = {}
-    for _ in range(n_runs):
-        # Start each pass from a clean session: drop any cached plans
-        # and force a JVM GC so the ContextCleaner reclaims broadcast
-        # blocks accumulated by the previous pass (cleanup is
-        # GC-driven; across a 121-query pass the un-collected
-        # broadcasts + codegen classes otherwise build steady memory
-        # pressure that uniformly inflates later queries — the r2
-        # catalog-wide ~1.27x drift).
-        spark.catalog.clearCache()
-        spark.sparkContext._jvm.System.gc()
-        for name in sorted(QUERIES):
-            spec = QUERIES[name]
-            t0 = time.perf_counter()
-            df = spec.fn(spark, sf_dir)
-            df.count()
-            samples.setdefault(name, []).append(time.perf_counter() - t0)
-            # Release blocks pinned by localCheckpoint()-materializing
-            # operators (dedup/similarity signature tables) so storage
-            # memory from one query can't pressure the queries timed
-            # after it.  Within-query checkpoint cost stays inside the
-            # timing.
-            for rdd in spark.sparkContext._jsc.getPersistentRDDs().values():
-                rdd.unpersist()
-    # 2 passes -> min (drops the one-off compile pass); 3+ passes ->
-    # MEDIAN, robust against both the cold first pass and a transient
-    # host-load spike inflating one sample (the r5 driver host showed
-    # 2-3x single-query swings that min-of-2 can't always shed).
+    #
+    # r12 (r11 verdict What's-wrong #1): the run is GATED on that
+    # spread.  If pre/post disagree by more than
+    # SPARK_GRAFT_BENCH_MAX_SPREAD (default 1.25; 0 disables, for
+    # time-boxed harnesses), the whole probe+passes body re-runs —
+    # up to SPARK_GRAFT_BENCH_ATTEMPTS (default 2) — and the emitted
+    # artifact is the attempt with the SMALLEST spread; every
+    # discarded attempt's spread and total are recorded in
+    # "rejected_attempts" (the discard-with-numbers rule the r11
+    # scale artifacts already follow).
     import statistics
 
-    timings = {
-        name: round(
-            min(v) if len(v) < 3 else statistics.median(v), 3
-        )
-        for name, v in sorted(samples.items())
-    }
-
-    probe_post = run_probe()
-    host_ratio_post = round(
-        sum(probe_post.values()) / sum(_PROBE_REF_R9.values()), 3
+    n_runs = int(os.environ.get("SPARK_GRAFT_BENCH_RUNS", "2"))
+    max_spread = float(
+        os.environ.get("SPARK_GRAFT_BENCH_MAX_SPREAD", "1.25")
     )
+    max_attempts = int(os.environ.get("SPARK_GRAFT_BENCH_ATTEMPTS", "2"))
+
+    def one_attempt() -> dict:
+        probe = run_probe()
+        pre = round(sum(probe.values()) / sum(_PROBE_REF_R9.values()), 3)
+        # N full PASSES over the catalog, min per query across passes:
+        # pass 1 pays one-off plan compilation / codegen /
+        # Python-worker startup that a long-lived cluster session
+        # amortizes away, and spreading a query's samples minutes
+        # apart means a transient machine-load spike can't inflate
+        # both samples of the same query (back-to-back repeats share
+        # the spike).
+        samples: dict[str, list[float]] = {}
+        for _ in range(n_runs):
+            # Start each pass from a clean session: drop any cached
+            # plans and force a JVM GC so the ContextCleaner reclaims
+            # broadcast blocks accumulated by the previous pass
+            # (cleanup is GC-driven; across a 121-query pass the
+            # un-collected broadcasts + codegen classes otherwise
+            # build steady memory pressure that uniformly inflates
+            # later queries — the r2 catalog-wide ~1.27x drift).
+            spark.catalog.clearCache()
+            spark.sparkContext._jvm.System.gc()
+            for name in sorted(QUERIES):
+                spec = QUERIES[name]
+                t0 = time.perf_counter()
+                df = spec.fn(spark, sf_dir)
+                df.count()
+                samples.setdefault(name, []).append(
+                    time.perf_counter() - t0
+                )
+                # Release blocks pinned by localCheckpoint()-
+                # materializing operators (dedup/similarity signature
+                # tables) so storage memory from one query can't
+                # pressure the queries timed after it.  Within-query
+                # checkpoint cost stays inside the timing.
+                for rdd in (
+                    spark.sparkContext._jsc.getPersistentRDDs().values()
+                ):
+                    rdd.unpersist()
+        # 2 passes -> min (drops the one-off compile pass); 3+ passes
+        # -> MEDIAN, robust against both the cold first pass and a
+        # transient host-load spike inflating one sample (the r5
+        # driver host showed 2-3x single-query swings that min-of-2
+        # can't always shed).
+        timings = {
+            name: round(
+                min(v) if len(v) < 3 else statistics.median(v), 3
+            )
+            for name, v in sorted(samples.items())
+        }
+        probe_post = run_probe()
+        post = round(
+            sum(probe_post.values()) / sum(_PROBE_REF_R9.values()), 3
+        )
+        return {
+            "timings": timings,
+            "probe": probe,
+            "probe_post": probe_post,
+            "pre": pre,
+            "post": post,
+            "spread": round(max(pre, post) / min(pre, post), 3),
+        }
+
+    rejected: list[dict] = []
+    best = one_attempt()
+    while (
+        max_spread > 0
+        and best["spread"] > max_spread
+        and len(rejected) + 1 < max_attempts
+    ):
+        rejected.append(best)
+        nxt = one_attempt()
+        if nxt["spread"] > best["spread"]:
+            rejected.append(nxt)
+            rejected.remove(best)
+        else:
+            best = nxt
+
+    timings = best["timings"]
+    probe, probe_post = best["probe"], best["probe_post"]
+    host_ratio_pre, host_ratio_post = best["pre"], best["post"]
     host_ratio = round((host_ratio_pre + host_ratio_post) / 2, 3)
 
     total = round(sum(timings.values()), 4)
@@ -160,6 +205,19 @@ def main() -> None:
         "host_ratio_pre": host_ratio_pre,
         "host_ratio_post": host_ratio_post,
         "host_ratio": host_ratio,
+        "host_spread": best["spread"],
+        "host_spread_ok": (
+            max_spread <= 0 or best["spread"] <= max_spread
+        ),
+        "rejected_attempts": [
+            {
+                "spread": r["spread"],
+                "pre": r["pre"],
+                "post": r["post"],
+                "total": round(sum(r["timings"].values()), 4),
+            }
+            for r in rejected
+        ],
         "metric": "catalog_total_wall",
         "unit": "sec",
         "sf": float(sf) if sf.replace(".", "").isdigit() else sf,

@@ -751,8 +751,15 @@ def _line_hashes(toks: F.Column) -> F.Column:
     last one clipped), 1-indexed by segment.  Only the 32-hex digest
     leaves the row."""
     n_lines = (F.size(toks) + (_LINE_N - 1)).cast("long") / F.lit(_LINE_N)
+    n_lines = F.floor(n_lines).cast("int")
+    # guard: for NULL-text docs size() yields null/-1, and Spark's
+    # sequence(1, 0) is DESCENDING [1, 0] — not the oracle's empty
+    # range(1, 1) (r11 ADVICE); empty-token docs must hash to [].
+    seq = F.when(
+        n_lines >= 1, F.sequence(F.lit(1), n_lines)
+    ).otherwise(F.array().cast("array<int>"))
     return F.transform(
-        F.sequence(F.lit(1), F.floor(n_lines).cast("int")),
+        seq,
         lambda i: F.md5(
             F.array_join(
                 F.slice(toks, (i - 1) * _LINE_N + 1, _LINE_N), " "
@@ -846,8 +853,12 @@ def repeated_line_scrub(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     n_lines = F.floor(n_lines).cast("int")
     rms = F.coalesce(F.col("rms"), F.array().cast("array<int>"))
+    # same sequence(1, 0) == [1, 0] guard as _line_hashes: null/empty
+    # token docs keep ZERO lines, matching the oracle's range(1, 1).
     kept = F.filter(
-        F.sequence(F.lit(1), n_lines),
+        F.when(
+            n_lines >= 1, F.sequence(F.lit(1), n_lines)
+        ).otherwise(F.array().cast("array<int>")),
         lambda i: ~F.array_contains(rms, i),
     )
     return joined.select(

@@ -41,6 +41,7 @@ from dados_publicos_etl_spark.functions.text import (
 )
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
+from dados_publicos_etl_spark.session import machine_sized_shuffle
 from dados_publicos_etl_spark.tmpstore import (
     CACHE_LOCK as _FIX_LOCK,
     corpus_fingerprint as _fix_fp,
@@ -57,6 +58,7 @@ _THRESH = 0.8
 _CUTS = TempDirPool()
 
 
+@machine_sized_shuffle
 def connected_components(
     edges: DataFrame,
     src: str = "src",
@@ -70,14 +72,17 @@ def connected_components(
     ``edges`` is any DataFrame with two long id columns; returns
     (node, component) where component = min node id reachable.
 
-    Each round does TWO hops, each one shuffle:
+    Each round does THREE hops inside one job:
       1. neighbor hop — every node takes min(label) over its
          neighbors (classic propagation, one step per round);
-      2. pointer jump — every node then takes its LABEL's label
-         (labels-with-labels self-join), which halves path lengths,
-         so a chain of length L converges in O(log L) rounds instead
-         of O(L).  This is the path-halving half of the
-         large-star/small-star MapReduce CC algorithm.
+      2-3. two pointer jumps — every node then takes its LABEL's
+         label (labels-with-labels self-join), twice, which quarters
+         path lengths, so a chain of length L converges in O(log4 L)
+         rounds instead of O(L).  This is the path-halving half of
+         the large-star/small-star MapReduce CC algorithm, doubled
+         because per-round fixed cost (checkpoint + convergence-count
+         jobs) dominates the tiny label relation at every scale the
+         per-round joins stay broadcast-able.
 
     Convergence is a driver-side count on the already-materialized
     round result (``localCheckpoint(eager=True)`` truncates lineage
@@ -143,23 +148,30 @@ def connected_components(
                 F.col("label").alias("old_label"),
             )
         )
-        # hop 2: pointer jump — follow my label's label
-        parent = stepped.select(
-            F.col("node").alias("p_node"), F.col("label").alias("p_label")
-        )
-        new_labels = (
-            stepped.join(
-                F.broadcast(parent), stepped.label == parent.p_node, "left"
+        # hops 2+3: TWO pointer jumps — follow my label's label,
+        # twice.  One jump halves chain lengths; two quarter them, so
+        # long SNM-block chains converge in ~log4 rounds instead of
+        # log2.  The second jump costs one more broadcast join INSIDE
+        # the same round job, which is far cheaper than a whole extra
+        # round (per-round fixed cost = checkpoint job + count job +
+        # broadcast builds; measured on the sf0.01 linkage graph,
+        # vanilla local[8]: 6 rounds/5.7 s with one jump vs 4
+        # rounds/3.1 s with two, same fixpoint).
+        for _jmp in range(2):
+            parent = stepped.select(
+                F.col("node").alias("p_node"),
+                F.col("label").alias("p_label"),
             )
-            .select(
+            stepped = stepped.join(
+                F.broadcast(parent), stepped.label == parent.p_node, "left"
+            ).select(
                 "node",
                 F.least(
                     "label", F.coalesce("p_label", F.col("label"))
                 ).alias("label"),
                 "old_label",
             )
-            .localCheckpoint()
-        )
+        new_labels = stepped.localCheckpoint()
         n_changed = new_labels.filter("label < old_label").count()
         labels = new_labels.drop("old_label")
         if n_changed == 0:
@@ -167,9 +179,10 @@ def connected_components(
         # Periodic datasource cut: chained self-joins degrade
         # super-linearly past ~19 links regardless of checkpointing
         # (BENCH_NOTES "self-join chain degradation"); each CC round
-        # adds 2 links, so long-diameter graphs that need >6 rounds
-        # get the labels relation re-rooted on a parquet read.
-        if (_it + 1) % 6 == 0:
+        # now adds 3 links (hop + 2 jumps), so long-diameter graphs
+        # that need >4 rounds get the labels relation re-rooted on a
+        # parquet read.
+        if (_it + 1) % 4 == 0:
             cpath = f"{_CUTS.new_dir('cc_cut', 'spark_cc_cut_')}/labels"
             labels.write.mode("overwrite").parquet(cpath)
             labels = labels.sparkSession.read.parquet(cpath)
@@ -411,6 +424,7 @@ def _pagerank_oracle() -> str:
     "shuffle per iteration, lineage truncated per round; oracle = "
     "the same recurrence unrolled into CTEs.",
 )
+@machine_sized_shuffle
 def pagerank_suppliers(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Fixed-iteration PageRank on the order graph.
 
@@ -649,6 +663,7 @@ _BF_EDGE_CACHE: dict[tuple, tuple] = {}
     "k-means and BPE training this is the fifth differential-checked "
     "iterative algorithm.",
 )
+@machine_sized_shuffle
 def cheapest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
     und = _bf_edges(spark, sf_dir)
     dist = spark.createDataFrame(
@@ -788,6 +803,7 @@ def _kcore_oracle() -> str:
     "unrolled into CTEs.  Sixth differential-checked iterative "
     "algorithm.",
 )
+@machine_sized_shuffle
 def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Iterative k-core peel (Batagelj-Zaversnik semantics, bounded
     rounds).
@@ -976,6 +992,7 @@ def _boruvka_oracle() -> str:
     "14 iterative algorithms differential-checked.  The "
     "product-affinity backbone of recommendation pipelines.",
 )
+@machine_sized_shuffle
 def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Boruvka spanning forest (maximum-weight orientation).
 
@@ -1513,6 +1530,7 @@ def _lpa_oracle() -> str:
     "aggregated (node, label) count, one node-keyed argmax window — "
     "the edge table never shuffles.  Output: top community sizes.",
 )
+@machine_sized_shuffle
 def label_propagation_communities(
     spark: SparkSession, sf_dir: str
 ) -> DataFrame:
@@ -1742,6 +1760,7 @@ def _truss_peel_once(edges: DataFrame) -> DataFrame:
     "differential-checked iterative algorithm.  Output: surviving "
     "edges with their in-truss support.",
 )
+@machine_sized_shuffle
 def k_truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dados_publicos_etl_spark.plans.mining import _co_edges
 

@@ -133,11 +133,15 @@ def _build_snm_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def snm_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """The blocked sorted-neighborhood candidate pairs, unfiltered:
-    (custkey_a, name_a, custkey_b, name_b, lev_dist, <fld>_a/<fld>_b
-    for each FS field).  Built once per (session, corpus); row count
-    is exactly <= w * n (linear in the table)."""
+def _pair_entry(spark: SparkSession, sf_dir: str) -> tuple:
+    """Ensure the pair table exists for the CURRENT corpus
+    fingerprint and return ``(key, entry)`` so both public accessors
+    agree on one key per call chain (r11 ADVICE: entity_cluster_table
+    recomputing the fingerprint separately could KeyError if the
+    corpus was rewritten between the two stat calls).  Inserting a
+    fresh fingerprint for an sf_dir evicts (and cleans up) any stale
+    entry for the same sf_dir so corpus regeneration under one path
+    can't leak pair parquets for the process lifetime."""
     import tempfile
 
     from dados_publicos_etl_spark.tmpstore import (
@@ -145,18 +149,44 @@ def snm_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         corpus_fingerprint,
     )
 
+    from dados_publicos_etl_spark.session import iterative_shuffle
+
     key = (sf_dir, corpus_fingerprint(sf_dir, "customer"))
     with CACHE_LOCK:
         hit = _LINKAGE_CACHE.get(key)
     if hit is not None:
-        return spark.read.parquet(hit[1])
+        return key, hit
     pairs = _build_snm_pairs(spark, sf_dir)
     tmp = tempfile.TemporaryDirectory(prefix="spark_snm_pairs_")
     path = tmp.name + "/pairs"
-    pairs.write.mode("overwrite").parquet(path)
+    # machine-sized shuffle for the build: the pair parquet inherits
+    # the window exchange's partition count, so a vanilla session's
+    # 200 would write 200 tiny files that every cached consumer then
+    # pays to list and read (no-op under the engine's own sessions).
+    with iterative_shuffle(spark):
+        pairs.write.mode("overwrite").parquet(path)
     with CACHE_LOCK:
         stored = _LINKAGE_CACHE.setdefault(key, [tmp, path, None])
-    return spark.read.parquet(stored[1])
+        stale = [
+            k for k in _LINKAGE_CACHE
+            if k[0] == sf_dir and k != key
+        ]
+        evicted = [_LINKAGE_CACHE.pop(k) for k in stale]
+    for entry in evicted:  # cleanup outside the lock
+        try:
+            entry[0].cleanup()
+        except OSError:
+            pass
+    return key, stored
+
+
+def snm_pair_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The blocked sorted-neighborhood candidate pairs, unfiltered:
+    (custkey_a, name_a, custkey_b, name_b, lev_dist, <fld>_a/<fld>_b
+    for each FS field).  Built once per (session, corpus); row count
+    is exactly <= w * n (linear in the table)."""
+    _, entry = _pair_entry(spark, sf_dir)
+    return spark.read.parquet(entry[1])
 
 
 def entity_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -169,18 +199,16 @@ def entity_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dados_publicos_etl_spark.operators.graph import (
         connected_components,
     )
-    from dados_publicos_etl_spark.tmpstore import (
-        CACHE_LOCK,
-        corpus_fingerprint,
-    )
+    from dados_publicos_etl_spark.tmpstore import CACHE_LOCK
 
-    key = (sf_dir, corpus_fingerprint(sf_dir, "customer"))
-    with CACHE_LOCK:
-        hit = _LINKAGE_CACHE.get(key)
-    if hit is not None and hit[2] is not None:
+    # _pair_entry hands back the SAME (key, entry) it cached under,
+    # so a corpus rewrite between fingerprint computations can't
+    # desynchronise the two lookups (r11 ADVICE).
+    _, hit = _pair_entry(spark, sf_dir)
+    if hit[2] is not None:
         return spark.read.parquet(hit[2])
     edges = (
-        snm_pair_table(spark, sf_dir)
+        spark.read.parquet(hit[1])
         .filter(F.col("lev_dist") <= _LEV_MAX)
         .select(
             F.col("custkey_a").alias("src"),
@@ -189,7 +217,6 @@ def entity_cluster_table(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     comp = connected_components(edges)
     with CACHE_LOCK:
-        hit = _LINKAGE_CACHE[key]  # snm_pair_table populated it above
         if hit[2] is not None:  # concurrent first call won the race
             return spark.read.parquet(hit[2])
     # unique path per writer so a concurrent first call can't

@@ -26,6 +26,7 @@ from pyspark.sql import functions as F
 from dados_publicos_etl_spark.functions.numeric import money_sum, money_sum_sql
 from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.plans.registry import query
+from dados_publicos_etl_spark.session import machine_sized_shuffle
 from dados_publicos_etl_spark.tmpstore import (
     CACHE_LOCK as _FIX_LOCK,
     corpus_fingerprint as _fix_fp,
@@ -986,6 +987,7 @@ def _kmeans_oracle() -> str:
     "cluster.  Output: per-cell membership, exact inertia, centroid "
     "L1 checksum.",
 )
+@machine_sized_shuffle
 def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window as W
 
@@ -1800,6 +1802,7 @@ def _ppr_oracle() -> str:
     "recurrence into MATERIALIZED CTEs.  Fourteenth "
     "differential-checked iterative algorithm.",
 )
+@machine_sized_shuffle
 def ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _co_edges(spark, sf_dir)
     und = (

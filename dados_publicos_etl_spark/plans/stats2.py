@@ -27,6 +27,7 @@ from dados_publicos_etl_spark.io import read_table
 from dados_publicos_etl_spark.operators.ranking import prefix_sums_by_range
 from dados_publicos_etl_spark.plans.mining import _EDGES_SQL, _co_edges
 from dados_publicos_etl_spark.plans.registry import query
+from dados_publicos_etl_spark.session import machine_sized_shuffle
 
 # ---------------------------------------------------------------------------
 # Spearman rank correlation (daily volume vs daily revenue, per class)
@@ -921,6 +922,7 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
     "(node, path-length) pairs — finite because the DAG bounds "
     "length by |V|.",
 )
+@machine_sized_shuffle
 def dag_longest_path_layers(spark: SparkSession, sf_dir: str) -> DataFrame:
     edges = _co_edges(spark, sf_dir).localCheckpoint()
     nodes = (

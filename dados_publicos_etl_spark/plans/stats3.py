@@ -24,6 +24,7 @@ from dados_publicos_etl_spark.operators.ranking import (
     ranked_by_range,
 )
 from dados_publicos_etl_spark.plans.registry import QUERIES, query
+from dados_publicos_etl_spark.session import machine_sized_shuffle
 
 # ---------------------------------------------------------------------------
 # Mann-Whitney U rank-sum test (tie-corrected, no SinglePartition)
@@ -637,6 +638,7 @@ def _harmonic_oracle() -> str:
     "on both engines and the single final division is cosmetic.  "
     "Level joins are datasource-cut on the bounded edge table.",
 )
+@machine_sized_shuffle
 def harmonic_centrality_3hop(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dados_publicos_etl_spark.plans.mining import _co_edges
 

@@ -15,6 +15,7 @@ coalescing to shrink an intentionally-high initial number).
 from __future__ import annotations
 
 import os
+from contextlib import contextmanager
 
 from pyspark.sql import SparkSession
 
@@ -90,6 +91,80 @@ def get_session(
     spark = builder.getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
     return spark
+
+
+@contextmanager
+def iterative_shuffle(spark: SparkSession):
+    """Scope ``spark.sql.shuffle.partitions`` to the machine for an
+    ITERATIVE loop's per-round micro-shuffles.
+
+    The iterative operators (connected components, Borůvka, PageRank
+    family, k-core, label propagation, Bellman-Ford, truss peeling)
+    run O(rounds) shuffles over node/label relations that are |V|
+    rows — tiny next to the corpus.  Under a vanilla session those
+    inherit Spark's legacy 200 shuffle partitions, so every round
+    pays ~200 near-empty tasks (measured: golden_record_merge 23.5 s
+    at sf0.01 under vanilla ``local[8]`` vs 0.55 s at 10x the data
+    under a cores-sized session — the cost is round-count x partition
+    overhead, not data).  This context manager pins the loop's
+    shuffles to
+
+        k = min(sparkContext.defaultParallelism,
+                session spark.sql.shuffle.partitions)
+
+    for the duration of the loop's ACTIONS and restores the session
+    value on exit.  ``min`` means it only ever LOWERS the setting:
+    under the engine's own ``get_session`` (shuffle partitions ==
+    cores) it is a no-op, so tuned-session plans and bench numbers
+    are bit-identical; on a real cluster whose session sizes shuffles
+    for corpus-scale queries (say 2000), the per-round label shuffles
+    drop to the cluster's core count — still ample for |V|-row
+    relations (for a billion-node graph, raise the session conf and
+    this scales with it).
+
+    Session-scoped conf is the only lever Spark exposes for the
+    REDUCE side of an aggregation (a ``repartition(k)`` on the input
+    does not resize the groupBy's own exchange); callers are the
+    single-threaded query functions, and the value is restored via
+    try/finally, so a raising round cannot leak the override.
+    """
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    k = min(
+        spark.sparkContext.defaultParallelism,
+        int(old) if str(old).lstrip("-").isdigit() else 2**31,
+    )
+    if k >= (int(old) if str(old).lstrip("-").isdigit() else 0):
+        yield  # already machine-sized (the engine's own sessions)
+        return
+    spark.conf.set(key, str(k))
+    try:
+        yield
+    finally:
+        spark.conf.set(key, old)
+
+
+def machine_sized_shuffle(fn):
+    """Decorator form of :func:`iterative_shuffle` for the iterative
+    query functions: their per-round driver actions (eager
+    ``localCheckpoint``/``count`` convergence probes) execute INSIDE
+    the function body, so scoping the conf around the call covers
+    every round.  The first positional argument is either the
+    SparkSession or a DataFrame (library entry points like
+    ``connected_components``)."""
+    import functools
+
+    @functools.wraps(fn)
+    def wrapper(first, *args, **kwargs):
+        spark = (
+            first
+            if isinstance(first, SparkSession)
+            else first.sparkSession
+        )
+        with iterative_shuffle(spark):
+            return fn(first, *args, **kwargs)
+
+    return wrapper
 
 
 def ensure_package_on_workers(spark: SparkSession) -> None:

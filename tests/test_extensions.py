@@ -2358,3 +2358,74 @@ def test_linkage_cache_misses_on_regenerated_corpus(spark, tmp_path):
         .executedPlan().toString()
     assert "spark_snm_pairs_" in plan
     del r1
+
+
+def test_repeated_line_scrub_null_and_empty_docs(spark, tmp_path):
+    """r11 ADVICE: Spark's sequence(1, 0) is DESCENDING [1, 0], so an
+    unguarded kept-line rebuild would fabricate line indices for
+    NULL-text documents while the oracle's range(1, 1) is empty.  A
+    NULL-text doc must come back with zero kept lines, zero removed
+    lines, and empty scrubbed text — and the repeated-line removal on
+    the real docs must be unaffected."""
+    line = "alpha beta gamma delta epsilon zeta eta theta"  # 8 toks
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3], dtype="int64"),
+            "source": ["s1", "s1", "s1"],
+            "text": [f"{line} one two", f"{line} three four", None],
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+    rows = {
+        r.doc_id: r
+        for r in QUERIES["repeated_line_scrub"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    }
+    assert set(rows) == {1, 2, 3}
+    # the shared 8-token pseudo-line is repeated within source s1 ->
+    # removed from both real docs; their tails survive
+    assert rows[1].n_removed_lines == 1 and rows[1].scrubbed_text == "one two"
+    assert rows[2].n_removed_lines == 1
+    assert rows[2].scrubbed_text == "three four"
+    # the NULL doc: no fabricated [1, 0] line indices
+    assert rows[3].n_lines is None
+    assert rows[3].n_removed_lines == 0
+    assert rows[3].scrubbed_text == ""
+
+
+def test_linkage_cache_evicts_stale_fingerprint(spark, tmp_path):
+    """r11 ADVICE: regenerating a corpus under the same path must
+    EVICT (and clean up) the superseded cache entry, not leak one
+    pair parquet per regeneration for the process lifetime."""
+    import os
+
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.operators import linkage as L
+
+    base = read_table(spark, "/root/testdata/sf0.001", "customer")
+
+    def write_snapshot(df):
+        rows = df.collect()
+        spark.createDataFrame(rows, df.schema).coalesce(1).write.mode(
+            "overwrite"
+        ).parquet(f"{tmp_path}/customer.parquet")
+
+    write_snapshot(base.limit(15))
+    L.snm_pair_table(spark, str(tmp_path)).count()
+    old_entries = [
+        (k, v) for k, v in L._LINKAGE_CACHE.items()
+        if k[0] == str(tmp_path)
+    ]
+    assert len(old_entries) == 1
+    old_dir = old_entries[0][1][0].name
+
+    write_snapshot(base.limit(25))
+    L.snm_pair_table(spark, str(tmp_path)).count()
+    entries = [
+        (k, v) for k, v in L._LINKAGE_CACHE.items()
+        if k[0] == str(tmp_path)
+    ]
+    assert len(entries) == 1  # stale fingerprint evicted
+    assert entries[0][0] != old_entries[0][0]
+    assert not os.path.exists(old_dir)  # and its parquet cleaned up

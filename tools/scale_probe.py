@@ -330,13 +330,14 @@ def main() -> None:
             if not as_json:
                 print(f"{name:35s} ERROR {errors[name][:60]}")
             continue
-        row = {
-            "t1": round(t1, 3), "tn": round(tn, 3),
-            "ratio": round(tn / t1, 2),
-        }
+        row = {"t1": round(t1, 3), "tn": round(tn, 3)}
         # rule 2: the emitted ratio must be derivable from the emitted
-        # fields — a row that fails this can only come from splicing.
-        assert abs(row["ratio"] - row["tn"] / row["t1"]) <= 0.011, row
+        # fields — compute it FROM the rounded fields so the invariant
+        # holds by construction (r11 ADVICE: deriving it from the
+        # unrounded t1/tn could crash at emit on sub-0.2s rows where
+        # double rounding error exceeds the 0.011 tolerance); the
+        # looser tolerance lives only in check_artifact.
+        row["ratio"] = round(row["tn"] / row["t1"], 2)
         results[name] = row
         if not as_json:
             print(f"{name:35s} {t1:7.2f} {tn:8.2f} {tn / t1:6.1f}")
