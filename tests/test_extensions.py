@@ -2429,3 +2429,77 @@ def test_linkage_cache_evicts_stale_fingerprint(spark, tmp_path):
     assert len(entries) == 1  # stale fingerprint evicted
     assert entries[0][0] != old_entries[0][0]
     assert not os.path.exists(old_dir)  # and its parquet cleaned up
+
+
+def test_longest_repeated_ngram_exact_planted(spark, tmp_path):
+    """Plant a known longest verbatim repeat and assert the binary
+    search lands EXACTLY on it: a 12-token passage shared by two docs
+    (the winner), plus a 7-token repeat (must lose), plus unique
+    filler.  Also pins overlap semantics: a within-doc overlapping
+    repeat counts."""
+    twelve = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"
+    seven = "s1 s2 s3 s4 s5 s6 s7"
+    pdf = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1, 2, 3, 4], dtype="int64"),
+            "text": [
+                f"alpha {twelve} beta",
+                f"gamma delta {twelve}",
+                f"{seven} epsilon {seven}",
+                "unique tokens only here nothing repeats at all",
+            ],
+        }
+    )
+    pdf.to_parquet(f"{tmp_path}/documents.parquet")
+    rows = (
+        QUERIES["longest_repeated_ngram_exact"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    assert len(rows) == 1
+    assert rows[0].lrs_len == 12
+    assert rows[0].gram == twelve
+    assert rows[0].n_occurrences == 2 and rows[0].n_docs == 2
+
+    # within-doc overlap: "x a x a x" repeats "x a" at 1 and 3
+    pdf2 = pd.DataFrame(
+        {
+            "doc_id": pd.Series([1], dtype="int64"),
+            "text": ["x a x a y"],
+        }
+    )
+    pdf2.to_parquet(f"{tmp_path}/documents.parquet")
+    rows2 = (
+        QUERIES["longest_repeated_ngram_exact"]
+        .fn(spark, str(tmp_path))
+        .collect()
+    )
+    assert rows2[0].lrs_len == 2 and rows2[0].gram == "x a"
+    assert rows2[0].n_occurrences == 2 and rows2[0].n_docs == 1
+
+
+def test_iterative_shuffle_scopes_and_restores(spark):
+    """The machine-sized shuffle context must only ever LOWER the
+    session's shuffle partitions (min with defaultParallelism),
+    restore the prior value on exit — including on an exception —
+    and be a strict no-op when the session is already machine-sized
+    (so tuned-session plans and bench numbers cannot move)."""
+    from dados_publicos_etl_spark.session import iterative_shuffle
+
+    key = "spark.sql.shuffle.partitions"
+    old = spark.conf.get(key)
+    try:
+        spark.conf.set(key, "200")
+        dp = spark.sparkContext.defaultParallelism
+        with iterative_shuffle(spark):
+            assert int(spark.conf.get(key)) == min(dp, 200)
+        assert spark.conf.get(key) == "200"
+        with pytest.raises(RuntimeError):
+            with iterative_shuffle(spark):
+                raise RuntimeError("boom")
+        assert spark.conf.get(key) == "200"  # restored on raise
+        spark.conf.set(key, "2")  # below machine size -> no-op
+        with iterative_shuffle(spark):
+            assert spark.conf.get(key) == "2"
+    finally:
+        spark.conf.set(key, old)
