@@ -36,7 +36,9 @@ _PLANT_SQL = """
 """
 
 
-def nb_train(train_tokens: DataFrame) -> tuple[DataFrame, DataFrame, int]:
+def nb_train(
+    train_tokens: DataFrame, train_docs: DataFrame | None = None
+) -> tuple[DataFrame, DataFrame, int]:
     """Train multinomial NB from a (doc_id, lang, token) table.
 
     Returns (token_class_counts, class_stats, vocab_size):
@@ -44,23 +46,46 @@ def nb_train(train_tokens: DataFrame) -> tuple[DataFrame, DataFrame, int]:
     |vocab| x |classes| rows — megabytes when the corpus is
     terabytes); ``class_stats`` is one row per class (token total +
     log prior); ``vocab_size`` is the add-one smoothing denominator
-    term.  Everything is one or two hash aggregates.
+    term.
+
+    r12 shape: the corpus-scale token explode runs ONCE — straight
+    into the token-class-count hash aggregate, whose model-sized
+    output is frozen (localCheckpoint; persist to storage on a real
+    cluster).  Every other training statistic derives from cheap
+    inputs: vocabulary size is a distinct-count over the frozen
+    model table; per-class token totals are SUM(cnt) over it; and
+    doc counts come from ``train_docs`` (the UN-exploded doc table —
+    one row per (doc_id, lang), so COUNT == the tokens table's
+    COUNT(DISTINCT doc_id)) when the caller has it.  The previous
+    shape executed the explode four times (doc-count pass, vocab
+    pass, and the cc/cs broadcast builds).
     """
-    cc = train_tokens.groupBy("lang", "token").agg(
-        F.count(F.lit(1)).alias("cnt")
+    cc = (
+        train_tokens.groupBy("lang", "token")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .localCheckpoint()
     )
-    n_train_docs = train_tokens.select("doc_id").distinct().count()
-    class_stats = (
-        train_tokens.groupBy("lang")
-        .agg(
-            F.count(F.lit(1)).alias("n_tok"),
-            F.countDistinct("doc_id").alias("n_docs"),
+    vocab = cc.select("token").distinct().count()
+    if train_docs is not None:
+        docs_by_class = train_docs.groupBy("lang").agg(
+            F.count(F.lit(1)).alias("n_docs")
         )
+        n_train_docs = train_docs.count()
+    else:
+        docs_by_class = train_tokens.groupBy("lang").agg(
+            F.countDistinct("doc_id").alias("n_docs")
+        )
+        n_train_docs = (
+            train_tokens.select("doc_id").distinct().count()
+        )
+    class_stats = (
+        cc.groupBy("lang")
+        .agg(F.sum("cnt").alias("n_tok"))
+        .join(docs_by_class, "lang")
         .withColumn(
             "log_prior", F.log(F.col("n_docs") / F.lit(float(n_train_docs)))
         )
     )
-    vocab = train_tokens.select("token").distinct().count()
     return cc, class_stats, vocab
 
 
@@ -145,7 +170,9 @@ def nb_classifier_train_score(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.explode(F.split("synth", " ")).alias("token"),
         )
 
-    cc, cs, vocab = nb_train(tokens(train, "lang"))
+    cc, cs, vocab = nb_train(
+        tokens(train, "lang"), train.select("doc_id", "lang")
+    )
 
     test_tok = tokens(test, "true_lang")
     # model tables are small by construction: classes broadcast with

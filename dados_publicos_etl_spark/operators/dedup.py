@@ -971,16 +971,17 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     a = u.alias("a")
     e = u.alias("e")
-    dup_ids = e.join(
+    # r12: the NOT EXISTS is ONE left_anti join — the previous
+    # semi-join into dup_ids followed by an anti-join back onto u
+    # computed the same predicate with an extra join and a third
+    # pass over the checkpointed unit table.
+    return e.join(
         a,
         (F.col("a.label") == F.col("e.label"))
         & (F.col("a.vec_id") < F.col("e.vec_id"))
         & (dot(F.col("a.unit"), F.col("e.unit")) >= _EMB_DEDUP_THR),
-        "left_semi",
-    ).select(F.col("vec_id"))
-    return (
-        u.join(dup_ids, "vec_id", "left_anti").select("vec_id", "label")
-    )
+        "left_anti",
+    ).select("vec_id", "label")
 
 
 def _dedup_embedding_ann_oracle() -> str:

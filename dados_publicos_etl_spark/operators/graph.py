@@ -1765,17 +1765,22 @@ def k_truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dados_publicos_etl_spark.plans.mining import _co_edges
 
     edges = _co_edges(spark, sf_dir).localCheckpoint()
+    n_edges = edges.count()
     converged = False
     for _ in range(_TRUSS_ROUNDS):
         nxt = _truss_peel_once(edges).localCheckpoint()
         # fixpoint early-exit: a converged set peels to itself, so
-        # skipping the remaining no-op rounds cannot change the result
-        if nxt.count() == edges.count():
+        # skipping the remaining no-op rounds cannot change the
+        # result.  The previous round's cardinality is carried in
+        # n_edges instead of re-counting the old checkpoint (r12:
+        # one fewer job per round).
+        n_nxt = nxt.count()
+        if n_nxt == n_edges:
             edges = nxt
             converged = True
             break
-        edges = nxt
-    if not converged and _truss_peel_once(edges).count() != edges.count():
+        edges, n_edges = nxt, n_nxt
+    if not converged and _truss_peel_once(edges).count() != n_edges:
         # Surface non-convergence LOUDLY (round-8 ADVICE fix): on a
         # graph needing more rounds, Spark and the oracle still agree
         # (same truncated recurrence) but the output would no longer

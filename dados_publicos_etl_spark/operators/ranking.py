@@ -163,6 +163,69 @@ def prefix_sums_by_range(
     return out, acc_n, acc_s
 
 
+def prefix_sums_multi_by_range(
+    df: DataFrame,
+    order: list[Column | str],
+    value_cols: list[str],
+    num_partitions: int = _DEFAULT_PARTS,
+) -> tuple[DataFrame, int, tuple[int, ...]]:
+    """:func:`prefix_sums_by_range` generalized to SEVERAL integral
+    value columns in ONE ranged pass (r12): the output carries ``rn``
+    plus one running sum ``cum_<col>`` per value column, and the
+    per-partition stats collect returns every column's grand total
+    alongside the row count — a consumer that previously paid a
+    separate ``agg().first()`` job for totals (ks_test_twosample's
+    sample sizes: one full extra execution of its tie-table subtree)
+    gets them from the offset scan it already does.
+
+    Returns ``(df + rn + cum_<c>..., total_rows, (total_<c>, ...))``.
+    """
+    ranged = (
+        df.repartitionByRange(num_partitions, *order)
+        .withColumn("__rbr_pid", F.spark_partition_id())
+        .localCheckpoint()
+    )
+    aggs = [F.count(F.lit(1)).alias("__n")] + [
+        F.sum(c).alias(f"__s_{i}") for i, c in enumerate(value_cols)
+    ]
+    stats = sorted(
+        ranged.groupBy("__rbr_pid").agg(*aggs).collect(),
+        key=lambda r: r["__rbr_pid"],
+    )
+    offsets: list[tuple] = []
+    acc_n = 0
+    acc_v = [0] * len(value_cols)
+    for r in stats:
+        offsets.append((r["__rbr_pid"], acc_n, *acc_v))
+        acc_n += r["__n"]
+        for i in range(len(value_cols)):
+            acc_v[i] += r[f"__s_{i}"] or 0
+    schema = "__rbr_pid int, __rbr_off long" + "".join(
+        f", __rbr_voff_{i} long" for i in range(len(value_cols))
+    )
+    off = df.sparkSession.createDataFrame(offsets, schema)
+    w = Window.partitionBy("__rbr_pid").orderBy(*order)
+    wcum = w.rowsBetween(Window.unboundedPreceding, 0)
+    out = ranged.withColumn("__rbr_local", F.row_number().over(w))
+    for i, c in enumerate(value_cols):
+        out = out.withColumn(f"__rbr_vlocal_{i}", F.sum(c).over(wcum))
+    out = (
+        out.join(F.broadcast(off), "__rbr_pid")
+        .withColumn(
+            "rn", (F.col("__rbr_local") + F.col("__rbr_off")).cast("long")
+        )
+        .drop("__rbr_pid", "__rbr_local", "__rbr_off")
+    )
+    for i, c in enumerate(value_cols):
+        out = out.withColumn(
+            f"cum_{c}",
+            (
+                F.col(f"__rbr_vlocal_{i}") + F.col(f"__rbr_voff_{i}")
+            ).cast("long"),
+        ).drop(f"__rbr_vlocal_{i}", f"__rbr_voff_{i}")
+    return out, acc_n, tuple(acc_v)
+
+
 def prefix_max_by_range(
     df: DataFrame,
     order: list[Column | str],

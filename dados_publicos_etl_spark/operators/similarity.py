@@ -2387,37 +2387,75 @@ def matryoshka_truncation_audit(
         F.col("vec_id").alias("neighbor_id"), F.col("embedding").alias("nv")
     ).join(queries, F.col("neighbor_id") != F.col("query_id"))
 
-    def topk(k: int) -> DataFrame:
-        qs = F.slice(F.col("qv"), 1, k)
-        ns = F.slice(F.col("nv"), 1, k)
-        w = W.partitionBy("query_id").orderBy(
-            F.desc(F.round(cosine(qs, ns), 6)), F.asc("neighbor_id")
+    # r12 reshape (guide §1.2, §2.4): the previous shape ran topk(d)
+    # as an INDEPENDENT pipeline per dimension — 4 executions of the
+    # pairs join + cosine + per-query window, a checkpoint of the
+    # full-dim top-k, and 3 overlap joins back onto it.  All four
+    # rankings are over the SAME pair relation, so they become four
+    # row_number columns over ONE pass (one hash exchange on
+    # query_id, four in-partition sorts — Catalyst reuses the
+    # exchange), and "top-k(d) ∩ top-k(64)" is simply the predicate
+    # rk_d <= K AND rk_64 <= K: the joins and the checkpoint vanish.
+    # Each cosine keeps the EXACT per-dimension expression
+    # (cosine(slice(qv,1,d), slice(nv,1,d))) so every rounded score,
+    # and therefore every rank, is bit-identical to the previous
+    # plan and the oracle.
+    scored = pairs.select(
+        "query_id",
+        "neighbor_id",
+        *[
+            F.round(
+                cosine(
+                    F.slice(F.col("qv"), 1, d),
+                    F.slice(F.col("nv"), 1, d),
+                ),
+                6,
+            ).alias(f"cos_{d}")
+            for d in (*_MAT_DIMS, 64)
+        ],
+    )
+    for d in (*_MAT_DIMS, 64):
+        scored = scored.withColumn(
+            f"rk_{d}",
+            F.row_number().over(
+                W.partitionBy("query_id").orderBy(
+                    F.desc(f"cos_{d}"), F.asc("neighbor_id")
+                )
+            ),
         )
-        return (
-            pairs.withColumn("rk", F.row_number().over(w))
-            .filter(F.col("rk") <= _MAT_K)
-            .select("query_id", "neighbor_id")
-        )
-
-    full = topk(64).localCheckpoint()
-    out = None
-    for d in _MAT_DIMS:
-        ov = (
-            topk(d)
-            .join(full, ["query_id", "neighbor_id"])
-            .agg(
-                F.lit(d).alias("trunc_dim"),
-                F.lit(_MAT_QUERIES).cast("long").alias("n_queries"),
-                F.count(F.lit(1)).cast("long").alias("n_overlap"),
-                F.round(
-                    F.count(F.lit(1)).cast("double")
-                    / (_MAT_QUERIES * _MAT_K),
-                    4,
-                ).alias(f"recall_at_{_MAT_K}"),
+    hits = scored.agg(
+        *[
+            F.sum(
+                F.when(
+                    (F.col(f"rk_{d}") <= _MAT_K)
+                    & (F.col("rk_64") <= _MAT_K),
+                    1,
+                ).otherwise(0)
             )
-        )
-        out = ov if out is None else out.unionAll(ov)
-    return out
+            .cast("long")
+            .alias(f"ov_{d}")
+            for d in _MAT_DIMS
+        ]
+    )
+    return hits.select(
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(d).alias("trunc_dim"),
+                        F.lit(_MAT_QUERIES).cast("long").alias("n_queries"),
+                        F.col(f"ov_{d}").alias("n_overlap"),
+                        F.round(
+                            F.col(f"ov_{d}").cast("double")
+                            / (_MAT_QUERIES * _MAT_K),
+                            4,
+                        ).alias(f"recall_at_{_MAT_K}"),
+                    )
+                    for d in _MAT_DIMS
+                ]
+            )
+        ).alias("r")
+    ).select("r.*")
 
 
 # ---------------------------------------------------------------------------

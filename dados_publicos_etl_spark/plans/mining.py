@@ -877,27 +877,48 @@ def embedding_gram_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
     "pair-supported items enter the triple join.",
 )
 def frequent_triples(spark: SparkSession, sf_dir: str) -> DataFrame:
+    # r12 reshape (guide §2.4): the within-basket triple join was two
+    # sort-merge self-joins of the distinct basket table — each
+    # re-shuffling it by l_orderkey.  A basket is a handful of items
+    # (bounded by the 50-value item domain), so the 3-combinations
+    # enumerate IN-ROW instead: one distinct, one collect_set per
+    # order, one nested-HOF expansion (i<j<k via sorted-array index
+    # arithmetic, exactly the a.item<b.item<c.item join predicates),
+    # one hash aggregate, one TakeOrdered — zero joins.
     li = read_table(spark, sf_dir, "lineitem")
-    baskets = li.select(
-        "l_orderkey", (F.col("l_partkey") % 50).alias("item")
-    ).distinct()
-    a, b, c = baskets.alias("a"), baskets.alias("b"), baskets.alias("c")
+    baskets = (
+        li.select("l_orderkey", (F.col("l_partkey") % 50).alias("item"))
+        .distinct()
+        .groupBy("l_orderkey")
+        .agg(F.sort_array(F.collect_set("item")).alias("items"))
+    )
+    items = F.col("items")
+    triples = baskets.select(
+        F.explode(
+            F.flatten(
+                F.transform(
+                    items,
+                    lambda x, i: F.flatten(
+                        F.transform(
+                            F.slice(items, i + 2, F.size(items)),
+                            lambda y, j: F.transform(
+                                F.slice(
+                                    items, i + j + 3, F.size(items)
+                                ),
+                                lambda z: F.struct(
+                                    x.alias("item_a"),
+                                    y.alias("item_b"),
+                                    z.alias("item_c"),
+                                ),
+                            ),
+                        )
+                    ),
+                )
+            )
+        ).alias("t")
+    )
     return (
-        a.join(
-            b,
-            (F.col("b.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("a.item") < F.col("b.item")),
-        )
-        .join(
-            c,
-            (F.col("c.l_orderkey") == F.col("a.l_orderkey"))
-            & (F.col("b.item") < F.col("c.item")),
-        )
-        .groupBy(
-            F.col("a.item").alias("item_a"),
-            F.col("b.item").alias("item_b"),
-            F.col("c.item").alias("item_c"),
-        )
+        triples.groupBy("t.item_a", "t.item_b", "t.item_c")
         .agg(F.count(F.lit(1)).alias("support_cnt"))
         .orderBy(F.desc("support_cnt"), "item_a", "item_b", "item_c")
         .limit(25)

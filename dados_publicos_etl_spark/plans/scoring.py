@@ -598,6 +598,22 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     orders = read_table(spark, sf_dir, "orders")
+    # r12 reshape: ONE ranking pass for all three dimensions.  The
+    # previous shape CHAINED three ranked_by_range calls, so ranking
+    # k's range-bounds sampling pass and shuffle re-executed ranking
+    # k-1's whole window+join subtree, and each range exchange
+    # carried the full accumulating row — measured 26 jobs / 3.5 s
+    # at sf0.1.  Now the base MELTS into (custkey, dim, keyv,
+    # monetary_c) — each dimension's sort key cast to one long
+    # (unix_date is a monotone bijection on dates, so per-dimension
+    # order is unchanged) — and a SINGLE ranked_by_range over
+    # (dim, keyv DESC, custkey) ranks all three dimensions at once:
+    # within dimension d the global ranks occupy ((d-1)*n, d*n], so
+    # rank-within-dimension is rn - (d-1)*n, pure row-local
+    # arithmetic.  One sample pass, one materialized layout, one
+    # offsets collect, and one custkey re-group instead of three of
+    # each.  The quintile values are EXACTLY the previous ones (same
+    # per-dimension total order, same exact-NTILE arithmetic).
     base = orders.groupBy(F.col("o_custkey").alias("custkey")).agg(
         F.max("o_orderdate").alias("last_order"),
         F.count(F.lit(1)).alias("freq"),
@@ -605,20 +621,63 @@ def rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
             "monetary_c"
         ),
     )
-    ranked, n = ranked_by_range(
-        base, [F.desc("last_order"), "custkey"], rn_col="rn_r"
-    )
-    ranked, _ = ranked_by_range(
-        ranked, [F.desc("freq"), "custkey"], rn_col="rn_f"
-    )
-    ranked, _ = ranked_by_range(
-        ranked, [F.desc("monetary_c"), "custkey"], rn_col="rn_m"
-    )
-    q = ranked.select(
+    melted = base.select(
+        "custkey",
         "monetary_c",
-        ntile_expr("rn_r", n, 5).alias("r_quintile"),
-        ntile_expr("rn_f", n, 5).alias("f_quintile"),
-        ntile_expr("rn_m", n, 5).alias("m_quintile"),
+        F.explode(
+            F.array(
+                F.struct(
+                    F.lit(1).alias("dim"),
+                    # strictly-monotone lossless long encoding of the
+                    # TIMESTAMP_NTZ: epoch micros assembled from
+                    # FIELD extraction (wall date/hour/minute/exact
+                    # decimal seconds) — session-timezone-INDEPENDENT
+                    # (an NTZ→LTZ cast would shift with the vanilla
+                    # driver session's zone and is non-injective
+                    # across historical DST transitions)
+                    (
+                        F.unix_date(F.col("last_order").cast("date"))
+                        .cast("long")
+                        * F.lit(86_400_000_000)
+                        + F.hour("last_order").cast("long")
+                        * F.lit(3_600_000_000)
+                        + F.minute("last_order").cast("long")
+                        * F.lit(60_000_000)
+                        + (
+                            F.expr("extract(SECOND FROM last_order)")
+                            * 1_000_000
+                        ).cast("long")
+                    ).alias("keyv"),
+                ),
+                F.struct(
+                    F.lit(2).alias("dim"),
+                    F.col("freq").cast("long").alias("keyv"),
+                ),
+                F.struct(
+                    F.lit(3).alias("dim"),
+                    F.col("monetary_c").cast("long").alias("keyv"),
+                ),
+            )
+        ).alias("dk"),
+    ).select("custkey", "monetary_c", "dk.dim", "dk.keyv")
+    ranked, total = ranked_by_range(
+        melted, ["dim", F.desc("keyv"), "custkey"]
+    )
+    n = total // 3
+    tiled = ranked.withColumn(
+        "rn_in_dim",
+        F.col("rn") - (F.col("dim") - 1).cast("long") * F.lit(int(n)),
+    ).select(
+        "custkey",
+        "monetary_c",
+        "dim",
+        ntile_expr("rn_in_dim", n, 5).alias("tile"),
+    )
+    q = tiled.groupBy("custkey").agg(
+        F.max(F.when(F.col("dim") == 1, F.col("tile"))).alias("r_quintile"),
+        F.max(F.when(F.col("dim") == 2, F.col("tile"))).alias("f_quintile"),
+        F.max(F.when(F.col("dim") == 3, F.col("tile"))).alias("m_quintile"),
+        F.max("monetary_c").alias("monetary_c"),
     )
     return q.groupBy("r_quintile", "f_quintile", "m_quintile").agg(
         F.count(F.lit(1)).cast("long").alias("n_customers"),

@@ -217,12 +217,24 @@ def ks_test_twosample(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("pr") == _KS_A, 1).otherwise(0)).alias("c1"),
         F.sum(F.when(F.col("pr") == _KS_B, 1).otherwise(0)).alias("c2"),
     )
-    # sample sizes: 1-row scalar (request-scale collect)
-    n1, n2 = ties.agg(F.sum("c1"), F.sum("c2")).first()
-    gaps = ties.withColumn(
-        "v", F.lit(int(n2)) * F.col("c1") - F.lit(int(n1)) * F.col("c2")
+    # ONE prefix pass carries BOTH samples' running counts, and the
+    # sample sizes n1/n2 fall out of the same per-bucket stats
+    # collect — the previous separate `ties.agg(...).first()` job
+    # (a full extra execution of the ties subtree) is gone, and the
+    # gap cumsum is assembled by linearity: cum_gap = n2*cum_c1 -
+    # n1*cum_c2, the SAME exact integers as prefixing the per-row
+    # gap directly.
+    from dados_publicos_etl_spark.operators.ranking import (
+        prefix_sums_multi_by_range,
     )
-    cum, _, _ = prefix_sums_by_range(gaps, [F.col("val")], "v")
+
+    cums, _, (n1, n2) = prefix_sums_multi_by_range(
+        ties, [F.col("val")], ["c1", "c2"]
+    )
+    cum = cums.withColumn(
+        "cum",
+        F.lit(int(n2)) * F.col("cum_c1") - F.lit(int(n1)) * F.col("cum_c2"),
+    )
     return cum.agg(
         F.lit(int(n1)).alias("n1"),
         F.lit(int(n2)).alias("n2"),
@@ -864,7 +876,15 @@ def theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
             "y"
         )
     )
-    a, b = daily.alias("a"), daily.alias("b")
+    # The daily table AQE-coalesces to one partition (it is tiny), so
+    # without an explicit spread the pair-enumerating BNLJ — the one
+    # data-expanding step (~n_days^2/2 rows) — runs as a SINGLE task.
+    # Repartitioning the streamed side first costs one micro-shuffle
+    # of n_days rows and parallelizes the expansion; the explode
+    # factor is knowledge the optimizer does not have (guide §8).
+    k = spark.sparkContext.defaultParallelism
+    a = daily.repartition(k).alias("a")
+    b = daily.alias("b")
     slopes = a.join(b, F.col("b.d") > F.col("a.d")).select(
         (
             (F.col("b.y") - F.col("a.y")).cast("double")
@@ -1162,17 +1182,43 @@ def quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
     cust = read_table(spark, sf_dir, "customer")
     q = _QN_Q
 
-    def ties_of(seg: str) -> DataFrame:
-        return (
-            cust.filter(F.col("c_mktsegment") == seg)
-            .select(
-                F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("val")
-            )
-            .groupBy("val")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
+    # r12: ONE ranged prefix pass for BOTH segments instead of two.
+    # The two tie tables melt into one relation tagged sg (0 = the
+    # reference segment, 1 = the target), ordered (sg, val); with
+    # per-segment indicator value columns, the multi-column running
+    # sums restricted to each segment's rows ARE that segment's
+    # within-segment cumulative counts (the other segment contributes
+    # zeros), and both grand totals fall out of the same offsets
+    # collect.  Halves the sampling passes, materializations and
+    # collects of the previous two-call shape; cumulative integers
+    # are unchanged, so the oracle hash is too.
+    from dados_publicos_etl_spark.operators.ranking import (
+        prefix_sums_multi_by_range,
+    )
 
-    a_cum, _, a_n = prefix_sums_by_range(ties_of(_QN_A), [F.col("val")], "cnt")
+    ties = (
+        cust.filter(F.col("c_mktsegment").isin(_QN_A, _QN_B))
+        .select(
+            F.when(F.col("c_mktsegment") == _QN_A, 0)
+            .otherwise(1)
+            .alias("sg"),
+            F.round(F.col("c_acctbal") * 100, 0).cast("long").alias("val"),
+        )
+        .groupBy("sg", "val")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .select(
+            "sg",
+            "val",
+            "cnt",
+            F.when(F.col("sg") == 0, F.col("cnt")).otherwise(0).alias("ca"),
+            F.when(F.col("sg") == 1, F.col("cnt")).otherwise(0).alias("cb"),
+        )
+    )
+    cums, _, (a_n, b_n) = prefix_sums_multi_by_range(
+        ties, ["sg", "val"], ["ca", "cb"]
+    )
+    a_cum = cums.filter(F.col("sg") == 0).withColumnRenamed("cum_ca", "cum")
+    b_cum = cums.filter(F.col("sg") == 1).withColumnRenamed("cum_cb", "cum")
     a_bounds = (
         a_cum.filter(
             F.expr(f"({q} * cum) div {int(a_n)}")
@@ -1189,7 +1235,6 @@ def quantile_normalize_grid(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .filter((F.col("k") >= 1) & (F.col("k") <= q))
     )
-    b_cum, _, b_n = prefix_sums_by_range(ties_of(_QN_B), [F.col("val")], "cnt")
     b_q = (
         b_cum.select(
             F.expr(f"({q} * cum + {int(b_n)} - 1) div {int(b_n)}").alias("q"),
@@ -1461,10 +1506,16 @@ def classifier_prf1_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     pt = m.groupBy(F.col("pred_lang").alias("cls")).agg(
         F.sum("n").alias("n_pred")
     )
+    # r12: tp/tt/pt are |classes|-row aggregates of the checkpointed
+    # confusion matrix (languages — bounded at any corpus scale), but
+    # size ESTIMATES over an RDD-scan lineage made the planner pick
+    # sort-merge joins (6 exchanges + sorts at sf0.1).  Broadcast
+    # hints pin the correct strategy: 3 BroadcastHashJoins, zero
+    # extra exchanges (guide §3.1 "estimates are often badly wrong").
     j = (
-        classes.join(tp, "cls", "left")
-        .join(tt, "cls", "left")
-        .join(pt, "cls", "left")
+        classes.join(F.broadcast(tp), "cls", "left")
+        .join(F.broadcast(tt), "cls", "left")
+        .join(F.broadcast(pt), "cls", "left")
         .select(
             "cls",
             F.coalesce("n_true", F.lit(0)).cast("long").alias("n_true"),

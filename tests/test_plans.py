@@ -895,6 +895,70 @@ def test_ranked_by_range_no_single_partition(spark, sf_dir):
     assert (agg.lo, agg.hi, agg.nd) == (1, total, total)
 
 
+def test_prefix_sums_multi_matches_single_calls(spark, sf_dir):
+    """r12: prefix_sums_multi_by_range must return, in ONE ranged
+    pass, exactly the rn / per-column running sums / totals that two
+    independent prefix_sums_by_range calls produce — it exists so
+    consumers (ks_test_twosample, quantile_normalize_grid) can drop
+    their extra sampling passes and totals jobs."""
+    from dados_publicos_etl_spark.operators.ranking import (
+        prefix_sums_by_range,
+        prefix_sums_multi_by_range,
+    )
+
+    li = (
+        read_table(spark, sf_dir, "lineitem")
+        .groupBy(F.col("l_partkey").alias("k"))
+        .agg(
+            F.count(F.lit(1)).alias("c1"),
+            F.sum(F.col("l_linenumber").cast("long")).alias("c2"),
+        )
+    )
+    multi, n_m, (t1_m, t2_m) = prefix_sums_multi_by_range(
+        li, [F.col("k")], ["c1", "c2"]
+    )
+    one, n_1, t1 = prefix_sums_by_range(li, [F.col("k")], "c1")
+    two, n_2, t2 = prefix_sums_by_range(li, [F.col("k")], "c2")
+    assert (n_m, t1_m, t2_m) == (n_1, t1, t2)
+    got = {
+        r["k"]: (r["rn"], r["cum_c1"], r["cum_c2"])
+        for r in multi.select("k", "rn", "cum_c1", "cum_c2").collect()
+    }
+    want1 = {r["k"]: (r["rn"], r["cum"]) for r in one.collect()}
+    want2 = {r["k"]: r["cum"] for r in two.collect()}
+    assert len(got) == n_m
+    for k, (rn, ca, cb) in got.items():
+        assert (rn, ca) == want1[k]
+        assert cb == want2[k]
+
+
+def test_matryoshka_single_pass_plan(spark, sf_dir):
+    """r12 reshape: all four per-dimension rankings are window
+    columns over ONE pair scan and the overlap-with-full join is a
+    rank predicate — the plan must carry NO sort-merge join and no
+    checkpointed scan, and the only SinglePartition exchange is the
+    final bounded 1-row aggregate."""
+    plan = _plan(QUERIES["matryoshka_truncation_audit"].fn(spark, sf_dir))
+    assert "SortMergeJoin" not in plan
+    # the query panel attaches via a broadcast nested-loop join
+    # (non-equi neighbor_id != query_id), never a shuffle join
+    assert "BroadcastNestedLoopJoin" in plan
+    # four rankings = four row_number windows over one pair scan
+    assert plan.lower().count("row_number") >= 4
+
+
+def test_rfm_melted_single_ranking(spark, sf_dir):
+    """r12 reshape: the three RFM quintile rankings ride ONE melted
+    ranked_by_range pass — the consumer plan (which reads the single
+    materialized ranged layout) carries exactly ONE row_number
+    window and no SinglePartition; the previous chained shape read
+    three layouts through three windows."""
+    plan = _plan(QUERIES["rfm_segmentation"].fn(spark, sf_dir))
+    assert plan.lower().count("row_number") == 1
+    assert "SortMergeJoin" not in plan
+    assert "SinglePartition" not in plan
+
+
 def test_ntile_expr_matches_ntile_semantics(spark, sf_dir):
     """ntile_expr must reproduce NTILE's piecewise tile sizes
     exactly for N not divisible by the tile count."""
