@@ -38,7 +38,7 @@ these operators exist for the north-star LLM-pipeline surface
 
 from __future__ import annotations
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from dados_publicos_etl_spark.functions.text import (
@@ -1740,10 +1740,15 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.when(F.col("source") != "src0", 1).otherwise(0)
             ).alias("rc"),
         )
+        .observe(
+            lr_obs := Observation(),
+            F.sum("tc").alias("t"),
+            F.sum("rc").alias("r"),
+        )
         .localCheckpoint()
     )
-    tot = lr.agg(F.sum("tc"), F.sum("rc")).first()
-    t_tot, r_tot = int(tot[0] or 0), int(tot[1] or 0)
+    tot = lr_obs.get
+    t_tot, r_tot = int(tot["t"] or 0), int(tot["r"] or 0)
     lr = lr.select(
         "b",
         (
@@ -1751,6 +1756,11 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             - F.log((F.col("rc") + 1.0) / F.lit(float(r_tot + _DS_B)))
         ).alias("lr"),
     )
+    # LAZY checkpoint on the DOC-scale weight table: it feeds both the
+    # final projection and the mean_w broadcast build, and without it
+    # the corpus-scale bigram explode above re-executes for each —
+    # three corpus passes instead of the documented two (r12; the
+    # checkpoint is |docs| rows, never data-scale).
     doc_w = (
         feats.join(F.broadcast(lr), "b")
         .groupBy("doc_id")
@@ -1758,6 +1768,7 @@ def dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.count(F.lit(1)).cast("long").alias("n_feats"),
             F.sum("lr").alias("w_raw"),
         )
+        .localCheckpoint(eager=False)
     )
     mean_w = doc_w.agg(F.avg("w_raw").alias("mw"))
     return doc_w.crossJoin(F.broadcast(mean_w)).select(

@@ -1712,7 +1712,10 @@ def excerpt_containment_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
     exc_sh = exc.select(
         "id", shingles_from_tokens(F.col("tk")).alias("_shs")
     ).select("id", md5_hashed_shingles(F.col("_shs")).alias("sh"))
-    corpus = full_sh.unionAll(exc_sh).localCheckpoint()
+    # lazy (r12): both pair sides read it inside ONE final job,
+    # where the first computation populates the checkpoint blocks
+    # — the eager form paid a separate materialization job
+    corpus = full_sh.unionAll(exc_sh).localCheckpoint(eager=False)
 
     # full-doc SIGNATURES also come from the cache; only the excerpt
     # side runs the 32-permutation min fold
@@ -1729,7 +1732,7 @@ def excerpt_containment_mining(spark: SparkSession, sf_dir: str) -> DataFrame:
         portable_sig_table(spark, sf_dir)
         .select(F.col("doc_id").alias("id"), "sig")
         .unionAll(exc_sig)
-        .localCheckpoint()
+        .localCheckpoint(eager=False)
     )
     bands = sig.select(
         "id",

@@ -30,7 +30,7 @@ from __future__ import annotations
 
 import tempfile
 
-from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import DataFrame, Observation, SparkSession
 from pyspark.sql import functions as F
 
 from dados_publicos_etl_spark.functions.text import (
@@ -171,8 +171,19 @@ def connected_components(
                 ).alias("label"),
                 "old_label",
             )
-        new_labels = stepped.localCheckpoint()
-        n_changed = new_labels.filter("label < old_label").count()
+        # r12: the convergence statistic rides the checkpoint job as
+        # an observed metric (CollectMetrics is a row pass-through;
+        # the checkpoint stays EAGER, so AQE coalescing is untouched
+        # — unlike the r10 lazy-fusion attempt this removes only the
+        # separate per-round count job).
+        obs = Observation()
+        new_labels = stepped.observe(
+            obs,
+            F.sum(
+                (F.col("label") < F.col("old_label")).cast("long")
+            ).alias("nc"),
+        ).localCheckpoint()
+        n_changed = int(obs.get["nc"] or 0)
         labels = new_labels.drop("old_label")
         if n_changed == 0:
             break
@@ -679,7 +690,12 @@ def cheapest_path_bounded(spark: SparkSession, sf_dir: str) -> DataFrame:
             dist.unionAll(relaxed)
             .groupBy("node")
             .agg(F.min("dist").alias("dist"))
-            .localCheckpoint()
+            # LAZY checkpoint (r12, the pagerank finding applied): the
+            # next round's broadcast build materializes this round's
+            # table anyway, and the checkpoint blocks then serve the
+            # union's second reference — an EAGER checkpoint added one
+            # redundant job + block write per relaxation round.
+            .localCheckpoint(eager=False)
         )
     return dist.select("node", F.col("dist").alias("dist_cents"))
 
@@ -838,19 +854,22 @@ def k_core_peel(spark: SparkSession, sf_dir: str) -> DataFrame:
         # 12-layer union stays a linear plan.  The rolling adjacency
         # is NOT checkpointed — it only ever chains semi-joins onto
         # the parquet-backed base, a flat plan by construction.
+        obs = Observation()
         survivors = (
             adj.groupBy("u")
             .agg(F.count(F.lit(1)).alias("deg"))
             .filter(F.col("deg") >= _KC_K)
             .select(F.col("u").alias("node"))
+            .observe(obs, F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
         # Early exit at fixpoint: survivors ⊆ active every round, so
         # an unchanged count means this round's removed layer — and
         # every later one — is empty; the remaining unrolled rounds
-        # are identities on both engines.  The count is a driver-side
-        # O(1)-result action on the already-materialized checkpoint.
-        n = survivors.count()
+        # are identities on both engines.  r12: the count rides the
+        # checkpoint job as an observed metric instead of a separate
+        # per-round count job.
+        n = int(obs.get["n"] or 0)
         if n == prev_n:
             break
         prev_n = n
@@ -1064,15 +1083,19 @@ def boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
                     )
                 ).alias("edge")
             )
+            .observe(nom_obs := Observation(), F.count(F.lit(1)).alias("n"))
             .localCheckpoint()
         )
-        # Eager checkpoint + count (the r9 shape): the r10 attempt to
-        # fuse them (lazy checkpoint materialized by the count) saved
-        # one job per round at sf0.1 but benched 4.97x (vs 1.56x) at
-        # the 10x probe — lazy-checkpoint materialization runs the
+        # Eager checkpoint (the r9 shape): the r10 attempt to fuse
+        # checkpoint+count via a LAZY checkpoint saved one job per
+        # round at sf0.1 but benched 4.97x (vs 1.56x) at the 10x
+        # probe — lazy-checkpoint materialization runs the
         # aggregation outside AQE's coalescing, so every round paid
-        # full-width shuffle stages at scale.
-        n_nom = nominated.count()  # checkpointed — no recompute
+        # full-width shuffle stages at scale.  r12: the count now
+        # rides the EAGER checkpoint job as an observed metric
+        # (CollectMetrics pass-through) — the job trim without the
+        # lazy pitfall; AQE coalescing is untouched.
+        n_nom = int(nom_obs.get["n"] or 0)
         if n_nom == 0:
             break
         forest.append(
@@ -1764,17 +1787,27 @@ def _truss_peel_once(edges: DataFrame) -> DataFrame:
 def k_truss_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dados_publicos_etl_spark.plans.mining import _co_edges
 
-    edges = _co_edges(spark, sf_dir).localCheckpoint()
-    n_edges = edges.count()
+    e_obs = Observation()
+    edges = (
+        _co_edges(spark, sf_dir)
+        .observe(e_obs, F.count(F.lit(1)).alias("n"))
+        .localCheckpoint()
+    )
+    n_edges = int(e_obs.get["n"] or 0)
     converged = False
     for _ in range(_TRUSS_ROUNDS):
-        nxt = _truss_peel_once(edges).localCheckpoint()
+        obs = Observation()
+        nxt = (
+            _truss_peel_once(edges)
+            .observe(obs, F.count(F.lit(1)).alias("n"))
+            .localCheckpoint()
+        )
         # fixpoint early-exit: a converged set peels to itself, so
         # skipping the remaining no-op rounds cannot change the
-        # result.  The previous round's cardinality is carried in
-        # n_edges instead of re-counting the old checkpoint (r12:
-        # one fewer job per round).
-        n_nxt = nxt.count()
+        # result.  r12: the previous round's cardinality is carried
+        # in n_edges, and this round's rides the checkpoint job as an
+        # observed metric — two fewer jobs per peel round.
+        n_nxt = int(obs.get["n"] or 0)
         if n_nxt == n_edges:
             edges = nxt
             converged = True

@@ -1010,8 +1010,6 @@ def _kmeans_oracle() -> str:
 )
 @machine_sized_shuffle
 def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
-    from pyspark.sql import Window as W
-
     emb = read_table(spark, sf_dir, "embeddings")
     q = emb.select(
         "vec_id",
@@ -1020,27 +1018,49 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
             " * 1000, 0) AS BIGINT))"
         ).alias("v"),
     ).localCheckpoint()  # scanned every round; pin it once
-    cents = q.filter(F.col("vec_id") < _KM_K).select(
-        F.col("vec_id").alias("cell"), F.col("v").alias("c")
+    # r12 reshape (guide §1.2): the k-row centroid table rides the
+    # DRIVER between rounds (the standard Lloyd loop; k is a bounded
+    # constant, so the collect is k rows at any corpus scale).  The
+    # previous shape crossJoined a broadcast centroid DataFrame and
+    # ran an argmin WINDOW — shuffling all N*k candidate rows by
+    # vec_id every round (measured 23 jobs / ~1.9 s at sf0.1).  With
+    # centroid LITERALS, the argmin is in-row arithmetic (array_min
+    # over (dist, cell) structs == the old (dist, cell) row_number
+    # tie-break, same exact int64 distances), so a round is ONE
+    # narrow map + one partial-aggregated (cell, dim) shuffle.
+    cents: list[tuple[int, list[int]]] = sorted(
+        (r["cell"], list(r["c"]))
+        for r in q.filter(F.col("vec_id") < _KM_K)
+        .select(F.col("vec_id").alias("cell"), F.col("v").alias("c"))
+        .collect()
     )
-    dist = F.expr(
-        "aggregate(zip_with(v, c, (x, y) -> (x - y) * (x - y)), 0L,"
-        " (acc, x) -> acc + x)"
-    )
+
+    def assign(cent_rows: list[tuple[int, list[int]]]):
+        cands = F.array(
+            *[
+                F.struct(
+                    F.expr(
+                        "aggregate(zip_with(v, array("
+                        + ",".join(f"{x}L" for x in cv)
+                        + "), (x, y) -> (x - y) * (x - y)), 0L,"
+                        " (acc, x) -> acc + x)"
+                    ).alias("dist"),
+                    F.lit(int(cell)).cast("bigint").alias("cell"),
+                )
+                for cell, cv in cent_rows
+            ]
+        )
+        best = F.array_min(cands)
+        return q.select(
+            "vec_id",
+            "v",
+            best["cell"].alias("cell"),
+            best["dist"].alias("dist"),
+        )
+
     assigned = None
     for _ in range(_KM_ROUNDS):
-        assigned = (
-            q.crossJoin(F.broadcast(cents))
-            .withColumn("dist", dist)
-            .withColumn(
-                "rk",
-                F.row_number().over(
-                    W.partitionBy("vec_id").orderBy("dist", "cell")
-                ),
-            )
-            .filter("rk = 1")
-            .select("vec_id", "v", "cell", "dist")
-        )
+        assigned = assign(cents)
         sums = (
             assigned.select(
                 "cell", F.posexplode("v").alias("pos", "val")
@@ -1050,37 +1070,43 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 F.sum("val").alias("s"),
                 F.count(F.lit(1)).alias("n"),
             )
-        )
-        cents = (
-            sums.withColumn(
+            .withColumn(
                 "cv",
                 F.expr(
                     "CASE WHEN s >= 0 THEN (2*s + n) div (2*n) "
                     "ELSE -((2*(-s) + n) div (2*n)) END"
                 ),
             )
-            .groupBy("cell")
-            .agg(
-                F.expr(
-                    "transform(array_sort(collect_list("
-                    "struct(pos, cv))), t -> t.cv)"
-                ).alias("c")
-            )
-            .localCheckpoint()  # k rows; truncate per-round lineage
         )
-    l1 = cents.select(
-        "cell",
-        F.expr("aggregate(c, 0L, (acc, x) -> acc + abs(x))").alias(
-            "centroid_l1"
-        ),
-    )
+        by_cell: dict[int, list[tuple[int, int]]] = {}
+        for r in sums.select("cell", "pos", "cv").collect():
+            by_cell.setdefault(int(r["cell"]), []).append(
+                (int(r["pos"]), int(r["cv"]))
+            )
+        cents = sorted(
+            (cell, [cv for _, cv in sorted(dims)])
+            for cell, dims in by_cell.items()
+        )
+    l1 = {cell: sum(abs(x) for x in cv) for cell, cv in cents}
     return (
         assigned.groupBy("cell")
         .agg(
             F.count(F.lit(1)).alias("n_members"),
             F.sum("dist").alias("inertia"),
         )
-        .join(F.broadcast(l1), "cell")
+        .withColumn(
+            "centroid_l1",
+            F.element_at(
+                F.create_map(
+                    *[
+                        F.lit(v)
+                        for cell, s in l1.items()
+                        for v in (int(cell), int(s))
+                    ]
+                ),
+                F.col("cell").cast("int"),
+            ).cast("long"),
+        )
         .select("cell", "n_members", "inertia", "centroid_l1")
     )
 
@@ -1833,8 +1859,16 @@ def ppr_seeded(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     deg = und.groupBy("u").agg(F.count(F.lit(1)).alias("deg"))
     dund = und.join(F.broadcast(deg), "u").localCheckpoint()
-    nodes = und.select(F.col("u").alias("node")).distinct().localCheckpoint()
-    seed = nodes.agg(F.min("node")).first()[0]
+    from pyspark.sql import Observation
+
+    seed_obs = Observation()
+    nodes = (
+        und.select(F.col("u").alias("node"))
+        .distinct()
+        .observe(seed_obs, F.min("node").alias("m"))
+        .localCheckpoint()
+    )
+    seed = seed_obs.get["m"]
     # exact int64 fixed-point ranks (round-8 ADVICE fix): the spread
     # is an integer floor division per edge and the contribution sum
     # an integer aggregate, so partial-aggregation order cannot move

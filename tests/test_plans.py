@@ -959,6 +959,41 @@ def test_rfm_melted_single_ranking(spark, sf_dir):
     assert "SinglePartition" not in plan
 
 
+def test_observation_fires_under_eager_local_checkpoint(spark, sf_dir):
+    """r12 contract the iterative loops now rely on: an observed
+    metric (CollectMetrics) is populated by the job an EAGER
+    localCheckpoint runs, so per-round convergence statistics ride
+    the checkpoint instead of paying a separate count job
+    (connected_components, k-core, k-truss, Borůvka, ppr seed,
+    dsir totals).  If a Spark upgrade stopped firing observations on
+    checkpoint materialization, those loops would block on obs.get —
+    this test fails fast instead."""
+    import threading
+
+    from pyspark.sql import Observation
+
+    obs = Observation()
+    df = (
+        spark.range(100)
+        .withColumn("x", F.col("id") % 5)
+        .observe(
+            obs,
+            F.sum((F.col("x") < 2).cast("long")).alias("nc"),
+            F.count(F.lit(1)).alias("n"),
+        )
+        .localCheckpoint()
+    )
+    got: dict = {}
+    t = threading.Thread(
+        target=lambda: got.update(obs.get), daemon=True
+    )
+    t.start()
+    t.join(timeout=30)
+    assert got == {"nc": 40, "n": 100}, got
+    # and the checkpointed data is intact
+    assert df.count() == 100
+
+
 def test_ntile_expr_matches_ntile_semantics(spark, sf_dir):
     """ntile_expr must reproduce NTILE's piecewise tile sizes
     exactly for N not divisible by the tile count."""
