@@ -227,6 +227,16 @@ def main() -> None:
     sys.stdout.flush()
     print(json.dumps(payload, separators=(",", ":")))
     sys.stdout.flush()
+    # Sidecar copy of the SAME payload (r12 verdict item #2): the r11
+    # driver capture truncated the stdout line and nulled the whole
+    # per-query round-over-round table.  The stdout contract above is
+    # unchanged; this file is a recovery path, never the primary.
+    try:
+        with open(os.path.join(REPO, "BENCH_SELF.json"), "w") as fh:
+            json.dump(payload, fh, indent=1)
+            fh.write("\n")
+    except OSError:
+        pass  # read-only checkout: stdout line already emitted
 
 
 if __name__ == "__main__":

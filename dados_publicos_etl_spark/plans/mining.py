@@ -1078,14 +1078,14 @@ def kmeans_lloyd_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
                 ),
             )
         )
-        by_cell: dict[int, list[tuple[int, int]]] = {}
-        for r in sums.select("cell", "pos", "cv").collect():
-            by_cell.setdefault(int(r["cell"]), []).append(
-                (int(r["pos"]), int(r["cv"]))
-            )
+        # k rows, each carrying its dims as ONE array: the collect is
+        # k-row CONSTANT-class (<= 64 rows) at any dimensionality —
+        # the r13 collect sweep bound — instead of k*dims rows.
         cents = sorted(
-            (cell, [cv for _, cv in sorted(dims)])
-            for cell, dims in by_cell.items()
+            (int(r["cell"]), [int(cv) for _pos, cv in sorted(r["dims"])])
+            for r in sums.groupBy("cell")
+            .agg(F.collect_list(F.struct("pos", "cv")).alias("dims"))
+            .collect()
         )
     l1 = {cell: sum(abs(x) for x in cv) for cell, cv in cents}
     return (

@@ -103,9 +103,12 @@ def test_q16_not_in_plans_anti_join(spark, sf_dir):
 
 
 def test_dedup_embedding_survivorship_anti_join(spark, sf_dir):
+    """Survivorship is NOT-EXISTS, expressed as a single left_anti
+    (r12 folded the former semi+anti pair into one join) — pin that
+    the fold holds: one anti join, no residual semi, no cartesian."""
     plan = _plan(QUERIES["dedup_embedding_cosine"].fn(spark, sf_dir))
-    assert "LeftSemi" in plan
     assert "LeftAnti" in plan
+    assert "LeftSemi" not in plan
     assert "CartesianProduct" not in plan
 
 
@@ -1121,7 +1124,8 @@ _COLLECT_CONSTANT = {
     "bpe_encode_corpus", "corpus_global_shuffle", "decile_lift_table",
     "diff_in_diff", "dsir_importance_weights", "dsir_resample_e2e",
     "equidepth_histogram", "global_row_number", "hybrid_rrf_fusion",
-    "jsonl_export_roundtrip", "ks_test_twosample", "mann_whitney_u",
+    "jsonl_export_roundtrip", "kmeans_lloyd_exact",  # r12: driver-Lloyd
+    "ks_test_twosample", "mann_whitney_u",
     "nb_score_reliability", "pareto_frontier", "pareto_revenue_curve",
     "pmi_collocations", "ppr_seeded", "quantile_normalize_grid",
     "rfm_segmentation", "sequence_gap_audit", "shard_manifest_checksum",
@@ -1162,8 +1166,13 @@ def test_package_collect_sites_are_inventoried():
                     and node.func.attr == "collect"
                 ):
                     sites.append(f"{f}:{node.lineno}")
-    assert len(sites) == 13, (
-        f"{len(sites)} .collect() call sites (expected 13): {sites} "
+    # 16 = r11's 13 + r12's three bounded additions: ranking.py
+    # prefix_sums_multi_by_range (P-row offsets) and the two
+    # kmeans_lloyd_exact driver-Lloyd collects (k=4 seed rows;
+    # k*dims = 64 centroid-component rows per round — both constant
+    # in the corpus, swept by the 10x recorder below).
+    assert len(sites) == 16, (
+        f"{len(sites)} .collect() call sites (expected 16): {sites} "
         "— a site was added or removed; re-run "
         "tools/collect_audit.py and update "
         "_COLLECT_TRAIN_CAPPED/_COLLECT_CONSTANT."

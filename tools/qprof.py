@@ -34,8 +34,11 @@ if REPO not in sys.path:
 
 def plan_summary(plan: str) -> dict:
     return {
-        "exchanges": len(re.findall(r"\bExchange\b", plan))
-        - len(re.findall(r"\bBroadcastExchange\b", plan)),
+        # \bExchange\b already excludes BroadcastExchange (no word
+        # boundary inside the compound name) — no subtraction, which
+        # double-counted the exclusion and could go negative (r12
+        # advice item).
+        "exchanges": len(re.findall(r"\bExchange\b", plan)),
         "broadcast_exchanges": len(
             re.findall(r"\bBroadcastExchange\b", plan)
         ),
