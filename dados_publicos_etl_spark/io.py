@@ -120,6 +120,31 @@ def read_table(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     return df
 
 
+def widen_scan(df: DataFrame) -> DataFrame:
+    """Widen a NARROW scan to machine parallelism for CPU-heavy
+    map-side work — and only ever WIDEN (r13, guide §2 partition
+    right-sizing).
+
+    The bench corpus ships each table as ONE parquet file with ONE
+    row group, so every scan is a single task and any in-row compute
+    stacked on the scan projection (content-defined chunking's md5
+    sweep, shingle hashing) runs on one core while the rest of the
+    machine idles — the reason several map-heavy queries bench no
+    faster at local[32] than local[8].  Repartitioning costs one
+    shuffle of the projected input (project FIRST, then widen), which
+    pays whenever per-byte map cost >> per-byte shuffle cost.
+
+    At cluster scale real inputs arrive in many splits, so the
+    no-op-when-already-wide guard makes this safe to leave in: it
+    never SHRINKS a wide scan into fewer tasks, and never adds a
+    shuffle to a plan that is already parallel.
+    """
+    k = df.sparkSession.sparkContext.defaultParallelism
+    if df.rdd.getNumPartitions() >= k:
+        return df
+    return df.repartition(k)
+
+
 def read_csv(
     spark: SparkSession,
     path: str,

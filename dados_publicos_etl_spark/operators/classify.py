@@ -41,6 +41,12 @@ def nb_train(
 ) -> tuple[DataFrame, DataFrame, int]:
     """Train multinomial NB from a (doc_id, lang, token) table.
 
+    CONTRACT (r12 advice): ``train_docs``, when given, must be ONE
+    ROW PER (doc_id, lang) — its raw row count stands in for
+    COUNT(DISTINCT doc_id), so a non-deduplicated table would
+    silently skew the log priors.  Both in-repo callers pass the
+    pre-explode doc table, which satisfies this by construction.
+
     Returns (token_class_counts, class_stats, vocab_size):
     ``token_class_counts`` is the model's only big-ish table (still
     |vocab| x |classes| rows — megabytes when the corpus is

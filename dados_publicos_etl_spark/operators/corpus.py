@@ -946,7 +946,13 @@ def dup_span_length_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     suffix automaton; documented as the window-merge view)."""
     from pyspark.sql import Window as W
 
-    docs = read_table(spark, sf_dir, "documents")
+    from dados_publicos_etl_spark.io import widen_scan
+
+    # widen_scan (r13, guide §2): one md5 per token window — the
+    # in-row sweep was a single scan task on the one-row-group file.
+    docs = widen_scan(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks_df = docs.select("doc_id", tokens("text").alias("toks"))
     spans = toks_df.select(
         "doc_id",
@@ -1084,7 +1090,15 @@ def longest_repeated_ngram_exact(
     repeated-occurrence means >= 2 occurrences anywhere, overlapping
     or within one document included (standard LRS semantics, mirrored
     in the oracle)."""
-    docs = read_table(spark, sf_dir, "documents")
+    from dados_publicos_etl_spark.io import widen_scan
+
+    # widen_scan BEFORE the pinned token projection (r13, guide §2):
+    # every binary-search probe re-hashes the whole corpus from this
+    # checkpoint, so its partitioning decides the parallelism of ~7
+    # probe jobs — single-task before on the one-row-group file.
+    docs = widen_scan(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     toks_df = docs.select(
         "doc_id", tokens("text").alias("toks")
     ).localCheckpoint()
@@ -2160,7 +2174,13 @@ def dataset_card_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     "fixed-width keys.",
 )
 def corpus_novelty_curve(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    from dados_publicos_etl_spark.io import widen_scan
+
+    # widen_scan (r13, guide §2): shingle md5 hashing was a single
+    # scan task on the one-row-group file.
+    docs = widen_scan(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     # staged selects: each expensive expression tree single-evaluated
     sh = (
         docs.select("doc_id", tokens("text").alias("_tk"))

@@ -136,7 +136,13 @@ _DUCK_SH = duck_shingles_sql("text")
     "scale).",
 )
 def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    from dados_publicos_etl_spark.io import widen_scan
+
+    # widen_scan: tokenize+shingle is the checkpoint job's map work —
+    # single-task on the bench's one-row-group file (r13, guide §2)
+    docs = widen_scan(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     # materialize the signature table before the self-join: without it
     # Catalyst inlines the shingle expression tree into BOTH join
     # sides and re-optimizes the doubled tree (measured 15s -> 4.5s at
@@ -841,7 +847,13 @@ def _simhash_oracle() -> str:
     "Arrow-vectorized numpy vote kernel.",
 )
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
-    docs = read_table(spark, sf_dir, "documents")
+    from dados_publicos_etl_spark.io import widen_scan
+
+    # widen_scan: shingle+md5 kernel runs in the checkpoint job's map
+    # stage — single-task on the one-row-group file (r13, guide §2)
+    docs = widen_scan(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     # THREE materialization points (no CSE across inlined
     # projections — see dedup_ngram_jaccard):
     # 1. the shingle table before the simhash kernel, else the
@@ -1432,9 +1444,17 @@ def winnowing_fingerprints(spark: SparkSession, sf_dir: str) -> DataFrame:
         "ng",
         F.min(packed).over(frame).alias("selkey"),
     ).filter(F.col("i") <= F.greatest(F.col("ng") - (_WN_W - 1), F.lit(1)))
-    fp = win.select(
-        "doc_id", F.expr(f"selkey div {_WN_B}").alias("h")
-    ).distinct()
+    fp = (
+        win.select("doc_id", F.expr(f"selkey div {_WN_B}").alias("h"))
+        .distinct()
+        # LAZY checkpoint (r13, guide §2.4 shared subtrees): fp feeds
+        # BOTH sides of the pair self-join — un-checkpointed, the
+        # whole corpus-scale tokenize -> two-window -> distinct
+        # subtree is planned and EXECUTED once per side.  The
+        # caller's action materializes the skinny (doc_id, h) table
+        # once; the join reads blocks.
+        .localCheckpoint(eager=False)
+    )
     a = fp.select(F.col("doc_id").alias("doc_a"), F.col("h").alias("ha"))
     b = fp.select(F.col("doc_id").alias("doc_b"), F.col("h").alias("hb"))
     return (
@@ -1985,7 +2005,14 @@ def cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     from pyspark.sql import Window as W
 
-    docs = read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    from dados_publicos_etl_spark.io import widen_scan
+
+    # widen_scan: the md5 boundary sweep is the heaviest in-row map
+    # work in the catalog (~one md5 per character); on the bench's
+    # one-row-group file it ran as a SINGLE task (r13, guide §2).
+    docs = widen_scan(
+        read_table(spark, sf_dir, "documents").select("doc_id", "text")
+    )
     chunks = cdc_chunks(docs, max_chars=_CDC_MAX_CHARS)
     per = chunks.groupBy("dig", "doc_id").agg(
         F.count(F.lit(1)).alias("k"),
@@ -2087,6 +2114,11 @@ def tfidf_cosine_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         # materializes it (no extra job).
         .localCheckpoint(eager=False)
     )
+    # na/nb below are the same doc-sized aggregate planned twice —
+    # a ckpt-residual duplicate above the checkpointed w table.  An
+    # r13 lazy checkpoint here was built, measured (wall wash at
+    # sf0.1; 10x probe ~20% SLOWER — materialization outside AQE
+    # coalescing, the known lazy-fusion pitfall) and REVERTED.
     nrm = w.groupBy("doc_id").agg(
         F.sum(F.col("w") * F.col("w")).cast("long").alias("n2")
     )

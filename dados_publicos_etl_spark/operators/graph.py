@@ -65,6 +65,7 @@ def connected_components(
     dst: str = "dst",
     max_iter: int = 20,
     initial_labels: DataFrame | None = None,
+    jumps: int = 2,
 ) -> DataFrame:
     """Undirected connected components by min-label propagation with
     pointer jumping.
@@ -148,16 +149,22 @@ def connected_components(
                 F.col("label").alias("old_label"),
             )
         )
-        # hops 2+3: TWO pointer jumps — follow my label's label,
-        # twice.  One jump halves chain lengths; two quarter them, so
-        # long SNM-block chains converge in ~log4 rounds instead of
-        # log2.  The second jump costs one more broadcast join INSIDE
-        # the same round job, which is far cheaper than a whole extra
-        # round (per-round fixed cost = checkpoint job + count job +
-        # broadcast builds; measured on the sf0.01 linkage graph,
-        # vanilla local[8]: 6 rounds/5.7 s with one jump vs 4
-        # rounds/3.1 s with two, same fixpoint).
-        for _jmp in range(2):
+        # hops 2+: ``jumps`` pointer jumps — follow my label's label.
+        # One jump halves chain lengths; two quarter them, so long
+        # SNM-block chains converge in ~log4 rounds instead of log2.
+        # Each jump costs one more broadcast join INSIDE the same
+        # round job, which is far cheaper than a whole extra round
+        # WHEN the graph has chains (per-round fixed cost = checkpoint
+        # job + count job + broadcast builds; measured on the sf0.01
+        # linkage graph, vanilla local[8]: 6 rounds/5.7 s with one
+        # jump vs 4 rounds/3.1 s with two, same fixpoint).  On
+        # tiny-diameter graphs (dense near-dup clusters, which
+        # converge in 2-3 rounds regardless) the second jump is pure
+        # per-round overhead — the r12 dedup_components 0.62x
+        # regression — so callers pass ``jumps=1`` there (r13, r12
+        # verdict item 7).  jumps NEVER changes the fixpoint, only
+        # the round count; convergence stays driver-checked.
+        for _jmp in range(jumps):
             parent = stepped.select(
                 F.col("node").alias("p_node"),
                 F.col("label").alias("p_label"),
@@ -292,7 +299,8 @@ def near_dup_pair_graph(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def dedup_components(spark: SparkSession, sf_dir: str) -> DataFrame:
     pairs = near_dup_pair_graph(spark, sf_dir)
-    comps = connected_components(pairs)
+    # jumps=1: dense near-dup clusters have tiny diameter (r13)
+    comps = connected_components(pairs, jumps=1)
     # n_reachable = component size, from the final labels (all members
     # share the min-id label) — proves the fixpoint, not just the pair
     # stage.
@@ -550,7 +558,7 @@ def dedup_quality_survivor(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     docs = read_table(spark, sf_dir, "documents")
     pairs = near_dup_pair_graph(spark, sf_dir)
-    comps = connected_components(pairs).select(
+    comps = connected_components(pairs, jumps=1).select(
         F.col("node").alias("doc_id"), F.col("label").alias("comp")
     )
     ranked = (
@@ -1338,21 +1346,28 @@ def hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
             .groupBy("dst")
             .agg(F.sum("hub").alias("auth"))
         )
-    # NOTE (r10): the subtree audit flags the unrolled chain planned
-    # twice (the scalar MAX and the value rows both consume `auth`),
-    # but a lazy checkpoint here benched SLOWER at 1x and at the 10x
-    # probe — each half-round's broadcast already materializes once,
-    # and the duplicated aggregate exchanges are runtime-reused.
-    mx = auth.agg(F.max("auth").alias("mx"))
+    # r13 (r12 verdict item 5, the batch-4 observe pattern): the
+    # scalar MAX rides the EAGER localCheckpoint of the final auth
+    # table as an observed metric, so the unrolled 5-aggregate chain
+    # executes exactly ONCE and the crossJoin + separate max job are
+    # gone.  (The r10 note here documented a LAZY checkpoint benching
+    # slower — materialization outside AQE coalescing, the known
+    # pitfall; the eager checkpoint + Observation is the shape batch 4
+    # proved on the CC/k-core/Borůvka loops.)  auth is |suppliers|
+    # rows — model-sized, checkpoint-safe at any corpus scale.
+    obs = Observation()
+    auth = auth.observe(obs, F.max("auth").alias("mx")).localCheckpoint()
+    mx = obs.get["mx"]  # exact DECIMAL(38,0) path-count maximum
     return (
-        auth.crossJoin(F.broadcast(mx))
-        .select(
+        auth.select(
             F.concat(
                 F.lit("s"),
                 ((F.col("dst") - 1) / 2).cast("long").cast("string"),
             ).alias("supplier"),
             F.round(
-                F.col("auth").cast("double") / F.col("mx").cast("double"), 6
+                F.col("auth").cast("double")
+                / F.lit(mx).cast("decimal(38,0)").cast("double"),
+                6,
             ).alias("auth_norm"),
         )
         .orderBy(F.desc("auth_norm"), "supplier")
@@ -1644,7 +1659,7 @@ def dedup_cluster_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     from dados_publicos_etl_spark.io import read_table
 
     pairs = near_dup_pair_graph(spark, sf_dir)
-    comps = connected_components(pairs)
+    comps = connected_components(pairs, jumps=1)
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
     allc = docs.join(
         comps.select(F.col("node").alias("doc_id"), "label"),

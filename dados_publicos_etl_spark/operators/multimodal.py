@@ -659,6 +659,56 @@ def image_dhash(df: DataFrame, id_col: str = "doc_id") -> DataFrame:
     )
 
 
+def synth_image_hashes(
+    df: DataFrame, id_col: str = "doc_id", n_groups: int = 50
+) -> DataFrame:
+    """:func:`synth_images` + :func:`image_dhash` fused into ONE
+    Arrow pass (r13, guide §4.1/§1.2): the chained two-``mapInPandas``
+    shape ran TWO Python eval nodes inside one stage — every task
+    held two live Python workers (64 concurrent interpreters at
+    local[32]; the measured 32-core anti-scaling of
+    ``image_neardup_dhash``), and the PPM payload crossed the
+    JVM↔Python boundary twice just to be re-decoded.  The fused pass
+    keeps the byte-exact pipeline — the SAME ``encode_ppm`` →
+    ``decode_image`` hop runs in-process between synthesis and
+    hashing, so the emitted dhash values are bit-identical to the
+    unfused pair (pytest-pinned) — and the payload never leaves the
+    Python worker.  One worker per task, one Arrow hop of skinny
+    (id, dhash) rows out."""
+    import numpy as np  # noqa: F401  (dhash64/synth path needs it)
+
+    def gen_hash(batches: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        base_cache: dict[int, object] = {}
+        for pdf in batches:
+            hs = []
+            for i in pdf[id_col]:
+                g = int(i) % n_groups
+                base = base_cache.get(g)
+                if base is None:
+                    base = np.random.RandomState(17 + g).randint(
+                        0, 256, (IMG_H, IMG_W, 3)
+                    ).astype("uint8")
+                    base_cache[g] = base
+                noise = np.random.RandomState(int(i))
+                n_flip = int(noise.randint(0, 40))
+                ys = noise.randint(0, IMG_H, n_flip)
+                xs = noise.randint(0, IMG_W, n_flip)
+                img = base.copy()
+                img[ys, xs] = 255 - img[ys, xs]
+                hs.append(dhash64(decode_image(encode_ppm(img))))
+            yield pd.DataFrame(
+                {id_col: pdf[id_col].to_numpy(),
+                 "dhash": pd.Series(hs, dtype="int64")}
+            )
+
+    from dados_publicos_etl_spark.session import ensure_package_on_workers
+
+    ensure_package_on_workers(df.sparkSession)
+    return df.select(id_col).mapInPandas(
+        gen_hash, schema=f"{id_col} long, dhash long"
+    )
+
+
 def image_neardup_pairs(
     hashes: DataFrame,
     id_col: str = "doc_id",
@@ -829,17 +879,25 @@ def _image_neardup_oracle() -> str:
 def image_neardup_dhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     # skinny-id repartition: documents.parquet is one file => one
     # partition, and synth+decode+hash is CPU-bound pixel work.
-    docs = (
-        read_table(spark, sf_dir, "documents")
-        .select("doc_id")
-        .repartition(spark.sparkContext.defaultParallelism)
-    )
+    ids = read_table(spark, sf_dir, "documents").select("doc_id")
     # hold planted dup-group size at ~10 regardless of corpus size
     # (sf0.01 = 500 docs -> the golden-pinned 50 groups); a CONSTANT
     # group count would make true-pair volume quadratic in n.
-    n_groups = max(50, docs.count() // 10)
-    imgs = synth_images(docs, n_groups=n_groups)
-    return image_neardup_pairs(image_dhash(imgs))
+    n = ids.count()
+    n_groups = max(50, n // 10)
+    # SIZE-adaptive task count (r13, guide §2 partition right-sizing):
+    # a Python-eval task pays interpreter fork + numpy/pandas import
+    # before its first batch, so give each task >= ~1k docs of pixel
+    # work; capped at defaultParallelism, so any corpus big enough to
+    # use the machine still does (at cluster scale n/1024 >> cores and
+    # this is exactly the old defaultParallelism).  At bench scale it
+    # stops 32 near-idle interpreters from paying the import wave.
+    k = max(1, min(spark.sparkContext.defaultParallelism, n // 1024))
+    docs = ids.repartition(k)
+    # r13: fused synth+decode+hash pass (see synth_image_hashes) —
+    # one Python worker per task instead of two, payload stays
+    # worker-local; bit-identical hashes.
+    return image_neardup_pairs(synth_image_hashes(docs, n_groups=n_groups))
 
 
 # ---------------------------------------------------------------------------

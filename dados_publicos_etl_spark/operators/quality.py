@@ -934,7 +934,12 @@ _MK_DEL = 131  # o_orderkey % 131 == 7 -> row missing from B
     "form that avoids shuffling both full tables.",
 )
 def merkle_table_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    orders = read_table(spark, sf_dir, "orders").select(
+    from dados_publicos_etl_spark.io import widen_scan
+
+    # widen_scan (r13, guide §2): the per-row md5 runs twice (side a
+    # and the mutated side b) in scan stages that were single-task on
+    # the bench's one-row-group orders file.
+    orders = widen_scan(read_table(spark, sf_dir, "orders")).select(
         F.col("o_orderkey").alias("k"),
         F.round(F.col("o_totalprice") * 100, 0).cast("long").alias("cents"),
         "o_orderstatus",

@@ -609,7 +609,7 @@ def split_leakage_safe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = near_dup_pair_graph(spark, sf_dir)
-    comps = connected_components(pairs).withColumnRenamed(
+    comps = connected_components(pairs, jumps=1).withColumnRenamed(
         "node", "doc_id"
     )
     docs = read_table(spark, sf_dir, "documents").select("doc_id")
@@ -932,7 +932,7 @@ def group_kfold_assignment(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
     pairs = near_dup_pair_graph(spark, sf_dir)
-    comps = connected_components(pairs).withColumnRenamed(
+    comps = connected_components(pairs, jumps=1).withColumnRenamed(
         "node", "doc_id"
     )
     docs = read_table(spark, sf_dir, "documents").select("doc_id")

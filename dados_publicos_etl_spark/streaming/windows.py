@@ -1018,19 +1018,20 @@ _OUTER_FEED_DIRS: dict[str, object] = {}
 
 
 def _outer_feed_dir(spark: SparkSession, sf_dir: str) -> str:
-    """Four ts-ascending micro-batch files: older half, newer half,
-    then TWO sentinel batches.  The halves arrive in event-time
-    order so no real row is ever watermark-dropped.  The global
-    watermark is the MIN over both sides' watermark nodes and a
-    batch runs under the watermark committed by the PREVIOUS batch,
-    so flushing every real unmatched click takes two steps: batch 2
-    plants one click and one purchase sentinel at max(ts) + 2h
-    (advancing BOTH per-side maxima — the lagging side, not the
-    global max, governs the join watermark), and batch 3 plants one
-    more so one final batch runs under watermark max(ts) + 1h, an
-    hour past every real join window.  Every real unmatched click
-    therefore emits null-extended and the streaming output equals
-    the plain batch left join — the oracle."""
+    """Three ts-ascending micro-batch files: older half, newer half
+    (carrying one click + one purchase sentinel at max(ts) + 2h),
+    then ONE sentinel batch.  The halves arrive in event-time order
+    so no real row is ever watermark-dropped.  The global watermark
+    is the MIN over both sides' watermark nodes and a batch runs
+    under the watermark committed by the PREVIOUS batch; because the
+    newer half already advances BOTH per-side maxima to max(ts) + 2h
+    (the lagging side, not the global max, governs the join
+    watermark), the watermark committed after batch 1 is already
+    max(ts) + 1h — an hour past every real join window — and the
+    single batch 2 flushes every real unmatched click null-extended.
+    The streaming output therefore equals the plain batch left join —
+    the oracle.  (r13: previously the first sentinel pair was its own
+    batch — four micro-batches for the same rows.)"""
     import os as _os
     import tempfile
 
@@ -1052,11 +1053,21 @@ def _outer_feed_dir(spark: SparkSession, sf_dir: str) -> str:
     lo, hi = ev.agg(F.min("ts_us"), F.max("ts_us")).first()
     mid = (lo + hi) // 2
     adv = int(hi) + 2 * 3_600_000_000  # max(ts) + 2h
+    # r13 (one fewer micro-batch, identical output): the first
+    # click+purchase sentinel pair rides IN the newer-half file
+    # instead of its own batch.  The watermark committed at the end
+    # of batch 1 is then already min-over-sides(max(ts)+2h) - 1h =
+    # max(ts)+1h — an hour past every real join window — so one
+    # final sentinel batch (batch 2) suffices to flush every
+    # unmatched click.  Inner matches are unaffected (they emit on
+    # sight within addBatch; all real rows still arrive in event-time
+    # order, nothing is ever late), so the sink table is
+    # row-identical to the 4-batch feed — oracle-checked.
     sentinels = spark.createDataFrame(
         [
-            (-1, adv, -1, "click", 2),
-            (-2, adv, -2, "purchase", 2),
-            (-3, adv, -3, "click", 3),
+            (-1, adv, -1, "click", 1),
+            (-2, adv, -2, "purchase", 1),
+            (-3, adv, -3, "click", 2),
         ],
         "event_id long, ts_us long, user_id long, event_type string,"
         " batch int",
@@ -1071,7 +1082,7 @@ def _outer_feed_dir(spark: SparkSession, sf_dir: str) -> str:
         .partitionBy("batch")
         .parquet(tmp.name)
     )
-    for b in (0, 1, 2, 3):
+    for b in (0, 1, 2):
         d = _os.path.join(tmp.name, f"batch={b}")
         for f in _os.listdir(d):
             if f.endswith(".parquet"):
@@ -1108,7 +1119,7 @@ def _outer_feed_dir(spark: SparkSession, sf_dir: str) -> str:
     "batch runs under the watermark its predecessor committed — "
     "both facts the sentinel design of the feed had to respect, see "
     "_outer_feed_dir).  The feed replays in event-time order and "
-    "two sentinel batches walk the watermark an hour past every "
+    "in-feed sentinels walk the watermark an hour past every "
     "real join window, so the streaming output equals the plain "
     "batch left join EXACTLY — full streaming/batch parity as the "
     "oracle, unmatched rows included.  Both sides watermarked "

@@ -803,6 +803,30 @@ def test_image_dhash_bands_find_all_pairs_exactly(spark):
     assert got == want
 
 
+def test_fused_synth_hash_bit_identical(spark):
+    """r13: the fused single-pass synth+decode+hash operator
+    (synth_image_hashes) must emit BIT-IDENTICAL dhashes to the
+    unfused synth_images -> image_dhash chain it replaced — the
+    fusion removes a Python eval node, never a byte of the
+    encode_ppm/decode_image hop."""
+    from dados_publicos_etl_spark.io import read_table
+    from dados_publicos_etl_spark.operators.multimodal import (
+        image_dhash,
+        synth_image_hashes,
+        synth_images,
+    )
+
+    docs = read_table(spark, SF_CORRECT, "documents").select("doc_id")
+    old = {
+        (r.doc_id, r.dhash)
+        for r in image_dhash(synth_images(docs)).collect()
+    }
+    new = {
+        (r.doc_id, r.dhash) for r in synth_image_hashes(docs).collect()
+    }
+    assert new == old and len(new) == 500
+
+
 def test_image_dhash_stable_under_resize(spark):
     """dHash is a PERCEPTUAL fingerprint: a 2x nearest-neighbor
     upscale of the same image must hash to (nearly) the same bits."""
